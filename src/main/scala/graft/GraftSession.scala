@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory. One place to own the scale-relevant
+  * knobs so Verify / Bench / tests all run the same engine config.
+  *
+  * Tuned for local[N] testing but chosen to hold on a real cluster:
+  *   - AQE on (runtime coalesce, skew-join split, dynamic broadcast)
+  *   - shuffle.partitions sized to cores locally; on a cluster AQE
+  *     coalesces from an intentionally-high initial number
+  *   - ANSI off: the engine mirrors PostgreSQL's guarded-cast semantics
+  *     (SURVEY.md §2.6 #33) — casts are pre-guarded by regex/NULLIF so
+  *     silent-NULL matches the reference's behavior.
+  */
+object GraftSession {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def builder(master: String = s"local[$cpus]"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+
+  def get(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

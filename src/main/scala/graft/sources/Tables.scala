@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table registry over the harness parquet layout (`TESTDATA.md`):
+  * one parquet file per table under a scale-factor directory.
+  *
+  * Mirrors the reference's "connection registry" idea
+  * (`/root/reference/dags/stage_csv_dims_to_pg.py:13-16`) as a config
+  * object mapping logical table names → storage paths, instead of
+  * Airflow connections. All reads are plain `spark.read.parquet`, so
+  * Catalyst column pruning + predicate pushdown reach the scan.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  /** Register every table as a temp view so `spark.sql` queries match
+    * the DuckDB oracle's table names 1:1. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** All-string CSV reader reproducing the reference's text-typed
+    * staging discipline (`stage_csv_dims_to_pg.py:79-98`): no schema
+    * inference, types imposed later by explicit guarded casts
+    * (SURVEY.md §1.3). */
+  def csvAllString(spark: SparkSession, path: String, columns: Seq[String]): DataFrame = {
+    val schema = StructType(columns.map(c => StructField(c, StringType, nullable = true)))
+    spark.read.schema(schema).option("header", "true").csv(path)
+  }
+}
