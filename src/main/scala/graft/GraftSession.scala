@@ -31,6 +31,10 @@ object GraftSession {
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // events.parquet carries TIMESTAMP(NANOS) which the Spark reader
+      // rejects natively; read as long nanos and convert explicitly
+      // (Tables.loadEvents / functions.tsFromNanos)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

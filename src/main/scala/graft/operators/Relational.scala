@@ -55,6 +55,169 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** #21/#17 UNION ALL of two schema-aligned cleansed branches feeding a
+    * hash group-by — the `bus ∪ halte → agg_by_card` shape
+    * (dag_datapelangan.py:188-198). `unionByName`, not positional union. */
+  def unionAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(
+        date_format(col("l_shipdate"), "yyyy-MM").as("period"),
+        col("l_returnflag").as("kind"),
+        dec(col("l_extendedprice")).as("amount"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("period"),
+        col("o_orderstatus").as("kind"),
+        dec(col("o_totalprice")).as("amount"))
+    li.unionByName(o)
+      .groupBy(col("period"), col("kind"))
+      .agg(
+        count(lit(1)).as("pelanggan_count"),
+        sum(col("amount")).cast("double").as("amount_sum"))
+      .orderBy(col("period"), col("kind"))
+  }
+
+  /** #14 inner equi-join against a multi-valued dim — the fan-out
+    * enrichment join (dag_datapelangan.py:210: 25 bodies map to >1
+    * route; each transaction counted once per match, unmatched
+    * dropped). Dim here: distinct (part → supplier) pairs, ~26
+    * suppliers/part; facts: one ship-week slice. Dim of distinct pairs
+    * is aggregated *before* the join (shuffle on the small side), then
+    * the fact join is a broadcast hash join — no fact shuffle. */
+  def fanoutJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val sup = Tables.load(spark, dir, "supplier")
+    val partSupplier = li.select(col("l_partkey").as("d_partkey"), col("l_suppkey").as("d_suppkey")).distinct()
+    val facts = li.filter(
+        col("l_shipdate").cast("date") >= lit("1997-03-01") &&
+        col("l_shipdate").cast("date") < lit("1997-03-08"))
+      .select(col("l_partkey"), col("l_orderkey"), dec(col("l_extendedprice")).as("amount"))
+    facts
+      .join(partSupplier, col("l_partkey") === col("d_partkey"), "inner")
+      .join(sup, col("d_suppkey") === col("s_suppkey"), "left")
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("pelanggan_count"),
+        sum(col("amount")).cast("double").as("amount_sum"))
+      .orderBy(col("s_nationkey").asc_nulls_first)
+  }
+
+  /** #19 `agg_by_tariff` — the fare value itself is the group key
+    * (dag_datapelangan.py:227-234); COUNT only, no SUM. */
+  def aggTariff(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(
+        col("l_quantity").cast("int").as("tarif"),
+        (col("l_linestatus") === "O").as("gate_in_boo"))
+      .agg(count(lit(1)).as("pelanggan_count"))
+      .orderBy(col("tarif"), col("gate_in_boo"))
+  }
+
+  /** #35 norm_body as a pure column expression over dim strings
+    * ("Brand#17"→"BRA-017", "Supplier#000000042"→"SUP-000"), grouped to
+    * exercise collision semantics (515 raw → 487 normalized in the
+    * reference data). */
+  def normBodyQuery(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+    p.select(Normalize.normBody(col("p_brand")).as("norm_brand"),
+             Normalize.normBody(col("p_name")).as("norm_name"))
+      .groupBy(col("norm_brand"), col("norm_name"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("norm_brand").asc_nulls_first, col("norm_name").asc_nulls_first)
+  }
+
+  /** #36 to_bool_safe branch coverage: a deterministic token per row
+    * (keyed by l_linenumber mod 7) runs every accept/reject branch. */
+  def toBoolQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val tok = element_at(
+      array(lit("TRUE"), lit("f"), lit("yes"), lit(" "), lit("0"), lit("garbage"), lit("Y")),
+      (col("l_linenumber") % 7 + 1).cast("int"))
+    li.select(Normalize.toBoolSafe(tok).as("flag"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("flag").asc_nulls_first)
+  }
+
+  /** #13/#30 regex-dispatched two-format date parsing with the
+    * reference's strict `^\d{2}/\d{2}/\d{4}$` (single-digit month
+    * rejected → NULL, preserved deliberately —
+    * stage_csv_dims_to_pg.py:145-151). Input strings synthesized
+    * deterministically in three formats from o_orderdate. */
+  def dateDispatch(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val raw = when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "dd/MM/yyyy"))
+      .otherwise(date_format(col("o_orderdate"), "M/d/yyyy"))
+    o.select((col("o_orderkey") % 3).as("fmt"),
+             date_format(Normalize.normDate(raw), "yyyy-MM").as("period"))
+      .groupBy(col("fmt"), col("period"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("fmt"), col("period").asc_nulls_first)
+  }
+
+  /** #6 merge-upsert sink semantics on plain parquet (ON CONFLICT DO
+    * UPDATE, stage_csv_dims_to_pg.py:125-140): existing ∪ updates →
+    * keep the update per key via row_number over (key, isNew desc).
+    * At scale this is a single shuffle on the upsert key; the window
+    * replaces a non-existent parquet MERGE. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.load(spark, dir, "customer")
+    val existing = c.select(col("c_custkey"), col("c_mktsegment"), dec(col("c_acctbal")).as("bal"), lit(0).as("is_new"))
+    val updates = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), lit("UPGRADED").as("c_mktsegment"),
+        (dec(col("c_acctbal")) + lit(100).cast(D182)).as("bal"), lit(1).as("is_new"))
+    val merged = existing.unionByName(updates)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c_custkey")).orderBy(col("is_new").desc)))
+      .filter(col("rn") === 1)
+    merged.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("bal")).cast("double").as("bal_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** #8/#20 audit scalar-subquery counts — one row, three counts
+    * (dag_datapelangan.py:236-239). */
+  def auditCounts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT
+        |  (SELECT count(*) FROM lineitem) AS lineitem_rows,
+        |  (SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS finished_orders,
+        |  (SELECT count(*) FROM customer) AS customer_rows""".stripMargin)
+  }
+
+  /** Extension: ranked top-N per group (row_number window + filter) —
+    * absent from the reference (SURVEY §2.8) but table stakes for an
+    * analytics engine. Deterministic tie-break on the key. */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("amount").desc, col("o_orderkey"))
+    o.select(col("o_orderpriority"), col("o_orderkey"),
+        dec(col("o_totalprice")).cast("double").as("amount"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  /** Extension: event-time tumbling-window aggregation over the events
+    * table (hourly), the batch shape of the streaming agg in
+    * graft.streaming. JSON props field extracted natively. */
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+    e.groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("value_sum"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   /** #15/#16 left-outer dim lookup chain (dag_datapelangan.py:211,
     * 220-221): customer → nation → region with NULL-preserving groups.
     * Small dims broadcast (nation=25, region=5 rows). */

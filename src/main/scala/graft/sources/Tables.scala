@@ -22,10 +22,25 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
 
+  /** events.parquet stores TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong` the column arrives as long
+    * nanos — convert to a proper TimestampType (micros) here so every
+    * consumer sees an event-time timestamp. */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = load(spark, dir, "events")
+    if (e.schema("ts").dataType == LongType)
+      e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else e
+  }
+
   /** Register every table as a temp view so `spark.sql` queries match
     * the DuckDB oracle's table names 1:1. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") loadEvents(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 
   /** All-string CSV reader reproducing the reference's text-typed
     * staging discipline (`stage_csv_dims_to_pg.py:79-98`): no schema
