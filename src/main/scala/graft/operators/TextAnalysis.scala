@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for the training-data pipeline: language
+  * identification (stopword/n-gram heuristic), quality scoring
+  * (length / punctuation / stopword ratios), token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting.
+  *
+  * All pure column expressions over the `documents` table — one
+  * narrow, shuffle-free projection per document (aggregates below are
+  * only for compact verification output). At 100 TB this is the ideal
+  * operator shape: map-only, codegen'd, column-pruned to `text`.
+  */
+object TextAnalysis {
+
+  /** Language-ID: per-language stopword hit counts + deterministic
+    * argmax, aggregated to (actual, detected) confusion counts. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.select(col("lang"), detectLang(words(lower(col("text")))).as("detected"))
+      .groupBy(col("lang"), col("detected"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("detected"))
+  }
+
+  /** Quality scoring: structural ratios + a blended score, all exact
+    * integer counts until the final double divisions (deterministic
+    * IEEE ops, engine-portable). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val w = words(col("text"))
+    val nWords = size(w)
+    val nChars = length(col("text"))
+    val punct = nChars - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
+    val stops = stopwordCount(w, "en")
+    val avgWordLen = (nChars - (nWords - lit(1))).cast("double") / nWords.cast("double")
+    val punctRatio = punct.cast("double") / nChars.cast("double")
+    val stopRatio = stops.cast("double") / nWords.cast("double")
+    val score = round(
+      least(avgWordLen / lit(8.0), lit(1.0)) * lit(0.4)
+        + (lit(1.0) - punctRatio) * lit(0.3)
+        + least(stopRatio * lit(4.0), lit(1.0)) * lit(0.3), 4)
+    d.select(col("doc_id"), nWords.as("n_words"), punct.as("n_punct"),
+        stops.as("n_stopwords"), round(avgWordLen, 4).as("avg_word_len"),
+        score.as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens and BPE-ish regex tokens. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.select(col("doc_id"),
+        size(words(col("text"))).as("ws_tokens"),
+        bpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: md5 over canonical normalized text +
+    * shape stats — the join key for cross-corpus exact dedup. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val norm = normalizeText(col("text"))
+    d.select(col("doc_id"), md5(norm).as("fp"),
+        length(norm).as("norm_len"),
+        substring(md5(norm), 1, 8).as("shard_key"))
+      .orderBy(col("doc_id"))
+  }
+}
