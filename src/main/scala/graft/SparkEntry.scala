@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Dedup, Relational, TextAnalysis, Vectors}
+import graft.operators.{Dedup, Multimodal, Relational, TextAnalysis, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +41,7 @@ object SparkEntry {
     "q22_ann_topk"       -> Vectors.annBruteForce _,
     "q23_ann_ivf"        -> Vectors.annIvf _,
     "q24_embedding_neardup" -> Vectors.nearDupPairs _,
+    "q25_multimodal_decode" -> Multimodal.decodeQuery _,
   )
 
   /** DuckDB oracle SQL per query (driver substitutes table names onto
@@ -306,6 +307,16 @@ object SparkEntry {
         |    round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT da, db, cos FROM scored WHERE cos >= 0.45 ORDER BY da, db""".stripMargin,
+    "q25_multimodal_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  text, octet_length(encode(text)) AS len FROM documents)
+        |SELECT media_id, kind, len AS byte_len,
+        |  64 + (len * 7 % 577) AS width,
+        |  48 + (len * 13 % 433) AS height,
+        |  1 + len % 7 AS n_frames,
+        |  lower(hex(encode(substring(text, 1, 8)))) AS first_frame_hex
+        |FROM m ORDER BY media_id""".stripMargin,
   )
 
   /** DuckDB fragment: canonical text normalization (must mirror

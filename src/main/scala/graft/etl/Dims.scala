@@ -1,0 +1,87 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.Normalize
+
+/** Dimension pipeline — the Spark-first re-expression of DAG
+  * `stage_csv_dims_to_pg_dwh` (stage_csv_dims_to_pg.py:122-163):
+  * all-string CSV staging → trim/cast/filter transforms → upsert or
+  * truncate-reload into parquet dimension tables.
+  */
+object Dims {
+
+  /** `dw.routes` transform: trim keys, drop NULL PKs
+    * (stage_csv_dims_to_pg.py:125-130). */
+  def routes(staged: DataFrame): DataFrame =
+    staged.select(
+        trim(col("route_code")).as("route_code"),
+        trim(col("route_name")).as("route_name"))
+      .filter(col("route_code").isNotNull)
+
+  /** `dw.shelter_corridor`: trim PK, NULLIF-guarded int cast
+    * (stage_csv_dims_to_pg.py:132-140). */
+  def shelterCorridor(staged: DataFrame): DataFrame =
+    staged.select(
+        trim(col("shelter_name_var")).as("shelter_name_var"),
+        Normalize.nullifEmptyInt(col("corridor_code")).as("corridor_code"),
+        col("corridor_name"))
+      .filter(col("shelter_name_var").isNotNull)
+
+  /** `dw.realisasi_bus` full reload: strict two-format date dispatch
+    * (every shipped row's M/D/YYYY date → NULL — preserved, see
+    * FIXTURES.md A5) + norm_body key (stage_csv_dims_to_pg.py:142-154). */
+  def realisasiBus(staged: DataFrame): DataFrame =
+    staged.select(
+      Normalize.normDate(col("tanggal_realisasi")).as("tanggal_realisasi"),
+      col("bus_body_no"),
+      col("rute_realisasi"),
+      Normalize.normBody(col("bus_body_no")).as("bus_body_no_norm"))
+
+  /** Merge-upsert (INSERT … ON CONFLICT DO UPDATE,
+    * stage_csv_dims_to_pg.py:125-140) on plain parquet: existing ∪
+    * incoming, keep the incoming row per key. One shuffle on the key;
+    * at scale this is the standard copy-on-write merge (Delta/Iceberg
+    * MERGE being the transactional variant). */
+  def upsert(existing: Option[DataFrame], incoming: DataFrame, key: String): DataFrame =
+    existing match {
+      case None => incoming.dropDuplicates(key)
+      case Some(ex) =>
+        val unioned = ex.withColumn("_is_new", lit(0))
+          .unionByName(incoming.withColumn("_is_new", lit(1)))
+        unioned
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(col(key)).orderBy(col("_is_new").desc)))
+          .filter(col("_rn") === 1)
+          .drop("_is_new", "_rn")
+    }
+
+  /** Full DAG-1 run: stage the three CSVs, transform, upsert/reload
+    * into `dwhDir` parquet tables. Returns per-table row counts (the
+    * reference's logged audit counts). */
+  def run(spark: SparkSession, csvDir: String, dwhDir: String): Map[String, Long] = {
+    def existing(name: String): Option[DataFrame] =
+      try Some(spark.read.parquet(s"$dwhDir/$name")) catch { case _: Exception => None }
+    def write(df: DataFrame, name: String): Long = {
+      df.write.mode("overwrite").parquet(s"$dwhDir/$name")
+      spark.read.parquet(s"$dwhDir/$name").count()
+    }
+
+    val r = routes(Tables.csvAllString(spark, s"$csvDir/dummy_routes.csv", Schemas.routesColumns))
+    val s = shelterCorridor(Tables.csvAllString(spark, s"$csvDir/dummy_shelter_corridor.csv", Schemas.shelterCorridorColumns))
+    val b = realisasiBus(Tables.csvAllString(spark, s"$csvDir/dummy_realisasi_bus.csv", Schemas.realisasiColumns))
+
+    // upsert requires reading existing before overwriting — materialize
+    // the merge first (localCheckpoint breaks the read-overwrite cycle)
+    val routesMerged = upsert(existing("routes"), r, "route_code").localCheckpoint()
+    val shelterMerged = upsert(existing("shelter_corridor"), s, "shelter_name_var").localCheckpoint()
+
+    Map(
+      "routes" -> write(routesMerged, "routes"),
+      "shelter_corridor" -> write(shelterMerged, "shelter_corridor"),
+      "realisasi_bus" -> write(b, "realisasi_bus")) // truncate-reload, no upsert
+  }
+}

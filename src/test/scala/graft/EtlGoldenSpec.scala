@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Daily, Dims}
+
+/** Golden end-to-end test of both pipelines over the reference's own
+  * five CSVs (read-only at /root/reference/data), asserting the
+  * FIXTURES.md golden sample for ds=2025-07-15 plus the documented
+  * faithful weirdness (all-NULL realisasi dates, fan-out join
+  * inflation).
+  */
+class EtlGoldenSpec extends SparkSpec {
+  private val csvDir = "/root/reference/data"
+  private lazy val dwhDir = Files.createTempDirectory("graft_dwh").toString
+
+  test("DAG1: dims load with reference row counts") {
+    val counts = Dims.run(spark, csvDir, dwhDir)
+    assert(counts("routes") === 21)
+    assert(counts("shelter_corridor") === 74)
+    assert(counts("realisasi_bus") === 515)
+  }
+
+  test("DAG1: every shipped realisasi date is NULL (strict regex, faithful)") {
+    val r = spark.read.parquet(s"$dwhDir/realisasi_bus")
+    assert(r.filter(col("tanggal_realisasi").isNotNull).count() === 0)
+    // normalization collisions: 515 raw bodies → 487 normalized
+    assert(r.select(col("bus_body_no_norm")).distinct().count() === 487)
+  }
+
+  test("DAG2: golden agg_by_card groups for ds=2025-07-15 (FIXTURES.md)") {
+    val report = Daily.run(spark, csvDir, dwhDir, LocalDate.parse("2025-07-15"))
+    assert(report.aggByCard === 8)
+    val rows = spark.read.parquet(s"$dwhDir/agg_by_card")
+      .filter(col("tanggal") === lit(java.sql.Date.valueOf(LocalDate.parse("2025-07-15"))))
+      .collect().map(r => (r.getAs[String]("card_type"), r.getAs[Boolean]("gate_in_boo")) ->
+        (r.getAs[Long]("pelanggan_count"), r.getAs[java.math.BigDecimal]("amount_sum").toString))
+      .toMap
+    assert(rows(("BRIZZI", false)) === (8L, "149000.00"))
+    assert(rows(("BRIZZI", true)) === (5L, "58500.00"))
+    assert(rows(("E-MONEY", false)) === (3L, "40500.00"))
+    assert(rows(("FLAZZ", true)) === (7L, "54500.00"))
+  }
+
+  test("DAG2: rerun is idempotent (dynamic partition overwrite, documented divergence)") {
+    val before = spark.read.parquet(s"$dwhDir/agg_by_card").count()
+    Daily.run(spark, csvDir, dwhDir, LocalDate.parse("2025-07-15"))
+    val after = spark.read.parquet(s"$dwhDir/agg_by_card").count()
+    assert(before === after) // the reference would double-count here
+  }
+
+  test("DAG2: fan-out inner join counts once per realisasi match and drops unmatched") {
+    val ds = LocalDate.parse("2025-07-15")
+    val bus = Daily.cleanseBus(graft.sources.Tables.csvAllString(
+        spark, s"$csvDir/dummy_transaksi_bus.csv", graft.etl.Schemas.busColumns))
+      .filter(col("status_var") === "S" && col("tanggal") === lit(java.sql.Date.valueOf(ds)))
+    val realisasi = spark.read.parquet(s"$dwhDir/realisasi_bus")
+    val joined = bus.join(realisasi, col("no_body_norm") === col("bus_body_no_norm"), "inner")
+    // fan-out: joined count >= matched bus rows; both computed, asserted consistent
+    val busRows = bus.count()
+    val joinedRows = joined.count()
+    val matchedBus = bus.join(realisasi.select(col("bus_body_no_norm")).distinct(),
+      col("no_body_norm") === col("bus_body_no_norm"), "left_semi").count()
+    assert(joinedRows >= matchedBus)
+    assert(matchedBus <= busRows)
+  }
+}
