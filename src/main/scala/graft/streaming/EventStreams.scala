@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface over the events schema
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is strictly daily batch (schedule "0 7 * * *",
+  * dag_datapelangan.py:25) — this module is the streaming extension
+  * SURVEY.md §7 plans: the same aggregation shapes as readStream →
+  * transform → writeStream with watermarked event-time windows, plus
+  * custom session state via flatMapGroupsWithState.
+  *
+  * Every transform here takes an unbounded DataFrame and also works on
+  * a bounded one (batch/streaming unification) — the batch analog is
+  * Relational.eventsWindow.
+  */
+object EventStreams {
+  private val D182 = DecimalType(18, 2)
+
+  /** Watermarked tumbling event-time window aggregation: late events
+    * beyond 2 hours are dropped; state is bounded by the watermark —
+    * the scale-safe default for an unbounded 100 TB/day firehose. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D182)).cast(D182).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  case class Evt(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                     n_events: Int, value_sum: Double)
+
+  /** Gap-based sessionization with explicit keyed state: a session
+    * closes when a later event reveals a gap (and, with
+    * `flushIdleByTimeout`, when processing-time timeout fires for idle
+    * keys — continuous-job mode; off by default so bounded test runs
+    * terminate). State per user is O(1) — one open session — so the
+    * operator holds at any key cardinality. */
+  def sessionize(spark: SparkSession, events: Dataset[Evt], gapMs: Long,
+                 flushIdleByTimeout: Boolean = false): Dataset[Session] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (flushIdleByTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, evts: Iterator[Evt], state: GroupState[SessionState]) =>
+          if (evts.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evts.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (flushIdleByTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Evt
+
+/** Drives the streaming operators through real micro-batches with
+  * MemoryStream sources and in-memory sinks. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("watermarked hourly window aggregation over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String, Double)]
+    val events = source.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.hourlyCounts(events).writeStream
+      .format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      source.addData((ts(0), "click", 1.0), (ts(10), "click", 2.5), (ts(70), "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select(date_format(col("window_start"), "HH:mm").as("h"), col("event_type"), col("n"),
+          col("value_sum").cast("string"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+      // base ts 1700000000000 = 2023-11-14 22:13:20 UTC
+      assert(rows === Set(("22:00", "click", 2L, "3.50"), ("23:00", "view", 1L, "4.00")))
+    } finally q.stop()
+  }
+
+  test("gap sessionization with keyed state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Evt]
+    val sessions = EventStreams.sessionize(spark, source.toDS(), gapMs = 5 * 60000L)
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 2min apart (one session), then a 30min gap
+      // then one more (second session opens; first closes on gap)
+      source.addData(Evt(1L, ts(0), "click", 1.0), Evt(1L, ts(2), "view", 2.0))
+      q.processAllAvailable()
+      source.addData(Evt(1L, ts(32), "click", 7.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[EventStreams.Session].collect()
+      assert(closed.length === 1)
+      assert(closed.head.user_id === 1L)
+      assert(closed.head.n_events === 2)
+      assert(closed.head.value_sum === 3.0)
+      assert(closed.head.session_start === ts(0) && closed.head.session_end === ts(2))
+    } finally q.stop()
+  }
+}
