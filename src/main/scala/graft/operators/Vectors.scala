@@ -103,17 +103,53 @@ object Vectors {
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold. Exact
-    * all-pairs at test scale; the LSH/IVF bucketing above is the
-    * pruning path at corpus scale. */
+  /** Embedding-cosine near-duplicate pairs above a threshold.
+    *
+    * Implemented as a broadcast block-nested-loop kernel: the corpus
+    * (normalized ids + double vectors + precomputed norms) is
+    * broadcast once; each partition streams its rows against the
+    * broadcast block with a primitive-array dot loop. This is the
+    * genuine per-partition numeric kernel case where `mapPartitions`
+    * beats Catalyst higher-order functions (which re-fold boxed
+    * arrays per pair). Arithmetic mirrors the oracle exactly:
+    * sequential double dot, cos = dot/(na*nb), Spark `round`
+    * semantics (BigDecimal.valueOf, HALF_UP).
+    *
+    * At corpus scale the broadcast side becomes a tiled loop
+    * (block-partitioned self-join) and the LSH/IVF bucketing above
+    * prunes candidate blocks first.
+    */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val l = e.select(col("vec_id").as("da"), col("embedding").as("va"))
-    val r = e.select(col("vec_id").as("db"), col("embedding").as("vb"))
-    l.crossJoin(broadcast(r))
-      .filter(col("da") < col("db"))
-      .select(col("da"), col("db"), round(cosine(col("va"), col("vb")), 4).as("cos"))
-      .filter(col("cos") >= NearDupThreshold)
-      .orderBy(col("da"), col("db"))
+    import spark.implicits._
+    val vecs = emb(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val block = vecs.collect().sortBy(_._1).map { case (id, v) =>
+      (id, v, math.sqrt(dotArr(v, v)))
+    }
+    val bc = spark.sparkContext.broadcast(block)
+    val pairs = vecs.mapPartitions { it =>
+      val b = bc.value
+      it.flatMap { case (da, va) =>
+        val na = math.sqrt(dotArr(va, va))
+        b.iterator
+          .filter(_._1 > da)
+          .map { case (db, vb, nb) => (da, db, round4(dotArr(va, vb) / (na * nb))) }
+          .filter(_._3 >= NearDupThreshold)
+      }
+    }.toDF("da", "db", "cos")
+    pairs.orderBy(col("da"), col("db"))
   }
+
+  /** Sequential primitive dot product — same fold order as the
+    * expression path and the oracle's list_dot_product. */
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Spark Round semantics for doubles (BigDecimal.valueOf → HALF_UP). */
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 }
