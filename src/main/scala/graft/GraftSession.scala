@@ -35,6 +35,8 @@ object GraftSession {
       // rejects natively; read as long nanos and convert explicitly
       // (Tables.loadEvents / functions.tsFromNanos)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native codegen'd functions (cosine_sim)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

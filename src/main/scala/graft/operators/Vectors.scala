@@ -29,18 +29,24 @@ object Vectors {
   val IvfProbes = 4
   val NearDupThreshold = 0.45
 
-  /** double-precision dot product of two float vectors (sequential
-    * left fold — same order as the oracle's list_dot_product). */
+  /** double-precision dot product of two vectors (sequential left
+    * fold — same order as the oracle's list_dot_product). Reference
+    * composed-expression form; the hot path uses the native fused
+    * `cosine_sim` expression below. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Native codegen'd single-pass cosine (graft.plans.CosineSimilarity,
+    * registered via GraftExtensions). Same arithmetic as the composed
+    * form and the DuckDB oracle. */
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
 
   /** Brute-force cosine top-k for the first NumQueries vectors as
     * queries (broadcast) against the full corpus. */
