@@ -42,6 +42,10 @@ object SparkEntry {
     "q23_ann_ivf"        -> Vectors.annIvf _,
     "q24_embedding_neardup" -> Vectors.nearDupPairs _,
     "q25_multimodal_decode" -> Multimodal.decodeQuery _,
+    "q26_rollup"         -> Relational.rollupAgg _,
+    "q27_semi_anti_join" -> Relational.semiAntiJoin _,
+    "q28_distinct_agg"   -> Relational.distinctAgg _,
+    "q29_pivot"          -> Relational.pivotAgg _,
   )
 
   /** DuckDB oracle SQL per query (driver substitutes table names onto
@@ -317,6 +321,39 @@ object SparkEntry {
         |  1 + len % 7 AS n_frames,
         |  lower(hex(encode(substring(text, 1, 8)))) AS first_frame_hex
         |FROM m ORDER BY media_id""".stripMargin,
+    "q26_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+        |  CAST(grouping(r_name) AS INT) AS g_region, CAST(grouping(n_name) AS INT) AS g_nation
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY g_region, g_nation, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q27_semi_anti_join" ->
+      """WITH o96 AS (SELECT o_custkey FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'),
+        |w AS (SELECT c_mktsegment, count(*) AS with_orders FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM o96) GROUP BY 1),
+        |wo AS (SELECT c_mktsegment, count(*) AS without_orders FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM o96) GROUP BY 1)
+        |SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+        |  with_orders, without_orders
+        |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q28_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS distinct_parts,
+        |  count(DISTINCT l_orderkey) AS distinct_orders,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q29_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 
   /** DuckDB fragment: canonical text normalization (must mirror

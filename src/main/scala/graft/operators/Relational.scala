@@ -218,6 +218,64 @@ object Relational {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Extension: ROLLUP hierarchy aggregation with grouping indicators
+    * (absent from the reference, SURVEY §2.8 — Spark built-in). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val n = broadcast(Tables.load(spark, dir, "nation"))
+    val r = broadcast(Tables.load(spark, dir, "region"))
+    c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
+      .join(r, n("n_regionkey") === r("r_regionkey"), "left")
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("c_acctbal"))).cast("double").as("bal_sum"),
+        grouping(col("r_name")).cast("int").as("g_region"), grouping(col("n_name")).cast("int").as("g_nation"))
+      .orderBy(col("g_region"), col("g_nation"),
+        col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Extension: semi/anti join pair — customers with vs without 1996
+    * orders (EXISTS / NOT EXISTS; left_semi never duplicates, left_anti
+    * complements). */
+  def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o96 = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate").cast("date") >= lit("1996-01-01") &&
+        col("o_orderdate").cast("date") < lit("1997-01-01"))
+      .select(col("o_custkey"))
+    val withO = c.join(o96, c("c_custkey") === o96("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("with_orders"))
+    val withoutO = c.join(o96, c("c_custkey") === o96("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("without_orders"))
+    withO.join(withoutO, Seq("c_mktsegment"), "outer")
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Extension: distinct aggregation (COUNT(DISTINCT) — exact; absent
+    * from the reference). */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_orderkey")).as("distinct_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Extension: pivot — order counts per priority pivoted by status
+    * (fixed value list so the output schema is static and
+    * oracle-stable). */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o").withColumnRenamed("P", "n_p")
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** #15/#16 left-outer dim lookup chain (dag_datapelangan.py:211,
     * 220-221): customer → nation → region with NULL-preserving groups.
     * Small dims broadcast (nation=25, region=5 rows). */
