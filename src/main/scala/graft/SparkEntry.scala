@@ -364,7 +364,7 @@ object SparkEntry {
   /** DuckDB fragment: distinct word-3-gram shingles per doc (mirrors
     * TextFunctions.shingles(words(text), 3)). */
   private val shingleCte =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       |  FROM w, unnest(generate_series(1, greatest(len(w) - 2, 0))) t(i))""".stripMargin
 

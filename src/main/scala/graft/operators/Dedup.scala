@@ -23,10 +23,12 @@ object Dedup {
   val Bands = 4 // 3 rows per band → catches Jaccard ≳ 0.5 reliably
   val JaccardThreshold = 0.5
 
-  /** doc_id + distinct word-3-gram shingle rows. */
+  /** doc_id + distinct word-3-gram shingle rows over *normalized*
+    * text (lowercase, punctuation stripped) — case/punct variants of
+    * the same content shingle identically. */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("s"))
+      .select(col("doc_id"), explode(shingles(words(normalizeText(col("text"))), 3)).as("s"))
 
   /** Exact dedup: canonical id per normalized-text hash
     * (hash group-by; one shuffle on the 128-bit key). */

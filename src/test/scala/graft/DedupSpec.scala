@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Skew, TextAnalysis, Vectors}
+
+/** Semantic tests of the dedup / text / skew operators on planted
+  * synthetic corpora (temp parquet in the harness `documents` schema),
+  * where ground truth is known by construction.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Tiny corpus: 0/1 exact dups (after normalization), 2/3 heavy
+    * overlap (near-dup), 4..9 unrelated. */
+  private lazy val corpusDir: String = {
+    val dir = Files.createTempDirectory("graft_docs").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base.toUpperCase + "!!", "en", "src0", base.length.toLong + 2), // exact dup after normalize
+      (2L, base + " extra tail words here", "en", "src1", 80L),            // near dup of 0
+      (3L, "the quick brown fox jumps over the lazy dog again and again yesterday", "en", "src1", 70L),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src2", 50L),
+      (5L, "one two three four five six seven eight nine ten eleven", "en", "src2", 50L),
+      (6L, "completely different content about spark query engines", "en", "src3", 50L),
+      (7L, "der hund läuft schnell und der vogel singt laut heute", "de", "src3", 50L),
+      (8L, "el gato come pescado y la casa es grande hoy", "es", "src4", 44L),
+      (9L, "le chat mange du poisson et la maison est grande", "fr", "src4", 48L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup groups case/punct variants under one canonical id") {
+    val out = Dedup.exact(spark, corpusDir).collect()
+    val dupGroup = out.find(_.getAs[Long]("dup_count") > 1).get
+    assert(dupGroup.getAs[Long]("canonical_id") === 0L)
+    assert(dupGroup.getAs[Long]("dup_count") === 2L) // docs 0 and 1
+    assert(out.length === 9) // 10 docs, one merged pair
+  }
+
+  test("minhash LSH finds planted near-dup pairs and only those") {
+    val pairs = Dedup.minhashLsh(spark, corpusDir)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(pairs.contains((0L, 1L))) // identical shingle sets
+    assert(pairs.contains((0L, 2L)) || pairs.contains((2L, 3L))) // heavy overlap cluster
+    assert(pairs.forall { case (a, b) => a < b && a <= 3 && b <= 3 }) // no false positives outside cluster
+  }
+
+  test("ngram jaccard agrees with minhash-verified pairs on the planted cluster") {
+    val jac = Dedup.ngramJaccard(spark, corpusDir)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(jac.contains((0L, 1L)))
+    assert(jac.forall { case (a, b) => a <= 3 && b <= 3 })
+  }
+
+  test("simhash: identical normalized token sets get identical signatures") {
+    val sigs = Dedup.simhashSignatures(spark, corpusDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    // doc 1 is doc 0 uppercased+punct — tokens differ (upper), so only
+    // assert determinism: same input → same signature
+    val again = Dedup.simhashSignatures(spark, corpusDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs === again)
+    assert(sigs.values.toSet.size > 1) // not degenerate
+  }
+
+  test("language-ID picks stopword-bearing languages on real sentences") {
+    val out = TextAnalysis.langId(spark, corpusDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("detected")) -> r.getAs[Long]("n")).toMap
+    // English docs with 'the/and/over' detected en
+    assert(out.keys.exists { case (l, d) => l == "en" && d == "en" })
+    // German sentence carries 'der' + 'und' → de
+    assert(out.contains(("de", "de")))
+    // Spanish sentence carries 'el/la/y/es' → es
+    assert(out.contains(("es", "es")))
+  }
+
+  test("salted aggregation equals plain aggregation (exactness under salting)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val plain = li.groupBy(col("l_returnflag").as("k"))
+      .agg(sum(col("l_quantity")).as("value_sum"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = Skew.saltedSumCount(li, col("l_returnflag"), col("l_quantity"),
+        col("l_orderkey"), buckets = 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted.keySet === plain.keySet)
+    salted.foreach { case (k, (s, n)) =>
+      assert(n === plain(k)._2)
+      assert(math.abs(s - plain(k)._1) < 1e-6)
+    }
+  }
+
+  test("salted join equals plain join") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_partkey"), col("l_quantity"))
+    val dim = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val plain = li.join(dim, Seq("l_partkey")).count()
+    val salted = Skew.saltedJoin(li, dim, "l_partkey", col("l_quantity"), buckets = 4).count()
+    assert(salted === plain)
+  }
+
+  test("IVF ANN recall vs brute force is high on real embeddings") {
+    val sf = "/root/testdata/sf0.001"
+    val bf = Vectors.annBruteForce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Vectors.annIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"IVF recall $recall too low") // 4/16 lists probed on unclustered data
+  }
+}
