@@ -16,6 +16,11 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+  /** Per-JVM warehouse for managed (e.g. bucketed) tables — keeps
+    * runs isolated and the repo clean. */
+  private lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft_warehouse").toString
+
   def builder(master: String = s"local[$cpus]"): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
@@ -37,6 +42,7 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // native codegen'd functions (cosine_sim)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir", warehouseDir)
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

@@ -85,10 +85,24 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Shingles with hot shingles removed: a shingle appearing in more
+    * than `cap` documents generates O(cap²) candidate pairs in the
+    * inverted-index self-join — at corpus scale a handful of
+    * boilerplate shingles would dominate the join. Dropping them
+    * loses almost no signal (a shingle shared by thousands of docs
+    * identifies nothing) and bounds the blowup to cap² per shingle. */
+  def cappedShingles(spark: SparkSession, dir: String, cap: Int): DataFrame = {
+    val sh = shingleRows(spark, dir)
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("s"))
+    sh.join(broadcast(hot), Seq("s"), "left_anti")
+  }
+
   /** n-gram Jaccard near-dup pairs via the shingle inverted index
     * itself (pairs sharing ≥1 shingle are the candidates; exact
-    * Jaccard filter). At scale, add a frequency cap on hot shingles
-    * before the self-join. */
+    * Jaccard filter). Kept uncapped here because the oracle compares
+    * exact Jaccard; `cappedShingles` is the bounded variant for
+    * corpus-scale runs. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(spark, dir).cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
