@@ -46,6 +46,8 @@ object SparkEntry {
     "q27_semi_anti_join" -> Relational.semiAntiJoin _,
     "q28_distinct_agg"   -> Relational.distinctAgg _,
     "q29_pivot"          -> Relational.pivotAgg _,
+    "q30_percentile"     -> Relational.percentiles _,
+    "q31_corpus_clean"   -> ((s: SparkSession, d: String) => operators.CorpusPipeline.clean(s, d)),
   )
 
   /** DuckDB oracle SQL per query (driver substitutes table names onto
@@ -354,6 +356,54 @@ object SparkEntry {
         |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
         |  count(*) FILTER (o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q30_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q31_corpus_clean" ->
+      s"""$shingleCte,
+        |sig AS (SELECT doc_id, ${(0 until 12).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")}
+        |  FROM sh GROUP BY doc_id),
+        |b AS (SELECT doc_id, ${(0 until 4).map(k => s"md5(h${3*k} || h${3*k+1} || h${3*k+2}) AS band$k").mkString(", ")} FROM sig),
+        |cand AS (${(0 until 4).map(k =>
+            s"SELECT l.doc_id AS da, r.doc_id AS db FROM b l JOIN b r ON l.band$k = r.band$k AND l.doc_id < r.doc_id")
+            .mkString("\n  UNION\n  ")}),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.da, c.db, count(*) AS i FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.da
+        |  JOIN sh sb ON sb.doc_id = c.db AND sb.s = sa.s
+        |  GROUP BY c.da, c.db),
+        |dups AS (SELECT DISTINCT x.db AS doc_id
+        |  FROM inter x JOIN cnt ca ON ca.doc_id = x.da JOIN cnt cb ON cb.doc_id = x.db
+        |  WHERE round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) >= 0.5),
+        |stats AS (SELECT doc_id, md5($normSqlDuck) AS fp,
+        |  (SELECT CASE
+        |    WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+        |    WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |    WHEN s_es >= greatest(s_en, s_de, s_fr, s_zh) THEN 'es'
+        |    WHEN s_fr >= greatest(s_en, s_de, s_es, s_zh) THEN 'fr'
+        |    ELSE 'zh' END FROM (SELECT
+        |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','of','and','is','to','in'))) AS s_en,
+        |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','das','und','ist','ein'))) AS s_de,
+        |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','de','y','es','un'))) AS s_es,
+        |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','les','et','est','un'))) AS s_fr,
+        |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('的','是','了','在','和'))) AS s_zh)) AS lang,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  round(least((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')) / 8.0, 1.0) * 0.4
+        |    + (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text)) * 0.3
+        |    + least(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is','to','in'))) * 1.0 / len(string_split(text, ' ')) * 4.0, 1.0) * 0.3, 4) AS quality
+        |  FROM documents),
+        |canonical AS (SELECT fp, min(doc_id) AS keep_id FROM stats GROUP BY fp)
+        |SELECT s.doc_id, s.fp, s.lang, s.ws_tokens, s.quality
+        |FROM stats s
+        |JOIN canonical c ON c.fp = s.fp AND c.keep_id = s.doc_id
+        |WHERE s.doc_id NOT IN (SELECT doc_id FROM dups)
+        |  AND s.quality >= 0.5
+        |  AND s.lang IN ('en','de','es','fr','zh')
+        |ORDER BY s.doc_id""".stripMargin,
   )
 
   /** DuckDB fragment: canonical text normalization (must mirror

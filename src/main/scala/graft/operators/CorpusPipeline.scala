@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+
+/** End-to-end training-corpus cleaning — the composition the individual
+  * operators exist for: exact dedup → MinHash near-dup removal →
+  * quality floor → language allowlist, emitting the surviving corpus
+  * with per-doc stats.
+  *
+  * Near-dup keep rule: for every verified pair (da < db) drop db —
+  * greedy-by-id, deterministic, no connected-components pass (at
+  * corpus scale a union-find over pair edges refines this; the greedy
+  * rule over-drops only inside transitive clusters).
+  *
+  * Every stage is a shuffle on a key (fingerprint / band signature) or
+  * a map-only projection — nothing quadratic, nothing driver-side.
+  */
+object CorpusPipeline {
+
+  case class Config(minQuality: Double = 0.5,
+                    langs: Seq[String] = Seq("en", "de", "es", "fr", "zh"))
+
+  def clean(spark: SparkSession, dir: String, config: Config = Config()): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val norm = normalizeText(col("text"))
+    val w = words(col("text"))
+
+    val stats = d.select(
+      col("doc_id"),
+      md5(norm).as("fp"),
+      detectLang(words(lower(col("text")))).as("lang"),
+      size(w).as("ws_tokens"),
+      round(
+        least((length(col("text")) - (size(w) - lit(1))).cast("double") / size(w).cast("double") / lit(8.0), lit(1.0)) * lit(0.4)
+          + (lit(1.0) - (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("double") / length(col("text")).cast("double")) * lit(0.3)
+          + least(stopwordCount(w, "en").cast("double") / size(w).cast("double") * lit(4.0), lit(1.0)) * lit(0.3),
+        4).as("quality"))
+
+    // 1. exact dedup: keep the canonical (min doc_id) per fingerprint
+    val canonical = stats.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      .withColumnRenamed("fp", "cfp") // disambiguate the self-derived join
+    val exactKept = stats.join(canonical,
+      stats("fp") === col("cfp") && stats("doc_id") === col("keep_id"))
+      .select(stats("doc_id"), stats("fp"), col("lang"), col("ws_tokens"), col("quality"))
+
+    // 2. near-dup removal: drop the db side of every verified pair
+    val dupIds = Dedup.minhashLsh(spark, dir).select(col("db").as("doc_id")).distinct()
+    val deduped = exactKept.join(dupIds, Seq("doc_id"), "left_anti")
+
+    // 3-4. quality floor + language allowlist
+    deduped
+      .filter(col("quality") >= config.minQuality)
+      .filter(col("lang").isin(config.langs: _*))
+      .orderBy(col("doc_id"))
+  }
+}

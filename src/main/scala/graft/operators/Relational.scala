@@ -276,6 +276,19 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Extension: exact interpolated percentiles (R-7 linear
+    * interpolation — same definition as the oracle's quantile_cont). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** #15/#16 left-outer dim lookup chain (dag_datapelangan.py:211,
     * 220-221): customer → nation → region with NULL-preserving groups.
     * Small dims broadcast (nation=25, region=5 rows). */
