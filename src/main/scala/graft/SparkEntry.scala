@@ -48,6 +48,8 @@ object SparkEntry {
     "q29_pivot"          -> Relational.pivotAgg _,
     "q30_percentile"     -> Relational.percentiles _,
     "q31_corpus_clean"   -> ((s: SparkSession, d: String) => operators.CorpusPipeline.clean(s, d)),
+    // no oracle (sketch algorithms are engine-specific) → rows-only check
+    "q32_approx_sketches" -> Relational.approxSketches _,
   )
 
   /** DuckDB oracle SQL per query (driver substitutes table names onto

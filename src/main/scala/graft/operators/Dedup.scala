@@ -43,10 +43,12 @@ object Dedup {
   /** MinHash signatures: 12 independent min-aggregates over the
     * shingle rows (no per-hash explode — 12 agg expressions in one
     * shuffle), then 4 band signatures of 3 hashes each. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignaturesFrom(shingleRows(spark, dir))
+
+  private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
     val hashes = (0 until NumHashes).map(i => minhashAgg(col("s"), i).as(s"h$i"))
-    val sig = shingleRows(spark, dir).groupBy(col("doc_id"))
-      .agg(hashes.head, hashes.tail: _*)
+    val sig = sh.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
     val bands = (0 until Bands).map { b =>
       md5(concat((0 until NumHashes / Bands)
         .map(r => col(s"h${b * (NumHashes / Bands) + r}")): _*)).as(s"band$b")
@@ -56,21 +58,24 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs: bucket-join per band (shuffle on the
     * band signature, never all-pairs), union candidates, then verify
-    * with exact shingle Jaccard ≥ 0.5. */
+    * with exact shingle Jaccard ≥ 0.5. The shingle set is computed
+    * ONCE and cached — signatures and verification share the scan
+    * (one corpus read total, the difference between 1× and 2× I/O at
+    * 100 TB). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir).cache()
+    val sh = shingleRows(spark, dir).cache()
+    val sig = minhashSignaturesFrom(sh).cache()
     val candidates = (0 until Bands).map { b =>
       val l = sig.select(col("doc_id").as("da"), col(s"band$b").as("bk"))
       val r = sig.select(col("doc_id").as("db"), col(s"band$b").as("bk"))
       l.join(r, Seq("bk")).filter(col("da") < col("db")).select(col("da"), col("db"))
     }.reduce(_ unionByName _).distinct()
-    verifyJaccard(spark, dir, candidates)
+    verifyJaccardOn(sh, candidates)
   }
 
   /** Exact Jaccard for a set of candidate pairs via the shingle
     * inverted index. */
-  private def verifyJaccard(spark: SparkSession, dir: String, candidates: DataFrame): DataFrame = {
-    val sh = shingleRows(spark, dir).cache()
+  private def verifyJaccardOn(sh: DataFrame, candidates: DataFrame): DataFrame = {
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = candidates
       .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))

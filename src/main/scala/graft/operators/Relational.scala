@@ -276,6 +276,21 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Extension: approximate sketch aggregates — HLL++ distinct counts
+    * and quantile sketches. No DuckDB oracle (sketch algorithms differ
+    * across engines by design → driver records the weaker rows-only
+    * check); accuracy is bounded-error by construction and the exact
+    * counterparts (q28/q30) are the oracle-gated versions. */
+  def approxSketches(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Extension: exact interpolated percentiles (R-7 linear
     * interpolation — same definition as the oracle's quantile_cont). */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {

@@ -92,8 +92,10 @@ object CosineSimilarity {
   * is available in any session (SQL and DataFrame via call_function).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"), CosineSimilarity.info,
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectOptimizerRule(_ => SimplifyRedundantCase)
+  }
 }

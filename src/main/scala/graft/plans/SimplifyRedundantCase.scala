@@ -1,0 +1,33 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, Lower, StringTrim, Upper}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: collapse idempotent string-normalization stacks —
+  * `upper(upper(x)) → upper(x)`, `lower(lower(x)) → lower(x)`,
+  * `trim(trim(x)) → trim(x)`, and the absorbing compositions
+  * `upper(lower(x)) → upper(x)` / `lower(upper(x)) → lower(x)`.
+  *
+  * These stacks arise naturally in layered cleansing pipelines (a view
+  * upper-cases a code, a downstream consumer defensively upper-cases
+  * again — exactly the reference's UPPER-at-view + UPPER-at-aggregate
+  * pattern, dag_datapelangan.py:71/73 vs :190). Catalyst does not fold
+  * them (checked on Spark 4.1); each redundant call is a per-row
+  * string copy in the hot path.
+  *
+  * Injected via GraftExtensions.injectOptimizerRule — the (c)-level
+  * extension point demonstrated end-to-end (SURVEY.md §4 note).
+  */
+object SimplifyRedundantCase extends Rule[LogicalPlan] {
+  private def simplify(e: Expression): Expression = e.transformUp {
+    case Upper(Upper(c))  => Upper(c)
+    case Lower(Lower(c))  => Lower(c)
+    case Upper(Lower(c))  => Upper(c)
+    case Lower(Upper(c))  => Lower(c)
+    case StringTrim(StringTrim(c, None), None) => StringTrim(c, None)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions { case e => simplify(e) }
+}
