@@ -33,7 +33,7 @@ object CorpusPipeline {
       col("doc_id"),
       md5(norm).as("fp"),
       detectLang(words(lower(col("text")))).as("lang"),
-      size(w).as("ws_tokens"),
+      size(w).cast("long").as("ws_tokens"),
       round(
         least((length(col("text")) - (size(w) - lit(1))).cast("double") / size(w).cast("double") / lit(8.0), lit(1.0)) * lit(0.4)
           + (lit(1.0) - (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("double") / length(col("text")).cast("double")) * lit(0.3)

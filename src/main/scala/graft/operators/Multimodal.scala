@@ -22,8 +22,9 @@ import graft.sources.Tables
 object Multimodal {
 
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
-  case class DecodedRow(media_id: Long, kind: String, byte_len: Int,
-                        width: Int, height: Int, n_frames: Int, first_frame_hex: String)
+  // all counts Long so the output schema matches the oracle's BIGINTs
+  case class DecodedRow(media_id: Long, kind: String, byte_len: Long,
+                        width: Long, height: Long, n_frames: Long, first_frame_hex: String)
 
   /** Synthesize a deterministic media table from `documents` (text
     * bytes as the opaque payload) — the container has no real media
@@ -39,7 +40,7 @@ object Multimodal {
     * codec here (per-partition, batched). Deterministic fake keeps the
     * pipeline testable and oracle-checkable. */
   def decodeStub(r: MediaRow): DecodedRow = {
-    val len = r.payload.length
+    val len = r.payload.length.toLong
     val hex = r.payload.take(8).map(b => f"${b & 0xff}%02x").mkString
     DecodedRow(r.media_id, r.kind, len,
       width = 64 + (len * 7 % 577),

@@ -198,7 +198,7 @@ object Relational {
       .orderBy(col("amount").desc, col("o_orderkey"))
     o.select(col("o_orderpriority"), col("o_orderkey"),
         dec(col("o_totalprice")).cast("double").as("amount"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .orderBy(col("o_orderpriority"), col("rk"))
   }

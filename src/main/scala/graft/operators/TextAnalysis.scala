@@ -45,8 +45,8 @@ object TextAnalysis {
       least(avgWordLen / lit(8.0), lit(1.0)) * lit(0.4)
         + (lit(1.0) - punctRatio) * lit(0.3)
         + least(stopRatio * lit(4.0), lit(1.0)) * lit(0.3), 4)
-    d.select(col("doc_id"), nWords.as("n_words"), punct.as("n_punct"),
-        stops.as("n_stopwords"), round(avgWordLen, 4).as("avg_word_len"),
+    d.select(col("doc_id"), nWords.cast("long").as("n_words"), punct.cast("long").as("n_punct"),
+        stops.cast("long").as("n_stopwords"), round(avgWordLen, 4).as("avg_word_len"),
         score.as("quality"))
       .orderBy(col("doc_id"))
   }
@@ -55,8 +55,8 @@ object TextAnalysis {
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
     d.select(col("doc_id"),
-        size(words(col("text"))).as("ws_tokens"),
-        bpeTokenCount(col("text")).as("bpe_tokens"))
+        size(words(col("text"))).cast("long").as("ws_tokens"),
+        bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -66,7 +66,7 @@ object TextAnalysis {
     val d = Tables.load(spark, dir, "documents")
     val norm = normalizeText(col("text"))
     d.select(col("doc_id"), md5(norm).as("fp"),
-        length(norm).as("norm_len"),
+        length(norm).cast("long").as("norm_len"),
         substring(md5(norm), 1, 8).as("shard_key"))
       .orderBy(col("doc_id"))
   }

@@ -60,7 +60,7 @@ object Vectors {
       .select(col("qid"), col("vec_id"),
         round(cosine(col("qv"), col("embedding")), 4).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TopK)
       .orderBy(col("qid"), col("rk"))
   }
@@ -104,7 +104,7 @@ object Vectors {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(cosine(col("qv"), col("embedding")), 4).as("cos"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TopK)
       .orderBy(col("qid"), col("rk"))
   }

@@ -55,6 +55,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: oracle error: {e}")
             failures += 1
             continue
+        # schema check: dtype families must agree (the driver may
+        # compare schemas strictly; int32-vs-int64 would fail there)
+        sd = spark_df.reindex(sorted(spark_df.columns), axis=1)
+        dd = duck_df.reindex(sorted(duck_df.columns), axis=1)
+        if list(sd.columns) == list(dd.columns):
+            for c in sd.columns:
+                a, b = str(sd[c].dtype), str(dd[c].dtype)
+                if a != b:
+                    print(f"WARN {name}: dtype {c}: spark={a} duck={b}")
         s, d = norm(spark_df), norm(duck_df)
         if list(s.columns) != list(d.columns):
             print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
