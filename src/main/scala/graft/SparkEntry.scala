@@ -50,6 +50,7 @@ object SparkEntry {
     "q31_corpus_clean"   -> ((s: SparkSession, d: String) => operators.CorpusPipeline.clean(s, d)),
     // no oracle (sketch algorithms are engine-specific) → rows-only check
     "q32_approx_sketches" -> Relational.approxSketches _,
+    "q33_asof_join"      -> operators.AsOf.clicksWithLastView _,
   )
 
   /** DuckDB oracle SQL per query (driver substitutes table names onto
@@ -406,6 +407,17 @@ object SparkEntry {
         |  AND s.quality >= 0.5
         |  AND s.lang IN ('en','de','es','fr','zh')
         |ORDER BY s.doc_id""".stripMargin,
+    "q33_asof_join" ->
+      """WITH views AS (SELECT user_id, ts, max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |clicks AS (SELECT user_id, ts, event_id, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  c.value, v.view_value AS asof_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
   )
 
   /** DuckDB fragment: canonical text normalization (must mirror
