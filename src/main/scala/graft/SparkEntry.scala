@@ -51,6 +51,7 @@ object SparkEntry {
     // no oracle (sketch algorithms are engine-specific) → rows-only check
     "q32_approx_sketches" -> Relational.approxSketches _,
     "q33_asof_join"      -> operators.AsOf.clicksWithLastView _,
+    "q34_range_join"     -> operators.RangeJoin.eventPairsWithin _,
   )
 
   /** DuckDB oracle SQL per query (driver substitutes table names onto
@@ -418,6 +419,12 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.event_id""".stripMargin,
+    "q34_range_join" ->
+      """SELECT a.event_id AS ea, b.event_id AS eb,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND b.ts > a.ts AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+        |ORDER BY ea, eb""".stripMargin,
   )
 
   /** DuckDB fragment: canonical text normalization (must mirror
