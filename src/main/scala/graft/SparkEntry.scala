@@ -52,6 +52,8 @@ object SparkEntry {
     "q32_approx_sketches" -> Relational.approxSketches _,
     "q33_asof_join"      -> operators.AsOf.clicksWithLastView _,
     "q34_range_join"     -> operators.RangeJoin.eventPairsWithin _,
+    "q35_set_ops"        -> Relational.setOps _,
+    "q36_analytic_windows" -> Relational.analyticWindows _,
   )
 
   /** DuckDB oracle SQL per query (driver substitutes table names onto
@@ -263,10 +265,10 @@ object SparkEntry {
         |      x -> x IN ('the','a','of','and','is','to','in'))) AS n_stopwords
         |  FROM documents)
         |SELECT doc_id, n_words, n_punct, n_stopwords,
-        |  round((n_chars - (n_words - 1)) * 1.0 / n_words, 4) AS avg_word_len,
-        |  round(least((n_chars - (n_words - 1)) * 1.0 / n_words / 8.0, 1.0) * 0.4
+        |  (n_chars - (n_words - 1)) * 1.0 / n_words AS avg_word_len,
+        |  least((n_chars - (n_words - 1)) * 1.0 / n_words / 8.0, 1.0) * 0.4
         |    + (1.0 - n_punct * 1.0 / n_chars) * 0.3
-        |    + least(n_stopwords * 1.0 / n_words * 4.0, 1.0) * 0.3, 4) AS quality
+        |    + least(n_stopwords * 1.0 / n_words * 4.0, 1.0) * 0.3 AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
     "q20_token_count" ->
       """SELECT doc_id,
@@ -396,9 +398,9 @@ object SparkEntry {
         |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','les','et','est','un'))) AS s_fr,
         |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('的','是','了','在','和'))) AS s_zh)) AS lang,
         |  len(string_split(text, ' ')) AS ws_tokens,
-        |  round(least((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')) / 8.0, 1.0) * 0.4
+        |  least((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')) / 8.0, 1.0) * 0.4
         |    + (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text)) * 0.3
-        |    + least(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is','to','in'))) * 1.0 / len(string_split(text, ' ')) * 4.0, 1.0) * 0.3, 4) AS quality
+        |    + least(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is','to','in'))) * 1.0 / len(string_split(text, ' ')) * 4.0, 1.0) * 0.3 AS quality
         |  FROM documents),
         |canonical AS (SELECT fp, min(doc_id) AS keep_id FROM stats GROUP BY fp)
         |SELECT s.doc_id, s.fp, s.lang, s.ws_tokens, s.quality
@@ -425,6 +427,32 @@ object SparkEntry {
         |FROM events a JOIN events b ON a.user_id = b.user_id
         |  AND b.ts > a.ts AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
         |ORDER BY ea, eb""".stripMargin,
+    "q35_set_ops" ->
+      """WITH c96 AS (SELECT o_custkey FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01' AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'),
+        |c97 AS (SELECT o_custkey FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01' AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'),
+        |u AS (
+        |  SELECT o_custkey, 'both' AS bucket FROM (SELECT o_custkey FROM c96 INTERSECT SELECT o_custkey FROM c97)
+        |  UNION ALL
+        |  SELECT o_custkey, 'only_1996' AS bucket FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c97))
+        |SELECT bucket, count(*) AS n FROM u GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q36_analytic_windows" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+        |  CAST(lag(CAST(l_extendedprice AS DECIMAL(18,2)), 1)
+        |    OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber) AS DOUBLE) AS prev_amount,
+        |  CAST(lead(CAST(l_extendedprice AS DECIMAL(18,2)), 1)
+        |    OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber) AS DOUBLE) AS next_amount,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+        |            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+        |    / count(*) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+        |            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS moving_avg3
+        |FROM lineitem WHERE l_suppkey < 10
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
   )
 
   /** DuckDB fragment: canonical text normalization (must mirror

@@ -276,6 +276,47 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Extension: INTERSECT / EXCEPT set operations (absent from the
+    * reference, SURVEY §2.8): customers active in both 1996 and 1997
+    * vs only in 1996. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    def custsIn(year: Int) = o
+      .filter(col("o_orderdate").cast("date") >= lit(s"$year-01-01") &&
+        col("o_orderdate").cast("date") < lit(s"${year + 1}-01-01"))
+      .select(col("o_custkey"))
+    val both = custsIn(1996).intersect(custsIn(1997))
+    val only96 = custsIn(1996).except(custsIn(1997))
+    both.withColumn("bucket", lit("both"))
+      .unionByName(only96.withColumn("bucket", lit("only_1996")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Extension: analytic window frames — running sum, lag/lead, and a
+    * centered moving average per supplier ordered by ship date. */
+  def analyticWindows(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_suppkey") < 10)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        dec(col("l_extendedprice")).as("amount"))
+    // total order on (suppkey, orderkey, linenumber) → deterministic frames
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("amount")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_sum"),
+        lag(col("amount"), 1).over(w).cast("double").as("prev_amount"),
+        lead(col("amount"), 1).over(w).cast("double").as("next_amount"),
+        // avg computed as exact-decimal frame sum / count in double —
+        // identical on both engines (native decimal avg rounds
+        // differently per engine)
+        round(sum(col("amount")).over(w.rowsBetween(-1, 1)).cast("double")
+          / count(lit(1)).over(w.rowsBetween(-1, 1)), 4).as("moving_avg3"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** Extension: approximate sketch aggregates — HLL++ distinct counts
     * and quantile sketches. No DuckDB oracle (sketch algorithms differ
     * across engines by design → driver records the weaker rows-only

@@ -41,12 +41,16 @@ object TextAnalysis {
     val avgWordLen = (nChars - (nWords - lit(1))).cast("double") / nWords.cast("double")
     val punctRatio = punct.cast("double") / nChars.cast("double")
     val stopRatio = stops.cast("double") / nWords.cast("double")
-    val score = round(
-      least(avgWordLen / lit(8.0), lit(1.0)) * lit(0.4)
-        + (lit(1.0) - punctRatio) * lit(0.3)
-        + least(stopRatio * lit(4.0), lit(1.0)) * lit(0.3), 4)
+    // raw doubles, no rounding: the identical IEEE expression tree on
+    // both engines yields bit-identical values, while fixed-scale
+    // rounding diverges at exact half boundaries (Spark BigDecimal
+    // string rounding vs DuckDB multiply rounding)
+    val score =
+      least(avgWordLen / lit(8.0), lit(1.0)) * lit(0.4) +
+        (lit(1.0) - punctRatio) * lit(0.3) +
+        least(stopRatio * lit(4.0), lit(1.0)) * lit(0.3)
     d.select(col("doc_id"), nWords.cast("long").as("n_words"), punct.cast("long").as("n_punct"),
-        stops.cast("long").as("n_stopwords"), round(avgWordLen, 4).as("avg_word_len"),
+        stops.cast("long").as("n_stopwords"), avgWordLen.as("avg_word_len"),
         score.as("quality"))
       .orderBy(col("doc_id"))
   }
