@@ -54,6 +54,15 @@ object SparkEntry {
     "q34_range_join"     -> operators.RangeJoin.eventPairsWithin _,
     "q35_set_ops"        -> Relational.setOps _,
     "q36_analytic_windows" -> Relational.analyticWindows _,
+    "q37_native_topk"    -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderpriority"),
+          col("o_totalprice").cast(DecimalType(18, 2)).cast("double").as("amount"))
+      graft.plans.TopK.perGroup(o, Seq("o_orderpriority"), "amount", k = 3, ascending = false)
+        .orderBy(col("o_orderpriority"), col("amount").desc)
+    }),
   )
 
   /** DuckDB oracle SQL per query (driver substitutes table names onto
@@ -453,6 +462,14 @@ object SparkEntry {
         |            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS moving_avg3
         |FROM lineitem WHERE l_suppkey < 10
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q37_native_topk" ->
+      """SELECT o_orderpriority, amount FROM (
+        |  SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, amount DESC""".stripMargin,
   )
 
   /** DuckDB fragment: canonical text normalization (must mirror

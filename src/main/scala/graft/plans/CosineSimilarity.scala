@@ -97,5 +97,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"), CosineSimilarity.info,
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
     ext.injectOptimizerRule(_ => SimplifyRedundantCase)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
