@@ -63,6 +63,7 @@ object SparkEntry {
       graft.plans.TopK.perGroup(o, Seq("o_orderpriority"), "amount", k = 3, ascending = false)
         .orderBy(col("o_orderpriority"), col("amount").desc)
     }),
+    "q38_hash_sample"    -> Relational.hashSample _,
   )
 
   /** DuckDB oracle SQL per query (driver substitutes table names onto
@@ -470,6 +471,12 @@ object SparkEntry {
         |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, amount DESC""".stripMargin,
+    "q38_hash_sample" ->
+      """SELECT l_returnflag, count(*) AS sampled_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sampled_qty
+        |FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 
   /** DuckDB fragment: canonical text normalization (must mirror

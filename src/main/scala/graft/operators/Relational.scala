@@ -317,6 +317,21 @@ object Relational {
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Extension: reproducible hash sampling — a deterministic ~1/8
+    * sample keyed on md5 of the row key (portable across engines and
+    * runs, unlike TABLESAMPLE/rand(), and stable under repartitioning
+    * — the property a 100 TB pipeline needs for resumable sampled
+    * jobs). */
+  def hashSample(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val key = concat(col("l_orderkey").cast("string"), lit("-"), col("l_linenumber").cast("string"))
+    li.filter(substring(md5(key), 1, 1).isin("0", "1"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("sampled_rows"),
+        sum(dec(col("l_quantity"))).cast("double").as("sampled_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Extension: approximate sketch aggregates — HLL++ distinct counts
     * and quantile sketches. No DuckDB oracle (sketch algorithms differ
     * across engines by design → driver records the weaker rows-only
