@@ -147,6 +147,60 @@ object Vectors {
     pairs.orderBy(col("da"), col("db"))
   }
 
+  /** Random-hyperplane LSH for cosine similarity — the bucketed scale
+    * path for embedding near-dup at corpus sizes where all-pairs is
+    * impossible. Hyperplane p's component i is ±1 derived from
+    * md5("p|i") parity (deterministic, engine-portable, no stored
+    * model); signature = `planes` sign bits; banding with `bands`
+    * bands → candidate pairs share ≥1 band; exact cosine verifies.
+    *
+    * Recall/precision follow the standard banding curve
+    * P(candidate) = 1 − (1 − p^r)^b with p = 1 − θ/π; defaults
+    * (16 planes, 8 bands of 2) catch cos ≥ 0.9 pairs with ≥ 99.9%
+    * probability while pruning near-orthogonal pairs.
+    */
+  def lshNearDupPairs(spark: SparkSession, dir: String,
+                      planes: Int = 16, bands: Int = 8,
+                      threshold: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    require(planes % bands == 0, "bands must divide planes")
+    val r = planes / bands
+    // deterministic ±1 hyperplane components from md5 parity
+    def sign(p: Int, i: Int): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p|$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1 else -1
+    }
+    val vecs = emb(spark, dir).as[(Long, Array[Double])]
+    val dim = vecs.head()._2.length
+    val planeMat = Array.tabulate(planes, dim)((p, i) => sign(p, i).toDouble)
+    val bcPlanes = spark.sparkContext.broadcast(planeMat)
+    val sigs = vecs.map { case (id, v) =>
+      val pm = bcPlanes.value
+      var sig = 0
+      var p = 0
+      while (p < pm.length) {
+        if (dotArr(pm(p), v) >= 0) sig |= (1 << p)
+        p += 1
+      }
+      (id, v, sig)
+    }.toDF("vec_id", "v", "sig")
+    // band keys: candidates collide on ≥1 band of r bits
+    val banded = sigs.select(col("vec_id"), col("v"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * r).bitwiseAND(lit((1 << r) - 1)).as("bits"))): _*)).as("bk"))
+      .select(col("vec_id"), col("v"), col("bk.band"), col("bk.bits"))
+    val l = banded.select(col("vec_id").as("da"), col("v").as("va"), col("band"), col("bits"))
+    val rt = banded.select(col("vec_id").as("db"), col("v").as("vb"), col("band"), col("bits"))
+    l.join(rt, Seq("band", "bits"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .distinct() // pair may collide in several bands
+      .filter(col("cos") >= threshold)
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Sequential primitive dot product — same fold order as the
     * expression path and the oracle's list_dot_product. */
   private def dotArr(a: Array[Double], b: Array[Double]): Double = {
