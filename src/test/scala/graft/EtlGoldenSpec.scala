@@ -45,6 +45,22 @@ class EtlGoldenSpec extends SparkSpec {
     assert(rows(("FLAZZ", true)) === (7L, "54500.00"))
   }
 
+  test("DAG2: golden agg_by_route groups for ds=2025-07-15 (independently derived)") {
+    // expected values computed from the reference data + semantics with
+    // an independent DuckDB replication of the fan-out join pipeline
+    val rows = spark.read.parquet(s"$dwhDir/agg_by_route")
+      .filter(col("tanggal") === lit(java.sql.Date.valueOf(LocalDate.parse("2025-07-15"))))
+      .collect().map(r => (r.getAs[String]("route_code"), r.getAs[Boolean]("gate_in_boo")) ->
+        (r.getAs[Long]("pelanggan_count"), r.getAs[java.math.BigDecimal]("amount_sum").toString))
+      .toMap
+    assert(rows.size === 25)
+    assert(rows(("9", false)) === (3L, "39000.00"))
+    assert(rows(("C12", true)) === (2L, "20000.00"))
+    assert(rows(("B21", false)) === (2L, "40000.00"))
+    assert(rows(("8", true)) === (1L, "0.00"))
+    assert(rows(("K22", true)) === (2L, "7000.00"))
+  }
+
   test("DAG2: rerun is idempotent (dynamic partition overwrite, documented divergence)") {
     val before = spark.read.parquet(s"$dwhDir/agg_by_card").count()
     Daily.run(spark, csvDir, dwhDir, LocalDate.parse("2025-07-15"))
