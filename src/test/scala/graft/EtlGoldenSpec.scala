@@ -68,6 +68,12 @@ class EtlGoldenSpec extends SparkSpec {
     assert(before === after) // the reference would double-count here
   }
 
+  test("DAG2: empty day produces zero-row aggregates without error") {
+    val report = Daily.run(spark, csvDir, dwhDir, LocalDate.parse("2025-08-01"))
+    assert(report.busRows === 0 && report.halteRows === 0)
+    assert(report.aggByCard === 0 && report.aggByRoute === 0 && report.aggByTariff === 0)
+  }
+
   test("DAG2: fan-out inner join counts once per realisasi match and drops unmatched") {
     val ds = LocalDate.parse("2025-07-15")
     val bus = Daily.cleanseBus(graft.sources.Tables.csvAllString(
