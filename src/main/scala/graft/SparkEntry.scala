@@ -121,7 +121,7 @@ object SparkEntry {
         |LEFT JOIN supplier ON d_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey NULLS FIRST""".stripMargin,
     "q06_agg_tariff" ->
-      """SELECT CAST(l_quantity AS INT) AS tarif, l_linestatus = 'O' AS gate_in_boo,
+      """SELECT CAST(floor(l_quantity) AS INT) AS tarif, l_linestatus = 'O' AS gate_in_boo,
         |       count(*) AS pelanggan_count
         |FROM lineitem GROUP BY 1, 2 ORDER BY tarif, gate_in_boo""".stripMargin,
     "q07_norm_body" ->
@@ -148,8 +148,8 @@ object SparkEntry {
         |  FROM lineitem),
         |b AS (SELECT
         |  CASE
-        |    WHEN upper(trim(coalesce(tok, ''))) IN ('TRUE','T','1','Y','YES') THEN TRUE
-        |    WHEN upper(trim(coalesce(tok, ''))) IN ('FALSE','F','0','N','NO') THEN FALSE
+        |    WHEN upper(trim(coalesce(tok, ''))) IN ('TRUE','T','1','Y','YES','ON') THEN TRUE
+        |    WHEN upper(trim(coalesce(tok, ''))) IN ('FALSE','F','0','N','NO','OFF') THEN FALSE
         |    WHEN upper(trim(coalesce(tok, ''))) = '' THEN NULL
         |    ELSE TRY_CAST(tok AS BOOLEAN)
         |  END AS flag FROM toks)
@@ -337,7 +337,7 @@ object SparkEntry {
         |  64 + (len * 7 % 577) AS width,
         |  48 + (len * 13 % 433) AS height,
         |  1 + len % 7 AS n_frames,
-        |  lower(hex(encode(substring(text, 1, 8)))) AS first_frame_hex
+        |  lower(substr(hex(encode(text)), 1, 16)) AS first_frame_hex
         |FROM m ORDER BY media_id""".stripMargin,
     "q26_rollup" ->
       """SELECT r_name, n_name, count(*) AS n,

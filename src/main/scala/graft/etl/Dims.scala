@@ -63,8 +63,15 @@ object Dims {
     * into `dwhDir` parquet tables. Returns per-table row counts (the
     * reference's logged audit counts). */
   def run(spark: SparkSession, csvDir: String, dwhDir: String): Map[String, Long] = {
+    // only a missing table means "first load" — any other read error
+    // must propagate, or the upsert silently degrades to truncate-load
+    // and discards previously merged rows
     def existing(name: String): Option[DataFrame] =
-      try Some(spark.read.parquet(s"$dwhDir/$name")) catch { case _: Exception => None }
+      try Some(spark.read.parquet(s"$dwhDir/$name"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => None
+      }
     def write(df: DataFrame, name: String): Long = {
       df.write.mode("overwrite").parquet(s"$dwhDir/$name")
       spark.read.parquet(s"$dwhDir/$name").count()

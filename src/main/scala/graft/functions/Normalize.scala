@@ -45,9 +45,12 @@ object Normalize {
     * which nulls unparseable input. */
   def toBoolSafe(c: Column): Column = {
     val t = upper(trim(coalesce(c.cast("string"), lit(""))))
-    when(t.isin("TRUE", "T", "1", "Y", "YES"), lit(true))
-      .when(t.isin("FALSE", "F", "0", "N", "NO"), lit(false))
+    when(t.isin("TRUE", "T", "1", "Y", "YES", "ON"), lit(true))
+      .when(t.isin("FALSE", "F", "0", "N", "NO", "OFF"), lit(false))
       .when(t === "", lit(null).cast("boolean"))
+      // fallback for anything else; NB PG's cast additionally accepts
+      // unambiguous prefixes ("tru", "of") which land here as NULL —
+      // documented divergence, unreachable in the reference data
       .otherwise(t.cast("boolean"))
   }
 

@@ -63,6 +63,27 @@ object TextFunctions {
     }
   }
 
+  /** Mean word length (separator-adjusted). Shared by quality scoring
+    * and the corpus pipeline so the formula lives in exactly one
+    * place (its DuckDB mirror lives in the q19/q31 oracles). */
+  def avgWordLen(text: Column): Column = {
+    val w = words(text)
+    (length(text) - (size(w) - lit(1))).cast("double") / size(w).cast("double")
+  }
+
+  /** Blended structural quality score in [0,1] — raw double, never
+    * rounded (fixed-scale rounding diverges across engines at half
+    * boundaries; the identical IEEE expression tree does not). */
+  def qualityExpr(text: Column): Column = {
+    val w = words(text)
+    val nChars = length(text)
+    val punct = nChars - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+    val stops = stopwordCount(w, "en")
+    least(avgWordLen(text) / lit(8.0), lit(1.0)) * lit(0.4) +
+      (lit(1.0) - punct.cast("double") / nChars.cast("double")) * lit(0.3) +
+      least(stops.cast("double") / size(w).cast("double") * lit(4.0), lit(1.0)) * lit(0.3)
+  }
+
   /** BPE-ish token count: alpha runs, digit runs, single punctuation. */
   val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def bpeTokenCount(c: Column): Column =

@@ -27,19 +27,23 @@ object AsOf {
 
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String, rightValue: String): DataFrame = {
+    // the carried value is wrapped in a struct so a right row whose
+    // value is NULL still counts as the latest match (ASOF semantics:
+    // match the latest row, return its value even if NULL) — a bare
+    // last(value, ignoreNulls) would skip past it to an older row
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_tag", lit(1))
-      .withColumn("_rv", lit(null).cast(right.schema(rightValue).dataType))
+      .withColumn("_r", lit(null).cast(s"struct<v:${right.schema(rightValue).dataType.sql}>"))
     val r = right.select(col(key), col(rightTime).as("_t"),
-      lit(0).as("_tag"), col(rightValue).as("_rv"))
+      lit(0).as("_tag"), struct(col(rightValue).as("v")).as("_r"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("asof_value", last(col("_rv"), ignoreNulls = true).over(w))
+      .withColumn("asof_value", last(col("_r"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("_tag") === 1)
-      .drop("_tag", "_rv", "_t")
+      .drop("_tag", "_r", "_t")
   }
 
   /** q33: each click event matched to the same user's latest view

@@ -34,9 +34,7 @@ object CorpusPipeline {
       md5(norm).as("fp"),
       detectLang(words(lower(col("text")))).as("lang"),
       size(w).cast("long").as("ws_tokens"),
-      (least((length(col("text")) - (size(w) - lit(1))).cast("double") / size(w).cast("double") / lit(8.0), lit(1.0)) * lit(0.4)
-        + (lit(1.0) - (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("double") / length(col("text")).cast("double")) * lit(0.3)
-        + least(stopwordCount(w, "en").cast("double") / size(w).cast("double") * lit(4.0), lit(1.0)) * lit(0.3)).as("quality"))
+      qualityExpr(col("text")).as("quality"))
 
     // 1. exact dedup: keep the canonical (min doc_id) per fingerprint
     val canonical = stats.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))

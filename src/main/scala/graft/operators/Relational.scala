@@ -106,8 +106,10 @@ object Relational {
     * (dag_datapelangan.py:227-234); COUNT only, no SUM. */
   def aggTariff(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
+    // explicit floor: Spark's double→int cast truncates while DuckDB's
+    // rounds — floor() makes both engines agree for non-integral fares
     li.groupBy(
-        col("l_quantity").cast("int").as("tarif"),
+        floor(col("l_quantity")).cast("int").as("tarif"),
         (col("l_linestatus") === "O").as("gate_in_boo"))
       .agg(count(lit(1)).as("pelanggan_count"))
       .orderBy(col("tarif"), col("gate_in_boo"))

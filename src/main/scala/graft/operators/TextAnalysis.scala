@@ -34,24 +34,11 @@ object TextAnalysis {
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
     val w = words(col("text"))
-    val nWords = size(w)
-    val nChars = length(col("text"))
-    val punct = nChars - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
-    val stops = stopwordCount(w, "en")
-    val avgWordLen = (nChars - (nWords - lit(1))).cast("double") / nWords.cast("double")
-    val punctRatio = punct.cast("double") / nChars.cast("double")
-    val stopRatio = stops.cast("double") / nWords.cast("double")
-    // raw doubles, no rounding: the identical IEEE expression tree on
-    // both engines yields bit-identical values, while fixed-scale
-    // rounding diverges at exact half boundaries (Spark BigDecimal
-    // string rounding vs DuckDB multiply rounding)
-    val score =
-      least(avgWordLen / lit(8.0), lit(1.0)) * lit(0.4) +
-        (lit(1.0) - punctRatio) * lit(0.3) +
-        least(stopRatio * lit(4.0), lit(1.0)) * lit(0.3)
-    d.select(col("doc_id"), nWords.cast("long").as("n_words"), punct.cast("long").as("n_punct"),
-        stops.cast("long").as("n_stopwords"), avgWordLen.as("avg_word_len"),
-        score.as("quality"))
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
+    d.select(col("doc_id"), size(w).cast("long").as("n_words"), punct.cast("long").as("n_punct"),
+        stopwordCount(w, "en").cast("long").as("n_stopwords"),
+        avgWordLen(col("text")).as("avg_word_len"),
+        qualityExpr(col("text")).as("quality"))
       .orderBy(col("doc_id"))
   }
 

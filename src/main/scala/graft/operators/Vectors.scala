@@ -164,6 +164,7 @@ object Vectors {
                       threshold: Double = 0.9): DataFrame = {
     import spark.implicits._
     require(planes % bands == 0, "bands must divide planes")
+    require(planes <= 62, "signature is a long: at most 62 planes")
     val r = planes / bands
     // deterministic ±1 hyperplane components from md5 parity
     def sign(p: Int, i: Int): Int = {
@@ -172,15 +173,19 @@ object Vectors {
       if ((h(0) & 1) == 1) 1 else -1
     }
     val vecs = emb(spark, dir).as[(Long, Array[Double])]
-    val dim = vecs.head()._2.length
+    val first = vecs.limit(1).collect()
+    if (first.isEmpty)
+      return vecs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("da"), lit(0L).as("db"), lit(0.0).as("cos")).limit(0)
+    val dim = first.head._2.length
     val planeMat = Array.tabulate(planes, dim)((p, i) => sign(p, i).toDouble)
     val bcPlanes = spark.sparkContext.broadcast(planeMat)
     val sigs = vecs.map { case (id, v) =>
       val pm = bcPlanes.value
-      var sig = 0
+      var sig = 0L
       var p = 0
       while (p < pm.length) {
-        if (dotArr(pm(p), v) >= 0) sig |= (1 << p)
+        if (dotArr(pm(p), v) >= 0) sig |= (1L << p)
         p += 1
       }
       (id, v, sig)
@@ -189,7 +194,7 @@ object Vectors {
     val banded = sigs.select(col("vec_id"), col("v"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sig"), b * r).bitwiseAND(lit((1 << r) - 1)).as("bits"))): _*)).as("bk"))
+          shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("bits"))): _*)).as("bk"))
       .select(col("vec_id"), col("v"), col("bk.band"), col("bk.bits"))
     val l = banded.select(col("vec_id").as("da"), col("v").as("va"), col("band"), col("bits"))
     val rt = banded.select(col("vec_id").as("db"), col("v").as("vb"), col("band"), col("bits"))

@@ -6,8 +6,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rule: collapse idempotent string-normalization stacks —
   * `upper(upper(x)) → upper(x)`, `lower(lower(x)) → lower(x)`,
-  * `trim(trim(x)) → trim(x)`, and the absorbing compositions
-  * `upper(lower(x)) → upper(x)` / `lower(upper(x)) → lower(x)`.
+  * `trim(trim(x)) → trim(x)`. Only true idempotent pairs are folded:
+  * the absorbing compositions upper∘lower / lower∘upper are NOT
+  * semantics-preserving under Unicode case mapping (lower(upper('ß'))
+  * = "ss" ≠ lower('ß')) and must not be rewritten.
   *
   * These stacks arise naturally in layered cleansing pipelines (a view
   * upper-cases a code, a downstream consumer defensively upper-cases
@@ -23,8 +25,6 @@ object SimplifyRedundantCase extends Rule[LogicalPlan] {
   private def simplify(e: Expression): Expression = e.transformUp {
     case Upper(Upper(c))  => Upper(c)
     case Lower(Lower(c))  => Lower(c)
-    case Upper(Lower(c))  => Upper(c)
-    case Lower(Upper(c))  => Lower(c)
     case StringTrim(StringTrim(c, None), None) => StringTrim(c, None)
   }
 

@@ -68,8 +68,13 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                // merge window is [start-gap, last+gap] so a late
+                // (cross-batch out-of-order) event extends the session
+                // backwards instead of regressing `last` and causing a
+                // false split on the next in-order event
+                case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
                   closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
