@@ -25,10 +25,19 @@ object Dedup {
 
   /** doc_id + distinct word-3-gram shingle rows over *normalized*
     * text (lowercase, punctuation stripped) — case/punct variants of
-    * the same content shingle identically. */
+    * the same content shingle identically.
+    *
+    * The words array is materialized as its own projection BEFORE the
+    * shingle lambda: higher-order functions re-evaluate free (non
+    * lambda-bound) subexpressions on every element_at call, so
+    * inlining `words(normalizeText(text))` re-ran the regex+split
+    * chain ~150× per row (43× slower end-to-end, measured at sf0.1).
+    * CollapseProject keeps the split projected because the expression
+    * is non-cheap with multiple references. */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), explode(shingles(words(normalizeText(col("text"))), 3)).as("s"))
+      .select(col("doc_id"), words(normalizeText(col("text"))).as("w"))
+      .select(col("doc_id"), explode(shingles(col("w"), 3)).as("s"))
 
   /** Exact dedup: canonical id per normalized-text hash
     * (hash group-by; one shuffle on the 128-bit key). */
