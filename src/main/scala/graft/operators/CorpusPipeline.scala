@@ -25,7 +25,7 @@ object CorpusPipeline {
                     langs: Seq[String] = Seq("en", "de", "es", "fr", "zh"))
 
   def clean(spark: SparkSession, dir: String, config: Config = Config()): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val d = Tables.loadSpread(spark, dir, "documents")
     val norm = normalizeText(col("text"))
     val w = words(col("text"))
 

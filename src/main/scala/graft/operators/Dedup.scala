@@ -35,14 +35,14 @@ object Dedup {
     * CollapseProject keeps the split projected because the expression
     * is non-cheap with multiple references. */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"), words(normalizeText(col("text"))).as("w"))
       .select(col("doc_id"), explode(shingles(col("w"), 3)).as("s"))
 
   /** Exact dedup: canonical id per normalized-text hash
     * (hash group-by; one shuffle on the 128-bit key). */
   def exact(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val d = Tables.loadSpread(spark, dir, "documents")
     d.select(col("doc_id"), md5(normalizeText(col("text"))).as("h"))
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
@@ -138,7 +138,7 @@ object Dedup {
     * 32 sum-aggregates over token rows (one shuffle). Near-dup pairs:
     * byte-band blocking (equal byte 0..3) then Hamming distance ≤ 3. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.load(spark, dir, "documents")
+    val toks = Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("t"))
       .withColumn("h", md5(col("t")))
     // bit b of the md5: nibble = hex digit at position b/4, bit = b%4

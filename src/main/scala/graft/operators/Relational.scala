@@ -325,7 +325,9 @@ object Relational {
     * — the property a 100 TB pipeline needs for resumable sampled
     * jobs). */
   def hashSample(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    // md5-per-row over a single-split file serializes on one core —
+    // spread first (see Tables.loadSpread)
+    val li = Tables.loadSpread(spark, dir, "lineitem")
     val key = concat(col("l_orderkey").cast("string"), lit("-"), col("l_linenumber").cast("string"))
     li.filter(substring(md5(key), 1, 1).isin("0", "1"))
       .groupBy(col("l_returnflag"))

@@ -21,7 +21,7 @@ object TextAnalysis {
   /** Language-ID: per-language stopword hit counts + deterministic
     * argmax, aggregated to (actual, detected) confusion counts. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val d = Tables.loadSpread(spark, dir, "documents")
     d.select(col("lang"), detectLang(words(lower(col("text")))).as("detected"))
       .groupBy(col("lang"), col("detected"))
       .agg(count(lit(1)).as("n"))
@@ -32,7 +32,7 @@ object TextAnalysis {
     * integer counts until the final double divisions (deterministic
     * IEEE ops, engine-portable). */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val d = Tables.loadSpread(spark, dir, "documents")
     val w = words(col("text"))
     val punct = length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
     d.select(col("doc_id"), size(w).cast("long").as("n_words"), punct.cast("long").as("n_punct"),
@@ -44,7 +44,7 @@ object TextAnalysis {
 
   /** Token counting: whitespace tokens and BPE-ish regex tokens. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val d = Tables.loadSpread(spark, dir, "documents")
     d.select(col("doc_id"),
         size(words(col("text"))).cast("long").as("ws_tokens"),
         bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
@@ -54,7 +54,7 @@ object TextAnalysis {
   /** Document fingerprinting: md5 over canonical normalized text +
     * shape stats — the join key for cross-corpus exact dedup. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val d = Tables.loadSpread(spark, dir, "documents")
     val norm = normalizeText(col("text"))
     d.select(col("doc_id"), md5(norm).as("fp"),
         length(norm).cast("long").as("norm_len"),

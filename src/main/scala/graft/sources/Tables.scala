@@ -22,6 +22,17 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
 
+  /** Load + spread across all cores. Small single-file tables arrive
+    * as ONE input split (one parquet row group), serializing any
+    * compute-heavy per-row stage (regex, md5, shingling) onto a single
+    * thread; an up-front round-robin repartition costs one tiny
+    * shuffle and unlocks full parallelism. Use for compute-bound
+    * pipelines over small-file tables — at real scale, scans have
+    * natural splits and this becomes unnecessary (but stays cheap
+    * relative to the downstream work it parallelizes). */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
   /** events.parquet stores TIMESTAMP(NANOS); with
     * `spark.sql.legacy.parquet.nanosAsLong` the column arrives as long
     * nanos — convert to a proper TimestampType (micros) here so every
