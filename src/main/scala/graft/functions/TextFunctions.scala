@@ -53,10 +53,29 @@ object TextFunctions {
   def stopwordCount(w: Column, lang: String): Column =
     size(filter(w, t => t.isin(stopwords(lang): _*)))
 
-  /** Deterministic argmax over language scores with fixed priority
-    * order on ties (en > de > es > fr > zh). */
+  val langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
+  /** Per-language stopword-hit scores. Materialize these as columns
+    * before calling [[detectLangFromScores]] — the argmax when-chain
+    * references every score ~5×, and inlined scores would re-run the
+    * split+filter per reference. */
+  def langScores(w: Column): Seq[Column] =
+    langs.map(l => stopwordCount(w, l).as(s"_s_$l"))
+
+  /** Deterministic argmax over materialized score columns with fixed
+    * priority order on ties (en > de > es > fr > zh). */
+  def detectLangFromScores: Column = {
+    val s = langs.map(l => l -> col(s"_s_$l"))
+    def rest(excl: String) = s.collect { case (l, c) if l != excl => c }
+    s.init.foldRight(lit(s.last._1)) { case ((l, c), els) =>
+      when(c >= greatest(rest(l): _*), lit(l)).otherwise(els)
+    }
+  }
+
+  /** One-shot form for callers that don't control the projection —
+    * prefer langScores + detectLangFromScores in hot paths. */
   def detectLang(w: Column): Column = {
-    val s = Seq("en", "de", "es", "fr", "zh").map(l => l -> stopwordCount(w, l))
+    val s = langs.map(l => l -> stopwordCount(w, l))
     def rest(excl: String) = s.collect { case (l, c) if l != excl => c }
     s.init.foldRight(lit(s.last._1)) { case ((l, c), els) =>
       when(c >= greatest(rest(l): _*), lit(l)).otherwise(els)

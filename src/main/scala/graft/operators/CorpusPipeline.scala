@@ -29,12 +29,14 @@ object CorpusPipeline {
     val norm = normalizeText(col("text"))
     val w = words(col("text"))
 
-    val stats = d.select(
-      col("doc_id"),
-      md5(norm).as("fp"),
-      detectLang(words(lower(col("text")))).as("lang"),
-      size(w).cast("long").as("ws_tokens"),
-      qualityExpr(col("text")).as("quality"))
+    val stats = d.select(Seq(
+        col("doc_id"),
+        md5(norm).as("fp"),
+        size(w).cast("long").as("ws_tokens"),
+        qualityExpr(col("text")).as("quality")) ++
+        langScores(words(lower(col("text")))): _*)
+      .select(col("doc_id"), col("fp"), detectLangFromScores.as("lang"),
+        col("ws_tokens"), col("quality"))
 
     // 1. exact dedup: keep the canonical (min doc_id) per fingerprint
     val canonical = stats.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))

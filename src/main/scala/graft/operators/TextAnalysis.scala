@@ -22,7 +22,8 @@ object TextAnalysis {
     * argmax, aggregated to (actual, detected) confusion counts. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.loadSpread(spark, dir, "documents")
-    d.select(col("lang"), detectLang(words(lower(col("text")))).as("detected"))
+    d.select(col("lang") +: langScores(words(lower(col("text")))): _*)
+      .select(col("lang"), detectLangFromScores.as("detected"))
       .groupBy(col("lang"), col("detected"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("detected"))
