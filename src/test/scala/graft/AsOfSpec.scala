@@ -32,4 +32,14 @@ class AsOfSpec extends SparkSpec {
     assert(out(103L) === None)
     assert(out(104L) === Some(99.0))
   }
+
+  test("a NULL-valued right row is still the latest match (ASOF semantics)") {
+    val updates = Seq(
+      (1L, ts(0), Some(5.0)), (1L, ts(10), Option.empty[Double]))
+      .toDF("user_id", "ts", "view_value")
+    val probes = Seq((1L, ts(20), 200L)).toDF("user_id", "ts", "event_id")
+    val out = AsOf.asofJoin(probes, updates, "user_id", "ts", "ts", "view_value").collect()
+    // matched row IS ts(10); its value is NULL — must not fall back to 5.0
+    assert(out.length === 1 && out.head.isNullAt(out.head.fieldIndex("asof_value")))
+  }
 }

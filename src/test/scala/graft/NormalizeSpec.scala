@@ -41,6 +41,7 @@ class NormalizeSpec extends SparkSpec {
     val cases = Seq(
       "t" -> Some(true), "1" -> Some(true), "Y" -> Some(true), "yes" -> Some(true),
       "TRUE" -> Some(true), "FALSE" -> Some(false), "n" -> Some(false), "0" -> Some(false),
+      "on" -> Some(true), "OFF" -> Some(false), // PG boolean-cast leniency
       "" -> None, "garbage" -> None, null.asInstanceOf[String] -> None)
     val in = cases.map(_._1).map(Option(_)).toDF("s")
     val out = in.select(Normalize.toBoolSafe(col("s"))).collect()

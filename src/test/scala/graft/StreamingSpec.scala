@@ -54,4 +54,22 @@ class StreamingSpec extends SparkSpec {
       assert(closed.head.session_start === ts(0) && closed.head.session_end === ts(2))
     } finally q.stop()
   }
+
+  test("late cross-batch event extends the open session backwards, no false split") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Evt]
+    val sessions = EventStreams.sessionize(spark, source.toDS(), gapMs = 5 * 60000L)
+    val q = sessions.writeStream
+      .format("memory").queryName("late_sessions").outputMode("append").start()
+    try {
+      source.addData(Evt(9L, ts(10), "click", 1.0))
+      q.processAllAvailable()
+      // late event 2min earlier, then an in-order event 4min after the
+      // first — all within one continuous session; a naive last-update
+      // would regress to ts(8) and falsely split at ts(14)
+      source.addData(Evt(9L, ts(8), "view", 1.0), Evt(9L, ts(14), "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("late_sessions").count() === 0) // nothing closed
+    } finally q.stop()
+  }
 }
