@@ -27,23 +27,35 @@ object AsOf {
 
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String, rightValue: String): DataFrame = {
+    // temp columns get collision-free names (the caller may legitimately
+    // own columns called _t/_tag/_r)
+    def fresh(base: String): String = {
+      var n = base
+      while (left.columns.contains(n) || right.columns.contains(n)) n += "_"
+      n
+    }
+    val tC = fresh("_t"); val tagC = fresh("_tag"); val rC = fresh("_r")
     // the carried value is wrapped in a struct so a right row whose
     // value is NULL still counts as the latest match (ASOF semantics:
     // match the latest row, return its value even if NULL) — a bare
     // last(value, ignoreNulls) would skip past it to an older row
     val l = left
-      .withColumn("_t", col(leftTime))
-      .withColumn("_tag", lit(1))
-      .withColumn("_r", lit(null).cast(s"struct<v:${right.schema(rightValue).dataType.sql}>"))
-    val r = right.select(col(key), col(rightTime).as("_t"),
-      lit(0).as("_tag"), struct(col(rightValue).as("v")).as("_r"))
+      .withColumn(tC, col(leftTime))
+      .withColumn(tagC, lit(1))
+      .withColumn(rC, lit(null).cast(s"struct<v:${right.schema(rightValue).dataType.sql}>"))
+    val r = right.select(col(key), col(rightTime).as(tC),
+      lit(0).as(tagC), struct(col(rightValue).as("v")).as(rC))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_tag"))
+    val w = Window.partitionBy(col(key)).orderBy(col(tC), col(tagC))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("asof_value", last(col("_r"), ignoreNulls = true).over(w).getField("v"))
-      .filter(col("_tag") === 1)
-      .drop("_tag", "_r", "_t")
+      // NULL keys never match in SQL joins (and in DuckDB ASOF) — but
+      // Window.partitionBy groups NULLs together, so mask them out
+      .withColumn("asof_value",
+        when(col(key).isNull, lit(null))
+          .otherwise(last(col(rC), ignoreNulls = true).over(w).getField("v")))
+      .filter(col(tagC) === 1)
+      .drop(tagC, rC, tC)
   }
 
   /** q33: each click event matched to the same user's latest view

@@ -72,12 +72,17 @@ object Vectors {
     val cents = broadcast(
       e.filter(col("vec_id") < IvfCentroids)
         .select(col("vec_id").as("cid"), col("embedding").as("cv")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    e.crossJoin(cents)
-      .select(col("vec_id"), col("embedding"), col("cid"),
+    // argmax via max_by over (score, -cid) — one aggregation of tiny
+    // (vec_id, cid, score) triples; carrying `embedding` through the
+    // ×K cross join into a window exchange would shuffle K copies of
+    // every corpus vector. The embedding is joined back by vec_id
+    // (one corpus-sized shuffle instead of K).
+    val assignment = e.crossJoin(cents)
+      .select(col("vec_id"), col("cid"),
         round(cosine(col("cv"), col("embedding")), 4).as("ccos"))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+    e.join(assignment, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("cid"))
   }
 
@@ -198,10 +203,18 @@ object Vectors {
       .select(col("vec_id"), col("v"), col("bk.band"), col("bk.bits"))
     val l = banded.select(col("vec_id").as("da"), col("v").as("va"), col("band"), col("bits"))
     val rt = banded.select(col("vec_id").as("db"), col("v").as("vb"), col("band"), col("bits"))
-    l.join(rt, Seq("band", "bits"))
+    // dedup collision pairs BEFORE scoring: a near-identical pair can
+    // collide in every band, and each collision row carries both full
+    // vectors — score each candidate exactly once
+    val cand = l.select(col("da"), col("band"), col("bits"))
+      .join(rt.select(col("db"), col("band"), col("bits")), Seq("band", "bits"))
       .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val vecsById = sigs.select(col("vec_id"), col("v"))
+    cand
+      .join(vecsById.select(col("vec_id").as("da"), col("v").as("va")), Seq("da"))
+      .join(vecsById.select(col("vec_id").as("db"), col("v").as("vb")), Seq("db"))
       .select(col("da"), col("db"), round(cosine(col("va"), col("vb")), 4).as("cos"))
-      .distinct() // pair may collide in several bands
       .filter(col("cos") >= threshold)
       .orderBy(col("da"), col("db"))
   }

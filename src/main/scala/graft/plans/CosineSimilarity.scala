@@ -39,9 +39,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched dimensions or any NULL element → NULL (silently
+    // truncating to the common prefix or reading nulls as 0.0 would
+    // fabricate similarities)
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
@@ -60,16 +65,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
+      val hasNull = ctx.freshName("hasNull")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  boolean $hasNull = false;
+         |  for (int $i = 0; $i < $n && !$hasNull; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $hasNull = true; break; }
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |  if ($hasNull || $denom == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / $denom; }
          |}
-         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-         |if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
        """.stripMargin
     })
 

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, Lower, StringTrim, Upper}
+import org.apache.spark.sql.catalyst.expressions.{Lower, StringTrim, Upper}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -22,12 +22,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * extension point demonstrated end-to-end (SURVEY.md §4 note).
   */
 object SimplifyRedundantCase extends Rule[LogicalPlan] {
-  private def simplify(e: Expression): Expression = e.transformUp {
-    case Upper(Upper(c))  => Upper(c)
-    case Lower(Lower(c))  => Lower(c)
-    case StringTrim(StringTrim(c, None), None) => StringTrim(c, None)
-  }
-
+  // direct pattern cases so transformAllExpressions does ONE linear
+  // pass (a catch-all delegating to an inner transformUp re-walks
+  // every subtree once per ancestor — O(n²) per optimizer iteration)
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions { case e => simplify(e) }
+    plan.transformAllExpressions {
+      case Upper(Upper(c))  => Upper(c)
+      case Lower(Lower(c))  => Lower(c)
+      case StringTrim(StringTrim(c, None), None) => StringTrim(c, None)
+    }
 }

@@ -27,6 +27,7 @@ object TopK {
     * bounded O(n log k) pass instead of a full per-group sort. */
   def perGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
                k: Int, ascending: Boolean = true): DataFrame = {
+    require(k > 0, s"top-k requires k > 0, got $k")
     val order = SortOrder(UnresolvedAttribute.quoted(orderCol),
       if (ascending) Ascending else Descending)
     Bridge.ofRows(df.sparkSession,

@@ -44,10 +44,14 @@ object EventStreams {
     * closes when a later event reveals a gap (and, with
     * `flushIdleByTimeout`, when processing-time timeout fires for idle
     * keys — continuous-job mode; off by default so bounded test runs
-    * terminate). State per user is O(1) — one open session — so the
-    * operator holds at any key cardinality. */
+    * terminate). For bounded/batch input pass `flushTrailing = true`:
+    * each key is visited once and no timeout fires, so the final open
+    * session per user must be emitted eagerly. State per user is O(1)
+    * — one open session — so the operator holds at any key
+    * cardinality. */
   def sessionize(spark: SparkSession, events: Dataset[Evt], gapMs: Long,
-                 flushIdleByTimeout: Boolean = false): Dataset[Session] = {
+                 flushIdleByTimeout: Boolean = false,
+                 flushTrailing: Boolean = false): Dataset[Session] = {
     import spark.implicits._
     val timeoutConf =
       if (flushIdleByTimeout) GroupStateTimeout.ProcessingTimeTimeout
@@ -75,6 +79,12 @@ object EventStreams {
                 case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
                   cur = Some(s.copy(start = math.min(s.start, t),
                     last = math.max(s.last, t), n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) if t < s.start - gapMs =>
+                  // stale straggler older than the whole open session:
+                  // emit it as its own session and KEEP the active one
+                  // (closing the active session here would falsely
+                  // split it from its own upcoming in-order events)
+                  closed ::= Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
                 case Some(s) =>
                   closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -82,9 +92,17 @@ object EventStreams {
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              if (flushIdleByTimeout) state.setTimeoutDuration(gapMs)
+            if (flushTrailing) {
+              // bounded/batch input: each key is visited exactly once and
+              // no timeout will ever fire — emit the open session now
+              cur.foreach(s => closed ::= Session(userId,
+                new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+              state.remove()
+            } else {
+              cur.foreach { s =>
+                state.update(s)
+                if (flushIdleByTimeout) state.setTimeoutDuration(gapMs)
+              }
             }
             closed.reverseIterator
           }
