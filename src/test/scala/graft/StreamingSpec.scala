@@ -55,6 +55,16 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flushTrailing emits each user's final open session on bounded input") {
+    val evts = Seq(
+      Evt(1L, ts(0), "click", 1.0), Evt(1L, ts(2), "view", 2.0),
+      Evt(1L, ts(30), "click", 5.0), // second session after 28min gap
+      Evt(2L, ts(1), "view", 9.0)).toDS()
+    val sessions = EventStreams.sessionize(spark, evts, gapMs = 5 * 60000L, flushTrailing = true)
+      .collect().map(s => (s.user_id, s.n_events, s.value_sum)).toSet
+    assert(sessions === Set((1L, 2, 3.0), (1L, 1, 5.0), (2L, 1, 9.0)))
+  }
+
   test("late cross-batch event extends the open session backwards, no false split") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Evt]
