@@ -61,6 +61,18 @@ class EtlGoldenSpec extends SparkSpec {
     assert(rows(("K22", true)) === (2L, "7000.00"))
   }
 
+  test("DAG2: golden agg_by_tariff groups for ds=2025-07-15 (independently derived)") {
+    val rows = spark.read.parquet(s"$dwhDir/agg_by_tariff")
+      .filter(col("tanggal") === lit(java.sql.Date.valueOf(LocalDate.parse("2025-07-15"))))
+      .collect().map(r => (r.getAs[java.math.BigDecimal]("tarif").toString, r.getAs[Boolean]("gate_in_boo")) ->
+        r.getAs[Long]("pelanggan_count")).toMap
+    assert(rows.size === 10)
+    assert(rows(("0.00", true)) === 3L)
+    assert(rows(("2000.00", false)) === 6L)
+    assert(rows(("20000.00", true)) === 5L)
+    assert(rows(("35000.00", false)) === 4L)
+  }
+
   test("DAG2: rerun is idempotent (dynamic partition overwrite, documented divergence)") {
     val before = spark.read.parquet(s"$dwhDir/agg_by_card").count()
     Daily.run(spark, csvDir, dwhDir, LocalDate.parse("2025-07-15"))
