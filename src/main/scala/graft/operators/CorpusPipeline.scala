@@ -25,7 +25,9 @@ object CorpusPipeline {
                     langs: Seq[String] = Seq("en", "de", "es", "fr", "zh"))
 
   def clean(spark: SparkSession, dir: String, config: Config = Config()): DataFrame = {
-    val d = Tables.loadSpread(spark, dir, "documents")
+    // one corpus read shared by the stats projection and the MinHash
+    // near-dup stage (at 100 TB the scan dominates; never read twice)
+    val d = Tables.loadSpread(spark, dir, "documents").cache()
     val norm = normalizeText(col("text"))
     val w = words(col("text"))
 
@@ -46,7 +48,8 @@ object CorpusPipeline {
       .select(stats("doc_id"), stats("fp"), col("lang"), col("ws_tokens"), col("quality"))
 
     // 2. near-dup removal: drop the db side of every verified pair
-    val dupIds = Dedup.minhashLsh(spark, dir).select(col("db").as("doc_id")).distinct()
+    val dupIds = Dedup.minhashLshFrom(Dedup.shingleRowsOf(d))
+      .select(col("db").as("doc_id")).distinct()
     val deduped = exactKept.join(dupIds, Seq("doc_id"), "left_anti")
 
     // 3-4. quality floor + language allowlist

@@ -35,7 +35,12 @@ object Dedup {
     * CollapseProject keeps the split projected because the expression
     * is non-cheap with multiple references. */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    Tables.loadSpread(spark, dir, "documents")
+    shingleRowsOf(Tables.loadSpread(spark, dir, "documents"))
+
+  /** Shingle rows from an already-loaded documents DataFrame — lets a
+    * composing pipeline share one corpus scan across stages. */
+  def shingleRowsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), words(normalizeText(col("text"))).as("w"))
       .select(col("doc_id"), explode(shingles(col("w"), 3)).as("s"))
 
@@ -71,8 +76,13 @@ object Dedup {
     * ONCE and cached — signatures and verification share the scan
     * (one corpus read total, the difference between 1× and 2× I/O at
     * 100 TB). */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(spark, dir).cache()
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshFrom(shingleRows(spark, dir))
+
+  /** As [[minhashLsh]] but over caller-provided shingle rows (shared
+    * corpus scan). */
+  def minhashLshFrom(shingleRows: DataFrame): DataFrame = {
+    val sh = shingleRows.cache()
     val sig = minhashSignaturesFrom(sh).cache()
     val candidates = (0 until Bands).map { b =>
       val l = sig.select(col("doc_id").as("da"), col(s"band$b").as("bk"))
