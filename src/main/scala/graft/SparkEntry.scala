@@ -64,6 +64,17 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("amount").desc)
     }),
     "q38_hash_sample"    -> Relational.hashSample _,
+    "q39_cube"           -> Relational.cubeAgg _,
+    "q40_ordered_dedup"  -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      // latest order per customer, deterministically (date desc, key asc)
+      val o = graft.sources.Tables.load(s, d, "orders")
+      operators.OrderedDedup.keepFirst(o, Seq("o_custkey"),
+          Seq(col("o_orderdate").desc, col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_order_date"))
+        .orderBy(col("o_custkey"))
+    }),
   )
 
   /** DuckDB oracle SQL per query (driver substitutes table names onto
@@ -477,6 +488,23 @@ object SparkEntry {
         |FROM lineitem
         |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q39_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount_sum,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority,
+        |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q40_ordered_dedup" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
   )
 
   /** DuckDB fragment: canonical text normalization (must mirror

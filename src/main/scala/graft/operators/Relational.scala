@@ -236,6 +236,19 @@ object Relational {
         col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** Extension: CUBE — all 2^n grouping-set combinations with
+    * grouping indicators (rollup's sibling; SURVEY §2.8). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("amount_sum"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
   /** Extension: semi/anti join pair — customers with vs without 1996
     * orders (EXISTS / NOT EXISTS; left_semi never duplicates, left_anti
     * complements). */
