@@ -4,23 +4,33 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
     // Uncounted warmup: first action pays parquet footer reads, codegen
-    // compilation, and JIT — standard benchmarking practice, not part
-    // of steady-state per-query cost.
+    // compilation, and JIT — the timed pass below is WARM steady-state
+    // (only the Spark cache is cleared between queries).
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache() // per-query caches are internal; don't accumulate
     }
+    // A failing query must fail the bench loudly: its time is recorded
+    // as -1 (not summed) and its name lands in "failed" with the error
+    // on stderr — a regression can't masquerade as a fast run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          Some(e)
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      name -> sec
+      (name, if (err.isEmpty) sec else -1.0, err.isDefined)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, false) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3)) sys.exit(1)
   }
 }

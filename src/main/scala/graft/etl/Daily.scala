@@ -105,7 +105,7 @@ object Daily {
     val routes = spark.read.parquet(s"$dwhDir/routes")
 
     def writePartitioned(df: DataFrame, name: String): Long = {
-      df.write.mode("overwrite").partitionBy("tanggal").parquet(s"$dwhDir/$name")
+      graft.sources.Sinks.writePartitioned(df, s"$dwhDir/$name", "tanggal")
       spark.read.parquet(s"$dwhDir/$name")
         .filter(col("tanggal") === lit(java.sql.Date.valueOf(ds))).count()
     }

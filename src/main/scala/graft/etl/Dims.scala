@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,19 +45,34 @@ object Dims {
     * stage_csv_dims_to_pg.py:125-140) on plain parquet: existing ∪
     * incoming, keep the incoming row per key. One shuffle on the key;
     * at scale this is the standard copy-on-write merge (Delta/Iceberg
-    * MERGE being the transactional variant). */
-  def upsert(existing: Option[DataFrame], incoming: DataFrame, key: String): DataFrame =
+    * MERGE being the transactional variant).
+    *
+    * `tieBreak` orders rows WITHIN the same (key, is_new) rank so an
+    * incoming batch that itself contains duplicate keys merges
+    * deterministically (without it, row_number picks an arbitrary
+    * survivor per shuffle — at odds with OrderedDedup's discipline).
+    * Defaults to ordering by every non-key column. */
+  def upsert(existing: Option[DataFrame], incoming: DataFrame, key: String,
+             tieBreak: Seq[Column] = Nil): DataFrame = {
+    def tb(df: DataFrame): Seq[Column] =
+      if (tieBreak.nonEmpty) tieBreak
+      else df.columns.filterNot(_ == key).sorted.map(c => col(c).asc_nulls_last).toSeq
     existing match {
-      case None => incoming.dropDuplicates(key)
+      case None =>
+        incoming
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(col(key)).orderBy(tb(incoming): _*)))
+          .filter(col("_rn") === 1).drop("_rn")
       case Some(ex) =>
         val unioned = ex.withColumn("_is_new", lit(0))
           .unionByName(incoming.withColumn("_is_new", lit(1)))
         unioned
           .withColumn("_rn", row_number().over(
-            Window.partitionBy(col(key)).orderBy(col("_is_new").desc)))
+            Window.partitionBy(col(key)).orderBy(col("_is_new").desc +: tb(ex): _*)))
           .filter(col("_rn") === 1)
           .drop("_is_new", "_rn")
     }
+  }
 
   /** Full DAG-1 run: stage the three CSVs, transform, upsert/reload
     * into `dwhDir` parquet tables. Returns per-table row counts (the
@@ -73,7 +88,7 @@ object Dims {
           if e.getCondition == "PATH_NOT_FOUND" => None
       }
     def write(df: DataFrame, name: String): Long = {
-      df.write.mode("overwrite").parquet(s"$dwhDir/$name")
+      graft.sources.Sinks.atomicOverwrite(spark, df, s"$dwhDir/$name")
       spark.read.parquet(s"$dwhDir/$name").count()
     }
 
@@ -81,10 +96,12 @@ object Dims {
     val s = shelterCorridor(Tables.csvAllString(spark, s"$csvDir/dummy_shelter_corridor.csv", Schemas.shelterCorridorColumns))
     val b = realisasiBus(Tables.csvAllString(spark, s"$csvDir/dummy_realisasi_bus.csv", Schemas.realisasiColumns))
 
-    // upsert requires reading existing before overwriting — materialize
-    // the merge first (localCheckpoint breaks the read-overwrite cycle)
-    val routesMerged = upsert(existing("routes"), r, "route_code").localCheckpoint()
-    val shelterMerged = upsert(existing("shelter_corridor"), s, "shelter_name_var").localCheckpoint()
+    // upsert reads the existing table and replaces it — atomicOverwrite
+    // materializes the merge into a staging dir BEFORE the swap touches
+    // the source, which both breaks the read-overwrite cycle (no
+    // localCheckpoint) and survives a crash at any step
+    val routesMerged = upsert(existing("routes"), r, "route_code")
+    val shelterMerged = upsert(existing("shelter_corridor"), s, "shelter_name_var")
 
     Map(
       "routes" -> write(routesMerged, "routes"),

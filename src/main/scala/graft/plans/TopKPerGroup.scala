@@ -45,6 +45,10 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], order: SortOrder,
     val kk = k
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(groupExprs, childOutput)
+      // identity projection: children outside whole-stage codegen may
+      // emit generic InternalRows, which can't be copied into the heap
+      // as UnsafeRow — normalize (no-op cost for already-unsafe rows)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       // per-group bounded heap; head = max in sort order = the WORST
       // of the kept k (tops are the ordering's smallest), so eviction
       // compares against and removes the head
@@ -54,9 +58,13 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], order: SortOrder,
         val key = groupProj(row).copy()
         val heap = heaps.getOrElseUpdate(key,
           scala.collection.mutable.PriorityQueue.empty[UnsafeRow](heapOrd))
-        if (heap.size < kk) heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
+        def unsafeCopy(): UnsafeRow = row match {
+          case u: UnsafeRow => u.copy()
+          case r => toUnsafe(r).copy()
+        }
+        if (heap.size < kk) heap.enqueue(unsafeCopy())
         else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
+          heap.dequeue(); heap.enqueue(unsafeCopy())
         }
       }
       heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import java.io.IOException
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,14 +13,24 @@ import org.apache.spark.sql.functions._
   * 2000 reducers × 365 days = 730k files whose footers dominate
   * planning time) and unsorted row groups (parquet min/max stats span
   * the whole value range, so predicate pushdown prunes nothing).
+  *
+  * Rewrites that replace a whole table go through [[atomicOverwrite]]:
+  * write-new-then-swap with rename-aside, so readers of the original
+  * path survive a crash at any step (the durable production answer is
+  * a table format — Delta/Iceberg — whose commit protocol this
+  * mirrors at directory granularity).
   */
 object Sinks {
 
   /** Write date-partitioned parquet, replacing exactly the partitions
     * present in `df` (dynamic overwrite — rerun-idempotent; see
-    * etl.Daily). */
+    * etl.Daily). The overwrite mode is set on the writer itself so the
+    * partial-overwrite guarantee holds from ANY session, not only one
+    * built with GraftSession's dynamic-mode default. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
 
   /** Write range-clustered parquet: one range exchange on `sortCols`
     * plus a local sort, so each output file covers a narrow,
@@ -31,19 +43,59 @@ object Sinks {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Replace `path` with `df`'s rows without ever losing the previous
+    * contents: write to `<path>._staging`, rename the live dir aside
+    * to `<path>._old`, rename staging into place, drop the old dir.
+    * Crash safety, step by step:
+    *   - during the staging write → live dir untouched;
+    *   - between the two renames → previous data intact under `._old`;
+    *     the next call (or [[recoverSwap]]) restores it;
+    *   - rename failures are checked and THROWN, after restoring the
+    *     old dir — never silently half-applied.
+    * `df` may read from `path` itself (compaction, merge-upsert): the
+    * staging write materializes it before the swap touches the source. */
+  def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val target = new Path(path)
+    val fs = fsOf(spark, target)
+    val staging = new Path(target.getParent, target.getName + "._staging")
+    val old = new Path(target.getParent, target.getName + "._old")
+    recoverSwap(fs, target)
+    fs.delete(staging, true)
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new IOException(s"atomicOverwrite: failed to move $target aside to $old")
+    if (!fs.rename(staging, target)) {
+      // put the previous data back before failing — the target path
+      // must stay readable no matter what
+      if (fs.exists(old)) fs.rename(old, target)
+      throw new IOException(s"atomicOverwrite: failed to move $staging into place at $target")
+    }
+    fs.delete(old, true) // best-effort; a leftover is cleaned next call
+  }
+
+  /** Recovery for a crash between atomicOverwrite's two renames: the
+    * live dir is missing but the previous contents sit in `._old` —
+    * restore them. Called automatically at the start of every
+    * [[atomicOverwrite]]. */
+  private[graft] def recoverSwap(fs: FileSystem, target: Path): Unit = {
+    val old = new Path(target.getParent, target.getName + "._old")
+    if (!fs.exists(target) && fs.exists(old) && !fs.rename(old, target))
+      throw new IOException(s"recoverSwap: failed to restore $old to $target")
+  }
+
   /** Compact a parquet directory to ~`targetMb` files: read, coalesce
     * to ceil(bytes/target) partitions (coalesce, not repartition — no
-    * shuffle), rewrite atomically via a temp dir. */
+    * shuffle), swap in atomically via [[atomicOverwrite]]. */
   def compact(spark: SparkSession, path: String, targetMb: Int = 128): Long = {
     val hadoopPath = new Path(path)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, hadoopPath)
+    recoverSwap(fs, hadoopPath)
     val bytes = fs.getContentSummary(hadoopPath).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / (targetMb.toLong << 20)).toInt)
-    val tmp = new Path(hadoopPath.getParent, hadoopPath.getName + "._compacting")
-    spark.read.parquet(path).coalesce(parts)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hadoopPath, true)
-    fs.rename(tmp, hadoopPath)
+    atomicOverwrite(spark, spark.read.parquet(path).coalesce(parts), path)
     parts.toLong
   }
 }

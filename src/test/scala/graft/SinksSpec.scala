@@ -42,4 +42,48 @@ class SinksSpec extends SparkSpec {
     assert(after.toLong === parts && after < before)
     assert(spark.read.parquet(s"$dir/t").count() === rowsBefore)
   }
+
+  test("atomicOverwrite: a failing staging write leaves the target readable and unchanged") {
+    val dir = Files.createTempDirectory("graft_atomic").toString
+    spark.range(100).toDF("id").write.parquet(s"$dir/t")
+    val boom = udf((_: Long) => { throw new RuntimeException("boom"); true })
+    val bad = spark.range(10).toDF("id").filter(boom(col("id")))
+    intercept[Exception] { Sinks.atomicOverwrite(spark, bad, s"$dir/t") }
+    assert(spark.read.parquet(s"$dir/t").count() === 100L)
+  }
+
+  test("compact: recovers from a crash between the rename-aside and rename-into-place") {
+    val dir = Files.createTempDirectory("graft_recover").toString
+    spark.range(1000).toDF("id").repartition(16).write.parquet(s"$dir/t")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    // simulate the crash window: live dir moved aside, nothing in place,
+    // plus a stale staging dir from the interrupted writer
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/t"),
+      new org.apache.hadoop.fs.Path(s"$dir/t._old")))
+    spark.range(5).toDF("id").write.parquet(s"$dir/t._staging")
+    val parts = Sinks.compact(spark, s"$dir/t", targetMb = 128)
+    assert(parts >= 1)
+    assert(spark.read.parquet(s"$dir/t").count() === 1000L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/t._old")))
+  }
+
+  test("upsert: duplicate keys in the incoming batch merge deterministically") {
+    import graft.etl.Dims
+    val incoming = spark.createDataFrame(Seq(
+      ("k1", "b"), ("k1", "a"), ("k2", "z"))).toDF("key", "v")
+    // shuffled input order must not change the survivor
+    val shuffled = spark.createDataFrame(Seq(
+      ("k2", "z"), ("k1", "a"), ("k1", "b"))).toDF("key", "v").repartition(7)
+    val existing = spark.createDataFrame(Seq(("k1", "old"), ("k3", "keep"))).toDF("key", "v")
+    def result(inc: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      Dims.upsert(Some(existing), inc, "key")
+        .orderBy("key").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val expected = Seq(("k1", "a"), ("k2", "z"), ("k3", "keep"))
+    assert(result(incoming) === expected)
+    assert(result(shuffled) === expected)
+    // no-existing branch is deterministic too
+    assert(Dims.upsert(None, shuffled, "key").orderBy("key").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("k1", "a"), ("k2", "z")))
+  }
 }
