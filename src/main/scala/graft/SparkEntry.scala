@@ -40,7 +40,11 @@ object SparkEntry {
     "q21_fingerprint"    -> TextAnalysis.fingerprint _,
     "q22_ann_topk"       -> Vectors.annBruteForce _,
     "q23_ann_ivf"        -> Vectors.annIvf _,
-    "q24_embedding_neardup" -> Vectors.nearDupPairs _,
+    // gated path is the distributed LSH (no driver-side collect);
+    // the oracle mirrors the md5-parity hyperplanes + banding exactly
+    "q24_embedding_neardup" -> ((s: SparkSession, d: String) =>
+      Vectors.lshNearDupPairs(s, d, Vectors.NearDupPlanes, Vectors.NearDupBands,
+        Vectors.NearDupThreshold)),
     "q25_multimodal_decode" -> Multimodal.decodeQuery _,
     "q26_rollup"         -> Relational.rollupAgg _,
     "q27_semi_anti_join" -> Relational.semiAntiJoin _,
@@ -253,9 +257,11 @@ object SparkEntry {
         |WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY da, db""".stripMargin,
     "q17_ngram_jaccard" ->
       s"""$shingleCte,
-        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 20),
+        |shc AS (SELECT doc_id, s FROM sh ANTI JOIN hot USING (s)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT x.da, x.db, round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) AS jaccard
         |FROM inter x JOIN cnt ca ON ca.doc_id = x.da JOIN cnt cb ON cb.doc_id = x.db
@@ -334,11 +340,22 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
         |  FROM scored)
         |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // mirrors Vectors.lshNearDupPairs: ±1 hyperplane component (p,i) =
+    // parity of md5("p|i") first byte; 60-bit signature; 20 bands of 3;
+    // candidates collide on ≥1 band; exact cosine ≥ 0.45 verifies
     "q24_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |scored AS (SELECT a.vec_id AS da, b.vec_id AS db,
+        |d AS (SELECT len(v) AS dim FROM e LIMIT 1),
+        |pl AS (SELECT p, list(CASE WHEN ((strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 2, 1)) - 1) & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY i) AS pv
+        |  FROM (SELECT p, i FROM (SELECT unnest(generate_series(0, 59)) AS p), d, unnest(generate_series(0, dim - 1)) t(i))
+        |  GROUP BY p),
+        |sig AS (SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(pv, v) >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM e, pl GROUP BY vec_id),
+        |banded AS (SELECT vec_id, b, (sig >> (b * 3)) & 7 AS bits FROM sig, unnest(generate_series(0, 19)) t(b)),
+        |cand AS (SELECT DISTINCT l.vec_id AS da, r.vec_id AS db FROM banded l JOIN banded r ON l.b = r.b AND l.bits = r.bits AND l.vec_id < r.vec_id),
+        |scored AS (SELECT c.da, c.db,
         |    round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |  FROM cand c JOIN e a ON a.vec_id = c.da JOIN e b ON b.vec_id = c.db)
         |SELECT da, db, cos FROM scored WHERE cos >= 0.45 ORDER BY da, db""".stripMargin,
     "q25_multimodal_decode" ->
       """WITH m AS (SELECT doc_id AS media_id,

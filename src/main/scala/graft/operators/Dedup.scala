@@ -109,26 +109,37 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Document-frequency cap for the inverted-index self-join — the
+    * knob that keeps q17 alive on a skewed corpus (see
+    * [[cappedShinglesOf]]). Mirrored verbatim in the DuckDB oracle. */
+  val HotShingleCap = 20
+
   /** Shingles with hot shingles removed: a shingle appearing in more
     * than `cap` documents generates O(cap²) candidate pairs in the
     * inverted-index self-join — at corpus scale a handful of
-    * boilerplate shingles would dominate the join. Dropping them
-    * loses almost no signal (a shingle shared by thousands of docs
-    * identifies nothing) and bounds the blowup to cap² per shingle. */
-  def cappedShingles(spark: SparkSession, dir: String, cap: Int): DataFrame = {
-    val sh = shingleRows(spark, dir)
+    * boilerplate shingles would dominate the join (a single shingle in
+    * d docs is d²/2 join rows on ONE key: a never-finishing skewed
+    * shuffle). Dropping them loses almost no signal (a shingle shared
+    * by thousands of docs identifies nothing) and bounds the blowup to
+    * cap² per shingle. The df-aggregate is itself map-side combinable;
+    * the hot set is tiny and broadcast into an anti-join. */
+  def cappedShinglesOf(sh: DataFrame, cap: Int): DataFrame = {
     val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select(col("s"))
     sh.join(broadcast(hot), Seq("s"), "left_anti")
   }
 
+  def cappedShingles(spark: SparkSession, dir: String, cap: Int): DataFrame =
+    cappedShinglesOf(shingleRows(spark, dir), cap)
+
   /** n-gram Jaccard near-dup pairs via the shingle inverted index
     * itself (pairs sharing ≥1 shingle are the candidates; exact
-    * Jaccard filter). Kept uncapped here because the oracle compares
-    * exact Jaccard; `cappedShingles` is the bounded variant for
-    * corpus-scale runs. */
+    * Jaccard filter). Shingle sets are capped at [[HotShingleCap]]
+    * docs — Jaccard is computed over the CAPPED sets on both engines
+    * (intersection and per-doc counts), so the bound is part of the
+    * operator's semantics, not a lossy approximation bolted on. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(spark, dir).cache()
+    val sh = cappedShinglesOf(shingleRows(spark, dir), HotShingleCap).cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("da"), col("s"))
       .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))

@@ -28,6 +28,13 @@ object Vectors {
   val IvfCentroids = 16
   val IvfProbes = 4
   val NearDupThreshold = 0.45
+  /** LSH banding for the gated near-dup query: 60 planes in 20 bands
+    * of 3. At the aggressive 0.45 threshold (θ≈63°, bit-agreement
+    * p≈0.65) this catches true pairs with P = 1−(1−p³)²⁰ ≈ 99.8%;
+    * the same curve prunes ~95%+ of candidates at the 0.8-0.9
+    * thresholds real near-dup dedup runs at. The knobs are per-call. */
+  val NearDupPlanes = 60
+  val NearDupBands = 20
 
   /** double-precision dot product of two vectors (sequential left
     * fold — same order as the oracle's list_dot_product). Reference
@@ -114,22 +121,11 @@ object Vectors {
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold.
-    *
-    * Implemented as a broadcast block-nested-loop kernel: the corpus
-    * (normalized ids + double vectors + precomputed norms) is
-    * broadcast once; each partition streams its rows against the
-    * broadcast block with a primitive-array dot loop. This is the
-    * genuine per-partition numeric kernel case where `mapPartitions`
-    * beats Catalyst higher-order functions (which re-fold boxed
-    * arrays per pair). Arithmetic mirrors the oracle exactly:
-    * sequential double dot, cos = dot/(na*nb), Spark `round`
-    * semantics (BigDecimal.valueOf, HALF_UP).
-    *
-    * At corpus scale the broadcast side becomes a tiled loop
-    * (block-partitioned self-join) and the LSH/IVF bucketing above
-    * prunes candidate blocks first.
-    */
+  /** Exact all-pairs near-dup baseline — TEST ORACLE ONLY, not the
+    * gated path (that is [[lshNearDupPairs]]): collects the corpus to
+    * the driver and broadcasts it, so it is bounded by driver memory
+    * and O(n²) work. LshSpec uses it as ground truth to measure the
+    * LSH path's recall on small corpora. */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = emb(spark, dir)
@@ -163,6 +159,14 @@ object Vectors {
     * P(candidate) = 1 − (1 − p^r)^b with p = 1 − θ/π; defaults
     * (16 planes, 8 bands of 2) catch cos ≥ 0.9 pairs with ≥ 99.9%
     * probability while pruning near-orthogonal pairs.
+    *
+    * This is the gated q24 path (NearDupPlanes/NearDupBands at the
+    * 0.45 threshold): fully distributed — candidate generation is a
+    * shuffle on the band key, verification a pair of id-joins; nothing
+    * corpus-sized ever reaches the driver (the one `limit(1).collect`
+    * below probes the embedding DIMENSION, a single row). The DuckDB
+    * oracle reproduces the identical md5-parity hyperplanes, signature
+    * bits, and banding, so the gate checks the LSH output exactly.
     */
   def lshNearDupPairs(spark: SparkSession, dir: String,
                       planes: Int = 16, bands: Int = 8,

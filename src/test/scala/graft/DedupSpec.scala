@@ -57,6 +57,35 @@ class DedupSpec extends SparkSpec {
     assert(jac.forall { case (a, b) => a <= 3 && b <= 3 })
   }
 
+  test("hot-shingle cap bounds inverted-index candidates under planted boilerplate") {
+    val dir = Files.createTempDirectory("graft_boiler").toString
+    val boiler = "subscribe to our newsletter today" // 5 words → 3 shared shingles
+    val docs = (0L until 40L).map { i =>
+      (i, s"$boiler unique${i} filler${i} content${i} words${i} body${i} tail${i}",
+        "en", "src", 60L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sh = Dedup.cappedShingles(spark, dir, cap = 20)
+    // the boilerplate shingles (df=40 > cap) are gone...
+    assert(sh.filter(col("s") === "subscribe to our").count() === 0L)
+    // ...so the self-join produces ZERO candidate pairs instead of
+    // 40·39/2 · 3 rows from the hot keys alone
+    val cands = sh.select(col("doc_id").as("da"), col("s"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") < col("db"))
+    assert(cands.count() === 0L)
+    // uncapped, the same join explodes quadratically
+    val raw = Dedup.cappedShingles(spark, dir, cap = 1000)
+    val rawCands = raw.select(col("doc_id").as("da"), col("s"))
+      .join(raw.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") < col("db"))
+    assert(rawCands.count() === 40L * 39 / 2 * 3)
+    // and the gated q17 path runs the capped variant: planted boilerplate
+    // alone yields no near-dup pairs
+    assert(Dedup.ngramJaccard(spark, dir).count() === 0L)
+  }
+
   test("simhash: identical normalized token sets get identical signatures") {
     val sigs = Dedup.simhashSignatures(spark, corpusDir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
