@@ -79,6 +79,16 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_order_date"))
         .orderBy(col("o_custkey"))
     }),
+    // union-find cluster resolution over verified MinHash near-dup
+    // pairs: every doc in the pair graph labeled with its component's
+    // min doc_id (iterative min-label propagation, no GraphX)
+    "q41_dedup_clusters" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val pairs = Dedup.minhashLsh(s, d).select(col("da"), col("db"))
+      operators.Components.minLabel(pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle SQL per query (driver substitutes table names onto
@@ -221,17 +231,7 @@ object SparkEntry {
         |FROM n GROUP BY h ORDER BY canonical_id""".stripMargin,
     "q15_dedup_minhash" ->
       s"""$shingleCte,
-        |sig AS (SELECT doc_id, ${(0 until 12).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")}
-        |  FROM sh GROUP BY doc_id),
-        |b AS (SELECT doc_id, ${(0 until 4).map(k => s"md5(h${3*k} || h${3*k+1} || h${3*k+2}) AS band$k").mkString(", ")} FROM sig),
-        |cand AS (${(0 until 4).map(k =>
-            s"SELECT l.doc_id AS da, r.doc_id AS db FROM b l JOIN b r ON l.band$k = r.band$k AND l.doc_id < r.doc_id")
-            .mkString("\n  UNION\n  ")}),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT c.da, c.db, count(*) AS i FROM cand c
-        |  JOIN sh sa ON sa.doc_id = c.da
-        |  JOIN sh sb ON sb.doc_id = c.db AND sb.s = sa.s
-        |  GROUP BY c.da, c.db)
+        |$minhashCtes
         |SELECT x.da, x.db, round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) AS jaccard
         |FROM inter x JOIN cnt ca ON ca.doc_id = x.da JOIN cnt cb ON cb.doc_id = x.db
         |WHERE round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) >= 0.5
@@ -407,22 +407,14 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // near-dup drop rule = union-find: DuckDB resolves the transitive
+    // closure of verified pairs with a recursive CTE; a doc is dropped
+    // iff some smaller id is reachable (mirrors Components.minLabel)
     "q31_corpus_clean" ->
-      s"""$shingleCte,
-        |sig AS (SELECT doc_id, ${(0 until 12).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")}
-        |  FROM sh GROUP BY doc_id),
-        |b AS (SELECT doc_id, ${(0 until 4).map(k => s"md5(h${3*k} || h${3*k+1} || h${3*k+2}) AS band$k").mkString(", ")} FROM sig),
-        |cand AS (${(0 until 4).map(k =>
-            s"SELECT l.doc_id AS da, r.doc_id AS db FROM b l JOIN b r ON l.band$k = r.band$k AND l.doc_id < r.doc_id")
-            .mkString("\n  UNION\n  ")}),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT c.da, c.db, count(*) AS i FROM cand c
-        |  JOIN sh sa ON sa.doc_id = c.da
-        |  JOIN sh sb ON sb.doc_id = c.db AND sb.s = sa.s
-        |  GROUP BY c.da, c.db),
-        |dups AS (SELECT DISTINCT x.db AS doc_id
-        |  FROM inter x JOIN cnt ca ON ca.doc_id = x.da JOIN cnt cb ON cb.doc_id = x.db
-        |  WHERE round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) >= 0.5),
+      s"""$shingleCteRec,
+        |$minhashCtes,
+        |$clusterCtes,
+        |dups AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a),
         |stats AS (SELECT doc_id, md5($normSqlDuck) AS fp,
         |  (SELECT CASE
         |    WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
@@ -514,6 +506,12 @@ object SparkEntry {
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY g_status, g_priority,
         |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q41_dedup_clusters" ->
+      s"""$shingleCteRec,
+        |$minhashCtes,
+        |$clusterCtes
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "q40_ordered_dedup" ->
       """SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date
@@ -523,6 +521,33 @@ object SparkEntry {
         |  FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
   )
+
+  /** DuckDB fragment: MinHash signatures → bands → candidate pairs →
+    * exact shingle-intersection counts (mirrors Dedup.minhashLshFrom;
+    * shared by q15/q31/q41). Ends with a trailing newline-less CTE
+    * list — callers append their own final CTEs/SELECT. */
+  private val minhashCtes: String =
+    s"""sig AS (SELECT doc_id, ${(0 until 12).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")}
+      |  FROM sh GROUP BY doc_id),
+      |b AS (SELECT doc_id, ${(0 until 4).map(k => s"md5(h${3*k} || h${3*k+1} || h${3*k+2}) AS band$k").mkString(", ")} FROM sig),
+      |cand AS (${(0 until 4).map(k =>
+          s"SELECT l.doc_id AS da, r.doc_id AS db FROM b l JOIN b r ON l.band$k = r.band$k AND l.doc_id < r.doc_id")
+          .mkString("\n  UNION\n  ")}),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.da, c.db, count(*) AS i FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.da
+      |  JOIN sh sb ON sb.doc_id = c.db AND sb.s = sa.s
+      |  GROUP BY c.da, c.db)""".stripMargin
+
+  /** DuckDB fragment: verified MinHash pairs → undirected edges →
+    * recursive transitive closure (the union-find oracle; mirrors
+    * Components.minLabel's fixed point). Requires WITH RECURSIVE. */
+  private val clusterCtes: String =
+    """vpairs AS (SELECT x.da, x.db
+      |  FROM inter x JOIN cnt ca ON ca.doc_id = x.da JOIN cnt cb ON cb.doc_id = x.db
+      |  WHERE round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) >= 0.5),
+      |cedges AS (SELECT da AS a, db AS b FROM vpairs UNION SELECT db, da FROM vpairs),
+      |reach AS (SELECT a, b FROM cedges UNION SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a)""".stripMargin
 
   /** DuckDB fragment: canonical text normalization (must mirror
     * TextFunctions.normalizeText exactly). */
@@ -535,6 +560,10 @@ object SparkEntry {
     s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       |  FROM w, unnest(generate_series(1, greatest(len(w) - 2, 0))) t(i))""".stripMargin
+
+  /** As [[shingleCte]] but opening a WITH RECURSIVE block (for queries
+    * whose later CTEs are recursive — q31/q41 transitive closure). */
+  private val shingleCteRec = "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ")
 
   /** DuckDB fragment: rounded double cosine between qv and v. */
   private val cosSqlDuck =

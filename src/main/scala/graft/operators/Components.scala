@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected pair list — the cluster
+  * resolution pass behind near-dup dedup: verified pairs (A,B),(B,C)
+  * form a cluster {A,B,C} and exactly one survivor (the min id) is
+  * kept, instead of the greedy drop-every-db rule that both over- and
+  * under-drops inside transitive clusters.
+  *
+  * Pure DataFrame iterative min-label propagation with pointer
+  * jumping — no GraphX: each round every node takes the min of its
+  * own label, its neighbors' labels, and its label's label (path
+  * halving). Convergence is O(log n) rounds even on a path graph, so
+  * the driver loop is a handful of iterations at any scale; each
+  * round is two keyed joins + an aggregate (shuffles on node id —
+  * nothing quadratic, nothing driver-sized). localCheckpoint truncates
+  * the per-iteration lineage.
+  */
+object Components {
+
+  /** For `pairs` with columns (da, db): one row (id, label) per node
+    * appearing in any pair, where label = the minimum node id in the
+    * node's connected component. Deterministic by construction. */
+  def minLabel(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .unionByName(pairs.select(col("db").as("a"), col("da").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nbr_label")), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nbr_label")).as("nbr"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("l1"))
+      // pointer jumping: also adopt the candidate label's OWN label —
+      // halves path lengths each round (log-round convergence)
+      val next = stepped
+        .join(labels.select(col("id").as("l1"), col("label").as("jump")), Seq("l1"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("l1"), coalesce(col("jump"), col("l1"))).as("label"))
+        .localCheckpoint()
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    require(changed == 0, s"connected components did not converge in $maxIter iterations")
+    edges.unpersist()
+    labels
+  }
+
+  /** Ids to DROP under keep-one-per-cluster: every node that is not
+    * its component's minimum. */
+  def dropIds(pairs: DataFrame): DataFrame =
+    minLabel(pairs).filter(col("id") =!= col("label")).select(col("id"))
+}

@@ -11,13 +11,15 @@ import graft.functions.TextFunctions._
   * quality floor → language allowlist, emitting the surviving corpus
   * with per-doc stats.
   *
-  * Near-dup keep rule: for every verified pair (da < db) drop db —
-  * greedy-by-id, deterministic, no connected-components pass (at
-  * corpus scale a union-find over pair edges refines this; the greedy
-  * rule over-drops only inside transitive clusters).
+  * Near-dup keep rule: connected components over the verified pairs
+  * ([[Components.minLabel]]), keep the min doc_id per cluster — one
+  * survivor per transitive near-dup cluster, the standard corpus-dedup
+  * semantics (the earlier greedy drop-every-db rule both over- and
+  * under-dropped inside transitive clusters).
   *
-  * Every stage is a shuffle on a key (fingerprint / band signature) or
-  * a map-only projection — nothing quadratic, nothing driver-side.
+  * Every stage is a shuffle on a key (fingerprint / band signature /
+  * node id) or a map-only projection — nothing quadratic, nothing
+  * driver-side.
   */
 object CorpusPipeline {
 
@@ -47,9 +49,11 @@ object CorpusPipeline {
       stats("fp") === col("cfp") && stats("doc_id") === col("keep_id"))
       .select(stats("doc_id"), stats("fp"), col("lang"), col("ws_tokens"), col("quality"))
 
-    // 2. near-dup removal: drop the db side of every verified pair
-    val dupIds = Dedup.minhashLshFrom(Dedup.shingleRowsOf(d))
-      .select(col("db").as("doc_id")).distinct()
+    // 2. near-dup removal: union-find over verified pairs, keep the
+    // min doc_id per connected cluster
+    val dupIds = Components.dropIds(
+        Dedup.minhashLshFrom(Dedup.shingleRowsOf(d)).select(col("da"), col("db")))
+      .select(col("id").as("doc_id"))
     val deduped = exactKept.join(dupIds, Seq("doc_id"), "left_anti")
 
     // 3-4. quality floor + language allowlist
