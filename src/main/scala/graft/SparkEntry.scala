@@ -89,6 +89,22 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
     }),
+    // two-phase salted aggregation under a genuinely skewed key
+    // (l_returnflag: 3 hot values over the whole table) — exact for
+    // decomposable aggregates, so the oracle is the PLAIN group-by
+    "q42_skew_salted_agg" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val li = graft.sources.Tables.load(s, d, "lineitem")
+      operators.Skew.saltedSumCount(li, col("l_returnflag"),
+          col("l_quantity").cast(DecimalType(18, 2)), col("l_orderkey"), buckets = 32)
+        .select(col("k").as("l_returnflag"),
+          col("value_sum").cast("double").as("value_sum"), col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // IVF over TRAINED centroids (3 Lloyd iterations, integer-quantized
+    // sum centroids — exact and engine-portable; see Vectors.trainCentroids)
+    "q43_ann_ivf_trained" -> Vectors.annIvfTrained _,
   )
 
   /** DuckDB oracle SQL per query (driver substitutes table names onto
@@ -512,6 +528,13 @@ object SparkEntry {
         |$clusterCtes
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // salting is exact for sum/count — the oracle is the plain group-by
+    "q42_skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q43_ann_ivf_trained" -> ivfTrainedSqlDuck,
     "q40_ordered_dedup" ->
       """SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date
@@ -568,4 +591,43 @@ object SparkEntry {
   /** DuckDB fragment: rounded double cosine between qv and v. */
   private val cosSqlDuck =
     "round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4)"
+
+  /** q43 oracle: mirrors Vectors.trainCentroids + annIvfTrained.
+    * Lloyd iterations are UNROLLED as CTE pairs (asg_t, s_t → c_{t+1});
+    * centroids are integer-quantized component SUMS (exact, order-
+    * independent — see trainCentroids scaladoc), so every engine
+    * computes bit-identical centroids; cosines and ranking then match
+    * the q22/q23 proven-portable pattern. */
+  private val ivfTrainedSqlDuck: String = {
+    def cosd(a: String, b: String) =
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 4)"
+    val iters = 3
+    val steps = (0 until iters).map { t =>
+      s"""asg$t AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosd("c.cv", "e.v")} DESC, c.cid) AS rk
+         |    FROM e, c$t c) WHERE rk = 1),
+         |s$t AS (SELECT a.cid, t.i, sum(q.qv[t.i]) AS s
+         |  FROM asg$t a JOIN q USING (vec_id), unnest(generate_series(1, len(q.qv))) t(i)
+         |  GROUP BY a.cid, t.i),
+         |c${t + 1} AS (SELECT c.cid, coalesce(n.cv, c.cv) AS cv FROM c$t c
+         |  LEFT JOIN (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv FROM s$t GROUP BY cid) n USING (cid)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS qv FROM e),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv FROM q WHERE vec_id < 16),
+       |$steps
+       |fasg AS (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosd("c.cv", "e.v")} DESC, c.cid) AS rk
+       |    FROM e, c$iters c) WHERE rk = 1),
+       |qq AS (SELECT vec_id AS qid, v AS qv2 FROM e WHERE vec_id < 10),
+       |probes AS (SELECT qid, qv2, cid FROM (
+       |    SELECT qid, qv2, c.cid, row_number() OVER (PARTITION BY qid ORDER BY ${cosd("c.cv", "qv2")} DESC, c.cid) AS prk
+       |    FROM qq, c$iters c)
+       |  WHERE prk <= 4),
+       |scored AS (SELECT p.qid, e.vec_id, ${cosd("p.qv2", "e.v")} AS cos
+       |  FROM probes p JOIN fasg a ON a.cid = p.cid JOIN e ON e.vec_id = a.vec_id
+       |  WHERE e.vec_id <> p.qid),
+       |r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM scored)
+       |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+  }
 }

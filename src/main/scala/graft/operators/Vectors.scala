@@ -35,6 +35,7 @@ object Vectors {
     * thresholds real near-dup dedup runs at. The knobs are per-call. */
   val NearDupPlanes = 60
   val NearDupBands = 20
+  val IvfTrainIters = 3
 
   /** double-precision dot product of two vectors (sequential left
     * fold — same order as the oracle's list_dot_product). Reference
@@ -72,18 +73,23 @@ object Vectors {
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** IVF assignment: nearest of the first IvfCentroids vectors
-    * (deterministic pseudo-centroids), per corpus vector. */
-  def ivfAssignment(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val cents = broadcast(
-      e.filter(col("vec_id") < IvfCentroids)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv")))
-    // argmax via max_by over (score, -cid) — one aggregation of tiny
-    // (vec_id, cid, score) triples; carrying `embedding` through the
-    // ×K cross join into a window exchange would shuffle K copies of
-    // every corpus vector. The embedding is joined back by vec_id
-    // (one corpus-sized shuffle instead of K).
+  /** First-IvfCentroids pseudo-centroids (deterministic, untrained —
+    * the q23 baseline; [[trainCentroids]] is the quality path). */
+  private def firstKCentroids(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+
+  /** IVF assignment of every corpus vector to its nearest centroid. */
+  def ivfAssignment(spark: SparkSession, dir: String): DataFrame =
+    ivfAssignmentWith(emb(spark, dir), firstKCentroids(spark, dir))
+
+  /** Argmax via max_by over (score, -cid) — one aggregation of tiny
+    * (vec_id, cid, score) triples; carrying `embedding` through the
+    * ×K cross join into a window exchange would shuffle K copies of
+    * every corpus vector. The embedding is joined back by vec_id
+    * (one corpus-sized shuffle instead of K). */
+  private def ivfAssignmentWith(e: DataFrame, centsDf: DataFrame): DataFrame = {
+    val cents = broadcast(centsDf)
     val assignment = e.crossJoin(cents)
       .select(col("vec_id"), col("cid"),
         round(cosine(col("cv"), col("embedding")), 4).as("ccos"))
@@ -96,12 +102,18 @@ object Vectors {
   /** IVF-probed ANN: each query searches only the IvfProbes centroid
     * lists nearest to it — the bounded-scan approximation of
     * annBruteForce. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfWith(spark, dir, firstKCentroids(spark, dir))
+
+  /** IVF-probed ANN over TRAINED (Lloyd) centroids — the quality
+    * path; same bounded-probe search. */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame =
+    annIvfWith(spark, dir, trainCentroids(spark, dir))
+
+  private def annIvfWith(spark: SparkSession, dir: String, centsDf: DataFrame): DataFrame = {
     val e = emb(spark, dir)
-    val assigned = ivfAssignment(spark, dir)
-    val cents = broadcast(
-      e.filter(col("vec_id") < IvfCentroids)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+    val assigned = ivfAssignmentWith(e, centsDf)
+    val cents = broadcast(centsDf)
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val probeW = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cid"))
@@ -119,6 +131,65 @@ object Vectors {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TopK)
       .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Spherical k-means (Lloyd) training over the corpus, pure
+    * DataFrame ops per iteration: assign every vector to its nearest
+    * centroid by rounded cosine (broadcast centroids, one aggregate),
+    * then rebuild each centroid as the element-wise SUM of its
+    * members.
+    *
+    * Two deliberate choices make this exactly portable to the DuckDB
+    * oracle (and any engine):
+    *  - centroids are SUM vectors, never divided by the member count —
+    *    cosine is scale-invariant, and skipping the division avoids
+    *    engine-specific decimal/double division rounding;
+    *  - summed components are integer-quantized (round(x·10⁶) as
+    *    long): integer addition is exact and order-independent, so the
+    *    result is identical regardless of aggregation order — a
+    *    floating-point mean would differ per shuffle, let alone per
+    *    engine. round() can never see a .5 tie here because
+    *    (k+0.5)·10⁻⁶ is not representable as a float.
+    *
+    * Driver traffic per iteration is the MODEL, not data: k×dim sum
+    * rows (16×64). Seeded deterministically with the first k vectors.
+    * Empty clusters keep their previous centroid. */
+  def trainCentroids(spark: SparkSession, dir: String,
+                     k: Int = IvfCentroids, iters: Int = IvfTrainIters): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).cache()
+    val q = e.select(col("vec_id"),
+      transform(col("embedding"), x => round(x * lit(1000000.0), 0).cast("long")).as("qv"))
+      .cache()
+    var cents: Array[(Int, Array[Double])] = q.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("qv"))
+      .as[(Int, Array[Long])].collect().sortBy(_._1)
+      .map { case (cid, qv) => (cid, qv.map(_.toDouble)) }
+    for (_ <- 0 until iters) {
+      val centsDf = broadcast(cents.toSeq.toDF("cid", "cv"))
+      val asg = e.crossJoin(centsDf)
+        .select(col("vec_id"), col("cid"),
+          round(cosine(col("cv"), col("embedding")), 4).as("ccos"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+      val sums = asg.join(q, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("s"))
+        .collect() // k×dim rows — bounded model state
+      val byCid = sums.groupBy(_.getAs[Int]("cid"))
+      cents = cents.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val arr = new Array[Double](old.length)
+            rows.foreach(r => arr(r.getAs[Int]("pos")) = r.getAs[Long]("s").toDouble)
+            (cid, arr)
+          case None => (cid, old)
+        }
+      }
+    }
+    e.unpersist(); q.unpersist()
+    cents.toSeq.toDF("cid", "cv")
   }
 
   /** Exact all-pairs near-dup baseline — TEST ORACLE ONLY, not the

@@ -133,6 +133,29 @@ class DedupSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("trained IVF reaches recall@5 >= 0.8 on a planted clustered corpus") {
+    val dir = Files.createTempDirectory("graft_ivf").toString
+    // 4 tight clusters in dim 16; vec_id % 4 interleaves clusters so
+    // the first-16 seeds span all of them
+    val vecs = (0L until 480L).map { vid =>
+      val c = (vid % 4).toInt
+      val emb = Array.tabulate(16) { i =>
+        val base = if (i / 4 == c) 1.0f else 0.0f
+        val noise = (((vid * 2654435761L + i * 97L) % 1000L) - 500L) / 10000.0f
+        base + noise
+      }
+      (vid, emb)
+    }
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val bf = Vectors.annBruteForce(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val trained = Vectors.annIvfTrained(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (bf intersect trained).size.toDouble / bf.size
+    assert(recall >= 0.8, s"trained IVF recall@5 $recall < 0.8")
+  }
+
   test("IVF ANN recall vs brute force is high on real embeddings") {
     val sf = "/root/testdata/sf0.001"
     val bf = Vectors.annBruteForce(spark, sf).collect()
