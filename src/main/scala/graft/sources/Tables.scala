@@ -53,6 +53,25 @@ object Tables {
       df.createOrReplaceTempView(n)
     }
 
+  /** Federated JDBC scan — the real analog of the reference's dblink
+    * hop (`dag_datapelangan.py:172-186`): where the reference hand-
+    * inlines `status='S' AND tanggal=ds` into the quoted remote query
+    * text, here Catalyst pushes filters and column pruning into the
+    * generated remote SQL automatically (`PushedFilters` on the scan).
+    *
+    * `table` may be a table name or a pushdown subquery
+    * (`"(SELECT ... ) t"`). For parallel reads at scale pass the
+    * standard partitioning options (partitionColumn/lowerBound/
+    * upperBound/numPartitions) — each executor then issues its own
+    * range-predicated remote query instead of one serial cursor. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(options)
+      .load()
+
   /** All-string CSV reader reproducing the reference's text-typed
     * staging discipline (`stage_csv_dims_to_pg.py:79-98`): no schema
     * inference, types imposed later by explicit guarded casts

@@ -65,6 +65,49 @@ class StreamingSpec extends SparkSpec {
     assert(sessions === Set((1L, 2, 3.0), (1L, 1, 5.0), (2L, 1, 9.0)))
   }
 
+  test("file-sink round trip: stop + restart from checkpoint is exactly-once") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft_stream").toString
+    val (in, out, cp) = (s"$root/in", s"$root/out", s"$root/cp")
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    def addBatch(rows: (Timestamp, String, Double)*): Unit =
+      rows.toSeq.toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(in)
+    def startQuery() = EventStreams.hourlyCounts(
+        spark.readStream.schema(schema).parquet(in))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode("append").start()
+
+    addBatch((ts(0), "click", 1.0), (ts(10), "click", 2.5), (ts(70), "view", 4.0))
+    val q1 = startQuery()
+    // second file pushes the watermark past the first two windows
+    addBatch((ts(300), "click", 1.0))
+    q1.processAllAvailable()
+    q1.stop() // simulate shutdown mid-stream
+
+    // restart from the same checkpoint; new file finalizes ts(300)'s window
+    addBatch((ts(600), "view", 2.0))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val result = spark.read.parquet(out)
+      .select(date_format(col("window_start"), "HH:mm").as("h"), col("event_type"),
+        col("n"), col("value_sum").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    // exactly-once: no (window, type) key appears twice across the restart
+    assert(result.length === result.map(r => (r._1, r._2)).distinct.length,
+      s"duplicate windows after restart: ${result.mkString(", ")}")
+    val byKey = result.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(byKey(("22:00", "click")) === (2L, "3.50"))
+    assert(byKey(("23:00", "view")) === (1L, "4.00"))
+    assert(byKey(("03:00", "click")) === (1L, "1.00")) // finalized after restart
+    assert(!byKey.contains(("08:00", "view"))) // still behind the watermark
+  }
+
   test("late cross-batch event extends the open session backwards, no false split") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Evt]
