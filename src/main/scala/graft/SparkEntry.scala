@@ -105,6 +105,14 @@ object SparkEntry {
     // IVF over TRAINED centroids (3 Lloyd iterations, integer-quantized
     // sum centroids — exact and engine-portable; see Vectors.trainCentroids)
     "q43_ann_ivf_trained" -> Vectors.annIvfTrained _,
+    // pretraining concat-and-chunk packing via distributed prefix sum
+    "q44_sequence_pack" -> ((s: SparkSession, d: String) =>
+      operators.Packing.packDocuments(s, d)),
+    // md5-keyed per-language mixture downsampling
+    "q45_stratified_sample" -> operators.Sampling.stratifiedDocSample _,
+    // corpus vocabulary tf/df stats, top-50 by document frequency
+    "q46_vocab_stats" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabStats(s, d)),
   )
 
   /** DuckDB oracle SQL per query (driver substitutes table names onto
@@ -535,6 +543,29 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q43_ann_ivf_trained" -> ivfTrainedSqlDuck,
+    // global prefix semantics: the oracle states it as one window; the
+    // engine computes the identical prefix with the distributed
+    // bucket-offset scheme (Packing.packByPrefix)
+    "q44_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM documents),
+        |p AS (SELECT doc_id, tokens,
+        |    CAST(coalesce(sum(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS so
+        |  FROM t)
+        |SELECT doc_id, tokens, so // 256 AS seq_id, so % 256 AS offset_in_seq
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q45_stratified_sample" ->
+      """WITH k AS (SELECT lang,
+        |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) <
+        |    (CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4 WHEN 'es' THEN 4 WHEN 'fr' THEN 2 WHEN 'zh' THEN 16 ELSE 16 END) AS keep
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_total, count(*) FILTER (keep) AS n_sampled
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "q46_vocab_stats" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split($normSqlDuck, ' ')) AS token FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |g AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM w GROUP BY token)
+        |SELECT token, tf, df, CAST(df AS DOUBLE) / n_docs AS df_ratio
+        |FROM g, n ORDER BY df DESC, tf DESC, token LIMIT 50""".stripMargin,
     "q40_ordered_dedup" ->
       """SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date

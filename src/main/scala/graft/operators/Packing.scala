@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+
+/** Pretraining sequence packing: documents are concatenated in a
+  * deterministic order (doc_id) and chunked into fixed token-budget
+  * sequences — the standard "concat-and-chunk" data prep for LLM
+  * pretraining. Each doc gets the sequence id and offset where its
+  * tokens start.
+  *
+  * The global running token offset is a DISTRIBUTED prefix sum, not a
+  * global window: a global `Window.orderBy(doc_id)` would sort the
+  * whole corpus into one reducer. Instead:
+  *   1. bucket docs by id range (`bucketSize` ids per bucket);
+  *   2. per-bucket token totals — one tiny row per bucket;
+  *   3. bucket start offsets via a window over the bucket TOTALS
+  *      (rows = corpus/bucketSize — thousands, not billions; tune
+  *      bucketSize up, or add a second level, if even that is big);
+  *   4. broadcast the offsets back; within-bucket running sum is a
+  *      bounded per-bucket window.
+  * Every corpus-sized step is a keyed shuffle or map-only.
+  */
+object Packing {
+  val DefaultBudget = 256L
+
+  /** Generic prefix-sum packing over (idCol, tokensCol). */
+  def packByPrefix(df: DataFrame, idCol: String, tokensCol: String,
+                   budget: Long, bucketSize: Long = 1000L): DataFrame = {
+    val bucketed = df.withColumn("_bucket", expr(s"$idCol div $bucketSize"))
+    val bucketTotals = bucketed.groupBy(col("_bucket"))
+      .agg(sum(col(tokensCol)).as("_btotal"))
+    // tiny table: one row per bucket — the single-partition window here
+    // is over corpus/bucketSize rows by design
+    val wBuckets = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("_boffset", coalesce(sum(col("_btotal")).over(wBuckets), lit(0L)))
+      .select(col("_bucket"), col("_boffset"))
+    val wInner = Window.partitionBy(col("_bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("_bucket"))
+      .withColumn("start_offset",
+        col("_boffset") + coalesce(sum(col(tokensCol)).over(wInner), lit(0L)))
+      .withColumn("seq_id", expr(s"start_offset div $budget"))
+      .withColumn("offset_in_seq", pmod(col("start_offset"), lit(budget)))
+      .drop("_bucket", "_boffset")
+  }
+
+  /** Packing of the `documents` table by whitespace token count. */
+  def packDocuments(spark: SparkSession, dir: String,
+                    budget: Long = DefaultBudget): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("tokens"))
+    packByPrefix(d, "doc_id", "tokens", budget)
+      .select(col("doc_id"), col("tokens"), col("seq_id"), col("offset_in_seq"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -52,6 +52,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus vocabulary statistics: term frequency and document
+    * frequency per normalized token, with the df ratio against the
+    * corpus size — the raw material for stopword lists, vocab pruning
+    * and tf-idf weighting. One explode + one grouped aggregate
+    * (count + count distinct), shuffled on the token — the natural
+    * key; the corpus-size scalar joins in as a broadcast. Top-k by
+    * document frequency with a total-order tie-break. */
+  def vocabStats(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val toks = d.select(col("doc_id"),
+      explode(words(normalizeText(col("text")))).as("token"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"), col("tf"), col("df"),
+        (col("df").cast("double") / col("n_docs")).as("df_ratio"))
+      .orderBy(col("df").desc, col("tf").desc, col("token"))
+      .limit(k)
+  }
+
   /** Document fingerprinting: md5 over canonical normalized text +
     * shape stats — the join key for cross-corpus exact dedup. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
