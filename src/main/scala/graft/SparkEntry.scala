@@ -113,6 +113,16 @@ object SparkEntry {
     // corpus vocabulary tf/df stats, top-50 by document frequency
     "q46_vocab_stats" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabStats(s, d)),
+    // Morton (Z-order) clustering key — multi-dimensional write layout
+    "q47_zorder_key" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.sources.Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          graft.sources.ZOrder.zkey2(col("l_partkey"), col("l_suppkey")).as("zkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
   )
 
   /** DuckDB oracle SQL per query (driver substitutes table names onto
@@ -566,6 +576,12 @@ object SparkEntry {
         |g AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM w GROUP BY token)
         |SELECT token, tf, df, CAST(df AS DOUBLE) / n_docs AS df_ratio
         |FROM g, n ORDER BY df DESC, tf DESC, token LIMIT 50""".stripMargin,
+    "q47_zorder_key" ->
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_partkey, l_suppkey,
+        |  ${graft.sources.ZOrder.zkey2Sql("l_partkey", "l_suppkey")} AS zkey
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q40_ordered_dedup" ->
       """SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date
@@ -579,14 +595,21 @@ object SparkEntry {
   /** DuckDB fragment: MinHash signatures → bands → candidate pairs →
     * exact shingle-intersection counts (mirrors Dedup.minhashLshFrom;
     * shared by q15/q31/q41). Ends with a trailing newline-less CTE
-    * list — callers append their own final CTEs/SELECT. */
+    * list — callers append their own final CTEs/SELECT.
+    *
+    * NB every top-level UNION here is written as UNION ALL inside a
+    * subquery with an outer DISTINCT: inside a WITH RECURSIVE block
+    * (q31/q41) DuckDB parses a CTE's top-level UNION as a recursive
+    * union and appends the last branch WITHOUT deduplicating — which
+    * silently double-counted candidate pairs and corrupted the
+    * intersection counts at sf0.1. */
   private val minhashCtes: String =
     s"""sig AS (SELECT doc_id, ${(0 until 12).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")}
       |  FROM sh GROUP BY doc_id),
       |b AS (SELECT doc_id, ${(0 until 4).map(k => s"md5(h${3*k} || h${3*k+1} || h${3*k+2}) AS band$k").mkString(", ")} FROM sig),
-      |cand AS (${(0 until 4).map(k =>
+      |cand AS (SELECT DISTINCT da, db FROM (${(0 until 4).map(k =>
           s"SELECT l.doc_id AS da, r.doc_id AS db FROM b l JOIN b r ON l.band$k = r.band$k AND l.doc_id < r.doc_id")
-          .mkString("\n  UNION\n  ")}),
+          .mkString("\n  UNION ALL\n  ")}) u),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (SELECT c.da, c.db, count(*) AS i FROM cand c
       |  JOIN sh sa ON sa.doc_id = c.da
@@ -600,7 +623,7 @@ object SparkEntry {
     """vpairs AS (SELECT x.da, x.db
       |  FROM inter x JOIN cnt ca ON ca.doc_id = x.da JOIN cnt cb ON cb.doc_id = x.db
       |  WHERE round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) >= 0.5),
-      |cedges AS (SELECT da AS a, db AS b FROM vpairs UNION SELECT db, da FROM vpairs),
+      |cedges AS (SELECT DISTINCT a, b FROM (SELECT da AS a, db AS b FROM vpairs UNION ALL SELECT db, da FROM vpairs) u),
       |reach AS (SELECT a, b FROM cedges UNION SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a)""".stripMargin
 
   /** DuckDB fragment: canonical text normalization (must mirror

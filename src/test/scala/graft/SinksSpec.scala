@@ -68,6 +68,31 @@ class SinksSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/t._old")))
   }
 
+  test("z-order write narrows per-file spans on BOTH key dimensions") {
+    import graft.sources.ZOrder
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    def avgSpans(path: String): (Double, Double) = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("l_partkey").as("plo"), max("l_partkey").as("phi"),
+          min("l_suppkey").as("slo"), max("l_suppkey").as("shi"))
+        .collect()
+      assert(perFile.length > 4, s"need multiple files, got ${perFile.length}")
+      (perFile.map(r => r.getAs[Long]("phi") - r.getAs[Long]("plo")).sum.toDouble / perFile.length,
+        perFile.map(r => r.getAs[Long]("shi") - r.getAs[Long]("slo")).sum.toDouble / perFile.length)
+    }
+    li.repartition(16).write.parquet(s"$dir/plain")
+    ZOrder.writeZOrdered(li.repartition(16), s"$dir/z", "l_partkey", "l_suppkey", numFiles = 16)
+    val (plainP, plainS) = avgSpans(s"$dir/plain")
+    val (zP, zS) = avgSpans(s"$dir/z")
+    // plain scattered files span ~the full range on both dims; z-order
+    // files cover a rectangle — materially narrower on BOTH
+    assert(zP < plainP * 0.75, s"partkey span $zP vs plain $plainP")
+    assert(zS < plainS * 0.75, s"suppkey span $zS vs plain $plainS")
+  }
+
   test("upsert: duplicate keys in the incoming batch merge deterministically") {
     import graft.etl.Dims
     val incoming = spark.createDataFrame(Seq(
