@@ -123,7 +123,29 @@ object SparkEntry {
           graft.sources.ZOrder.zkey2(col("l_partkey"), col("l_suppkey")).as("zkey"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    // explicit GROUPING SETS through the spark.sql entry point — the
+    // ANSI text is identical on both engines by construction
+    "q48_grouping_sets" -> ((s: SparkSession, d: String) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql(groupingSetsSql)
+    }),
+    // time-series resample + forward fill, per-key windows only
+    "q49_gap_fill" -> ((s: SparkSession, d: String) =>
+      operators.TimeSeries.gapFillHourly(s, d)),
+    // batch gap-sessionization (lag + running sum), the batch analog
+    // of streaming.EventStreams.sessionize
+    "q50_sessionize_batch" -> ((s: SparkSession, d: String) =>
+      operators.TimeSeries.sessionizeBatch(s, d)),
   )
+
+  /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
+  private val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_s,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_p
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
   /** DuckDB oracle SQL per query (driver substitutes table names onto
     * the same parquet files). */
@@ -582,6 +604,37 @@ object SparkEntry {
         |  ${graft.sources.ZOrder.zkey2Sql("l_partkey", "l_suppkey")} AS zkey
         |FROM lineitem WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q48_grouping_sets" -> groupingSetsSql,
+    "q49_gap_fill" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE user_id < 5),
+        |hourly AS (SELECT user_id, hour, CAST(sum(v) AS DECIMAL(18,2)) AS v FROM e GROUP BY 1, 2),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT user_id, min(hour) AS lo, max(hour) AS hi FROM e GROUP BY 1)),
+        |f AS (SELECT g.user_id, g.hour, h.v IS NOT NULL AS observed,
+        |    CAST(last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS v_filled
+        |  FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hour = g.hour)
+        |SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, observed, v_filled
+        |FROM f ORDER BY user_id, hour""".stripMargin,
+    "q50_sessionize_batch" ->
+      """WITH e AS (SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |w AS (SELECT user_id, ts, event_id, v,
+        |    CASE WHEN lag(ts) OVER win IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER win) > 1800000000 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, v,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM w)
+        |SELECT user_id, session_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(v) AS DOUBLE) AS value_sum
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "q40_ordered_dedup" ->
       """SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Time-series operators over the events table: resample-and-fill
+  * (densify each key's timeline to a fixed grid, forward-filling
+  * gaps) and batch gap-sessionization (the batch analog of
+  * streaming.EventStreams.sessionize — same gap rule, pure window
+  * functions).
+  *
+  * Scale posture: everything is partitioned BY KEY — the grid
+  * explode, the fill window and the session windows all run inside a
+  * user_id partition, so no global sort or single-reducer window
+  * exists at any corpus size.
+  */
+object TimeSeries {
+  private val D182 = DecimalType(18, 2)
+
+  /** Hourly resample per user with forward fill: one row per
+    * (user, hour) from the user's first to last event hour; hours
+    * with no events carry the last seen hourly sum. */
+  def gapFillHourly(spark: SparkSession, dir: String, maxUsers: Int = 5): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+      .filter(col("user_id") < maxUsers)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
+        col("value").cast(D182).as("v"))
+    val hourly = e.groupBy(col("user_id"), col("hour"))
+      .agg(sum(col("v")).cast(D182).as("v"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("v").isNotNull.as("observed"),
+        last(col("v"), ignoreNulls = true).over(wFill).cast("double").as("v_filled"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  /** Gap-based sessionization in batch: a session breaks when the gap
+    * to the previous event (per user, event-time order) exceeds
+    * `gapMinutes`. Pure lag + running-sum windows — the classic SQL
+    * formulation, semantically matching the streaming operator. */
+  def sessionizeBatch(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val e = Tables.loadEvents(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast(D182).as("v"))
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = e.withColumn("_new_session",
+      when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wSeq)) > gapUs, 1L)
+        .otherwise(lit(0L)))
+      .withColumn("_first", when(lag(col("ts"), 1).over(wSeq).isNull, 1L).otherwise(lit(0L)))
+      .withColumn("session_id",
+        sum(col("_new_session") + col("_first")).over(
+          wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("value_sum"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+}
