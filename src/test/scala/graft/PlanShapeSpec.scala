@@ -37,4 +37,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("HashAggregate"), plan)
   }
+
+  test("q42: salted aggregation is two keyed aggregate phases, no single-key hotspot") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val df = graft.operators.Skew.saltedSumCount(li, col("l_returnflag"),
+      col("l_quantity").cast(DecimalType(18, 2)), col("l_orderkey"), buckets = 32)
+    val plan = finalPlan(df)
+    // phase 1 shuffles on (k, salt), phase 2 on k — the hot key is
+    // spread over `buckets` reducers before the final tiny aggregate
+    assert(plan.contains("hashpartitioning(k"), plan)
+    assert(plan.contains("salt"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan) // partial+final × 2 phases
+  }
+
+  test("q44: packing windows are per-bucket; only the tiny offsets window is global") {
+    val df = graft.operators.Packing.packDocuments(spark, sf)
+    val plan = finalPlan(df)
+    // corpus-sized running sum must be partitioned by _bucket
+    assert(plan.contains("windowspecdefinition(_bucket"), plan)
+    // the broadcast join ships only the per-bucket offsets
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("q24: LSH near-dup plan has no driver-side collect operators") {
+    val df = graft.operators.Vectors.lshNearDupPairs(spark, sf,
+      graft.operators.Vectors.NearDupPlanes, graft.operators.Vectors.NearDupBands,
+      graft.operators.Vectors.NearDupThreshold)
+    val plan = finalPlan(df)
+    // candidate generation is a join on the band key + aggregate dedup;
+    // verification joins the vectors back by id — all distributed
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"), plan)
+    assert(!plan.contains("CollectLimit"), plan)
+  }
 }
