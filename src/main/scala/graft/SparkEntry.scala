@@ -136,6 +136,22 @@ object SparkEntry {
     // of streaming.EventStreams.sessionize
     "q50_sessionize_batch" -> ((s: SparkSession, d: String) =>
       operators.TimeSeries.sessionizeBatch(s, d)),
+    // forward as-of join: earliest view at-or-after each click
+    "q51_asof_forward" -> operators.AsOf.clicksWithNextView _,
+    // salted join under a skewed fact, gated against the plain join
+    "q52_salted_join" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val li = graft.sources.Tables.load(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+          col("l_orderkey"))
+      val dim = graft.sources.Tables.load(s, d, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      operators.Skew.saltedJoin(li, dim, "l_partkey", col("l_orderkey"), buckets = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).cast("double").as("qty_sum"))
+        .orderBy(col("p_brand"))
+    }),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -635,6 +651,23 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(v) AS DOUBLE) AS value_sum
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q51_asof_forward" ->
+      """WITH views AS (SELECT user_id, ts, max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |clicks AS (SELECT user_id, ts, event_id, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  c.value, v.view_value AS asof_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts <= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+    // salting is exact — the oracle is the plain join + group-by
+    "q52_salted_join" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q40_ordered_dedup" ->
       """SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date

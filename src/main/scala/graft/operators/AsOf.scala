@@ -25,8 +25,12 @@ import graft.sources.Tables
   */
 object AsOf {
 
+  /** `forward = true` flips the direction: for each left row, the
+    * EARLIEST right row with time ≥ the left row's time (inclusive) —
+    * the same single window scanned in reverse time order. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-               leftTime: String, rightTime: String, rightValue: String): DataFrame = {
+               leftTime: String, rightTime: String, rightValue: String,
+               forward: Boolean = false): DataFrame = {
     // temp columns get collision-free names (the caller may legitimately
     // own columns called _t/_tag/_r)
     def fresh(base: String): String = {
@@ -46,7 +50,8 @@ object AsOf {
     val r = right.select(col(key), col(rightTime).as(tC),
       lit(0).as(tagC), struct(col(rightValue).as("v")).as(rC))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key)).orderBy(col(tC), col(tagC))
+    val timeOrder = if (forward) col(tC).desc else col(tC).asc
+    val w = Window.partitionBy(col(key)).orderBy(timeOrder, col(tagC))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       // NULL keys never match in SQL joins (and in DuckDB ASOF) — but
@@ -60,14 +65,22 @@ object AsOf {
 
   /** q33: each click event matched to the same user's latest view
     * value at-or-before it (both sides derived from `events`). */
-  def clicksWithLastView(spark: SparkSession, dir: String): DataFrame = {
+  def clicksWithLastView(spark: SparkSession, dir: String): DataFrame =
+    clicksWithView(spark, dir, forward = false)
+
+  /** q51: forward variant — each click matched to the same user's
+    * EARLIEST view value at-or-after it. */
+  def clicksWithNextView(spark: SparkSession, dir: String): DataFrame =
+    clicksWithView(spark, dir, forward = true)
+
+  private def clicksWithView(spark: SparkSession, dir: String, forward: Boolean): DataFrame = {
     val e = Tables.loadEvents(spark, dir)
     val views = e.filter(col("event_type") === "view")
       .groupBy(col("user_id"), col("ts")) // dedupe exact-ts duplicates
       .agg(max(col("value")).as("view_value"))
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-    asofJoin(clicks, views, "user_id", "ts", "ts", "view_value")
+    asofJoin(clicks, views, "user_id", "ts", "ts", "view_value", forward)
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
         col("value"), col("asof_value"))

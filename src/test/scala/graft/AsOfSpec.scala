@@ -42,4 +42,24 @@ class AsOfSpec extends SparkSpec {
     // matched row IS ts(10); its value is NULL — must not fall back to 5.0
     assert(out.length === 1 && out.head.isNullAt(out.head.fieldIndex("asof_value")))
   }
+
+  test("forward asofJoin picks the earliest right row at-or-after each left row") {
+    val updates = Seq(
+      (1L, ts(10), 20.0), (1L, ts(30), 30.0),
+      (2L, ts(5), 99.0)).toDF("user_id", "ts", "view_value")
+    val probes = Seq(
+      (1L, ts(4), 100L),   // next update at ts(10) → 20.0
+      (1L, ts(10), 101L),  // exactly at ts(10) → inclusive → 20.0
+      (1L, ts(40), 102L),  // after all updates → null
+      (2L, ts(4), 103L))   // → 99.0
+      .toDF("user_id", "ts", "event_id")
+    val out = AsOf.asofJoin(probes, updates, "user_id", "ts", "ts", "view_value",
+        forward = true)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble)).toMap
+    assert(out(100L) === Some(20.0))
+    assert(out(101L) === Some(20.0))
+    assert(out(102L) === None)
+    assert(out(103L) === Some(99.0))
+  }
 }
