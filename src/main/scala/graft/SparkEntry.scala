@@ -138,6 +138,8 @@ object SparkEntry {
       operators.TimeSeries.sessionizeBatch(s, d)),
     // forward as-of join: earliest view at-or-after each click
     "q51_asof_forward" -> operators.AsOf.clicksWithNextView _,
+    // UNPIVOT (wide -> long), the inverse of q29's pivot
+    "q53_unpivot" -> Relational.unpivotAgg _,
     // salted join under a skewed fact, gated against the plain join
     "q52_salted_join" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
@@ -662,6 +664,17 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts <= v.ts
         |ORDER BY c.event_id""".stripMargin,
+    "q53_unpivot" ->
+      """WITH p AS (SELECT o_orderpriority,
+        |    count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |    count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |    count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, n FROM (
+        |  SELECT o_orderpriority, 'F' AS status, n_f AS n FROM p
+        |  UNION ALL SELECT o_orderpriority, 'O', n_o FROM p
+        |  UNION ALL SELECT o_orderpriority, 'P', n_p FROM p) u
+        |ORDER BY o_orderpriority, status""".stripMargin,
     // salting is exact — the oracle is the plain join + group-by
     "q52_salted_join" ->
       """SELECT p_brand, count(*) AS n,

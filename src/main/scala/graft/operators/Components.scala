@@ -27,8 +27,12 @@ object Components {
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .unionByName(pairs.select(col("db").as("a"), col("da").as("b")))
       .distinct().cache()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // init with the 1-hop fold (label = min(id, neighbors)) — for the
+    // dominant pair/triangle clusters this IS the fixed point, so the
+    // loop exits after one no-change verification round
+    var labels = edges.groupBy(col("a"))
+      .agg(min(col("b")).as("nbr"))
+      .select(col("a").as("id"), least(col("a"), col("nbr")).as("label"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L

@@ -291,6 +291,17 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Extension: UNPIVOT (wide → long) — the inverse of [[pivotAgg]]:
+    * per-status count columns melted back to (priority, status, n)
+    * rows via `stack` (a Generate operator, map-only, no shuffle
+    * beyond the pivot's own aggregation). */
+  def unpivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    pivotAgg(spark, dir)
+      .select(col("o_orderpriority"),
+        expr("stack(3, 'F', n_f, 'O', n_o, 'P', n_p) AS (status, n)"))
+      .orderBy(col("o_orderpriority"), col("status"))
+  }
+
   /** Extension: INTERSECT / EXCEPT set operations (absent from the
     * reference, SURVEY §2.8): customers active in both 1996 and 1997
     * vs only in 1996. */
