@@ -140,6 +140,8 @@ object SparkEntry {
     "q51_asof_forward" -> operators.AsOf.clicksWithNextView _,
     // UNPIVOT (wide -> long), the inverse of q29's pivot
     "q53_unpivot" -> Relational.unpivotAgg _,
+    // equal-width histogram: tiny min/max broadcast + map-only binning
+    "q54_histogram" -> ((s: SparkSession, d: String) => Relational.histogram(s, d)),
     // salted join under a skewed fact, gated against the plain join
     "q52_salted_join" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
@@ -675,6 +677,11 @@ object SparkEntry {
         |  UNION ALL SELECT o_orderpriority, 'O', n_o FROM p
         |  UNION ALL SELECT o_orderpriority, 'P', n_p FROM p) u
         |ORDER BY o_orderpriority, status""".stripMargin,
+    "q54_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+        |b AS (SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10.0)), 9.0) AS BIGINT) AS bucket
+        |  FROM lineitem, mm)
+        |SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // salting is exact — the oracle is the plain join + group-by
     "q52_salted_join" ->
       """SELECT p_brand, count(*) AS n,

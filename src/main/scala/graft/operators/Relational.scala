@@ -291,6 +291,22 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Extension: equal-width histogram — the profiling primitive: one
+    * tiny min/max aggregate (broadcast back), then a map-only bucket
+    * projection and a keyed count. The bucket expression is the
+    * identical IEEE tree on both engines (subtract, divide by the
+    * shared width, floor, clamp), so the gate is exact. */
+  def histogram(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val x = Tables.load(spark, dir, "lineitem").select(col("l_extendedprice").as("x"))
+    val mm = x.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    x.crossJoin(broadcast(mm))
+      .select(least(floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / lit(buckets.toDouble))),
+        lit((buckets - 1).toDouble)).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
   /** Extension: UNPIVOT (wide → long) — the inverse of [[pivotAgg]]:
     * per-status count columns melted back to (priority, status, n)
     * rows via `stack` (a Generate operator, map-only, no shuffle
