@@ -54,9 +54,15 @@ object Dims {
     * Defaults to ordering by every non-key column. */
   def upsert(existing: Option[DataFrame], incoming: DataFrame, key: String,
              tieBreak: Seq[Column] = Nil): DataFrame = {
-    def tb(df: DataFrame): Seq[Column] =
+    def tb(df: DataFrame): Seq[Column] = {
       if (tieBreak.nonEmpty) tieBreak
-      else df.columns.filterNot(_ == key).sorted.map(c => col(c).asc_nulls_last).toSeq
+      else {
+        val rest = df.columns.filterNot(_ == key).sorted.map(c => col(c).asc_nulls_last).toSeq
+        // key-only schema: rows within a key are identical, any order
+        // is deterministic — but the window still needs an ORDER BY
+        if (rest.nonEmpty) rest else Seq(col(key))
+      }
+    }
     existing match {
       case None =>
         incoming
@@ -78,6 +84,12 @@ object Dims {
     * into `dwhDir` parquet tables. Returns per-table row counts (the
     * reference's logged audit counts). */
   def run(spark: SparkSession, csvDir: String, dwhDir: String): Map[String, Long] = {
+    // a previous run may have crashed mid-swap, leaving the table
+    // only under `<name>._old` — restore BEFORE the existence check,
+    // or the upsert below silently degrades to truncate-load and
+    // discards every previously merged row
+    Seq("routes", "shelter_corridor", "realisasi_bus")
+      .foreach(n => graft.sources.Sinks.recover(spark, s"$dwhDir/$n"))
     // only a missing table means "first load" — any other read error
     // must propagate, or the upsert silently degrades to truncate-load
     // and discards previously merged rows

@@ -324,7 +324,9 @@ object Relational {
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     // one orders scan, cached: intersect + except each consume both
     // year slices, so without the cache the table is scanned 4× —
-    // at 100 TB that is 4× the I/O of the query's actual work
+    // at 100 TB that is 4× the I/O of the query's actual work.
+    // (Cache lifetime is the caller's: the Verify/Bench harness clears
+    // the Spark cache after every query.)
     val base = Tables.load(spark, dir, "orders")
       .select(col("o_custkey"), year(col("o_orderdate").cast("date")).as("y"))
       .filter(col("y") === 1996 || col("y") === 1997)

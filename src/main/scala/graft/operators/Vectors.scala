@@ -260,6 +260,11 @@ object Vectors {
     val dim = first.head._2.length
     val planeMat = Array.tabulate(planes, dim)((p, i) => sign(p, i).toDouble)
     val bcPlanes = spark.sparkContext.broadcast(planeMat)
+    // cached: the signature map (a typed .map, opaque to Catalyst
+    // subplan reuse) feeds FOUR subplans — both sides of the band
+    // self-join and both verification id-joins; without the cache the
+    // scan + planes×dim signature computation runs 4× per query
+    // (harness clears the Spark cache between queries)
     val sigs = vecs.map { case (id, v) =>
       val pm = bcPlanes.value
       var sig = 0L
@@ -269,7 +274,7 @@ object Vectors {
         p += 1
       }
       (id, v, sig)
-    }.toDF("vec_id", "v", "sig")
+    }.toDF("vec_id", "v", "sig").cache()
     // band keys: candidates collide on ≥1 band of r bits
     val banded = sigs.select(col("vec_id"), col("v"),
       explode(array((0 until bands).map(b =>

@@ -65,6 +65,10 @@ object Sinks {
     recoverSwap(fs, target)
     fs.delete(staging, true)
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // a crash after a previous swap-in can leave a stale `._old` while
+    // the target exists; renaming onto an existing dir would move the
+    // live dir INSIDE it (Hadoop rename semantics) — clear it first
+    fs.delete(old, true)
     if (fs.exists(target) && !fs.rename(target, old))
       throw new IOException(s"atomicOverwrite: failed to move $target aside to $old")
     if (!fs.rename(staging, target)) {
@@ -79,7 +83,13 @@ object Sinks {
   /** Recovery for a crash between atomicOverwrite's two renames: the
     * live dir is missing but the previous contents sit in `._old` —
     * restore them. Called automatically at the start of every
-    * [[atomicOverwrite]]. */
+    * [[atomicOverwrite]]; call it explicitly before READING a table
+    * that a crashed writer may have left mid-swap (see Dims.run). */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val target = new Path(path)
+    recoverSwap(fsOf(spark, target), target)
+  }
+
   private[graft] def recoverSwap(fs: FileSystem, target: Path): Unit = {
     val old = new Path(target.getParent, target.getName + "._old")
     if (!fs.exists(target) && fs.exists(old) && !fs.rename(old, target))

@@ -58,6 +58,10 @@ object ZOrder {
     val bits = 16
     val r = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    if (r.isNullAt(0)) { // empty input: nothing to cluster
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val keyed = df.withColumn("_zkey", zkey2(
       scaled(col(xCol), r.getLong(0), r.getLong(1), bits),
       scaled(col(yCol), r.getLong(2), r.getLong(3), bits), bits))

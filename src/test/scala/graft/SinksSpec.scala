@@ -93,6 +93,38 @@ class SinksSpec extends SparkSpec {
     assert(zS < plainS * 0.75, s"suppkey span $zS vs plain $plainS")
   }
 
+  test("atomicOverwrite clears a stale ._old left by a crash AFTER a completed swap") {
+    val dir = Files.createTempDirectory("graft_staleold").toString
+    spark.range(100).toDF("id").write.parquet(s"$dir/t") // live generation
+    spark.range(7).toDF("id").write.parquet(s"$dir/t._old") // stale leftover
+    Sinks.atomicOverwrite(spark, spark.range(500).toDF("id"), s"$dir/t")
+    assert(spark.read.parquet(s"$dir/t").count() === 500L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/t._old")))
+    // and a second overwrite still works (no nested-dir corruption)
+    Sinks.atomicOverwrite(spark, spark.range(3).toDF("id"), s"$dir/t")
+    assert(spark.read.parquet(s"$dir/t").count() === 3L)
+  }
+
+  test("Dims.run recovers a mid-swap crash before merging (no silent truncate-load)") {
+    import graft.etl.Dims
+    val dwh = Files.createTempDirectory("graft_dims_recover").toString
+    // first load populates the dims
+    Dims.run(spark, "/root/reference/data", dwh)
+    val before = spark.read.parquet(s"$dwh/routes").count()
+    assert(before > 0)
+    // simulate a crash between atomicOverwrite's two renames: the live
+    // dir is gone, the previous generation sits in ._old
+    val fs = new org.apache.hadoop.fs.Path(dwh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dwh/routes"),
+      new org.apache.hadoop.fs.Path(s"$dwh/routes._old")))
+    // rerun: must restore ._old BEFORE the existence check, then merge
+    val counts = Dims.run(spark, "/root/reference/data", dwh)
+    assert(counts("routes") === before) // nothing lost to truncate-load
+  }
+
   test("upsert: duplicate keys in the incoming batch merge deterministically") {
     import graft.etl.Dims
     val incoming = spark.createDataFrame(Seq(
