@@ -142,6 +142,10 @@ object SparkEntry {
     "q53_unpivot" -> Relational.unpivotAgg _,
     // equal-width histogram: tiny min/max broadcast + map-only binning
     "q54_histogram" -> ((s: SparkSession, d: String) => Relational.histogram(s, d)),
+    // covariance/correlation from exact decimal power sums
+    "q55_corr" -> Relational.corrAgg _,
+    // ranking window-function family over a total order
+    "q56_rank_functions" -> Relational.rankFunctions _,
     // salted join under a skewed fact, gated against the plain join
     "q52_salted_join" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
@@ -682,6 +686,40 @@ object SparkEntry {
         |b AS (SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10.0)), 9.0) AS BIGINT) AS bucket
         |  FROM lineitem, mm)
         |SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // exact integer (cents) power sums, closed-form corr/covar in
+    // double — deliberately NOT DuckDB's corr()/covar_samp()
+    // (engine-specific accumulation); int64->double conversion rounds
+    // identically everywhere, so both engines evaluate the same tree
+    // over the same inputs
+    "q55_corr" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100.0, 0) AS BIGINT) AS xc,
+        |    CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS yc
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(CAST(sum(xc) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(yc) AS BIGINT) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(xc * yc) AS BIGINT) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(xc * xc) AS BIGINT) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(yc * yc) AS BIGINT) AS DOUBLE) AS syy
+        |  FROM q GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 10000.0 AS covar_samp,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q56_rank_functions" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+        |  CAST(rank() OVER win AS BIGINT) AS rk,
+        |  CAST(dense_rank() OVER win AS BIGINT) AS drk,
+        |  percent_rank() OVER win AS prk,
+        |  cume_dist() OVER win AS cd,
+        |  CAST(ntile(4) OVER win AS BIGINT) AS quartile
+        |FROM orders WHERE o_orderkey < 500
+        |WINDOW win AS (PARTITION BY o_orderpriority
+        |  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     // salting is exact — the oracle is the plain join + group-by
     "q52_salted_join" ->
       """SELECT p_brand, count(*) AS n,

@@ -291,6 +291,56 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Extension: covariance + Pearson correlation per group, computed
+    * from EXACT integer power sums: values are quantized to cents
+    * (round(x·100) as long — no .5 ties possible for 2-dp doubles),
+    * so n, Σx, Σy, Σxy, Σx², Σy² are order-independent int64s, and
+    * int64→double conversion rounds identically on every engine
+    * (unlike DECIMAL→DOUBLE casts, which differ in the last ulp).
+    * corr is scale-invariant so it's computed directly on cents;
+    * covar divides by 100² once at the end. Unlike built-in
+    * corr()/covar aggregates (engine-specific double accumulation
+    * order), this is portable by construction; map-side combinable,
+    * one shuffle. */
+  def corrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val x = round(col("l_quantity") * lit(100.0), 0).cast("long")
+    val y = round(col("l_extendedprice") * lit(100.0), 0).cast("long")
+    val sums = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"))
+    val nD = col("n").cast("double")
+    sums.select(col("l_returnflag"), col("n"),
+        ((col("sxy") - col("sx") * col("sy") / nD) / (nD - lit(1.0)) / lit(10000.0)).as("covar_samp"),
+        ((nD * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(nD * col("sxx") - col("sx") * col("sx"))
+            * sqrt(nD * col("syy") - col("sy") * col("sy")))).as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Extension: the ranking window-function family — rank, dense_rank,
+    * percent_rank, cume_dist, ntile — over a total order (no ties), so
+    * every output is either an integer or an exact k/n division. */
+  def rankFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        dec(col("o_totalprice")).as("amount"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("amount"), col("o_orderkey"))
+    o.select(col("o_orderpriority"), col("o_orderkey"),
+        col("amount").cast("double").as("amount"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        percent_rank().over(w).as("prk"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
   /** Extension: equal-width histogram — the profiling primitive: one
     * tiny min/max aggregate (broadcast back), then a map-only bucket
     * projection and a keyed count. The bucket expression is the
