@@ -144,6 +144,10 @@ object SparkEntry {
     "q54_histogram" -> ((s: SparkSession, d: String) => Relational.histogram(s, d)),
     // covariance/correlation from exact decimal power sums
     "q55_corr" -> Relational.corrAgg _,
+    // multimodal frame sampling (binary stride windows, no decode)
+    "q57_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    // multimodal stub feature extraction over payload hex windows
+    "q58_media_features" -> Multimodal.mediaFeatures _,
     // ranking window-function family over a total order
     "q56_rank_functions" -> Relational.rankFunctions _,
     // salted join under a skewed fact, gated against the plain join
@@ -708,6 +712,25 @@ object SparkEntry {
         |  (CAST(n AS DOUBLE) * sxy - sx * sy)
         |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q57_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS byte_len FROM documents)
+        |SELECT media_id, kind, CAST(byte_len AS BIGINT) AS byte_len,
+        |  CAST(f AS BIGINT) AS frame_no,
+        |  CAST((f - 1) * 64 + 1 AS BIGINT) AS "offset"
+        |FROM m, unnest(generate_series(1, greatest(byte_len // 64, 1))) t(f)
+        |ORDER BY media_id, frame_no""".stripMargin,
+    "q58_media_features" ->
+      s"""WITH m AS (SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  lower(hex(encode(text))) AS hx FROM documents)
+        |SELECT media_id, kind, byte_len,
+        |  ${(0 until 4).map(s =>
+            s"CAST(strpos('0123456789abcdef', substr(md5(substr(hx, ${s * 512 + 1}, 512)), 1, 1)) - 1 AS BIGINT) AS f$s")
+            .mkString(",\n  ")}
+        |FROM m ORDER BY media_id""".stripMargin,
     "q56_rank_functions" ->
       """SELECT o_orderpriority, o_orderkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,

@@ -66,9 +66,30 @@ object Multimodal {
   def frameSample(spark: SparkSession, dir: String, stride: Int = 64): DataFrame =
     mediaTable(spark, dir)
       .select(col("media_id"), col("kind"),
-        length(col("payload")).as("byte_len"),
+        length(col("payload")).cast("long").as("byte_len"),
         explode(sequence(lit(1), greatest((length(col("payload")) / stride).cast("int"), lit(1))))
-          .as("frame_no"))
-      .withColumn("offset", (col("frame_no") - 1) * stride + 1)
+          .as("_f"))
+      .select(col("media_id"), col("kind"), col("byte_len"),
+        col("_f").cast("long").as("frame_no"),
+        ((col("_f") - 1) * stride + 1).cast("long").as("offset"))
       .orderBy(col("media_id"), col("frame_no"))
+
+  /** STUB feature extraction with real plumbing: the payload is
+    * sliced into four windows (via its hex encoding — byte-exact on
+    * both engines, unlike string slicing of multibyte text) and each
+    * window hashed to a small deterministic "feature". A real
+    * implementation would run an embedding model per window here —
+    * the schema (fixed-width feature columns per media row), the
+    * map-only shape, and the pruned payload column are the part that
+    * carries to 100 TB. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val hexp = lower(hex(col("payload")))
+    def feat(s: Int) =
+      conv(substring(md5(substring(hexp, s * 512 + 1, 512)), 1, 1), 16, 10)
+        .cast("long").as(s"f$s")
+    mediaTable(spark, dir)
+      .select(Seq(col("media_id"), col("kind"),
+        length(col("payload")).cast("long").as("byte_len")) ++ (0 until 4).map(feat): _*)
+      .orderBy(col("media_id"))
+  }
 }
