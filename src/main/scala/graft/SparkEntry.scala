@@ -148,6 +148,26 @@ object SparkEntry {
     "q57_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // multimodal stub feature extraction over payload hex windows
     "q58_media_features" -> Multimodal.mediaFeatures _,
+    // array-function surface: per-vector dim / L2 norm / extrema
+    "q59_vector_stats" -> Vectors.vectorStats _,
+    // co-located bucketed join (no Exchange on either side) — the
+    // result is gated against the plain-join oracle; the shuffle-free
+    // plan shape itself is asserted in BucketingSpec
+    "q60_bucketed_join" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val sfx = d.replaceAll("[^a-z0-9]", "_")
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_custkey"), col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val c = graft.sources.Tables.load(s, d, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.sources.Bucketing.writeBucketed(o, s"b_orders_$sfx", "o_custkey", 8)
+      graft.sources.Bucketing.writeBucketed(c, s"b_customer_$sfx", "o_custkey", 8)
+      graft.sources.Bucketing.bucketedJoin(s, s"b_orders_$sfx", s"b_customer_$sfx", "o_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
+        .orderBy(col("c_mktsegment"))
+    }),
     // ranking window-function family over a total order
     "q56_rank_functions" -> Relational.rankFunctions _,
     // salted join under a skewed fact, gated against the plain join
@@ -731,6 +751,17 @@ object SparkEntry {
             s"CAST(strpos('0123456789abcdef', substr(md5(substr(hx, ${s * 512 + 1}, 512)), 1, 1)) - 1 AS BIGINT) AS f$s")
             .mkString(",\n  ")}
         |FROM m ORDER BY media_id""".stripMargin,
+    "q59_vector_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id, CAST(len(v) AS BIGINT) AS dim,
+        |  sqrt(list_dot_product(v, v)) AS norm,
+        |  list_max(v) AS vmax, list_min(v) AS vmin
+        |FROM e ORDER BY vec_id""".stripMargin,
+    "q60_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q56_rank_functions" ->
       """SELECT o_orderpriority, o_orderkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,

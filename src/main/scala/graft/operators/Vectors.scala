@@ -133,6 +133,20 @@ object Vectors {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Per-vector shape statistics — the array-function surface over
+    * the embedding column: dimension, L2 norm (sequential-fold dot,
+    * the proven-portable primitive), and exact component extrema.
+    * Map-only, payload column pruned to `embedding`. */
+  def vectorStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    e.select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+        array_max(col("embedding")).as("vmax"),
+        array_min(col("embedding")).as("vmin"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Spherical k-means (Lloyd) training over the corpus, pure
     * DataFrame ops per iteration: assign every vector to its nearest
     * centroid by rounded cosine (broadcast centroids, one aggregate),
