@@ -34,22 +34,28 @@ object Components {
       .agg(min(col("b")).as("nbr"))
       .select(col("a").as("id"), least(col("a"), col("nbr")).as("label"))
       .localCheckpoint()
+    // one propagation round: neighbor-min + pointer jump (adopt the
+    // candidate label's OWN label — halves path lengths per round)
+    def step(cur: DataFrame): DataFrame = {
+      val nbrMin = edges
+        .join(cur.select(col("id").as("b"), col("label").as("nbr_label")), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nbr_label")).as("nbr"))
+      val stepped = cur.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("l1"))
+      stepped
+        .join(cur.select(col("id").as("l1"), col("label").as("jump")), Seq("l1"), "left")
+        .select(col("id"), least(col("l1"), coalesce(col("jump"), col("l1"))).as("label"))
+    }
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("label").as("nbr_label")), Seq("b"))
-        .groupBy(col("a").as("id"))
-        .agg(min(col("nbr_label")).as("nbr"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("l1"))
-      // pointer jumping: also adopt the candidate label's OWN label —
-      // halves path lengths each round (log-round convergence)
-      val next = stepped
-        .join(labels.select(col("id").as("l1"), col("label").as("jump")), Seq("l1"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("l1"), coalesce(col("jump"), col("l1"))).as("label"))
+      // two rounds per materialization: labels converge in very few
+      // rounds (1-hop seed + jumping), so this halves the driver-side
+      // action count — an extra round at the fixed point is a no-op
+      val next = step(step(labels))
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
         .localCheckpoint()
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("id"), col("label"))
