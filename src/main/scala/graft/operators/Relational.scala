@@ -292,28 +292,34 @@ object Relational {
   }
 
   /** Extension: covariance + Pearson correlation per group, computed
-    * from EXACT integer power sums: values are quantized to cents
-    * (round(x·100) as long — no .5 ties possible for 2-dp doubles),
-    * so n, Σx, Σy, Σxy, Σx², Σy² are order-independent int64s, and
-    * int64→double conversion rounds identically on every engine
-    * (unlike DECIMAL→DOUBLE casts, which differ in the last ulp).
-    * corr is scale-invariant so it's computed directly on cents;
-    * covar divides by 100² once at the end. Unlike built-in
-    * corr()/covar aggregates (engine-specific double accumulation
-    * order), this is portable by construction; map-side combinable,
-    * one shuffle. */
+    * from EXACT integer power sums, which are order-independent —
+    * unlike built-in corr()/covar aggregates (engine-specific double
+    * accumulation order) — and whose int64→double conversion rounds
+    * identically on every engine (unlike DECIMAL→DOUBLE casts, which
+    * differ in the last ulp).
+    *
+    * Quantization is per-variable — quantity to cents, price to whole
+    * units (round() can't tie: (k+0.5)/10ᵏ isn't a representable
+    * double) — which corr is invariant to (corr(aX, bY) = corr(X, Y));
+    * covar rescales by 1/100 once at the end. The unit quantization of
+    * the large variable keeps Σy² within int64 to ~10⁹ rows per group
+    * (~SF300); beyond that the sums are accumulated as DECIMAL(38,0)
+    * and the BIGINT cast fails LOUDLY on both engines (DuckDB throws,
+    * Spark nulls the column) instead of silently wrapping. Map-side
+    * combinable, one shuffle. */
   def corrAgg(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    val D380 = DecimalType(38, 0)
     val x = round(col("l_quantity") * lit(100.0), 0).cast("long")
-    val y = round(col("l_extendedprice") * lit(100.0), 0).cast("long")
+    val y = round(col("l_extendedprice"), 0).cast("long")
+    def psum(c: Column) = sum(c.cast(D380)).cast("long").cast("double")
+    val li = Tables.load(spark, dir, "lineitem")
     val sums = li.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
-        sum(x * y).cast("double").as("sxy"),
-        sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"))
+        psum(x).as("sx"), psum(y).as("sy"), psum(x * y).as("sxy"),
+        psum(x * x).as("sxx"), psum(y * y).as("syy"))
     val nD = col("n").cast("double")
     sums.select(col("l_returnflag"), col("n"),
-        ((col("sxy") - col("sx") * col("sy") / nD) / (nD - lit(1.0)) / lit(10000.0)).as("covar_samp"),
+        ((col("sxy") - col("sx") * col("sy") / nD) / (nD - lit(1.0)) / lit(100.0)).as("covar_samp"),
         ((nD * col("sxy") - col("sx") * col("sy"))
           / (sqrt(nD * col("sxx") - col("sx") * col("sx"))
             * sqrt(nD * col("syy") - col("sy") * col("sy")))).as("corr"))

@@ -141,7 +141,7 @@ object Vectors {
     val e = emb(spark, dir)
     e.select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+        l2norm(col("embedding")).as("norm"),
         array_max(col("embedding")).as("vmax"),
         array_min(col("embedding")).as("vmin"))
       .orderBy(col("vec_id"))
