@@ -150,6 +150,9 @@ object SparkEntry {
     "q58_media_features" -> Multimodal.mediaFeatures _,
     // array-function surface: per-vector dim / L2 norm / extrema
     "q59_vector_stats" -> Vectors.vectorStats _,
+    // benchmark decontamination: corpus docs overlapping the eval set
+    "q61_decontamination" -> ((s: SparkSession, d: String) =>
+      Dedup.contaminationCheck(s, d)),
     // co-located bucketed join (no Exchange on either side) — the
     // result is gated against the plain-join oracle; the shuffle-free
     // plan shape itself is asserted in BucketingSpec
@@ -756,6 +759,13 @@ object SparkEntry {
             s"CAST(strpos('0123456789abcdef', substr(md5(substr(hx, ${s * 512 + 1}, 512)), 1, 1)) - 1 AS BIGINT) AS f$s")
             .mkString(",\n  ")}
         |FROM m ORDER BY media_id""".stripMargin,
+    "q61_decontamination" ->
+      s"""$shingleCte,
+        |es AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM sh JOIN es USING (s)
+        |WHERE doc_id % 50 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q59_vector_stats" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT vec_id, CAST(len(v) AS BIGINT) AS dim,

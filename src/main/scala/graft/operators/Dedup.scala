@@ -154,6 +154,24 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing ≥1
+    * normalized 3-gram shingle with a held-out eval set — the overlap
+    * check every pretraining pipeline runs before training (real
+    * pipelines use 8-13-gram windows; the machinery is identical).
+    * The eval side's distinct shingles are tiny and broadcast; the
+    * corpus side is the one shared shingle scan. Returns the
+    * contaminated doc ids with their overlapping-shingle counts. */
+  def contaminationCheck(spark: SparkSession, dir: String, evalMod: Int = 50): DataFrame = {
+    val sh = shingleRows(spark, dir).cache()
+    val evalShingles = sh.filter(col("doc_id") % evalMod === 0)
+      .select(col("s")).distinct()
+    sh.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalShingles), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash: 32-bit signature — bit b is the majority vote of bit b
     * of md5(token) across the document's distinct tokens. Computed as
     * 32 sum-aggregates over token rows (one shuffle). Near-dup pairs:
