@@ -1,4 +1,5 @@
 package graft
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,7 +8,9 @@ object Bench {
     // compilation, and JIT — the timed pass below is WARM steady-state
     // (only the Spark cache is cleared between queries).
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // NonFatal only: an OutOfMemoryError/LinkageError must abort the
+      // whole bench — timings from a corrupted JVM are worse than none
+      try fn(spark, sfDir).count() catch { case NonFatal(_) => () }
       spark.catalog.clearCache() // per-query caches are internal; don't accumulate
     }
     // A failing query must fail the bench loudly: its time is recorded
@@ -16,7 +19,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
+        case NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Some(e)
       }

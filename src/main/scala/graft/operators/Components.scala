@@ -50,23 +50,25 @@ object Components {
     }
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // two rounds per materialization: labels converge in very few
-      // rounds (1-hop seed + jumping), so this halves the driver-side
-      // action count — an extra round at the fixed point is a no-op.
-      // The inner round is cached: the outer step references it in
-      // three subtrees, which would otherwise re-execute it 3×.
-      val mid = step(labels).cache()
-      val next = step(mid)
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .localCheckpoint()
-      changed = next.filter(col("label") =!= col("old")).count()
-      mid.unpersist()
-      labels = next.select(col("id"), col("label"))
-      iter += 1
-    }
-    require(changed == 0, s"connected components did not converge in $maxIter iterations")
-    edges.unpersist()
+    try {
+      while (changed > 0 && iter < maxIter) {
+        // two rounds per materialization: labels converge in very few
+        // rounds (1-hop seed + jumping), so this halves the driver-side
+        // action count — an extra round at the fixed point is a no-op.
+        // The inner round is cached: the outer step references it in
+        // three subtrees, which would otherwise re-execute it 3×.
+        val mid = step(labels).cache()
+        try {
+          val next = step(mid)
+            .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+            .localCheckpoint()
+          changed = next.filter(col("label") =!= col("old")).count()
+          labels = next.select(col("id"), col("label"))
+        } finally mid.unpersist()
+        iter += 1
+      }
+      require(changed == 0, s"connected components did not converge in $maxIter iterations")
+    } finally edges.unpersist() // labels is checkpointed — safe to drop even on throw
     labels
   }
 

@@ -33,6 +33,9 @@ object CorpusPipeline {
     val norm = normalizeText(col("text"))
     val w = words(col("text"))
 
+    // cached: the exact-dedup stage self-joins stats (groupBy + join),
+    // and without the cache the regex/md5/langScores projection — the
+    // most compute-heavy map stage in the pipeline — runs twice
     val stats = d.select(Seq(
         col("doc_id"),
         md5(norm).as("fp"),
@@ -41,6 +44,7 @@ object CorpusPipeline {
         langScores(words(lower(col("text")))): _*)
       .select(col("doc_id"), col("fp"), detectLangFromScores.as("lang"),
         col("ws_tokens"), col("quality"))
+      .cache()
 
     // 1. exact dedup: keep the canonical (min doc_id) per fingerprint
     val canonical = stats.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))

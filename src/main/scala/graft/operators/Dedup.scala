@@ -17,6 +17,14 @@ import graft.functions.TextFunctions._
   * all-pairs cross join; exact verification only runs on the candidate
   * set. Hot-shingle frequency capping bounds the inverted-index join
   * blowup on skewed shingles.
+  *
+  * Cache lifetime contract: operators here cache shared intermediates
+  * (shingle rows, signatures) that the RETURNED plan still references,
+  * so they cannot unpersist before returning. The Verify/Bench harness
+  * clears the Spark cache after every query; library callers should
+  * `spark.catalog.clearCache()` (or unpersist) once the result is
+  * materialized. The same contract applies to [[CorpusPipeline.clean]],
+  * [[Vectors.lshNearDupPairs]] and [[Relational.setOps]].
   */
 object Dedup {
   val NumHashes = 12

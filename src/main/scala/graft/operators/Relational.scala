@@ -318,11 +318,19 @@ object Relational {
         psum(x).as("sx"), psum(y).as("sy"), psum(x * y).as("sxy"),
         psum(x * x).as("sxx"), psum(y * y).as("syy"))
     val nD = col("n").cast("double")
+    // degenerate groups (n=1, or zero variance in either variable)
+    // must be NULL identically on both engines: unguarded, Spark's
+    // non-ANSI Divide yields NULL while DuckDB doubles yield inf/NaN
+    // — the guard is mirrored as CASE WHEN in the q55 oracle SQL
+    val varX = nD * col("sxx") - col("sx") * col("sx")
+    val varY = nD * col("syy") - col("sy") * col("sy")
     sums.select(col("l_returnflag"), col("n"),
-        ((col("sxy") - col("sx") * col("sy") / nD) / (nD - lit(1.0)) / lit(100.0)).as("covar_samp"),
-        ((nD * col("sxy") - col("sx") * col("sy"))
-          / (sqrt(nD * col("sxx") - col("sx") * col("sx"))
-            * sqrt(nD * col("syy") - col("sy") * col("sy")))).as("corr"))
+        when(col("n") > 1,
+          (col("sxy") - col("sx") * col("sy") / nD) / (nD - lit(1.0)) / lit(100.0))
+          .as("covar_samp"),
+        when(col("n") > 1 && varX > 0 && varY > 0,
+          (nD * col("sxy") - col("sx") * col("sy")) / (sqrt(varX) * sqrt(varY)))
+          .as("corr"))
       .orderBy(col("l_returnflag"))
   }
 

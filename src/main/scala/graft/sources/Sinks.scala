@@ -56,7 +56,14 @@ object Sinks {
     *   - rename failures are checked and THROWN, after restoring the
     *     old dir — never silently half-applied.
     * `df` may read from `path` itself (compaction, merge-upsert): the
-    * staging write materializes it before the swap touches the source. */
+    * staging write materializes it before the swap touches the source.
+    *
+    * Concurrency contract: SINGLE WRITER, and crash-safe — not
+    * reader-atomic. Between the two renames the live path briefly does
+    * not exist, so a concurrent reader can fail transiently, and two
+    * concurrent writers can interleave the rename sequence. A table
+    * format with a transaction log (Delta/Iceberg, below) is the
+    * answer when concurrent readers/writers are in play. */
   def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val target = new Path(path)
     val fs = fsOf(spark, target)
