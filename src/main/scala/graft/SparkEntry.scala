@@ -203,6 +203,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("qty")).cast("double").as("qty_sum"))
         .orderBy(col("p_brand"))
     }),
+    // partition-scoped merge: base partitioned by o_orderstatus, a
+    // delta touching only status F is merged, only that partition is
+    // rewritten (dynamic partition overwrite; untouched-file proof in
+    // MergeSpec) — gated on the merged table's per-status totals
+    "q62_partition_merge" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      // fresh deterministic base per call → the gated query is a pure
+      // function of the source dir (rebuild cost is the delta's point:
+      // the MERGE only touches one partition; the base write is setup)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_pmerge_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+      val delta = o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 97 === 0)
+        .withColumn("price", col("price") + lit(50).cast(DecimalType(18, 2)))
+      graft.etl.Dims.partitionScopedMerge(s, base, delta, "o_orderkey", "o_orderstatus")
+      s.read.parquet(base)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // weighted sampling without pow(): max-of-w-md5-draws ≡ u^(1/w)
+    "q63_weighted_sample" -> ((s: SparkSession, d: String) =>
+      operators.Sampling.weightedDocSample(s, d)),
+    // overlapping token-window chunking (RAG / context prep), map-only
+    "q64_chunk_docs" -> TextAnalysis.chunkDocuments _,
+    // tf-idf top terms per doc with exact rational idf (log-free)
+    "q65_tfidf" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tfidfTopTerms(s, d)),
+    // PII scrub: inject deterministic PII, redact, count + hash
+    "q66_pii_scrub" -> TextAnalysis.piiScrub _,
+    // within-doc repetition ratios (boilerplate / degenerate filter)
+    "q67_repetition" -> TextAnalysis.repetitionStats _,
+    // per-vector int8 min/max quantization (map-only)
+    "q68_quantize" -> Vectors.quantizeInt8 _,
+    // bloom-style decontamination: 3×20-bit positions, ALL-hit probe
+    "q69_bloom_decontamination" -> ((s: SparkSession, d: String) =>
+      Dedup.bloomContamination(s, d)),
+    // LSH with hot band buckets capped — the skew-safe gated variant
+    "q70_lsh_capped" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashLshCapped(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -819,6 +864,133 @@ object SparkEntry {
         |      ORDER BY o_orderdate DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    // merge semantics expressed directly; the Spark side additionally
+    // proves only the touched partition was rewritten (MergeSpec)
+    "q62_partition_merge" ->
+      """WITH existing AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price, 0 AS is_new FROM orders),
+        |updates AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) + CAST(50 AS DECIMAL(18,2)) AS price, 1 AS is_new
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 97 = 0),
+        |merged AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY is_new DESC) AS rn
+        |  FROM (SELECT * FROM existing UNION ALL SELECT * FROM updates))
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS price_sum
+        |FROM merged WHERE rn = 1
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q63_weighted_sample" ->
+      """WITH c AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    length(text) AS n_chars,
+        |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','of','and','is','to','in'))) AS n_stopwords
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |    least((n_chars - (n_words - 1)) * 1.0 / n_words / 8.0, 1.0) * 0.4
+        |      + (1.0 - n_punct * 1.0 / n_chars) * 0.3
+        |      + least(n_stopwords * 1.0 / n_words * 4.0, 1.0) * 0.3 AS quality
+        |  FROM c),
+        |w AS (SELECT doc_id,
+        |    CASE WHEN quality >= 0.8 THEN 4 WHEN quality >= 0.6 THEN 3
+        |         WHEN quality >= 0.4 THEN 2 ELSE 1 END AS weight
+        |  FROM q),
+        |k AS (SELECT doc_id, weight,
+        |    list_aggregate(list_transform(generate_series(1, weight),
+        |      j -> md5(CAST(j AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))), 'max') AS skey
+        |  FROM w)
+        |SELECT doc_id, CAST(weight AS BIGINT) AS weight, skey
+        |FROM k ORDER BY skey DESC, doc_id LIMIT 200""".stripMargin,
+    "q64_chunk_docs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, s,
+        |    least(32, len(w) - s + 1) AS chunk_len,
+        |    md5(array_to_string(list_slice(w, s, s + least(32, len(w) - s + 1) - 1), ' ')) AS chunk_hash
+        |  FROM w, unnest(generate_series(1, greatest(len(w), 1), 24)) t(s))
+        |SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_no, CAST(s AS BIGINT) AS start,
+        |  CAST(chunk_len AS BIGINT) AS chunk_len, chunk_hash
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+    "q65_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSqlDuck, ' ')) AS term FROM documents),
+        |t2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |    CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+        |  FROM tf JOIN df USING (term), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s)
+        |SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q66_pii_scrub" ->
+      s"""WITH a AS (SELECT doc_id,
+        |    text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.'
+        |      || CAST(doc_id % 200 AS VARCHAR) || '.0.1 tel 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '${operators.TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '${operators.TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(aug, '${operators.TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '${operators.TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+        |    '${operators.TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+        |    '${operators.TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS scrub_hash
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "q67_repetition" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |    len(w) AS n_tokens,
+        |    len(list_distinct(w)) AS uniq_tokens,
+        |    greatest(len(w) - 1, 0) AS n_bigrams,
+        |    len(list_distinct(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1]))) AS uniq_bigrams
+        |  FROM w),
+        |r AS (SELECT doc_id, n_tokens, uniq_tokens, n_bigrams, uniq_bigrams,
+        |    1.0 - CAST(uniq_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rep_tokens,
+        |    CASE WHEN n_bigrams > 0
+        |         THEN 1.0 - CAST(uniq_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |         ELSE 0.0 END AS rep_bigrams
+        |  FROM c)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(uniq_tokens AS BIGINT) AS uniq_tokens,
+        |  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(uniq_bigrams AS BIGINT) AS uniq_bigrams,
+        |  rep_tokens, rep_bigrams,
+        |  CAST(CASE WHEN rep_bigrams > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q68_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e),
+        |q AS (SELECT vec_id, vmin, vmax,
+        |    CASE WHEN vmax > vmin THEN list_transform(v,
+        |      x -> CAST(floor((x - vmin) * 255.0 / (vmax - vmin) + 0.5) AS BIGINT)) END AS q
+        |  FROM m)
+        |SELECT vec_id, vmin, vmax, q[1] AS q0, q[2] AS q1,
+        |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum, list_max(q) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q69_bloom_decontamination" ->
+      s"""$shingleCte,
+        |h AS (SELECT doc_id, s, md5(s) AS h FROM sh),
+        |p AS (SELECT doc_id, s,
+        |    ((((strpos('0123456789abcdef', substr(h, j*5 + 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(h, j*5 + 2, 1)) - 1)) * 16
+        |      + (strpos('0123456789abcdef', substr(h, j*5 + 3, 1)) - 1)) * 16
+        |      + (strpos('0123456789abcdef', substr(h, j*5 + 4, 1)) - 1)) * 16
+        |      + (strpos('0123456789abcdef', substr(h, j*5 + 5, 1)) - 1) AS pos
+        |  FROM h, unnest(generate_series(0, 2)) t(j)),
+        |bitset AS (SELECT DISTINCT pos FROM p WHERE doc_id % 50 = 0),
+        |cand AS (SELECT p.doc_id, p.s FROM p JOIN bitset USING (pos)
+        |  WHERE p.doc_id % 50 <> 0
+        |  GROUP BY p.doc_id, p.s HAVING count(*) = 3)
+        |SELECT doc_id, count(*) AS n_candidate_shingles
+        |FROM cand GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q70_lsh_capped" ->
+      s"""$shingleCte,
+        |$minhashCappedCtes
+        |SELECT x.da, x.db, round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) AS jaccard
+        |FROM inter x JOIN cnt ca ON ca.doc_id = x.da JOIN cnt cb ON cb.doc_id = x.db
+        |WHERE round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) >= 0.5
+        |ORDER BY x.da, x.db""".stripMargin,
   )
 
   /** DuckDB fragment: MinHash signatures → bands → candidate pairs →
@@ -832,18 +1004,43 @@ object SparkEntry {
     * union and appends the last branch WITHOUT deduplicating — which
     * silently double-counted candidate pairs and corrupted the
     * intersection counts at sf0.1. */
-  private val minhashCtes: String =
+  /** DuckDB fragment: MinHash signatures + band keys (shared by the
+    * plain and hot-band-capped candidate generators). */
+  private val sigBandCtes: String =
     s"""sig AS (SELECT doc_id, ${(0 until 12).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")}
       |  FROM sh GROUP BY doc_id),
-      |b AS (SELECT doc_id, ${(0 until 4).map(k => s"md5(h${3*k} || h${3*k+1} || h${3*k+2}) AS band$k").mkString(", ")} FROM sig),
-      |cand AS (SELECT DISTINCT da, db FROM (${(0 until 4).map(k =>
-          s"SELECT l.doc_id AS da, r.doc_id AS db FROM b l JOIN b r ON l.band$k = r.band$k AND l.doc_id < r.doc_id")
-          .mkString("\n  UNION ALL\n  ")}) u),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |b AS (SELECT doc_id, ${(0 until 4).map(k => s"md5(h${3*k} || h${3*k+1} || h${3*k+2}) AS band$k").mkString(", ")} FROM sig)""".stripMargin
+
+  /** DuckDB fragment: exact-Jaccard verification over candidate pairs
+    * (needs `sh` and `cand` in scope). */
+  private val jaccardVerifyCtes: String =
+    """cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (SELECT c.da, c.db, count(*) AS i FROM cand c
       |  JOIN sh sa ON sa.doc_id = c.da
       |  JOIN sh sb ON sb.doc_id = c.db AND sb.s = sa.s
       |  GROUP BY c.da, c.db)""".stripMargin
+
+  private val minhashCtes: String =
+    s"""$sigBandCtes,
+      |cand AS (SELECT DISTINCT da, db FROM (${(0 until 4).map(k =>
+          s"SELECT l.doc_id AS da, r.doc_id AS db FROM b l JOIN b r ON l.band$k = r.band$k AND l.doc_id < r.doc_id")
+          .mkString("\n  UNION ALL\n  ")}) u),
+      |$jaccardVerifyCtes""".stripMargin
+
+  /** As [[minhashCtes]] but with hot band buckets (> BandBucketCap
+    * docs) excluded from candidate generation — mirrors
+    * Dedup.minhashLshCapped. */
+  private val minhashCappedCtes: String = {
+    val cap = operators.Dedup.BandBucketCap
+    s"""$sigBandCtes,
+      |${(0 until 4).map(k =>
+          s"hot$k AS (SELECT band$k AS bk FROM b GROUP BY band$k HAVING count(*) > $cap)")
+          .mkString(",\n")},
+      |cand AS (SELECT DISTINCT da, db FROM (${(0 until 4).map(k =>
+          s"SELECT l.doc_id AS da, r.doc_id AS db FROM b l JOIN b r ON l.band$k = r.band$k AND l.doc_id < r.doc_id WHERE l.band$k NOT IN (SELECT bk FROM hot$k)")
+          .mkString("\n  UNION ALL\n  ")}) u),
+      |$jaccardVerifyCtes""".stripMargin
+  }
 
   /** DuckDB fragment: verified MinHash pairs → undirected edges →
     * recursive transitive closure (the union-find oracle; mirrors

@@ -120,4 +120,48 @@ object Dims {
       "shelter_corridor" -> write(shelterMerged, "shelter_corridor"),
       "realisasi_bus" -> write(b, "realisasi_bus")) // truncate-reload, no upsert
   }
+
+  /** Partition-scoped merge-upsert over a directory-partitioned
+    * parquet table: only the partitions the incoming batch TOUCHES are
+    * read, merged and rewritten — untouched partitions' files are
+    * never opened. At 100 TB this is the difference between rewriting
+    * a day's partition and rewriting the table: cost scales with the
+    * delta, not the base.
+    *
+    * Mechanics: the incoming batch's distinct partition values (a
+    * driver-sized metadata list by definition — same cardinality class
+    * as the catalog's partition listing) prune the base read via
+    * partition pruning; [[upsert]] merges within those partitions; the
+    * write uses dynamic partition overwrite, which replaces exactly
+    * the partitions present in the merged frame. Single-writer,
+    * crash-safe per partition (Spark stages each partition dir); a
+    * transaction-log format (Delta/Iceberg MERGE) is the
+    * concurrent-writer answer.
+    *
+    * Returns the touched partition values. */
+  def partitionScopedMerge(spark: SparkSession, basePath: String,
+                           incoming: DataFrame, key: String, partCol: String,
+                           tieBreak: Seq[Column] = Nil): Seq[String] = {
+    val touched = incoming.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val base = spark.read.parquet(basePath)
+      .filter(col(partCol).isin(touched: _*))
+    val merged = upsert(Some(base), incoming.select(base.columns.map(col): _*),
+      key, tieBreak)
+    // the merge reads basePath and the dynamic overwrite writes it —
+    // materialize through a staging dir first (the same
+    // staging-then-swap discipline as Sinks.atomicOverwrite; only the
+    // touched partitions' rows pass through it)
+    val staging = s"$basePath._merge_staging"
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    merged.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(basePath)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    touched
+  }
 }

@@ -216,4 +216,74 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .orderBy(col("da"), col("db"))
   }
+
+  /** Bloom-filter bit width (2^20 bits) and hash count for
+    * [[bloomContamination]]. 5 hex digits of md5 are exactly 20 bits,
+    * so each position is a substring-to-int conversion — no modulo,
+    * portable to any engine with md5. */
+  val BloomBits = 20
+  val BloomK = 3
+
+  /** Bit position j (0-based) of a shingle: hex digits [5j+1, 5j+5] of
+    * its md5, as an integer in [0, 2^20). */
+  def bloomPos(s: Column, j: Int): Column =
+    conv(substring(md5(s), j * 5 + 1, 5), 16, 10).cast("long")
+
+  /** Bloom-style decontamination — the at-scale variant of
+    * [[contaminationCheck]]: instead of joining corpus shingles
+    * against the eval shingle STRINGS, both sides hash each shingle to
+    * [[BloomK]] bit positions in a 2^[[BloomBits]]-bit space; a corpus
+    * shingle is a candidate hit iff ALL its positions are set by some
+    * eval shingle. Exactly a Bloom filter probe: false positives
+    * possible (deterministic, identical on both engines — gated
+    * exactly), false negatives impossible. At 100 TB the probe side
+    * broadcasts a bounded bit set (≤2^20 positions regardless of eval
+    * size) instead of the eval shingle strings, and the corpus side
+    * ships integers, not text. */
+  def bloomContamination(spark: SparkSession, dir: String, evalMod: Int = 50): DataFrame = {
+    val sh = shingleRows(spark, dir).cache()
+    val positions = (0 until BloomK).map(j => bloomPos(col("s"), j))
+    val bitset = sh.filter(col("doc_id") % evalMod === 0)
+      .select(explode(array(positions: _*)).as("pos")).distinct()
+    val corpusPos = sh.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"), col("s"),
+        explode(array(positions: _*)).as("pos"))
+    corpusPos.join(broadcast(bitset), Seq("pos"))
+      .groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === BloomK)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidate_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Band-bucket cap for [[minhashLshCapped]] — the LSH analog of
+    * [[HotShingleCap]]: a band signature shared by b docs yields
+    * O(b²) candidate pairs on ONE join key; boilerplate clusters at
+    * corpus scale make that a never-finishing skewed shuffle. Buckets
+    * over the cap are dropped (their members are caught by the other
+    * bands or are exact-dup clusters better handled by [[exact]]). */
+  val BandBucketCap = 50
+
+  /** MinHash+LSH with hot band buckets capped — the cluster-scale
+    * gated path: per band, bucket sizes are aggregated first (map-side
+    * combinable) and buckets larger than `cap` are anti-joined away
+    * (the hot set is tiny and broadcast), so the pair join's worst key
+    * fans out at most cap². Semantics (cap included) are mirrored in
+    * the oracle. */
+  def minhashLshCapped(spark: SparkSession, dir: String,
+                       cap: Int = BandBucketCap): DataFrame = {
+    val sh = shingleRows(spark, dir).cache()
+    val sig = minhashSignaturesFrom(sh).cache()
+    val candidates = (0 until Bands).map { b =>
+      val hot = sig.groupBy(col(s"band$b")).agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > cap).select(col(s"band$b").as("bk"))
+      val l = sig.select(col("doc_id").as("da"), col(s"band$b").as("bk"))
+        .join(broadcast(hot), Seq("bk"), "left_anti")
+      val r = sig.select(col("doc_id").as("db"), col(s"band$b").as("bk"))
+      l.join(r, Seq("bk")).filter(col("da") < col("db"))
+        .select(col("da"), col("db"))
+    }.reduce(_ unionByName _).distinct()
+    verifyJaccardOn(sh, candidates)
+  }
 }

@@ -46,4 +46,36 @@ object Sampling {
         count(when(col("_keep"), 1)).as("n_sampled"))
       .orderBy(col("lang"))
   }
+
+  /** Weighted sampling WITHOUT floating point: Efraimidis–Spirakis
+    * assigns each row the key u^(1/w) (u uniform) and keeps the top-k
+    * — but u^(1/w) needs pow(), which is libm-dependent and not
+    * bit-portable across engines. The identity used instead: the MAX
+    * of w independent uniforms has CDF x^w, exactly the distribution
+    * of u^(1/w). So for integer weights the key is
+    * max over j=1..w of md5(j || '|' || id) — pure md5 + lexicographic
+    * max, bit-identical in any engine, and exactly weight-proportional
+    * (P(row i wins) follows E-S for integer weights).
+    *
+    * Map-only until the global top-k (TakeOrdered — no full sort). */
+  def weightedKey(id: Column, weight: Column): Column =
+    array_max(transform(sequence(lit(1), weight),
+      j => md5(concat(j.cast("string"), lit("|"), id.cast("string")))))
+
+  /** Quality-weighted document sample: weight 1..4 from the quality
+    * score (bucket thresholds compare the exact portable double), key
+    * via [[weightedKey]], global top-k. */
+  def weightedDocSample(spark: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    import graft.functions.TextFunctions.qualityExpr
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val weight = when(qualityExpr(col("text")) >= 0.8, 4)
+      .when(qualityExpr(col("text")) >= 0.6, 3)
+      .when(qualityExpr(col("text")) >= 0.4, 2)
+      .otherwise(1)
+    d.select(col("doc_id"), weight.as("weight"))
+      .select(col("doc_id"), col("weight").cast("long").as("weight"),
+        weightedKey(col("doc_id"), col("weight")).as("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -83,4 +83,108 @@ object TextAnalysis {
         substring(md5(norm), 1, 8).as("shard_key"))
       .orderBy(col("doc_id"))
   }
+
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Overlapping token-window chunking — RAG / context-window prep:
+    * each document's token list is cut into [[ChunkSize]]-token
+    * windows every [[ChunkStride]] tokens (8-token overlap). Map-only
+    * + one Generate (the per-chunk explode) — no shuffle at all, the
+    * ideal 100 TB shape; output rows carry the chunk's md5 so the gate
+    * checks chunk CONTENT exactly without shipping the text. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val chunkLen = least(lit(ChunkSize), size(col("w")) - col("start") + 1)
+    d.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), greatest(size(col("w")), lit(1)), lit(ChunkStride))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / lit(ChunkStride)).cast("long").as("chunk_no"),
+        col("start").cast("long").as("start"),
+        chunkLen.cast("long").as("chunk_len"),
+        md5(concat_ws(" ", slice(col("w"), col("start"), chunkLen))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
+
+  /** TF-IDF top terms per document, with the idf expressed as the
+    * exact rational N/df (log-free: log() is libm-dependent and not
+    * bit-portable across engines; N/df is order-preserving for
+    * ranking and a two-op IEEE tree, so the gate is exact). Keyed
+    * shuffles only: explode → (doc,term) count → term df → join back;
+    * the corpus-size scalar is a broadcast. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val toks = d.select(col("doc_id"),
+        explode(words(normalizeText(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", score)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** PII patterns — conservative ASCII classes that parse identically
+    * under Java regex (Spark) and RE2 (DuckDB). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII scrub: redact emails / IPv4s / phone-shaped tokens and count
+    * the redactions per document. The synthetic corpus carries no PII,
+    * so a deterministic PII suffix derived from doc_id is APPENDED
+    * first (mirrored in the oracle) — the scrub then provably finds
+    * and removes it; the scrubbed text is gated by md5. Map-only. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val id = col("doc_id").cast("string")
+    val aug = concat(col("text"),
+      lit(" reach user"), id, lit("@mail.example.com from 10."),
+      (col("doc_id") % 200).cast("string"), lit(".0.1 tel 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    d.select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(regexp_replace(col("aug"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>")).as("scrub_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition-ratio quality filter: within-document duplicate-token
+    * and duplicate-bigram fractions — the standard boilerplate /
+    * degenerate-generation signal. Integer counts until two single
+    * divisions (exact IEEE, portable); entirely map-only. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val w = words(normalizeText(col("text")))
+    d.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("uniq_tokens"),
+        greatest(size(col("w")) - 1, lit(0)).cast("long").as("n_bigrams"),
+        size(shingles(col("w"), 2)).cast("long").as("uniq_bigrams"))
+      .select(col("doc_id"), col("n_tokens"), col("uniq_tokens"),
+        col("n_bigrams"), col("uniq_bigrams"),
+        (lit(1.0) - col("uniq_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("rep_tokens"),
+        when(col("n_bigrams") > 0,
+          lit(1.0) - col("uniq_bigrams").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)).as("rep_bigrams"))
+      .withColumn("flagged",
+        (col("rep_bigrams") > 0.5).cast("long"))
+      .orderBy(col("doc_id"))
+  }
 }

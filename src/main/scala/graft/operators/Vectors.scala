@@ -147,6 +147,31 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-vector int8 (0..255) min/max quantization — the storage /
+    * bandwidth knob of an embedding pipeline (4× smaller than f32,
+    * 8× than f64). q_i = floor((x-min)·255/(max-min) + 0.5): floor of
+    * an identical IEEE tree rather than round() because round's
+    * half-breaking rule differs across engines while floor never does.
+    * Map-only; outputs are integer codes + exact double min/max, so
+    * the gate is exact. Constant vectors (max == min) quantize to
+    * NULL codes identically on both engines. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val mn = array_min(col("embedding"))
+    val mx = array_max(col("embedding"))
+    val codes = transform(col("embedding"),
+      x => floor((x - col("vmin")) * lit(255.0) / (col("vmax") - col("vmin")) + lit(0.5)).cast("long"))
+    e.select(col("vec_id"), col("embedding"), mn.as("vmin"), mx.as("vmax"))
+      .select(col("vec_id"), col("vmin"), col("vmax"),
+        when(col("vmax") > col("vmin"), codes).as("q"))
+      .select(col("vec_id"), col("vmin"), col("vmax"),
+        element_at(col("q"), 1).as("q0"),
+        element_at(col("q"), 2).as("q1"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_max(col("q")).as("q_max"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Spherical k-means (Lloyd) training over the corpus, pure
     * DataFrame ops per iteration: assign every vector to its nearest
     * centroid by rounded cosine (broadcast centroids, one aggregate),

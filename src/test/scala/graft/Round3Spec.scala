@@ -1,0 +1,174 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Dims
+import graft.operators.{Dedup, Sampling, TextAnalysis, Vectors}
+
+/** Semantic tests for the round-3 operators: partition-scoped merge,
+  * weighted sampling, chunking, PII scrub, repetition stats, int8
+  * quantization, bloom decontamination, hot-band-capped LSH — all on
+  * planted data where ground truth is known by construction.
+  */
+class Round3Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def writeDocs(docs: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft_r3docs").toString
+    docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---------------------------------------------------------------- merge
+
+  test("partitionScopedMerge rewrites ONLY touched partitions, merges correctly") {
+    val dir = Files.createTempDirectory("graft_pmerge").toString
+    val table = s"$dir/t"
+    Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0), (4L, "B", 40.0))
+      .toDF("id", "part", "v")
+      .write.partitionBy("part").parquet(table)
+    val bDir = new File(s"$table/part=B")
+    val bBefore = bDir.listFiles.map(f => (f.getName, f.lastModified)).toSet
+
+    val delta = Seq((1L, "A", 11.0), (5L, "A", 50.0)).toDF("id", "part", "v")
+    val touched = Dims.partitionScopedMerge(spark, table, delta, "id", "part")
+    assert(touched === Seq("A"))
+
+    val out = spark.read.parquet(table)
+      .select(col("id"), col("part"), col("v"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(out === Set(
+      (1L, "A", 11.0), (2L, "A", 20.0), (5L, "A", 50.0), // A merged (update + insert)
+      (3L, "B", 30.0), (4L, "B", 40.0)))                 // B untouched
+    val bAfter = bDir.listFiles.map(f => (f.getName, f.lastModified)).toSet
+    assert(bAfter === bBefore, "untouched partition's files must not be rewritten")
+  }
+
+  // -------------------------------------------------------------- sampling
+
+  test("weightedKey is exactly max of w md5 draws") {
+    val k = Seq((7L, 3)).toDF("id", "w")
+      .select(Sampling.weightedKey(col("id"), col("w")).as("k"))
+      .head.getString(0)
+    assert(k === (1 to 3).map(j => md5hex(s"$j|7")).max)
+  }
+
+  test("weighted sampling selects high-weight rows ~proportionally more") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("w", when(col("id") < 500, 4).otherwise(1))
+      .withColumn("k", Sampling.weightedKey(col("id"), col("w")))
+    val top = df.orderBy(col("k").desc).limit(200)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // E-S with weights 4:1 → expected ~4:1 selection ratio; assert a
+    // loose margin so the test is hash-deterministic, not statistical
+    assert(top(4) > 2 * top.getOrElse(1, 0L))
+  }
+
+  // -------------------------------------------------------------- chunking
+
+  test("chunkDocuments covers every token, with stride overlap and exact hashes") {
+    val toks = (1 to 70).map(i => s"t$i")
+    val dir = writeDocs(Seq((0L, toks.mkString(" "))))
+    val rows = TextAnalysis.chunkDocuments(spark, dir)
+      .select(col("chunk_no"), col("start"), col("chunk_len"), col("chunk_hash"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((0L, 1L, 32L), (1L, 25L, 32L), (2L, 49L, 22L)))
+    // full coverage: the last chunk reaches token 70
+    assert(rows.map(r => r._2 + r._3 - 1).max === 70L)
+    // content check: chunk 1 is tokens 25..56
+    assert(rows(1)._4 === md5hex(toks.slice(24, 56).mkString(" ")))
+  }
+
+  // -------------------------------------------------------------- pii scrub
+
+  test("piiScrub counts injected + pre-existing PII and changes the text") {
+    val dir = writeDocs(Seq(
+      (1L, "plain words only here"),
+      (2L, "contact bob@corp.io or 192.168.0.1 today")))
+    val out = TextAnalysis.piiScrub(spark, dir)
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // every doc gets one injected email/ip/phone; doc 2 carries its own
+    assert(out(0) === ((1L, 1L, 1L, 1L)))
+    assert(out(1) === ((2L, 2L, 2L, 1L)))
+  }
+
+  // ------------------------------------------------------------ repetition
+
+  test("repetitionStats flags degenerate repetition, passes diverse text") {
+    val dir = writeDocs(Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "one two three four five six")))
+    val out = TextAnalysis.repetitionStats(spark, dir)
+      .select(col("doc_id"), col("uniq_tokens"), col("rep_bigrams"), col("flagged"))
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    assert(out(0)._2 === 1L)
+    assert(out(0)._3 === 0.8) // 1 distinct of 5 bigrams
+    assert(out(0)._4 === 1L)
+    assert(out(1)._3 === 0.0)
+    assert(out(1)._4 === 0L)
+  }
+
+  // ---------------------------------------------------------- quantization
+
+  test("quantizeInt8 codes are exact on a known vector") {
+    val dir = Files.createTempDirectory("graft_r3emb").toString
+    Seq((0L, Seq(0.0f, 1.0f, 0.5f, 0.25f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Vectors.quantizeInt8(spark, dir).head
+    assert(r.getAs[Long]("q0") === 0L)    // floor(0*255 + .5)
+    assert(r.getAs[Long]("q1") === 255L)  // floor(1*255 + .5)
+    assert(r.getAs[Long]("q_sum") === 0L + 255L + 128L + 64L)
+    assert(r.getAs[Long]("q_max") === 255L)
+  }
+
+  // -------------------------------------------------------------- bloom
+
+  test("bloomContamination has no false negatives vs the exact check") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val dir = writeDocs(Seq(
+      (0L, base),                               // eval doc (0 % 50 == 0)
+      (1L, base + " with a tail"),              // shares shingles with eval
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, base.toUpperCase)))                  // shares after normalize
+    val exact = Dedup.contaminationCheck(spark, dir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val bloom = Dedup.bloomContamination(spark, dir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(bloom),
+      s"bloom candidates $bloom must cover all exact hits $exact")
+  }
+
+  // ---------------------------------------------------------- capped LSH
+
+  test("minhashLshCapped drops hot-bucket pairs, keeps normal near-dups") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val clones = (100L until 160L).map(i => (i, "identical boilerplate text repeated across the whole corpus shard"))
+    val dir = writeDocs(Seq(
+      (0L, base),
+      (1L, base + "!!"),  // exact dup after normalization → jaccard 1.0
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")) ++ clones)
+    val capped = Dedup.minhashLshCapped(spark, dir)
+      .select(col("da"), col("db")).as[(Long, Long)].collect().toSet
+    // the 60-clone cluster's band buckets exceed the cap → no pair explosion
+    assert(!capped.exists(_._1 >= 100L), s"hot cluster must be capped, got $capped")
+    // the small near-dup pair survives
+    assert(capped.contains((0L, 1L)))
+    // the uncapped path would generate the full 60-choose-2 clone pairs
+    val uncapped = Dedup.minhashLsh(spark, dir).count()
+    assert(uncapped >= 1770L)
+  }
+}
