@@ -35,6 +35,27 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_sum"))
 
+  /** Stream-static enrichment: join the unbounded event stream against
+    * a bounded dimension (broadcast — the static side is re-read per
+    * micro-batch and ships to every executor once; no stream-side
+    * shuffle, no state). The standard shape for decorating a firehose
+    * with reference data at any scale. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Exactly-once-style stream deduplication on event_id with BOUNDED
+    * state: dropDuplicatesWithinWatermark only keeps an id in the
+    * state store until the watermark passes it, so state is
+    * O(ids per watermark window), not O(all ids ever) — the difference
+    * between a dedup that survives a month of firehose and one that
+    * OOMs the state store. Duplicates arriving within the watermark
+    * window are suppressed; later replays are the watermark's
+    * documented trade-off. */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Evt(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,

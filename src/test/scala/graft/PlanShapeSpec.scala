@@ -71,4 +71,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") || plan.contains("Aggregate"), plan)
     assert(!plan.contains("CollectLimit"), plan)
   }
+
+  test("q63: weighted sampling is map-only into a global TakeOrdered (no full sort)") {
+    val plan = finalPlan(graft.operators.Sampling.weightedDocSample(spark, sf))
+    // top-k via TakeOrderedAndProject — never a total Sort + Exchange
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q64: chunking is a single Generate over the scan — zero shuffles") {
+    val plan = finalPlan(graft.operators.TextAnalysis.chunkDocuments(spark, sf))
+    assert(plan.contains("Generate"), plan)
+    // the only exchanges allowed are the loadSpread round-robin and the
+    // final presentation sort — no hash (aggregation/join) shuffle
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
+  test("q69: bloom probe joins the corpus against a BROADCAST bit set") {
+    val plan = finalPlan(graft.operators.Dedup.bloomContamination(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q70: capped LSH anti-joins hot buckets via broadcast") {
+    // static plan: at sf0.001 the hot set is EMPTY and AQE's
+    // empty-relation propagation correctly elides the anti-join from
+    // the executed plan — the shape under test is the declared one
+    val df = graft.operators.Dedup.minhashLshCapped(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
 }

@@ -125,4 +125,43 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("late_sessions").count() === 0) // nothing closed
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins each micro-batch against the broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String, Double)]
+    val events = source.toDF().toDF("ts", "event_type", "value")
+    val dim = Seq(("click", "engagement"), ("view", "impression"))
+      .toDF("event_type", "category")
+    val q = EventStreams.enrichWithDim(events, dim, "event_type").writeStream
+      .format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      source.addData((ts(0), "click", 1.0), (ts(1), "view", 2.0), (ts(2), "purchase", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select(col("event_type"), col("category"))
+        .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(rows === Set(
+        ("click", Some("engagement")),
+        ("view", Some("impression")),
+        ("purchase", None))) // left join: unmatched stream rows survive
+    } finally q.stop()
+  }
+
+  test("stream dedup suppresses within-watermark duplicate event_ids across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val events = source.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStreams.dedupStream(events).writeStream
+      .format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      source.addData((1L, ts(0), "click"), (1L, ts(0), "click"), (2L, ts(1), "view"))
+      q.processAllAvailable()
+      // same id replayed in a LATER micro-batch, still within watermark
+      source.addData((1L, ts(2), "click"), (3L, ts(3), "click"))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select(col("event_id"))
+        .collect().map(_.getLong(0)).sorted
+      assert(ids === Array(1L, 2L, 3L)) // each id exactly once
+    } finally q.stop()
+  }
 }
