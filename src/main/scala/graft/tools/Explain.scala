@@ -17,6 +17,10 @@ object Explain {
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // a previous query's cache would otherwise surface as an
+      // InMemoryRelation inside THIS query's plan — each dump must
+      // show the standalone shape (same contract as Bench/Verify)
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
