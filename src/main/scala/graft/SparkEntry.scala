@@ -248,6 +248,10 @@ object SparkEntry {
     // LSH with hot band buckets capped — the skew-safe gated variant
     "q70_lsh_capped" -> ((s: SparkSession, d: String) =>
       Dedup.minhashLshCapped(s, d)),
+    // data-mixture planner: per-source keep rates toward equal token
+    // budgets, with exact kept doc/token counts (integer end-to-end)
+    "q71_mixture_plan" -> ((s: SparkSession, d: String) =>
+      operators.Sampling.mixturePlan(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -991,6 +995,22 @@ object SparkEntry {
         |FROM inter x JOIN cnt ca ON ca.doc_id = x.da JOIN cnt cb ON cb.doc_id = x.db
         |WHERE round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) >= 0.5
         |ORDER BY x.da, x.db""".stripMargin,
+    "q71_mixture_plan" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS h16
+        |  FROM documents),
+        |s AS (SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY source),
+        |m AS (SELECT min(n_tokens) AS min_tokens FROM s),
+        |r AS (SELECT source, n_docs, n_tokens,
+        |    least(16, greatest(1, (min_tokens * 16) // n_tokens)) AS rate16
+        |  FROM s, m),
+        |k AS (SELECT t.source, count(*) AS kept_docs, CAST(sum(toks) AS BIGINT) AS kept_tokens
+        |  FROM t JOIN r USING (source) WHERE h16 < rate16 GROUP BY t.source)
+        |SELECT r.source, n_docs, n_tokens, CAST(rate16 AS BIGINT) AS rate16,
+        |  coalesce(kept_docs, 0) AS kept_docs, coalesce(kept_tokens, 0) AS kept_tokens
+        |FROM r LEFT JOIN k USING (source) ORDER BY r.source""".stripMargin,
   )
 
   /** DuckDB fragment: MinHash signatures → bands → candidate pairs →

@@ -28,19 +28,39 @@ import graft.functions.TextFunctions._
 object Packing {
   val DefaultBudget = 256L
 
-  /** Generic prefix-sum packing over (idCol, tokensCol). */
+  /** Generic prefix-sum packing over (idCol, tokensCol).
+    *
+    * TWO-level hierarchical offsets: buckets roll up into superbuckets
+    * of `bucketSize` buckets each, so the only globally-ordered window
+    * runs over corpus/bucketSize² rows (1000² docs per row at the
+    * default) — 100 B docs is a 100-row global window. Bucket start
+    * offsets are then a per-SUPERBUCKET window (≤ bucketSize rows per
+    * partition), and doc offsets a per-bucket window. Each level's
+    * output is bounded metadata and broadcasts; the corpus itself only
+    * ever sees a keyed shuffle on its bucket. */
   def packByPrefix(df: DataFrame, idCol: String, tokensCol: String,
                    budget: Long, bucketSize: Long = 1000L): DataFrame = {
     val bucketed = df.withColumn("_bucket", expr(s"$idCol div $bucketSize"))
     val bucketTotals = bucketed.groupBy(col("_bucket"))
       .agg(sum(col(tokensCol)).as("_btotal"))
-    // tiny table: one row per bucket — the single-partition window here
-    // is over corpus/bucketSize rows by design
-    val wBuckets = Window.orderBy(col("_bucket"))
+      .withColumn("_sb", expr(s"_bucket div $bucketSize"))
+    // level 2: superbucket totals — corpus/bucketSize² rows; the ONLY
+    // single-partition window, over genuinely tiny data
+    val sbTotals = bucketTotals.groupBy(col("_sb"))
+      .agg(sum(col("_btotal")).as("_sbtotal"))
+    val wSb = Window.orderBy(col("_sb"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketTotals
-      .withColumn("_boffset", coalesce(sum(col("_btotal")).over(wBuckets), lit(0L)))
+    val sbOffsets = sbTotals
+      .withColumn("_sboffset", coalesce(sum(col("_sbtotal")).over(wSb), lit(0L)))
+      .select(col("_sb"), col("_sboffset"))
+    // level 1: bucket offsets — windows partitioned BY superbucket
+    val wBuckets = Window.partitionBy(col("_sb")).orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals.join(broadcast(sbOffsets), Seq("_sb"))
+      .withColumn("_boffset",
+        col("_sboffset") + coalesce(sum(col("_btotal")).over(wBuckets), lit(0L)))
       .select(col("_bucket"), col("_boffset"))
+    // level 0: doc offsets — windows partitioned by bucket
     val wInner = Window.partitionBy(col("_bucket")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed.join(broadcast(offsets), Seq("_bucket"))

@@ -62,6 +62,44 @@ object Sampling {
     array_max(transform(sequence(lit(1), weight),
       j => md5(concat(j.cast("string"), lit("|"), id.cast("string")))))
 
+  /** Data-mixture planner: per-source keep rates that rebalance a
+    * skewed corpus toward equal TOKEN budgets — the "domain mixing"
+    * step of a pretraining pipeline. The target is the smallest
+    * source's token count; every larger source gets
+    * rate16 = clamp((min_tokens·16) div n_tokens, 1, 16) sixteenths,
+    * applied through the same md5 hex-bucket membership as
+    * [[stratifiedDocSample]] (deterministic, repartition-stable), and
+    * the plan reports the EXACT kept doc/token counts that rate
+    * yields. Integer arithmetic end-to-end — the gate is exact.
+    *
+    * One cached corpus projection feeds both the per-source totals and
+    * the kept-count pass (1× I/O; cache lifetime per the harness
+    * clearCache contract); per-source rows are broadcast. */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val t = Tables.loadSpread(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("toks"),
+        hexBucket16(col("doc_id")).as("h16"))
+      .cache()
+    val s = t.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val m = s.agg(min(col("n_tokens")).as("min_tokens"))
+    val r = s.crossJoin(broadcast(m))
+      .withColumn("rate16",
+        least(lit(16L), greatest(lit(1L), expr("(min_tokens * 16) div n_tokens"))))
+    val k = t.join(broadcast(r.select(col("source"), col("rate16"))), Seq("source"))
+      .filter(col("h16") < col("rate16"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("toks")).as("kept_tokens"))
+    r.join(k, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("rate16").cast("long").as("rate16"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Quality-weighted document sample: weight 1..4 from the quality
     * score (bucket thresholds compare the exact portable double), key
     * via [[weightedKey]], global top-k. */

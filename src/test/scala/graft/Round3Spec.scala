@@ -171,4 +171,60 @@ class Round3Spec extends SparkSpec {
     val uncapped = Dedup.minhashLsh(spark, dir).count()
     assert(uncapped >= 1770L)
   }
+
+  // -------------------------------------------------------------- mixture
+
+  test("mixturePlan equalizes token budgets with exact kept counts") {
+    // source a: ~10x the tokens of source b → a is rate-limited, b kept whole
+    val docs = (0L until 100L).map(i => (i, Seq.fill(40)("tok").mkString(" "), "a")) ++
+      (100L until 110L).map(i => (i, Seq.fill(40)("tok").mkString(" "), "b"))
+    val dir = Files.createTempDirectory("graft_mix").toString
+    docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.Sampling.mixturePlan(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("rate16"), r.getAs[Long]("kept_docs"))).toMap
+    assert(out("b") === ((400L, 16L, 10L)))       // smallest source kept whole
+    assert(out("a")._1 === 4000L)
+    assert(out("a")._2 === 1L)                    // (400*16) div 4000 = 1 sixteenth
+    // exact membership: docs whose first md5 hex digit of doc_id is 0
+    val expectKeptA = (0L until 100L).count(i => Integer.parseInt(
+      md5hex(i.toString).substring(0, 1), 16) < 1)
+    assert(out("a")._3 === expectKeptA.toLong)
+  }
+
+  // ------------------------------------------------------------- AQE skew
+
+  test("AQE splits a skewed sort-merge join partition (skew=true)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      // fact: 400k rows, 300k on key 0 — one hot shuffle partition; the
+      // md5 payload keeps the hot blocks incompressible so the skew
+      // detector sees real bytes, not a run-length-compressed zero column
+      val fact = spark.range(400000L)
+        .select(when(col("id") < 300000L, 0L).otherwise(col("id")).as("k"),
+          md5(col("id").cast("string")).as("v"))
+      val dim = spark.range(0L, 400000L, 1000L).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = fact.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("s"), max(col("v")).as("mv"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should mark the hot partition's SMJ as skew-handled:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
