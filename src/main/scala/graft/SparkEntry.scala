@@ -11,6 +11,11 @@ import graft.operators.{Dedup, Multimodal, Relational, TextAnalysis, Vectors}
   * hash-compares values).
   */
 object SparkEntry {
+  /** Per-JVM discriminator for scratch paths (q62's merge base) —
+    * concurrent JVMs on one machine must not share mutable tmp dirs. */
+  private val jvmTag: String =
+    java.lang.ProcessHandle.current().pid().toString
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.aggPricing(spark, "/root/testdata/sf0.001")
@@ -165,11 +170,16 @@ object SparkEntry {
       // and regenerating the source dir in-place changes the mtime so
       // the bucketed copy is rebuilt instead of serving stale data
       val sfx = {
-        val p = new org.apache.hadoop.fs.Path(graft.sources.Tables.path(d, "orders"))
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val mtime = fs.getFileStatus(p).getModificationTime
+        // fingerprint covers BOTH source tables' mtimes — regenerating
+        // either one must invalidate the cached bucketed copies
+        val mtimes = Seq("orders", "customer").map { t =>
+          val p = new org.apache.hadoop.fs.Path(graft.sources.Tables.path(d, t))
+          p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .getFileStatus(p).getModificationTime
+        }
         java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$d|$mtime".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+          .digest(s"$d|${mtimes.mkString("|")}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
       }
       // bucketed tables are written once per (dir, mtime) — repeated
       // Verify/Bench calls then measure the co-located join itself,
@@ -215,8 +225,11 @@ object SparkEntry {
           col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
       // fresh deterministic base per call → the gated query is a pure
       // function of the source dir (rebuild cost is the delta's point:
-      // the MERGE only touches one partition; the base write is setup)
-      val base = s"${sys.props("java.io.tmpdir")}/graft_pmerge_" +
+      // the MERGE only touches one partition; the base write is setup).
+      // Keyed per-JVM (like GraftSession's warehouse): two concurrent
+      // JVMs on the same sf dir must not overwrite each other's base
+      // mid-merge
+      val base = s"${sys.props("java.io.tmpdir")}/graft_pmerge_${SparkEntry.jvmTag}_" +
         java.security.MessageDigest.getInstance("MD5")
           .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
       o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)

@@ -142,26 +142,41 @@ object Dims {
   def partitionScopedMerge(spark: SparkSession, basePath: String,
                            incoming: DataFrame, key: String, partCol: String,
                            tieBreak: Seq[Column] = Nil): Seq[String] = {
-    val touched = incoming.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val touchedRaw = incoming.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    // a null partition value would silently miss the base's
+    // __HIVE_DEFAULT_PARTITION__ rows in the isin() prune while dynamic
+    // overwrite still replaced that partition — existing rows would be
+    // dropped. Refuse loudly instead of corrupting.
+    require(!touchedRaw.contains(null),
+      s"partitionScopedMerge: incoming batch has NULL $partCol values; " +
+        "null partitions are not supported — filter or default them first")
+    val touched = touchedRaw.sorted
     val base = spark.read.parquet(basePath)
       .filter(col(partCol).isin(touched: _*))
-    val merged = upsert(Some(base), incoming.select(base.columns.map(col): _*),
-      key, tieBreak)
+    // align the incoming batch to the base's EXACT column types: a
+    // delta produced by arithmetic (e.g. price + 50) carries widened
+    // types (decimal(19,2) vs decimal(18,2)); writing those into some
+    // partitions would fork the table into per-partition schemas and
+    // break non-mergeSchema reads
+    val aligned = incoming.select(
+      base.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val merged = upsert(Some(base), aligned, key, tieBreak)
     // the merge reads basePath and the dynamic overwrite writes it —
     // materialize through a staging dir first (the same
     // staging-then-swap discipline as Sinks.atomicOverwrite; only the
     // touched partitions' rows pass through it)
     val staging = s"$basePath._merge_staging"
-    val fs = new org.apache.hadoop.fs.Path(staging)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    merged.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol)
-      .parquet(basePath)
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      merged.write.mode("overwrite").parquet(staging)
+      spark.read.parquet(staging)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol)
+        .parquet(basePath)
+    } finally fs.delete(stagingPath, true) // never leak staging data on failure
     touched
   }
 }

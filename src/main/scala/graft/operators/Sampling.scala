@@ -58,9 +58,15 @@ object Sampling {
     * (P(row i wins) follows E-S for integer weights).
     *
     * Map-only until the global top-k (TakeOrdered — no full sort). */
-  def weightedKey(id: Column, weight: Column): Column =
-    array_max(transform(sequence(lit(1), weight),
+  def weightedKey(id: Column, weight: Column): Column = {
+    // guarded: sequence(1, w) runs DESCENDING for w < 1 (the same
+    // pitfall TextFunctions.shingles guards), which would hand
+    // weight-0 rows two draws; NULL instead — matching the oracle's
+    // empty generate_series → NULL aggregate, excluded from any top-k
+    val draws = array_max(transform(sequence(lit(1), weight),
       j => md5(concat(j.cast("string"), lit("|"), id.cast("string")))))
+    when(weight >= 1, draws)
+  }
 
   /** Data-mixture planner: per-source keep rates that rebalance a
     * skewed corpus toward equal TOKEN budgets — the "domain mixing"
@@ -106,11 +112,15 @@ object Sampling {
   def weightedDocSample(spark: SparkSession, dir: String, k: Int = 200): DataFrame = {
     import graft.functions.TextFunctions.qualityExpr
     val d = Tables.loadSpread(spark, dir, "documents")
-    val weight = when(qualityExpr(col("text")) >= 0.8, 4)
-      .when(qualityExpr(col("text")) >= 0.6, 3)
-      .when(qualityExpr(col("text")) >= 0.4, 2)
+    // quality materialized ONCE before the bucket when-chain — the
+    // same discipline as langScores: each when-branch referencing
+    // qualityExpr inline would re-run its regex/split chain per row
+    val weight = when(col("_q") >= 0.8, 4)
+      .when(col("_q") >= 0.6, 3)
+      .when(col("_q") >= 0.4, 2)
       .otherwise(1)
-    d.select(col("doc_id"), weight.as("weight"))
+    d.select(col("doc_id"), qualityExpr(col("text")).as("_q"))
+      .select(col("doc_id"), weight.as("weight"))
       .select(col("doc_id"), col("weight").cast("long").as("weight"),
         weightedKey(col("doc_id"), col("weight")).as("skey"))
       .orderBy(col("skey").desc, col("doc_id"))

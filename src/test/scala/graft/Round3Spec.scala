@@ -53,7 +53,47 @@ class Round3Spec extends SparkSpec {
     assert(bAfter === bBefore, "untouched partition's files must not be rewritten")
   }
 
+  test("partitionScopedMerge aligns widened delta types to the base schema") {
+    import org.apache.spark.sql.types.DecimalType
+    val dir = Files.createTempDirectory("graft_pmerge2").toString
+    val table = s"$dir/t"
+    Seq((1L, "F", "10.00"), (2L, "P", "20.00"))
+      .toDF("id", "part", "p")
+      .select(col("id"), col("part"), col("p").cast(DecimalType(18, 2)).as("price"))
+      .write.partitionBy("part").parquet(table)
+    // arithmetic widens: decimal(18,2) + 50 → decimal(19,2); the merge
+    // must cast back, or partition P's files fork the table schema
+    val delta = Seq((2L, "P", "20.00")).toDF("id", "part", "p")
+      .select(col("id"), col("part"),
+        (col("p").cast(DecimalType(18, 2)) + lit(50).cast(DecimalType(18, 2))).as("price"))
+    assert(delta.schema("price").dataType === DecimalType(19, 2)) // precondition
+    Dims.partitionScopedMerge(spark, table, delta, "id", "part")
+    val back = spark.read.parquet(table)
+    assert(back.schema("price").dataType === DecimalType(18, 2))
+    val got = back.select(col("id"), col("price").cast("string"))
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "10.00"), (2L, "70.00")))
+  }
+
+  test("partitionScopedMerge refuses NULL partition values loudly") {
+    val dir = Files.createTempDirectory("graft_pmerge3").toString
+    val table = s"$dir/t"
+    Seq((1L, "A", 1.0)).toDF("id", "part", "v").write.partitionBy("part").parquet(table)
+    val delta = Seq((2L, null.asInstanceOf[String], 2.0)).toDF("id", "part", "v")
+    val e = intercept[IllegalArgumentException] {
+      Dims.partitionScopedMerge(spark, table, delta, "id", "part")
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
   // -------------------------------------------------------------- sampling
+
+  test("weightedKey is NULL for weight < 1 (no descending-sequence draws)") {
+    val ks = Seq((7L, 0), (8L, -1)).toDF("id", "w")
+      .select(Sampling.weightedKey(col("id"), col("w")).as("k"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(ks.forall(_.isEmpty))
+  }
 
   test("weightedKey is exactly max of w md5 draws") {
     val k = Seq((7L, 3)).toDF("id", "w")
