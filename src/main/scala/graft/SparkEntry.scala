@@ -265,6 +265,10 @@ object SparkEntry {
     // budgets, with exact kept doc/token counts (integer end-to-end)
     "q71_mixture_plan" -> ((s: SparkSession, d: String) =>
       operators.Sampling.mixturePlan(s, d)),
+    // incremental ingest: new batch anti-joined against the historical
+    // fingerprint store + within-batch keep-first
+    "q72_incremental_ingest" -> ((s: SparkSession, d: String) =>
+      Dedup.incrementalIngest(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -1024,6 +1028,13 @@ object SparkEntry {
         |SELECT r.source, n_docs, n_tokens, CAST(rate16 AS BIGINT) AS rate16,
         |  coalesce(kept_docs, 0) AS kept_docs, coalesce(kept_tokens, 0) AS kept_tokens
         |FROM r LEFT JOIN k USING (source) ORDER BY r.source""".stripMargin,
+    "q72_incremental_ingest" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSqlDuck) AS fp FROM documents),
+        |hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 8),
+        |inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 >= 8)
+        |SELECT min(doc_id) AS doc_id, fp
+        |FROM inc WHERE fp NOT IN (SELECT fp FROM hist)
+        |GROUP BY fp ORDER BY doc_id""".stripMargin,
   )
 
   /** DuckDB fragment: MinHash signatures → bands → candidate pairs →

@@ -257,6 +257,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental-ingest dedup — the cross-run pattern: a new crawl
+    * batch is deduplicated against the fingerprints of everything
+    * already ingested, and within itself, before entering the corpus.
+    * Here the "historical" store is the docs with doc_id % histMod <
+    * histKeep and the batch is the rest (deterministic split so the
+    * oracle can mirror it); in production the historical side is the
+    * persistent fingerprint table that [[exact]] maintains.
+    *
+    * Shape at 100 TB: one shared corpus scan (cached) feeds both
+    * sides; the anti-join shuffles on the 128-bit fingerprint — the
+    * natural key, uniformly distributed by construction (no skew
+    * possible); within-batch dedup is the same keyed min-aggregate.
+    * When the historical store dwarfs the batch, the [[bloomContamination]]
+    * bit-set machinery drops in as a broadcast pre-filter so only
+    * probable-duplicate fingerprints reach the shuffle. */
+  def incrementalIngest(spark: SparkSession, dir: String,
+                        histMod: Int = 10, histKeep: Int = 8): DataFrame = {
+    val f = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), md5(normalizeText(col("text"))).as("fp"))
+      .cache()
+    val hist = f.filter(col("doc_id") % histMod < histKeep)
+      .select(col("fp")).distinct()
+    f.filter(col("doc_id") % histMod >= histKeep)
+      .join(hist, Seq("fp"), "left_anti")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Band-bucket cap for [[minhashLshCapped]] — the LSH analog of
     * [[HotShingleCap]]: a band signature shared by b docs yields
     * O(b²) candidate pairs on ONE join key; boilerplate clusters at

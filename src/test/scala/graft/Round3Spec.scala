@@ -212,6 +212,22 @@ class Round3Spec extends SparkSpec {
     assert(uncapped >= 1770L)
   }
 
+  // ---------------------------------------------------- incremental ingest
+
+  test("incrementalIngest drops historical + within-batch duplicates, keeps novel") {
+    // historical side = doc_id % 10 < 8 → ids 0..7; batch = ids 8, 9, 18, 19
+    val dir = writeDocs(Seq(
+      (0L, "already ingested content one"),
+      (1L, "already ingested content two"),
+      (8L, "already ingested content one"),   // dup of historical 0 → dropped
+      (9L, "genuinely new content"),          // novel → kept
+      (18L, "genuinely new content"),         // within-batch dup of 9 → dropped
+      (19L, "another new document entirely"))) // novel → kept
+    val out = Dedup.incrementalIngest(spark, dir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(out === Set(9L, 19L))
+  }
+
   // -------------------------------------------------------------- mixture
 
   test("mixturePlan equalizes token budgets with exact kept counts") {
