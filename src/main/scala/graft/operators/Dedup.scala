@@ -273,14 +273,42 @@ object Dedup {
     * bit-set machinery drops in as a broadcast pre-filter so only
     * probable-duplicate fingerprints reach the shuffle. */
   def incrementalIngest(spark: SparkSession, dir: String,
-                        histMod: Int = 10, histKeep: Int = 8): DataFrame = {
+                        histMod: Int = 10, histKeep: Int = 8,
+                        bloomPrefilter: Boolean = true): DataFrame = {
     val f = Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"), md5(normalizeText(col("text"))).as("fp"))
       .cache()
     val hist = f.filter(col("doc_id") % histMod < histKeep)
       .select(col("fp")).distinct()
-    f.filter(col("doc_id") % histMod >= histKeep)
-      .join(hist, Seq("fp"), "left_anti")
+    val inc = f.filter(col("doc_id") % histMod >= histKeep)
+    // Bloom pre-filter (EXACT rewrite — same output, gated against the
+    // same oracle as the plain path): the historical store collapses
+    // to a ≤2^20-position bit set that broadcasts; incoming rows
+    // missing ANY position are definitely novel and never enter the
+    // anti-join shuffle. Only the possible-duplicates (bloom hits —
+    // true dups + deterministic false positives) shuffle against the
+    // store. When the store dwarfs the batch this turns a
+    // store-sized shuffle into a store-sized *local* bit-set scan
+    // plus a batch-hit-sized shuffle.
+    val novel =
+      if (!bloomPrefilter) inc.join(hist, Seq("fp"), "left_anti")
+      else {
+        val positions = (0 until BloomK).map(j => bloomPos(col("fp"), j))
+        val bits = hist
+          .select(explode(array(positions: _*)).as("pos")).distinct()
+          .withColumn("hit", lit(1))
+        val probed = inc
+          .select(col("doc_id"), col("fp"), explode(array(positions: _*)).as("pos"))
+          .join(broadcast(bits), Seq("pos"), "left")
+          .groupBy(col("doc_id"), col("fp"))
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+        val definitelyNovel = probed.filter(col("hits") < BloomK)
+          .select(col("doc_id"), col("fp"))
+        val possibleDup = probed.filter(col("hits") === BloomK)
+          .select(col("doc_id"), col("fp"))
+        definitelyNovel.unionByName(possibleDup.join(hist, Seq("fp"), "left_anti"))
+      }
+    novel
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))

@@ -226,6 +226,10 @@ class Round3Spec extends SparkSpec {
     val out = Dedup.incrementalIngest(spark, dir)
       .select(col("doc_id")).as[Long].collect().toSet
     assert(out === Set(9L, 19L))
+    // the bloom pre-filter is an exact rewrite: identical output
+    val plain = Dedup.incrementalIngest(spark, dir, bloomPrefilter = false)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(plain === out)
   }
 
   // -------------------------------------------------------------- mixture
