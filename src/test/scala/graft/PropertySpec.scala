@@ -68,4 +68,72 @@ class PropertySpec extends SparkSpec {
       assert(got === expected, s"seed $seed")
     }
   }
+
+  test("chunk windows cover [1,n] exactly with stride starts and bounded lengths") {
+    import graft.functions.TextFunctions.words
+    val size = graft.operators.TextAnalysis.ChunkSize
+    val stride = graft.operators.TextAnalysis.ChunkStride
+    // random token counts incl. the edges: 0-ish (empty text → 1 token), < size, = size, size+1
+    val ns = (Seq(1, size - 1, size, size + 1, 2 * stride) ++
+      Seq.fill(20)(rnd.nextInt(300) + 1)).distinct
+    val dir = java.nio.file.Files.createTempDirectory("graft_propchunk").toString
+    ns.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(t => s"w$t").mkString(" "), "en", "s", n.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextAnalysis.chunkDocuments(spark, dir)
+      .select(col("doc_id"), col("start"), col("chunk_len"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    ns.zipWithIndex.foreach { case (n, i) =>
+      val cs = rows(i.toLong).sortBy(_._2)
+      // starts are exactly the stride grid 1, 1+stride, ... ≤ n
+      assert(cs.map(_._2).toSeq === (1 to n by stride).map(_.toLong), s"n=$n")
+      // every length in [1, size]; windows stay inside the doc; full coverage
+      assert(cs.forall(c => c._3 >= 1 && c._3 <= size && c._2 + c._3 - 1 <= n), s"n=$n")
+      assert(cs.map(c => c._2 + c._3 - 1).max === n.toLong, s"n=$n")
+      val covered = cs.flatMap(c => c._2 to (c._2 + c._3 - 1)).toSet
+      assert(covered === (1L to n.toLong).toSet, s"n=$n")
+    }
+  }
+
+  test("quantizeInt8 codes are bounded and dequantize within half a step") {
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2f - 1f), 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_propq").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Vectors.quantizeInt8(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("vmin"), r.getAs[Double]("vmax"),
+          r.getAs[Long]("q0"), r.getAs[Long]("q_max"), r.getAs[Long]("q_sum"))).toMap
+    vecs.foreach { case (id, v, _) =>
+      val d = v.map(_.toDouble)
+      val (mn, mx) = (d.min, d.max)
+      val codes = d.map(x => math.floor((x - mn) * 255.0 / (mx - mn) + 0.5).toLong)
+      val (gmn, gmx, q0, qmax, qsum) = got(id)
+      assert(gmn === mn && gmx === mx, s"vec $id extrema")
+      assert(q0 === codes.head && qsum === codes.sum && qmax === codes.max, s"vec $id codes")
+      assert(codes.forall(c => c >= 0L && c <= 255L), s"vec $id bounds")
+      // dequantization error ≤ half a quantization step
+      val step = (mx - mn) / 255.0
+      d.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(mn + c * step - x) <= step / 2 + 1e-12, s"vec $id err")
+      }
+    }
+  }
+
+  test("weightedKey matches the driver-side md5-max reference for random weights") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cases = Seq.fill(100)((rnd.nextLong().abs % 1000000L, rnd.nextInt(6) + 1)).distinct
+    val got = cases.toDF("id", "w")
+      .select(col("id"), col("w"),
+        graft.operators.Sampling.weightedKey(col("id"), col("w")).as("k"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    cases.foreach { case (id, w) =>
+      assert(got((id, w)) === (1 to w).map(j => md5hex(s"$j|$id")).max, s"($id,$w)")
+    }
+  }
 }
