@@ -269,6 +269,9 @@ object SparkEntry {
     // fingerprint store + within-batch keep-first
     "q72_incremental_ingest" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalIngest(s, d)),
+    // length-bucketed batching prep: percentile-boundary binning
+    "q73_length_buckets" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.lengthBuckets(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -1035,6 +1038,17 @@ object SparkEntry {
         |SELECT min(doc_id) AS doc_id, fp
         |FROM inc WHERE fp NOT IN (SELECT fp FROM hist)
         |GROUP BY fp ORDER BY doc_id""".stripMargin,
+    "q73_length_buckets" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+        |b AS (SELECT ${(1 until 8).map(i =>
+            s"round(quantile_cont(toks, ${i / 8.0}), 4) AS b$i").mkString(", ")} FROM t),
+        |a AS (SELECT doc_id, toks,
+        |    CAST(1 + ${(1 until 8).map(i =>
+            s"(CASE WHEN toks > b$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS bucket
+        |  FROM t, b)
+        |SELECT bucket, count(*) AS n_docs, min(toks) AS min_toks,
+        |  max(toks) AS max_toks, CAST(sum(toks) AS BIGINT) AS sum_toks
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 
   /** DuckDB fragment: MinHash signatures → bands → candidate pairs →

@@ -134,6 +134,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Length-bucketed batching prep: documents binned into `buckets`
+    * near-equal groups by token count — the padding-efficiency step
+    * before batch assembly (batching similar lengths together wastes
+    * the least pad). Boundaries are the exact R-7 percentiles of the
+    * token count (one tiny stats aggregate, broadcast back — at
+    * extreme scale `approx_percentile` is the drop-in knob), binning
+    * is map-only comparisons, then one keyed stats aggregate.
+    * Boundary ties go to the LOWER bucket on both engines (strict >
+    * comparison against the identical rounded boundary). */
+  def lengthBuckets(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val t = d.select(col("doc_id"), size(words(col("text"))).cast("long").as("toks"))
+    val bounds = t.agg(
+      round(percentile(col("toks"), lit(1.0 / buckets)), 4).as("b1"),
+      (2 until buckets).map(i =>
+        round(percentile(col("toks"), lit(i.toDouble / buckets)), 4).as(s"b$i")): _*)
+    val bucket = (1 until buckets)
+      .map(i => when(col("toks") > col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    t.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("toks"), bucket.cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("toks")).as("min_toks"),
+        max(col("toks")).as("max_toks"), sum(col("toks")).as("sum_toks"))
+      .orderBy(col("bucket"))
+  }
+
   /** PII patterns — conservative ASCII classes that parse identically
     * under Java regex (Spark) and RE2 (DuckDB). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -232,6 +232,23 @@ class Round3Spec extends SparkSpec {
     assert(plain === out)
   }
 
+  // -------------------------------------------------------- length buckets
+
+  test("lengthBuckets bins 80 distinct lengths into 8 contiguous buckets of 10") {
+    val dir = writeDocs((1L to 80L).map(i =>
+      (i, (1L to i).map(t => s"w$t").mkString(" "))))
+    val rows = TextAnalysis.lengthBuckets(spark, dir)
+      .select(col("bucket"), col("n_docs"), col("min_toks"), col("max_toks"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length === 8)
+    assert(rows.forall(_._2 === 10L))
+    // contiguous, non-overlapping ranges covering 1..80
+    assert(rows.head._3 === 1L && rows.last._4 === 80L)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._3 === lo._4 + 1, s"bucket ${hi._1} must start after ${lo._1}")
+    }
+  }
+
   // -------------------------------------------------------------- mixture
 
   test("mixturePlan equalizes token budgets with exact kept counts") {
