@@ -104,11 +104,11 @@ object Daily {
     val shelter = spark.read.parquet(s"$dwhDir/shelter_corridor")
     val routes = spark.read.parquet(s"$dwhDir/routes")
 
-    def writePartitioned(df: DataFrame, name: String): Long = {
-      graft.sources.Sinks.writePartitioned(df, s"$dwhDir/$name", "tanggal")
-      spark.read.parquet(s"$dwhDir/$name")
-        .filter(col("tanggal") === lit(java.sql.Date.valueOf(ds))).count()
-    }
+    // audit counts ride the write job itself (Dataset.observe) — the
+    // df holds exactly the ds slice, so rows-written IS the
+    // reference's per-insert audit count, with no read-back scan
+    def writePartitioned(df: DataFrame, name: String): Long =
+      graft.sources.Sinks.writePartitionedCounted(df, s"$dwhDir/$name", "tanggal")
 
     val report = RunReport(ds.toString,
       busRows = bus.count(), halteRows = halte.count(),

@@ -43,6 +43,20 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/t").count() === rowsBefore)
   }
 
+  test("writePartitionedCounted: the in-flight observe count equals the read-back truth") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_obs").toString
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "p")
+    val counted = Sinks.writePartitionedCounted(df, s"$dir/t", "p")
+    assert(counted === 3L)
+    assert(spark.read.parquet(s"$dir/t").count() === 3L)
+    // dynamic overwrite of one partition: count reflects the new write only
+    val counted2 = Sinks.writePartitionedCounted(
+      Seq((9L, "a")).toDF("id", "p"), s"$dir/t", "p")
+    assert(counted2 === 1L)
+    assert(spark.read.parquet(s"$dir/t").count() === 2L) // a replaced, b kept
+  }
+
   test("atomicOverwrite: a failing staging write leaves the target readable and unchanged") {
     val dir = Files.createTempDirectory("graft_atomic").toString
     spark.range(100).toDF("id").write.parquet(s"$dir/t")
