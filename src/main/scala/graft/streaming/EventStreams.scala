@@ -35,6 +35,46 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_sum"))
 
+  /** Watermarked SLIDING event-time windows (length > slide → each
+    * event lands in length/slide windows): the trend-detection shape.
+    * Same bounded-state story as [[hourlyCounts]] — the watermark
+    * expires old windows. */
+  def slidingCounts(events: DataFrame,
+                    length: String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Streaming merge-upsert sink: each micro-batch is merged into a
+    * directory-partitioned parquet table via
+    * [[graft.etl.Dims.partitionScopedMerge]] — the foreachBatch
+    * composition that gives a plain-parquet analog of a Delta/Iceberg
+    * streaming MERGE. Exactly-once per key comes from the merge being
+    * idempotent (keep-newest by key): replaying a micro-batch after a
+    * crash converges to the same table. Only partitions the batch
+    * touches are rewritten — the stream's write amplification scales
+    * with batch size, not table size. */
+  def mergeSink(events: DataFrame, basePath: String, key: String, partCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val fs = new org.apache.hadoop.fs.Path(basePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(basePath))) {
+            // first batch bootstraps the table (with within-batch dedup)
+            graft.etl.Dims.upsert(None, batch, key)
+              .write.partitionBy(partCol).parquet(basePath)
+          } else {
+            graft.etl.Dims.partitionScopedMerge(spark, basePath, batch, key, partCol)
+            ()
+          }
+        }
+      }
+
   /** Stream-static enrichment: join the unbounded event stream against
     * a bounded dimension (broadcast — the static side is re-read per
     * micro-batch and ships to every executor once; no stream-side
