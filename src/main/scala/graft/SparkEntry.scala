@@ -272,6 +272,9 @@ object SparkEntry {
     // length-bucketed batching prep: percentile-boundary binning
     "q73_length_buckets" -> ((s: SparkSession, d: String) =>
       TextAnalysis.lengthBuckets(s, d)),
+    // chunk-level packing: chunkDocuments ∘ hierarchical prefix sum
+    "q74_chunk_pack" -> ((s: SparkSession, d: String) =>
+      operators.Packing.packChunks(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -1049,6 +1052,20 @@ object SparkEntry {
         |SELECT bucket, count(*) AS n_docs, min(toks) AS min_toks,
         |  max(toks) AS max_toks, CAST(sum(toks) AS BIGINT) AS sum_toks
         |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q74_chunk_pack" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, s, least(32, len(w) - s + 1) AS chunk_len
+        |  FROM w, unnest(generate_series(1, greatest(len(w), 1), 24)) t(s)),
+        |t AS (SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_no,
+        |    CAST(chunk_len AS BIGINT) AS chunk_len,
+        |    doc_id * 1024 + (s - 1) // 24 AS cid
+        |  FROM c),
+        |p AS (SELECT doc_id, chunk_no, chunk_len,
+        |    CAST(coalesce(sum(chunk_len) OVER (ORDER BY cid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS so
+        |  FROM t)
+        |SELECT doc_id, chunk_no, chunk_len, so // 256 AS seq_id, so % 256 AS offset_in_seq
+        |FROM p ORDER BY doc_id, chunk_no""".stripMargin,
   )
 
   /** DuckDB fragment: MinHash signatures → bands → candidate pairs →

@@ -80,4 +80,24 @@ object Packing {
       .select(col("doc_id"), col("tokens"), col("seq_id"), col("offset_in_seq"))
       .orderBy(col("doc_id"))
   }
+
+  /** Chunk-level packing — the composition of [[TextAnalysis
+    * chunkDocuments]] (overlapping token windows) and the hierarchical
+    * prefix sum: each 32/24-stride chunk gets its sequence id and
+    * offset in the packed training stream, in deterministic
+    * (doc_id, chunk_no) order. The synthetic chunk id doc_id·1024 +
+    * chunk_no preserves that order for the prefix sum (chunk counts
+    * per doc are far below 1024: stride 24 → 1024 chunks would need
+    * a ~24k-token document; the budget check is the caller's).
+    * Everything stays map-only + the packing's keyed windows. */
+  def packChunks(spark: SparkSession, dir: String,
+                 budget: Long = DefaultBudget): DataFrame = {
+    val chunks = graft.operators.TextAnalysis.chunkDocuments(spark, dir)
+      .select(col("doc_id"), col("chunk_no"), col("chunk_len"),
+        (col("doc_id") * 1024 + col("chunk_no")).as("chunk_id"))
+    packByPrefix(chunks, "chunk_id", "chunk_len", budget)
+      .select(col("doc_id"), col("chunk_no"), col("chunk_len"),
+        col("seq_id"), col("offset_in_seq"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
 }

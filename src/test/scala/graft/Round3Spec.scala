@@ -232,6 +232,23 @@ class Round3Spec extends SparkSpec {
     assert(plain === out)
   }
 
+  test("packChunks packs overlapping chunks into sequences in global order") {
+    val dir = writeDocs(Seq(
+      (0L, (1 to 70).map(i => s"a$i").mkString(" ")),   // chunks 32, 32, 22
+      (1L, (1 to 30).map(i => s"b$i").mkString(" "))))  // chunks 30, 6
+    val rows = operators.Packing.packChunks(spark, dir, budget = 64L)
+      .select(col("doc_id"), col("chunk_no"), col("chunk_len"),
+        col("seq_id"), col("offset_in_seq"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // running offsets 0,32,64,86,116 over budget 64
+    assert(rows.toSeq === Seq(
+      (0L, 0L, 32L, 0L, 0L),
+      (0L, 1L, 32L, 0L, 32L),
+      (0L, 2L, 22L, 1L, 0L),
+      (1L, 0L, 30L, 1L, 22L),
+      (1L, 1L, 6L, 1L, 52L)))
+  }
+
   // -------------------------------------------------------- length buckets
 
   test("lengthBuckets bins 80 distinct lengths into 8 contiguous buckets of 10") {
