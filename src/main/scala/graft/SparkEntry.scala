@@ -275,6 +275,42 @@ object SparkEntry {
     // chunk-level packing: chunkDocuments ∘ hierarchical prefix sum
     "q74_chunk_pack" -> ((s: SparkSession, d: String) =>
       operators.Packing.packChunks(s, d)),
+    // manifest-committed snapshot table: overwrite-commit a base, then
+    // upsert-commit a delta (delta wins + inserts), read the live
+    // snapshot. Reader-atomicity/crash/vacuum proofs in SnapshotsSpec
+    "q75_snapshot_merge" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val table = s"${sys.props("java.io.tmpdir")}/graft_snap_${SparkEntry.jvmTag}_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      // fresh table per call → the gated query is a pure function of
+      // the source dir (versions otherwise accumulate across reps)
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.Snapshots.commitOverwrite(s, table,
+        o.filter(col("o_orderkey") % 3 =!= 0))
+      val delta = o.filter(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 97 === 0)
+        .withColumn("price", col("price") + lit(50).cast(DecimalType(18, 2)))
+      graft.sources.Snapshots.commitUpsert(s, table, delta, "o_orderkey")
+      graft.sources.Snapshots.read(s, table)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // deterministic training-order sharding: md5 shard + hierarchical
+    // in-shard rank (never one window partition per shard)
+    "q76_shard_order" -> ((s: SparkSession, d: String) =>
+      operators.Sharding.shardOrder(s, d)),
+    // out-of-vocabulary scoring vs the corpus top-32 vocabulary
+    "q77_oov_score" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.oovScore(s, d)),
+    // robust per-source length outliers: exact median + MAD, 3-MAD flag
+    "q78_length_outliers" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.lengthOutliers(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -1066,6 +1102,62 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, chunk_no, chunk_len, so // 256 AS seq_id, so % 256 AS offset_in_seq
         |FROM p ORDER BY doc_id, chunk_no""".stripMargin,
+    // snapshot-commit merge semantics expressed directly: base rows
+    // whose key the delta doesn't touch, plus the whole delta
+    "q75_snapshot_merge" ->
+      """WITH batch1 AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |delta AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) + CAST(50 AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 97 = 0),
+        |merged AS (SELECT * FROM batch1
+        |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        |  UNION ALL SELECT * FROM delta)
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS price_sum
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // shard = first 20 md5 bits mod 16 (same strpos hex recipe as q69);
+    // the oracle's per-shard row_number equals the engine's
+    // hierarchical offset+rank by construction (bucket is a key prefix)
+    "q76_shard_order" ->
+      """WITH k AS (SELECT doc_id, md5('s|' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |s AS (SELECT doc_id, skey,
+        |    (((((strpos('0123456789abcdef', substr(skey, 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(skey, 2, 1)) - 1)) * 16
+        |      + (strpos('0123456789abcdef', substr(skey, 3, 1)) - 1)) * 16
+        |      + (strpos('0123456789abcdef', substr(skey, 4, 1)) - 1)) * 16
+        |      + (strpos('0123456789abcdef', substr(skey, 5, 1)) - 1)) % 16 AS shard
+        |  FROM k)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY substr(skey, 6), doc_id) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    "q77_oov_score" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS w FROM documents),
+        |tk AS (SELECT doc_id, unnest(w) AS tok FROM w),
+        |toks AS (SELECT doc_id, tok FROM tk WHERE length(tok) > 0),
+        |vocab AS (SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+        |  ORDER BY cnt DESC, tok LIMIT 32),
+        |a AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_ratio
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // medians over integers land on multiples of 0.25 (R-7) — binary-
+    // exact on both engines, so the 3-MAD comparison has no boundary
+    "q78_length_outliers" ->
+      """WITH t AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+        |m AS (SELECT source, round(quantile_cont(toks, 0.5), 4) AS med FROM t GROUP BY source),
+        |d AS (SELECT t.source, t.toks, m.med, abs(t.toks - m.med) AS dev FROM t JOIN m USING (source)),
+        |md AS (SELECT source, round(quantile_cont(dev, 0.5), 4) AS mad FROM d GROUP BY source)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN abs(d.toks - d.med) > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  d.med, md.mad
+        |FROM d JOIN md USING (source)
+        |GROUP BY d.source, d.med, md.mad
+        |ORDER BY d.source""".stripMargin,
   )
 
   /** DuckDB fragment: MinHash signatures → bands → candidate pairs →

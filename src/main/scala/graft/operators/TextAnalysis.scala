@@ -214,4 +214,67 @@ object TextAnalysis {
         (col("rep_bigrams") > 0.5).cast("long"))
       .orderBy(col("doc_id"))
   }
+
+  /** Out-of-vocabulary scoring: build the corpus's top-`vocabSize`
+    * token vocabulary (by total occurrence count, ties broken by token
+    * text), then score each document by how many of its token
+    * occurrences fall outside it — a cheap fluency/jargon signal used
+    * to route documents to heavier classifiers.
+    *
+    * Scale shape: the vocabulary is one partial-aggregated token-count
+    * shuffle + a bounded top-K (TakeOrdered — never a global sort of
+    * the token table); the per-doc pass is explode → BROADCAST hash
+    * join against the K-row vocab → one keyed re-aggregation on
+    * doc_id. The corpus is scanned once per pass and never joins
+    * itself. */
+  def oovScore(spark: SparkSession, dir: String, vocabSize: Int = 32): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val toks = d.select(col("doc_id"),
+        explode(words(normalizeText(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1L).as("_in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        // single int64→double division: identical IEEE op per engine;
+        // empty docs never reach here (zero-token docs produce no rows
+        // from the explode), so the denominator is ≥ 1
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Robust length-outlier detection per source: exact median and MAD
+    * (median absolute deviation) of the whitespace token count, then
+    * flag |toks − med| > 3·MAD. All interpolated medians land on
+    * multiples of 0.25 (R-7 over integers), binary-exact on every
+    * engine, so the comparison has no float boundary.
+    *
+    * Scale shape: two grouped percentile passes over (source, toks) —
+    * each one keyed shuffle with partial aggregation — and the
+    * per-source stats (a handful of rows) broadcast back; the corpus
+    * itself is never sorted globally. */
+  def lengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val t = d.select(col("doc_id"), col("source"),
+      size(words(col("text"))).cast("long").as("toks"))
+    val med = t.groupBy(col("source"))
+      .agg(round(percentile(col("toks"), lit(0.5)), 4).as("med"))
+    val dev = t.join(broadcast(med), Seq("source"))
+      .withColumn("_dev", abs(col("toks") - col("med")))
+    val mad = dev.groupBy(col("source"))
+      .agg(round(percentile(col("_dev"), lit(0.5)), 4).as("mad"))
+    dev.join(broadcast(mad), Seq("source"))
+      .groupBy(col("source"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((abs(col("toks") - col("med")) > lit(3) * col("mad")).cast("long"))
+          .as("n_outliers"))
+      .select(col("source"), col("n_docs"), col("n_outliers"), col("med"), col("mad"))
+      .orderBy(col("source"))
+  }
 }
