@@ -1,38 +1,65 @@
 package graft
 import scala.util.control.NonFatal
+
+/** Benchmark main: one JSON line with per-query MEDIAN seconds.
+  *
+  * Protocol (per query, in sorted name order): one untimed warmup run
+  * (parquet footers, codegen, JIT, fixture builds — q60/q62/q75 build
+  * their bases once per JVM via SparkEntry's fixture memo, so setup
+  * I/O never lands in a timed region), then `reps` timed runs with the
+  * Spark cache cleared after each; the reported value is the median,
+  * which a single host-load spike cannot move (single-shot totals have
+  * historically swung 10-30x on identical code under load).
+  * /proc/loadavg is recorded before and after so a load-noisy run is
+  * self-identifying in the artifact itself.
+  */
 object Bench {
+  private def loadavg: String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split(" ").take(3).mkString(" ") finally src.close()
+    } catch { case NonFatal(_) => "" }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val spark = GraftSession.get()
-    // Uncounted warmup: first action pays parquet footer reads, codegen
-    // compilation, and JIT — the timed pass below is WARM steady-state
-    // (only the Spark cache is cleared between queries).
-    SparkEntry.queries.foreach { case (_, fn) =>
-      // NonFatal only: an OutOfMemoryError/LinkageError must abort the
-      // whole bench — timings from a corrupted JVM are worse than none
-      try fn(spark, sfDir).count() catch { case NonFatal(_) => () }
-      spark.catalog.clearCache() // per-query caches are internal; don't accumulate
-    }
+    val load0 = loadavg
     // A failing query must fail the bench loudly: its time is recorded
     // as -1 (not summed) and its name lands in "failed" with the error
     // on stderr — a regression can't masquerade as a fast run.
+    // NonFatal only: an OutOfMemoryError/LinkageError must abort the
+    // whole bench — timings from a corrupted JVM are worse than none.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case NonFatal(e) =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          Some(e)
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).count() catch { case NonFatal(_) => () } // warmup
       spark.catalog.clearCache()
-      (name, if (err.isEmpty) sec else -1.0, err.isDefined)
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case NonFatal(e) =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            Some(e)
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (sec, err.isDefined)
+      }
+      val failed = runs.exists(_._2)
+      (name, if (failed) -1.0 else median(runs.map(_._1)), failed)
     }
+    val load1 = loadavg
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, false) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"loadavg_before":"$load0","loadavg_after":"$load1","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3)) sys.exit(1)
   }

@@ -68,7 +68,7 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSignaturesFrom(shingleRows(spark, dir))
 
-  private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
+  private[graft] def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
     val hashes = (0 until NumHashes).map(i => minhashAgg(col("s"), i).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
     val bands = (0 until Bands).map { b =>
@@ -329,10 +329,25 @@ object Dedup {
     * fans out at most cap². Semantics (cap included) are mirrored in
     * the oracle. */
   def minhashLshCapped(spark: SparkSession, dir: String,
-                       cap: Int = BandBucketCap): DataFrame = {
-    val sh = shingleRows(spark, dir).cache()
+                       cap: Int = BandBucketCap): DataFrame =
+    minhashLshCappedFrom(shingleRows(spark, dir), cap)
+
+  /** As [[minhashLshCapped]] but over caller-provided shingle rows
+    * (shared corpus scan; also the seam the boilerplate-cluster bound
+    * test drives). */
+  def minhashLshCappedFrom(shingleRows: DataFrame,
+                           cap: Int = BandBucketCap): DataFrame = {
+    val sh = shingleRows.cache()
     val sig = minhashSignaturesFrom(sh).cache()
-    val candidates = (0 until Bands).map { b =>
+    verifyJaccardOn(sh, cappedBandCandidates(sig, cap))
+  }
+
+  /** Candidate pairs from band buckets of size ≤ cap. Exposed
+    * package-private so the spec can assert the candidate COUNT bound
+    * directly (a 60-clone boilerplate cluster yields zero candidates
+    * here vs 1770 uncapped). */
+  private[graft] def cappedBandCandidates(sig: DataFrame, cap: Int): DataFrame =
+    (0 until Bands).map { b =>
       val hot = sig.groupBy(col(s"band$b")).agg(count(lit(1)).as("bn"))
         .filter(col("bn") > cap).select(col(s"band$b").as("bk"))
       val l = sig.select(col("doc_id").as("da"), col(s"band$b").as("bk"))
@@ -341,6 +356,4 @@ object Dedup {
       l.join(r, Seq("bk")).filter(col("da") < col("db"))
         .select(col("da"), col("db"))
     }.reduce(_ unionByName _).distinct()
-    verifyJaccardOn(sh, candidates)
-  }
 }

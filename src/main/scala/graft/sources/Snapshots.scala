@@ -2,77 +2,103 @@ package graft.sources
 
 import java.io.IOException
 
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** A concurrent commit attempt won a version number this writer's
+  * read-modify-write commit was based on. The merge must be re-run
+  * against the new live snapshot — retrying with the next number would
+  * silently drop the other writer's rows (a lost update). */
+class ConcurrentSnapshotCommitException(msg: String) extends IOException(msg)
+
 /** Manifest-committed versioned table ("Delta-lite") — the
-  * reader-atomic complement to [[Sinks.atomicOverwrite]].
+  * reader-atomic, multi-writer-safe complement to
+  * [[Sinks.atomicOverwrite]].
   *
-  * `atomicOverwrite` is crash-safe but not reader-atomic: between its
-  * two renames the live path briefly does not exist, so a concurrent
-  * reader can fail transiently. This module removes that window with
-  * the same commit protocol Delta/Iceberg use, at directory
-  * granularity:
-  *
+  * Layout:
   * {{{
   * table/
-  *   v00000001/        immutable data version (parquet)
-  *   v00000002/
-  *   _CURRENT          manifest: single line naming the live version
+  *   d-1a2b3c4d5e6f/          immutable data dirs (parquet; partition-
+  *   d-0f9e8d7c6b5a/part=F/   scoped commits hold only touched parts)
+  *   _commits/
+  *     v00000001              one manifest FILE per version (see below)
+  *     v00000002
   * }}}
   *
-  * Commit = (1) write the FULL new version directory — the live
-  * manifest is untouched, so readers are completely unaffected while
-  * the (possibly hours-long, at 100 TB) write runs; (2) publish by
-  * writing `_CURRENT.tmp` and renaming it onto `_CURRENT` with
-  * `Options.Rename.OVERWRITE` — a single atomic metadata operation on
-  * HDFS-like filesystems. A reader resolves the manifest once, then
-  * reads an immutable directory: it can never observe a partial
-  * version, and an in-flight commit or a writer crash at ANY step
-  * leaves it on the previous complete snapshot. Old versions are
-  * retained until [[vacuum]], so a long-running reader that resolved
-  * the manifest before a commit still finishes against its snapshot
-  * (time travel for free: `readVersion`).
+  * A manifest names the data dir(s) a version reads:
+  *   - whole-table version:  `dir=d-1a2b3c4d5e6f`
+  *   - partitioned version:  `partcol=o_orderstatus` then one
+  *     `part:F=d-...` line per live partition value, each naming the
+  *     data dir that OWNS that partition's files. A partition-scoped
+  *     commit writes ONLY the touched partitions into a new data dir
+  *     and re-points just those lines — untouched partitions keep
+  *     referencing their existing files, so commit cost scales with
+  *     the delta, not the table (the daily single-partition pattern:
+  *     reference dags/dag_datapelangan.py:188-234).
   *
-  * Concurrency contract: SINGLE WRITER (two concurrent committers can
-  * both build vN+1 — last manifest rename wins and the loser's data
-  * version leaks until vacuum), unlimited concurrent readers. A real
-  * multi-writer table needs a compare-and-swap commit (Delta's
-  * transaction log); this module deliberately stops at the
-  * single-writer/many-reader point, which is what the reference's
-  * truncate-reload and merge jobs need
-  * (reference: stage_csv_dims_to_pg.py:125-140 — BEGIN; TRUNCATE;
-  * COPY; COMMIT is exactly a reader-atomic whole-table swap).
+  * Commit protocol (the Delta/Iceberg optimistic-concurrency scheme at
+  * file granularity): (1) write the new data dir under a fresh unique
+  * name — readers are completely unaffected while the (possibly
+  * hours-long, at 100 TB) write runs, because nothing references it;
+  * (2) CLAIM the next version number by renaming a tmp manifest to
+  * `_commits/vN` WITHOUT overwrite — a create-exclusive atomic
+  * metadata operation on HDFS-like filesystems, so exactly one of two
+  * concurrent committers can win any given number. The manifest rename
+  * is the single commit point: a writer crash at ANY earlier step
+  * leaves only an unreferenced data dir (reclaimed by [[vacuum]]'s
+  * orphan sweep), never a partial version.
   *
-  * 100 TB posture: the commit cost is one manifest rename regardless of
-  * data size; upserts rewrite the table (like the reference's reload)
-  * — for partition-scoped deltas compose with
-  * [[graft.etl.Dims.partitionScopedMerge]] inside a new version dir
-  * instead of rewriting unchanged partitions.
+  * Concurrency contract:
+  *   - readers: unlimited; a reader resolves the max `_commits` entry
+  *     once and then reads immutable dirs — it can never observe a
+  *     partial version, and [[vacuum]] retention keeps a long-running
+  *     reader's pinned snapshot alive ([[readVersion]] = time travel).
+  *   - [[commitOverwrite]]: multi-writer safe — the payload does not
+  *     depend on the base, so a claim collision just retries with the
+  *     next number; concurrent overwriters serialize, last number wins.
+  *   - [[commitUpsert]] / [[commitMergePartitioned]] (read-modify-
+  *     write): optimistic CAS — the claim targets exactly base+1; if
+  *     another writer got there first the commit FAILS with
+  *     [[ConcurrentSnapshotCommitException]] and the caller re-runs
+  *     against the new live snapshot. Retrying the stale merge under
+  *     the next number would be a lost update, so it is never silent.
+  *     (The reference serialized writers with pg advisory locks —
+  *     stage_csv_dims_to_pg.py:30; CAS gives the same safety without a
+  *     lock service.)
   */
 object Snapshots {
 
-  private val Manifest = "_CURRENT"
+  private val CommitDir = "_commits"
   private val VersionRe = "^v(\\d{8})$".r
+  private val DirLine = "dir="
+  private val PartColLine = "partcol="
+  private val PartLine = "part:"
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Name of the live version (e.g. `v00000002`), if the table has at
-    * least one published commit. */
-  def currentVersion(spark: SparkSession, tableDir: String): Option[String] = {
-    val fs = fsOf(spark, new Path(tableDir))
-    val m = new Path(tableDir, Manifest)
-    if (!fs.exists(m)) None
-    else {
-      val in = fs.open(m)
-      try {
-        val line = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .nextOption().map(_.trim).getOrElse("")
-        if (line.isEmpty) None else Some(line)
-      } finally in.close()
-    }
+  private def newDataDirName(): String =
+    "d-" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  // ---------------------------------------------------------------- read
+
+  /** Name of the live version (e.g. `v00000002`) = the highest claimed
+    * commit, if the table has at least one published commit. */
+  def currentVersion(spark: SparkSession, tableDir: String): Option[String] =
+    listVersions(spark, tableDir).lastOption
+
+  /** All published version names, ascending (bounded by [[vacuum]]
+    * retention). */
+  private[graft] def listVersions(spark: SparkSession, tableDir: String): Seq[String] = {
+    val dir = new Path(tableDir, CommitDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(_.isFile)
+      .map(_.getPath.getName)
+      .collect { case n @ VersionRe(_) => n }
+      .sorted
   }
 
   /** Read the live snapshot. Fails with a clear message when the table
@@ -83,85 +109,277 @@ object Snapshots {
     readVersion(spark, tableDir, v)
   }
 
-  /** Read a specific immutable version (time travel / long-running
+  /** Read a specific retained version (time travel / long-running
     * readers pinned to the snapshot they resolved). */
-  def readVersion(spark: SparkSession, tableDir: String, version: String): DataFrame =
-    spark.read.parquet(new Path(tableDir, version).toString)
-
-  /** All published-or-orphaned version directory names, ascending. */
-  private[graft] def listVersions(spark: SparkSession, tableDir: String): Seq[String] = {
-    val dir = new Path(tableDir)
-    val fs = fsOf(spark, dir)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n @ VersionRe(_) => n }
-      .sorted
+  def readVersion(spark: SparkSession, tableDir: String, version: String): DataFrame = {
+    val m = readManifest(spark, tableDir, version)
+    m.dataDir match {
+      case Some(dd) => spark.read.parquet(new Path(tableDir, dd).toString)
+      case None =>
+        // group partitions by owning data dir: one read per owner with
+        // basePath so the partition column is inferred exactly as for
+        // a plain partitioned-parquet read, then union by name
+        m.partitions.groupBy(_._2).map { case (owner, parts) =>
+          val base = new Path(tableDir, owner)
+          val paths = parts.map { case (value, _) =>
+            new Path(base, partDirName(m.partCol, value)).toString }
+          spark.read.option("basePath", base.toString).parquet(paths: _*)
+        }.reduce(_ unionByName _)
+    }
   }
 
-  /** Publish `df` as the next version of the table: write the data
-    * directory, then atomically swap the manifest. Returns the new
-    * version name. Readers of the previous version are never
-    * disturbed. */
+  // ------------------------------------------------------------ manifest
+
+  /** Parsed manifest: either a whole-table data dir, or a partition
+    * map (value → owning data dir) with its partition column. */
+  private[graft] case class Manifest(dataDir: Option[String], partCol: String,
+                                     partitions: Seq[(String, String)])
+
+  private[graft] def readManifest(spark: SparkSession, tableDir: String,
+                                  version: String): Manifest = {
+    val p = new Path(new Path(tableDir, CommitDir), version)
+    val fs = fsOf(spark, p)
+    val in = fs.open(p)
+    val lines = try
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().map(_.trim)
+        .filter(_.nonEmpty).toList
+    finally in.close()
+    val dir = lines.collectFirst { case l if l.startsWith(DirLine) => l.stripPrefix(DirLine) }
+    val partCol = lines.collectFirst {
+      case l if l.startsWith(PartColLine) => l.stripPrefix(PartColLine) }.getOrElse("")
+    val parts = lines.collect { case l if l.startsWith(PartLine) =>
+      val body = l.stripPrefix(PartLine)
+      val eq = body.indexOf('=')
+      require(eq > 0, s"Snapshots: malformed manifest line '$l' in $version")
+      (body.substring(0, eq), body.substring(eq + 1))
+    }
+    require(dir.isDefined || parts.nonEmpty,
+      s"Snapshots: empty manifest $version at $tableDir")
+    Manifest(dir, partCol, parts)
+  }
+
+  private def manifestBody(m: Manifest): String = m.dataDir match {
+    case Some(dd) => DirLine + dd + "\n"
+    case None =>
+      ((PartColLine + m.partCol) +: m.partitions.sorted.map { case (v, d) =>
+        s"$PartLine$v=$d" }).mkString("", "\n", "\n")
+  }
+
+  /** Partition dir name with Spark/Hive escaping, so values containing
+    * path-special characters round-trip exactly like a native
+    * `partitionBy` write. */
+  private def partDirName(partCol: String, value: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .getPartitionPathString(partCol, value)
+
+  // --------------------------------------------------------------- claim
+
+  private def versionNumber(v: String): Int = v match {
+    case VersionRe(n) => n.toInt
+    case other => throw new IllegalArgumentException(s"not a version name: $other")
+  }
+  private def versionName(n: Int): String = f"v$n%08d"
+
+  /** Atomically claim version number `n`: write a tmp manifest and
+    * rename it to `_commits/vN` WITHOUT overwrite. Exactly one of two
+    * concurrent claimants of the same number succeeds (create-
+    * exclusive rename is atomic on HDFS-like filesystems; rename(2)
+    * semantics locally). Returns false when the number was already
+    * taken. */
+  private[graft] def tryClaim(spark: SparkSession, tableDir: String, n: Int,
+                              manifest: Manifest): Boolean = {
+    val commits = new Path(tableDir, CommitDir)
+    val fs = fsOf(spark, commits)
+    fs.mkdirs(commits)
+    val target = new Path(commits, versionName(n))
+    if (fs.exists(target)) return false // cheap pre-check; the rename is the gate
+    val tmp = new Path(commits, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(manifestBody(manifest).getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(commits.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    try { fc.rename(tmp, target); true }
+    catch {
+      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+        fs.delete(tmp, false); false
+      case _: IOException if fs.exists(target) => // HDFS rename-to-existing variants
+        fs.delete(tmp, false); false
+    }
+  }
+
+  // ------------------------------------------------------------- commits
+
+  /** Publish `df` as the next whole-table version. Safe under
+    * concurrent writers: the payload is base-independent, so a claim
+    * collision retries with the next number until it wins. Returns the
+    * claimed version name. */
   def commitOverwrite(spark: SparkSession, tableDir: String, df: DataFrame): String = {
     val dir = new Path(tableDir)
-    val fs = fsOf(spark, dir)
-    fs.mkdirs(dir)
-    val next = listVersions(spark, tableDir)
-      .lastOption.map { case VersionRe(n) => n.toInt + 1 }.getOrElse(1)
-    val vName = f"v$next%08d"
-    val vPath = new Path(dir, vName)
-    // a crashed previous attempt may have left a partial dir with this
-    // number (it was never published — the manifest still names the old
-    // version), so Overwrite here is safe and self-cleaning
-    df.write.mode(SaveMode.Overwrite).parquet(vPath.toString)
-    publish(spark, dir, vName)
-    vName
-  }
-
-  /** Atomic manifest swap: write `_CURRENT.tmp`, rename-with-OVERWRITE
-    * onto `_CURRENT`. FileContext.rename(OVERWRITE) is the one-step
-    * atomic replace on HDFS; on the local filesystem it maps to
-    * rename(2), equally atomic. */
-  private def publish(spark: SparkSession, dir: Path, vName: String): Unit = {
-    val fs = fsOf(spark, dir)
-    val tmp = new Path(dir, Manifest + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write((vName + "\n").getBytes("UTF-8")) finally out.close()
-    val fc = FileContext.getFileContext(dir.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new Path(dir, Manifest), Options.Rename.OVERWRITE)
+    fsOf(spark, dir).mkdirs(dir)
+    val dd = newDataDirName()
+    df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, dd).toString)
+    var n = listVersions(spark, tableDir).lastOption.map(versionNumber).getOrElse(0) + 1
+    while (!tryClaim(spark, tableDir, n, Manifest(Some(dd), "", Nil))) n += 1
+    versionName(n)
   }
 
   /** Merge `delta` into the live snapshot by `key` (delta wins on key
     * collision, unmatched delta rows are inserts) and publish the
-    * result as a new version. On an empty table the delta becomes v1.
+    * result as a new version; the whole table is rewritten (use
+    * [[commitMergePartitioned]] when deltas are partition-local). On an
+    * empty table the delta becomes v1.
+    *
+    * Read-modify-write: the claim targets exactly base+1 (or
+    * `expectedVersion`+1 when the caller pins the snapshot it read) —
+    * if another writer commits in between, this throws
+    * [[ConcurrentSnapshotCommitException]] and the caller re-runs.
     *
     * The anti-join keeps base rows whose key is absent from the delta;
     * with a small delta Catalyst broadcasts its key set, so the base
     * scan is map-only — one full-table write, zero full-table
     * shuffles. */
   def commitUpsert(spark: SparkSession, tableDir: String, delta: DataFrame,
-                   key: String): String =
-    currentVersion(spark, tableDir) match {
+                   key: String, expectedVersion: Option[String] = None): String = {
+    val base = expectedVersion.orElse(currentVersion(spark, tableDir))
+    base match {
       case None => commitOverwrite(spark, tableDir, delta)
       case Some(v) =>
-        val base = readVersion(spark, tableDir, v)
-        val merged = base.join(delta.select(col(key)).distinct(), Seq(key), "left_anti")
+        val merged = readVersion(spark, tableDir, v)
+          .join(delta.select(col(key)).distinct(), Seq(key), "left_anti")
           .unionByName(delta)
-        commitOverwrite(spark, tableDir, merged)
+        val dd = newDataDirName()
+        merged.write.mode(SaveMode.ErrorIfExists)
+          .parquet(new Path(new Path(tableDir), dd).toString)
+        claimExactlyAfter(spark, tableDir, v, Manifest(Some(dd), "", Nil))
     }
+  }
 
-  /** Drop all version directories except the newest `keep` AND the one
-    * the manifest names (a reader pinned to the live version must
-    * always survive). Returns the number of versions removed. Callers
-    * choose a `keep` horizon longer than their longest reader. */
-  def vacuum(spark: SparkSession, tableDir: String, keep: Int = 2): Int = {
-    val fs = fsOf(spark, new Path(tableDir))
-    val live = currentVersion(spark, tableDir)
+  /** Publish `df` as the next version of a PARTITIONED table: the data
+    * dir is written `partitionBy(partCol)` and the manifest maps every
+    * partition value to it. NULL partition values are refused (same
+    * contract as [[graft.etl.Dims.partitionScopedMerge]]). */
+  def commitOverwritePartitioned(spark: SparkSession, tableDir: String,
+                                 df: DataFrame, partCol: String): String = {
+    val dir = new Path(tableDir)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(dir)
+    val dd = newDataDirName()
+    val ddPath = new Path(dir, dd)
+    df.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol)
+      .parquet(ddPath.toString)
+    val values = listPartitionValues(fs, ddPath, partCol)
+    require(values.nonEmpty, "commitOverwritePartitioned: empty dataframe")
+    val m = Manifest(None, partCol, values.map(v => v -> dd))
+    var n = listVersions(spark, tableDir).lastOption.map(versionNumber).getOrElse(0) + 1
+    while (!tryClaim(spark, tableDir, n, m)) n += 1
+    versionName(n)
+  }
+
+  /** Partition-scoped merge commit: upsert `delta` by `key` into ONLY
+    * the partitions it touches, inside a NEW data dir, and publish a
+    * manifest where untouched partitions keep referencing their
+    * existing files — which therefore stay byte-identical across the
+    * commit (proved in SnapshotsSpec), while the reader-atomic
+    * single-claim publish is unchanged. Commit cost scales with the
+    * delta: at 100 TB, a daily one-partition delta rewrites one
+    * partition, not the table.
+    *
+    * Read-modify-write CAS semantics as [[commitUpsert]]. */
+  def commitMergePartitioned(spark: SparkSession, tableDir: String,
+                             delta: DataFrame, key: String, partCol: String,
+                             tieBreak: Seq[Column] = Nil,
+                             expectedVersion: Option[String] = None): String = {
+    val base = expectedVersion.orElse(currentVersion(spark, tableDir))
+    base match {
+      case None => commitOverwritePartitioned(spark, tableDir, delta, partCol)
+      case Some(v) =>
+        val m = readManifest(spark, tableDir, v)
+        require(m.dataDir.isEmpty && m.partCol == partCol,
+          s"commitMergePartitioned: version $v of $tableDir is not partitioned by $partCol")
+        val touchedRaw = delta.select(col(partCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        require(!touchedRaw.contains(null),
+          s"commitMergePartitioned: delta has NULL $partCol values; " +
+            "null partitions are not supported — filter or default them first")
+        val touched = touchedRaw.sorted
+        val owned = m.partitions.toMap
+        // base subset = the touched partitions that already exist,
+        // read from their owning data dirs (partition pruning by
+        // construction — only those dirs are listed)
+        val existing = touched.filter(owned.contains)
+        val baseSubset = if (existing.isEmpty) None else Some(
+          existing.groupBy(owned).map { case (ownerDir, values) =>
+            val ownerPath = new Path(new Path(tableDir), ownerDir)
+            val paths = values.map(vl =>
+              new Path(ownerPath, partDirName(partCol, vl)).toString)
+            spark.read.option("basePath", ownerPath.toString).parquet(paths: _*)
+          }.reduce(_ unionByName _))
+        // align the delta to the base's exact column types (arithmetic
+        // widens decimals; a forked schema would break later reads)
+        val aligned = baseSubset match {
+          case Some(b) => delta.select(
+            b.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+          case None => delta
+        }
+        val merged = graft.etl.Dims.upsert(baseSubset, aligned, key, tieBreak)
+        val dd = newDataDirName()
+        merged.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol)
+          .parquet(new Path(new Path(tableDir), dd).toString)
+        val newParts = (owned ++ touched.map(_ -> dd)).toSeq
+        claimExactlyAfter(spark, tableDir, v, Manifest(None, partCol, newParts))
+    }
+  }
+
+  /** Claim exactly base+1 or fail loudly (the read-modify-write CAS). */
+  private def claimExactlyAfter(spark: SparkSession, tableDir: String,
+                                baseVersion: String, m: Manifest): String = {
+    val n = versionNumber(baseVersion) + 1
+    if (!tryClaim(spark, tableDir, n, m))
+      throw new ConcurrentSnapshotCommitException(
+        s"Snapshots: version ${versionName(n)} of $tableDir was claimed by a " +
+          s"concurrent writer; re-run the merge against the new live snapshot")
+    versionName(n)
+  }
+
+  private def listPartitionValues(fs: FileSystem, dataDir: Path,
+                                  partCol: String): Seq[String] = {
+    val prefix = partCol + "="
+    fs.listStatus(dataDir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(n.stripPrefix(prefix)) }
+      .sorted
+  }
+
+  // -------------------------------------------------------------- vacuum
+
+  /** Retention: drop commit manifests except the newest `keep` (the
+    * live one always survives), then delete data dirs no remaining
+    * manifest references — EXCEPT unreferenced dirs younger than
+    * `orphanGraceMs`, which may be a concurrent committer's in-flight
+    * write (its claim hasn't landed yet). Callers choose `keep` longer
+    * than their longest reader and a grace longer than their longest
+    * write. Returns the number of versions (manifests) removed. */
+  def vacuum(spark: SparkSession, tableDir: String, keep: Int = 2,
+             orphanGraceMs: Long = 3600000L): Int = {
+    val dir = new Path(tableDir)
+    val fs = fsOf(spark, dir)
     val versions = listVersions(spark, tableDir)
-    val doomed = versions.dropRight(math.max(keep, 1)).filterNot(live.contains)
-    doomed.foreach(v => fs.delete(new Path(new Path(tableDir), v), true))
+    val kept = versions.takeRight(math.max(keep, 1))
+    val doomed = versions.dropRight(math.max(keep, 1))
+    doomed.foreach(v => fs.delete(new Path(new Path(tableDir, CommitDir), v), false))
+    val referenced: Set[String] = kept.flatMap { v =>
+      val m = readManifest(spark, tableDir, v)
+      m.dataDir.toSeq ++ m.partitions.map(_._2)
+    }.toSet
+    val cutoff = System.currentTimeMillis() - math.max(orphanGraceMs, 0L)
+    if (fs.exists(dir)) fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
+      .filter(st => !referenced.contains(st.getPath.getName))
+      .filter(st => st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
     doomed.size
   }
 }

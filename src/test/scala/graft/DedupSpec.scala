@@ -86,6 +86,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccard(spark, dir).count() === 0L)
   }
 
+  test("band-bucket cap bounds LSH candidates under a planted 60-clone boilerplate cluster") {
+    val boiler = "subscribe to our newsletter for daily updates and exclusive offers today"
+    val real = "spark catalyst optimizer rewrites logical plans into efficient physical plans"
+    val docs = (0L until 60L).map(i => (i, boiler, "en", "src", 70L)) ++ Seq(
+      (200L, real, "en", "src", 70L), (201L, real, "en", "src", 70L),
+      (300L, "a lone unrelated document mentioning parquet files and shuffle partitions",
+        "en", "src", 70L))
+    val sh = Dedup.shingleRowsOf(docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val sig = Dedup.minhashSignaturesFrom(sh).cache()
+    // the 60 clones share every band signature → 4 buckets of 60 > cap
+    // → anti-joined away; only the planted genuine pair remains
+    assert(Dedup.cappedBandCandidates(sig, cap = 50).count() === 1L)
+    // uncapped, the same corpus floods the band join with 60·59/2
+    // clone pairs on ONE key — the skew this cap exists to bound
+    assert(Dedup.cappedBandCandidates(sig, cap = 10000).count() === 60L * 59 / 2 + 1)
+    // and cluster resolution over the capped gated path stays tiny:
+    // one 2-doc component, nothing from the boilerplate cluster
+    val pairs = Dedup.minhashLshCappedFrom(sh).select(col("da"), col("db"))
+    val labels = operators.Components.minLabel(pairs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(labels === Map(200L -> 200L, 201L -> 200L))
+    sig.unpersist()
+  }
+
   test("simhash: identical normalized token sets get identical signatures") {
     val sigs = Dedup.simhashSignatures(spark, corpusDir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

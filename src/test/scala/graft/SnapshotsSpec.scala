@@ -4,16 +4,33 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.Snapshots
+import graft.sources.{ConcurrentSnapshotCommitException, Snapshots}
 
-/** Manifest-committed versioned table: reader atomicity, upsert
-  * semantics, crash behavior, vacuum retention. */
+/** Commit-log versioned table: reader atomicity, upsert semantics,
+  * crash behavior, CAS multi-writer claims, partition-scoped commits,
+  * vacuum retention. */
 class SnapshotsSpec extends SparkSpec {
 
   import spark.implicits._
 
   private def freshDir(): String =
     Files.createTempDirectory("graft_snap").toString + "/t"
+
+  /** (relative path, length, mtime) of every data file under a table —
+    * the byte-identity fingerprint for untouched-partition proofs. */
+  private def fileStates(dir: String, prefix: String): Map[String, (Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val b = Map.newBuilder[String, (Long, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(root.toString + "/")
+      if (rel.startsWith(prefix) && st.getPath.getName.endsWith(".parquet"))
+        b += rel -> ((st.getLen, st.getModificationTime))
+    }
+    b.result()
+  }
 
   test("commitOverwrite publishes; read returns exactly the committed rows") {
     val dir = freshDir()
@@ -25,10 +42,10 @@ class SnapshotsSpec extends SparkSpec {
       .toSeq === Seq((1L, "a"), (2L, "b")))
   }
 
-  test("second commit advances the manifest; the old version stays readable (pinned reader)") {
+  test("second commit advances the log; the old version stays readable (pinned reader)") {
     val dir = freshDir()
     Snapshots.commitOverwrite(spark, dir, Seq((1L, "a")).toDF("k", "v"))
-    // a long-running reader resolves the manifest BEFORE the next commit
+    // a long-running reader resolves the log BEFORE the next commit
     val pinned = Snapshots.currentVersion(spark, dir).get
     val v2 = Snapshots.commitOverwrite(spark, dir, Seq((1L, "A"), (3L, "c")).toDF("k", "v"))
     assert(v2 === "v00000002")
@@ -39,19 +56,29 @@ class SnapshotsSpec extends SparkSpec {
       .toSeq === Seq((1L, "a")))
   }
 
-  test("a crashed commit (data written, manifest not swapped) leaves readers untouched; next commit skips past it") {
+  test("a crashed commit (data written, manifest not claimed) is invisible; vacuum's orphan sweep reclaims it") {
     val dir = freshDir()
     Snapshots.commitOverwrite(spark, dir, Seq((1L, "a")).toDF("k", "v"))
-    // simulate a writer that died after the data write, before publish:
-    // the version dir exists but _CURRENT still names v1
-    Seq((9L, "junk")).toDF("k", "v").write.parquet(s"$dir/v00000002")
+    // simulate a writer that died after the data write, before the
+    // claim: an unreferenced data dir exists, the commit log does not
+    // mention it
+    Seq((9L, "junk")).toDF("k", "v").write.parquet(s"$dir/d-deadbeef0000")
     assert(Snapshots.currentVersion(spark, dir) === Some("v00000001"))
     assert(Snapshots.read(spark, dir).as[(Long, String)].collect().toSeq === Seq((1L, "a")))
-    // the next commit allocates v3 (never reuses the orphan's number in
-    // a way that could publish partial data) and publishes atomically
-    val v3 = Snapshots.commitOverwrite(spark, dir, Seq((2L, "b")).toDF("k", "v"))
-    assert(v3 === "v00000003")
+    // the next commit is unaffected by the orphan
+    val v2 = Snapshots.commitOverwrite(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    assert(v2 === "v00000002")
     assert(Snapshots.read(spark, dir).as[(Long, String)].collect().toSeq === Seq((2L, "b")))
+    // within the grace window the orphan survives (it could be a
+    // concurrent committer's in-flight write)...
+    Snapshots.vacuum(spark, dir, keep = 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/d-deadbeef0000")))
+    // ...past it, the sweep reclaims it and reads are untouched
+    Snapshots.vacuum(spark, dir, keep = 2, orphanGraceMs = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/d-deadbeef0000")))
+    assert(Snapshots.read(spark, dir).count() === 1)
   }
 
   test("commitUpsert: delta wins on collision, inserts new keys, first commit bootstraps") {
@@ -62,16 +89,143 @@ class SnapshotsSpec extends SparkSpec {
       .toSeq === Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
-  test("vacuum drops old versions, never the live one; read survives") {
+  test("tryClaim is a CAS: exactly one claimant of a version number wins") {
     val dir = freshDir()
-    (1 to 4).foreach(i => Snapshots.commitOverwrite(spark, dir, Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    Snapshots.commitOverwrite(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    val m = Snapshots.readManifest(spark, dir, "v00000001")
+    assert(Snapshots.tryClaim(spark, dir, 2, m) === true)
+    assert(Snapshots.tryClaim(spark, dir, 2, m) === false) // number taken
+    assert(Snapshots.currentVersion(spark, dir) === Some("v00000002"))
+  }
+
+  test("interleaved committers: overwrite retries past the winner; read-modify-write loses loudly") {
+    val dir = freshDir()
+    Snapshots.commitOverwrite(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    // writer A resolves the snapshot it will merge against...
+    val aBase = Snapshots.currentVersion(spark, dir).get
+    // ...writer B commits first (wins v2)
+    assert(Snapshots.commitOverwrite(spark, dir,
+      Seq((1L, "B")).toDF("k", "v")) === "v00000002")
+    // A's upsert against its stale base must FAIL, not silently drop
+    // B's rows under the next number
+    intercept[ConcurrentSnapshotCommitException] {
+      Snapshots.commitUpsert(spark, dir, Seq((2L, "x")).toDF("k", "v"), "k",
+        expectedVersion = Some(aBase))
+    }
+    // A re-runs against the new live snapshot and lands v3 with B's
+    // rows intact
+    assert(Snapshots.commitUpsert(spark, dir,
+      Seq((2L, "x")).toDF("k", "v"), "k") === "v00000003")
+    assert(Snapshots.read(spark, dir).orderBy("k").as[(Long, String)].collect()
+      .toSeq === Seq((1L, "B"), (2L, "x")))
+    // a plain overwrite is base-independent → collisions just advance
+    assert(Snapshots.commitOverwrite(spark, dir,
+      Seq((9L, "z")).toDF("k", "v")) === "v00000004")
+  }
+
+  test("concurrent overwrite committers all land distinct versions; final state is one of theirs") {
+    val dir = freshDir()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence((1 to 4).toList.map(i => Future {
+        Snapshots.commitOverwrite(spark, dir, Seq((i.toLong, s"w$i")).toDF("k", "v"))
+      })), 120.seconds)
+    assert(results.toSet.size === 4) // no two writers share a version
+    assert(Snapshots.currentVersion(spark, dir) === Some(results.max))
+    val live = Snapshots.read(spark, dir).as[(Long, String)].collect().toSeq
+    assert(live.size === 1 && live.head._2.startsWith("w"))
+  }
+
+  test("partition-scoped merge commit rewrites only touched partitions; untouched files are byte-identical") {
+    val dir = freshDir()
+    val base = Seq(
+      (1L, "F", 10.0), (2L, "F", 20.0),
+      (3L, "O", 30.0), (4L, "O", 40.0),
+      (5L, "P", 50.0)).toDF("k", "status", "amount")
+    val v1 = Snapshots.commitOverwritePartitioned(spark, dir, base, "status")
+    assert(v1 === "v00000001")
+    assert(Snapshots.read(spark, dir).count() === 5)
+    val before = fileStates(dir, "d-")
+    // pinned reader on v1
+    val pinned = Snapshots.currentVersion(spark, dir).get
+    // delta touches ONLY partition F: one update, one insert
+    val delta = Seq((2L, "F", 99.0), (6L, "F", 60.0)).toDF("k", "status", "amount")
+    val v2 = Snapshots.commitMergePartitioned(spark, dir, delta, "k", "status")
+    assert(v2 === "v00000002")
+    val after = fileStates(dir, "d-")
+    // every pre-commit file still exists, with identical length+mtime
+    // (nothing was rewritten in place — O and P are REFERENCED, not
+    // copied; only a new data dir with partition F was added)
+    before.foreach { case (rel, st) => assert(after.get(rel) === Some(st), rel) }
+    val m2 = Snapshots.readManifest(spark, dir, v2).partitions.toMap
+    val m1 = Snapshots.readManifest(spark, dir, v1).partitions.toMap
+    assert(m2.view.filterKeys(Set("O", "P")).toMap
+      === m1.view.filterKeys(Set("O", "P")).toMap)
+    assert(m2.get("F") !== m1.get("F"))
+    // merged content: delta wins on k=2, k=6 inserted, O/P untouched
+    assert(Snapshots.read(spark, dir).orderBy("k")
+      .select(col("k"), col("status"), col("amount"))
+      .as[(Long, String, Double)].collect().toSeq === Seq(
+        (1L, "F", 10.0), (2L, "F", 99.0), (3L, "O", 30.0),
+        (4L, "O", 40.0), (5L, "P", 50.0), (6L, "F", 60.0)))
+    // the pinned reader still sees the complete v1 snapshot
+    assert(Snapshots.readVersion(spark, dir, pinned).count() === 5)
+    // a new partition value arriving in a later delta is an insert
+    val v3 = Snapshots.commitMergePartitioned(spark, dir,
+      Seq((7L, "X", 70.0)).toDF("k", "status", "amount"), "k", "status")
+    assert(Snapshots.readVersion(spark, dir, v3).filter(col("status") === "X").count() === 1)
+    assert(Snapshots.read(spark, dir).count() === 7)
+  }
+
+  test("partitioned read-modify-write also loses loudly to an interleaved commit") {
+    val dir = freshDir()
+    Snapshots.commitOverwritePartitioned(spark, dir,
+      Seq((1L, "F", 1.0)).toDF("k", "status", "amount"), "status")
+    val stale = Snapshots.currentVersion(spark, dir).get
+    Snapshots.commitMergePartitioned(spark, dir,
+      Seq((2L, "F", 2.0)).toDF("k", "status", "amount"), "k", "status")
+    intercept[ConcurrentSnapshotCommitException] {
+      Snapshots.commitMergePartitioned(spark, dir,
+        Seq((3L, "F", 3.0)).toDF("k", "status", "amount"), "k", "status",
+        expectedVersion = Some(stale))
+    }
+  }
+
+  test("vacuum drops old manifests and unreferenced data dirs, never the live chain") {
+    val dir = freshDir()
+    (1 to 4).foreach(i =>
+      Snapshots.commitOverwrite(spark, dir, Seq((i.toLong, s"v$i")).toDF("k", "v")))
     assert(Snapshots.listVersions(spark, dir).size === 4)
-    val removed = Snapshots.vacuum(spark, dir, keep = 2)
+    val removed = Snapshots.vacuum(spark, dir, keep = 2, orphanGraceMs = 0L)
     assert(removed === 2)
     assert(Snapshots.listVersions(spark, dir) === Seq("v00000003", "v00000004"))
     assert(Snapshots.read(spark, dir).as[(Long, String)].collect().toSeq === Seq((4L, "v4")))
+    // v1/v2's data dirs are gone; v3/v4's remain (v3 = retained reader horizon)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
+    assert(dataDirs.size === 2)
     // vacuum(keep=1) keeps only the live version
-    assert(Snapshots.vacuum(spark, dir, keep = 1) === 1)
+    assert(Snapshots.vacuum(spark, dir, keep = 1, orphanGraceMs = 0L) === 1)
     assert(Snapshots.read(spark, dir).count() === 1)
+  }
+
+  test("partition-scoped vacuum never deletes a data dir the live manifest still references") {
+    val dir = freshDir()
+    Snapshots.commitOverwritePartitioned(spark, dir, Seq(
+      (1L, "F", 1.0), (2L, "O", 2.0)).toDF("k", "status", "amount"), "status")
+    // 3 partition-F-only merge commits — the ORIGINAL dir still owns O
+    (1 to 3).foreach(i => Snapshots.commitMergePartitioned(spark, dir,
+      Seq((1L, "F", i.toDouble)).toDF("k", "status", "amount"), "k", "status"))
+    Snapshots.vacuum(spark, dir, keep = 1, orphanGraceMs = 0L)
+    // the live version reads completely: partition O's files (owned by
+    // the v1 data dir, referenced by the live manifest) survived
+    assert(Snapshots.read(spark, dir).orderBy("k")
+      .select(col("k"), col("status"), col("amount"))
+      .as[(Long, String, Double)].collect().toSeq
+      === Seq((1L, "F", 3.0), (2L, "O", 2.0)))
   }
 }
