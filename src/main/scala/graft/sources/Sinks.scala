@@ -57,6 +57,41 @@ object Sinks {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Schema-profiled zstd level for [[writeSortedCompressed]]:
+    * text-dominated tables (string/binary columns are most of the
+    * bytes) get a higher level — range-clustered text is exactly where
+    * zstd's bigger search window keeps finding matches, so the extra
+    * CPU buys real size; numeric-dominated tables stay at the fast
+    * default, where higher levels cost CPU for near-zero gain on
+    * packed fixed-width values. Schema-only: no data scan. */
+  def chooseZstdLevel(df: DataFrame): Int = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val fields = df.schema.fields
+    val stringy = fields.count(f =>
+      f.dataType == StringType || f.dataType == BinaryType)
+    if (stringy * 2 >= fields.length) 9 else 3
+  }
+
+  /** [[writeSorted]] with per-write compression tuning. The range
+    * clustering is what makes the codec earn its keep: similar rows
+    * land in the same row group, so zstd (dictionary + long-window
+    * matching) compresses far better than on randomly-ordered data.
+    * The level defaults to [[chooseZstdLevel]]'s schema profile;
+    * override it for cold archival tables (higher) or write-hot
+    * staging (lower). Both options travel on the WRITER (merged into
+    * the per-job hadoop conf), never the session — concurrent writes
+    * with different levels don't race. Measured at sf0.01 in
+    * SinksSpec; numbers recorded in docs/SCALE.md. */
+  def writeSortedCompressed(df: DataFrame, path: String, sortCols: Seq[String],
+                            zstdLevel: Option[Int] = None): Unit =
+    df.repartitionByRange(sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .option("parquet.compression.codec.zstd.level",
+        zstdLevel.getOrElse(chooseZstdLevel(df)).toString)
+      .parquet(path)
+
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 

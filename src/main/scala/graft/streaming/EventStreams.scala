@@ -75,6 +75,30 @@ object EventStreams {
         }
       }
 
+  /** Rate-limited file-stream source — the backpressure surface.
+    *
+    * `maxFilesPerTrigger` caps how many NEW files each micro-batch
+    * admits, so a burst (a backfill dropping thousands of files, a
+    * stalled consumer catching up) is drained in bounded slices
+    * instead of one giant batch that overwhelms executor memory and
+    * blows the shuffle past state-store limits. The un-admitted
+    * backlog stays in the source — nothing is dropped; the stream is
+    * simply never asked to hold more than
+    * maxFilesPerTrigger × maxPartitionBytes at once. This is the file
+    * analog of Kafka's maxOffsetsPerTrigger; the same option composes
+    * with every transform in this module (they take DataFrames).
+    *
+    * Contract: per-batch input size ≤ maxFilesPerTrigger files,
+    * end-to-end totals unchanged (asserted under a burst in
+    * StreamingSpec). */
+  def fileSource(spark: SparkSession, dir: String,
+                 schema: org.apache.spark.sql.types.StructType,
+                 maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
   /** Stream-static enrichment: join the unbounded event stream against
     * a bounded dimension (broadcast — the static side is re-read per
     * micro-batch and ships to every executor once; no stream-side

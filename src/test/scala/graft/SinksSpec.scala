@@ -30,6 +30,36 @@ class SinksSpec extends SparkSpec {
       s"avg span ${spans.sum / spans.length} vs global ${globalHi - globalLo}")
   }
 
+  test("writeSortedCompressed: zstd shrinks sorted text tables vs default codec, losslessly") {
+    val dir = Files.createTempDirectory("graft_zstd").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def dirBytes(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(hp).getLength
+    }
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // text-heavy schema → the profile picks the high level
+    assert(Sinks.chooseZstdLevel(docs) === 9)
+    // numeric-heavy schema → fast default
+    assert(Sinks.chooseZstdLevel(
+      spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")) === 3)
+    val (_, tSnappy) = timed(Sinks.writeSorted(docs, s"$dir/snappy", Seq("source", "doc_id")))
+    val (_, tZstd) = timed(Sinks.writeSortedCompressed(docs, s"$dir/zstd", Seq("source", "doc_id")))
+    val (bSnappy, bZstd) = (dirBytes(s"$dir/snappy"), dirBytes(s"$dir/zstd"))
+    info(f"documents sf0.01: snappy ${bSnappy / 1024}%d KiB in $tSnappy%.2f s, " +
+      f"zstd-9 ${bZstd / 1024}%d KiB in $tZstd%.2f s (${100.0 * bZstd / bSnappy}%.1f%% of snappy)")
+    // the size win is the point: zstd-9 on range-clustered text must be
+    // materially smaller than the session default codec
+    assert(bZstd < bSnappy * 0.8, s"zstd $bZstd vs snappy $bSnappy")
+    // lossless round trip
+    assert(spark.read.parquet(s"$dir/zstd").count() === docs.count())
+    assert(spark.read.parquet(s"$dir/zstd").agg(sum(length(col("text")))).head.getLong(0)
+      === docs.agg(sum(length(col("text")))).head.getLong(0))
+  }
+
   test("compact merges many small files into few, losslessly") {
     val dir = Files.createTempDirectory("graft_compact").toString
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")

@@ -182,6 +182,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger bounds per-batch rows under a file burst; totals unchanged") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft_bp").toString
+    val in = s"$root/in"
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    // burst: 6 files land at once, one row each
+    (0 until 6).foreach { i =>
+      Seq((ts(i), "click", i.toDouble)).toDF("ts", "event_type", "value")
+        .repartition(1).write.mode("append").parquet(in)
+    }
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = EventStreams.fileSource(spark, in, schema, maxFilesPerTrigger = 2)
+      .writeStream
+      .option("checkpointLocation", s"$root/cp")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(batch.count()); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sizes = batchSizes.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    // the burst drained in ≥3 bounded slices, never more than 2 files'
+    // rows per micro-batch, and nothing was dropped
+    assert(sizes.sum === 6L, s"rows lost or duplicated: $sizes")
+    assert(sizes.forall(_ <= 2L), s"a batch exceeded the rate limit: $sizes")
+    assert(sizes.count(_ > 0) >= 3, s"burst not sliced: $sizes")
+  }
+
   test("foreachBatch merge sink upserts micro-batches partition-scoped, replay-idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_msink").toString
