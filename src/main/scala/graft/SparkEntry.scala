@@ -363,6 +363,37 @@ object SparkEntry {
       graft.sources.Snapshots.vacuum(s, table) // manifests bounded across reps
       out
     }),
+    // snapshot version diff, manifest-pruned: partitions whose manifest
+    // entry names the same immutable data dir in both versions are
+    // skipped without reading a row, so diffing a daily one-partition
+    // merge reads ONE partition twice, never two tables. The fixture
+    // commits v1 (2/3 of orders, partitioned) and v2 (the q79 delta
+    // merged) once per JVM; every call is a pure read of those two
+    // immutable versions
+    "q80_snapshot_diff" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val table = fixture("snapd", s, d, "orders") { path =>
+        graft.sources.Snapshots.commitOverwritePartitioned(s, path,
+          o.filter(col("o_orderkey") % 3 =!= 0), "o_orderstatus")
+        val delta = o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 97 === 0)
+          .withColumn("price", col("price") + lit(50).cast(DecimalType(18, 2)))
+        graft.sources.Snapshots.commitMergePartitioned(s, path, delta,
+          "o_orderkey", "o_orderstatus")
+        ()
+      }
+      graft.sources.Snapshots.diffVersionsPartitioned(s, table,
+          "v00000001", "v00000002", "o_orderkey")
+        .filter(col("change") =!= "unchanged")
+        .select(col("change"),
+          coalesce(col("_new.o_orderstatus"), col("_old.o_orderstatus")).as("o_orderstatus"))
+        .groupBy(col("change"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("change"), col("o_orderstatus"))
+    }),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -985,6 +1016,28 @@ object SparkEntry {
     // identical merge semantics via the snapshot commit log; the
     // partition-referencing and CAS proofs live in SnapshotsSpec
     "q79_snapshot_partition_merge" -> partitionMergeOracleSql,
+    // diff of v1 (= batch1) against v2 (= batch1 merged with the q79
+    // delta), stated naively as a full-outer join; the engine side is
+    // the manifest-pruned variant, which must produce the same rows
+    "q80_snapshot_diff" ->
+      """WITH batch1 AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |delta AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) + CAST(50 AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 97 = 0),
+        |merged AS (SELECT * FROM batch1
+        |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        |  UNION ALL SELECT * FROM delta),
+        |d AS (SELECT coalesce(b.o_orderstatus, a.o_orderstatus) AS o_orderstatus,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |         WHEN b.o_orderkey IS NULL THEN 'removed'
+        |         WHEN a.price <> b.price OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM batch1 a FULL OUTER JOIN merged b ON a.o_orderkey = b.o_orderkey)
+        |SELECT change, o_orderstatus, count(*) AS n FROM d
+        |WHERE change <> 'unchanged'
+        |GROUP BY change, o_orderstatus ORDER BY change, o_orderstatus""".stripMargin,
     "q63_weighted_sample" ->
       """WITH c AS (SELECT doc_id,
         |    len(string_split(text, ' ')) AS n_words,

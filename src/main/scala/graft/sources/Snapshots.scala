@@ -353,6 +353,66 @@ object Snapshots {
       .sorted
   }
 
+  // ---------------------------------------------------------------- diff
+
+  /** Row-level diff of two retained versions by `key`: one row per key
+    * present in either version, labeled `added` (new only), `removed`
+    * (old only), `changed` (payload differs, null-safe struct compare)
+    * or `unchanged`. Columns: key, `_old`/`_new` payload structs,
+    * `change`. One full-outer shuffle on the key — inherent for a
+    * whole-table diff; use [[diffVersionsPartitioned]] when both
+    * versions are partitioned commits. */
+  def diffVersions(spark: SparkSession, tableDir: String, vOld: String,
+                   vNew: String, key: String): DataFrame =
+    diffFrames(readVersion(spark, tableDir, vOld),
+      readVersion(spark, tableDir, vNew), key)
+
+  /** As [[diffVersions]] but manifest-pruned: a partition whose entry
+    * names the SAME data dir in both manifests is byte-identical by
+    * construction (data dirs are immutable) and is skipped without
+    * reading a row. After a daily single-partition
+    * [[commitMergePartitioned]], diffing the two versions of a 100 TB
+    * table reads two copies of ONE partition — the manifest does the
+    * partition pruning that a naive diff would pay a full-table
+    * full-outer join for. */
+  def diffVersionsPartitioned(spark: SparkSession, tableDir: String, vOld: String,
+                              vNew: String, key: String): DataFrame = {
+    val mo = readManifest(spark, tableDir, vOld)
+    val mn = readManifest(spark, tableDir, vNew)
+    require(mo.dataDir.isEmpty && mn.dataDir.isEmpty && mo.partCol == mn.partCol,
+      s"diffVersionsPartitioned: $vOld/$vNew of $tableDir are not partitioned commits " +
+        "on the same column")
+    val oldOwn = mo.partitions.toMap
+    val newOwn = mn.partitions.toMap
+    val changed = (oldOwn.keySet ++ newOwn.keySet)
+      .filter(v => oldOwn.get(v) != newOwn.get(v)).toSeq.sorted
+    def side(own: Map[String, String], version: String): DataFrame = {
+      val present = changed.filter(own.contains)
+      if (present.isEmpty)
+        readVersion(spark, tableDir, version).filter(lit(false)) // schema-only
+      else present.groupBy(own).map { case (ownerDir, values) =>
+        val ownerPath = new Path(new Path(tableDir), ownerDir)
+        val paths = values.map(vl => new Path(ownerPath, partDirName(mo.partCol, vl)).toString)
+        spark.read.option("basePath", ownerPath.toString).parquet(paths: _*)
+      }.reduce(_ unionByName _)
+    }
+    diffFrames(side(oldOwn, vOld), side(newOwn, vNew), key)
+  }
+
+  private def diffFrames(o: DataFrame, n: DataFrame, key: String): DataFrame = {
+    require(o.columns.sorted.sameElements(n.columns.sorted),
+      s"diff: column sets differ: ${o.columns.mkString(",")} vs ${n.columns.mkString(",")}")
+    val payload = o.columns.filterNot(_ == key).toSeq
+    val os = o.select(col(key), struct(payload.map(col): _*).as("_old"))
+    val ns = n.select(col(key), struct(payload.map(col): _*).as("_new"))
+    os.join(ns, Seq(key), "full_outer")
+      .withColumn("change",
+        when(col("_old").isNull, lit("added"))
+          .when(col("_new").isNull, lit("removed"))
+          .when(!(col("_old") <=> col("_new")), lit("changed"))
+          .otherwise(lit("unchanged")))
+  }
+
   // -------------------------------------------------------------- vacuum
 
   /** Retention: drop commit manifests except the newest `keep` (the

@@ -193,6 +193,39 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("version diff labels added/removed/changed; manifest-pruned diff equals the naive one") {
+    val dir = freshDir()
+    Snapshots.commitOverwritePartitioned(spark, dir, Seq(
+      (1L, "F", 10.0), (2L, "F", 20.0), (3L, "O", 30.0),
+      (5L, "P", 50.0)).toDF("k", "status", "amount"), "status")
+    // v2: update k=2, insert k=6 (F), insert a brand-new partition X;
+    // O and P untouched → their manifest entries (and files) unchanged
+    Snapshots.commitMergePartitioned(spark, dir, Seq(
+      (2L, "F", 99.0), (6L, "F", 60.0), (7L, "X", 70.0))
+      .toDF("k", "status", "amount"), "k", "status")
+    def collectDiff(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("change") =!= "unchanged")
+      .select(col("k"), col("change"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = collectDiff(
+      Snapshots.diffVersions(spark, dir, "v00000001", "v00000002", "k"))
+    val pruned = collectDiff(
+      Snapshots.diffVersionsPartitioned(spark, dir, "v00000001", "v00000002", "k"))
+    assert(naive === Set((2L, "changed"), (6L, "added"), (7L, "added")))
+    assert(pruned === naive)
+    // the pruned plan's scans list only files from the F/X partitions —
+    // never O/P (manifest pruning, not row filtering)
+    val files = Snapshots.diffVersionsPartitioned(
+        spark, dir, "v00000001", "v00000002", "k")
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.toSeq
+      }.flatten
+    assert(files.nonEmpty)
+    assert(!files.exists(f => f.contains("status=O") || f.contains("status=P")),
+      s"pruned diff read an untouched partition: ${files.mkString(",")}")
+  }
+
   test("vacuum drops old manifests and unreferenced data dirs, never the live chain") {
     val dir = freshDir()
     (1 to 4).foreach(i =>
