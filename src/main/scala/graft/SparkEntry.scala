@@ -42,6 +42,14 @@ object SparkEntry {
     })
   }
 
+  /** Delete a fixture path recursively (builders that must not inherit
+    * a crashed predecessor's partial state start from this). */
+  private def wipe(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.aggPricing(spark, "/root/testdata/sf0.001")
@@ -315,9 +323,12 @@ object SparkEntry {
       // Bench times the upsert-commit itself; re-upserting the same
       // delta is idempotent (delta wins by key), and vacuum below
       // bounds version accumulation across repeated calls
-      val table = fixture("snap", s, d, "orders")(path =>
+      val table = fixture("snap", s, d, "orders") { path =>
+        wipe(s, path) // a crashed builder + pid reuse could leave a partial chain
         graft.sources.Snapshots.commitOverwrite(s, path,
-          o.filter(col("o_orderkey") % 3 =!= 0)))
+          o.filter(col("o_orderkey") % 3 =!= 0))
+        ()
+      }
       val delta = o.filter(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 97 === 0)
         .withColumn("price", col("price") + lit(50).cast(DecimalType(18, 2)))
       graft.sources.Snapshots.commitUpsert(s, table, delta, "o_orderkey")
@@ -350,8 +361,11 @@ object SparkEntry {
       val o = graft.sources.Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
-      val table = fixture("snapp", s, d, "orders")(path =>
-        graft.sources.Snapshots.commitOverwritePartitioned(s, path, o, "o_orderstatus"))
+      val table = fixture("snapp", s, d, "orders") { path =>
+        wipe(s, path) // a crashed builder + pid reuse could leave a partial chain
+        graft.sources.Snapshots.commitOverwritePartitioned(s, path, o, "o_orderstatus")
+        ()
+      }
       val delta = o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 97 === 0)
         .withColumn("price", col("price") + lit(50).cast(DecimalType(18, 2)))
       graft.sources.Snapshots.commitMergePartitioned(s, table, delta,
@@ -377,6 +391,9 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
       val table = fixture("snapd", s, d, "orders") { path =>
+        // q80 pins version NAMES v1/v2, so a leftover chain from a
+        // crashed builder (pid reuse) would shift them — start clean
+        wipe(s, path)
         graft.sources.Snapshots.commitOverwritePartitioned(s, path,
           o.filter(col("o_orderkey") % 3 =!= 0), "o_orderstatus")
         val delta = o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 97 === 0)
