@@ -180,30 +180,50 @@ object Snapshots {
   }
   private def versionName(n: Int): String = f"v$n%08d"
 
+  /** Serializes same-JVM claimants. HDFS rejects a rename onto an
+    * existing file atomically server-side, but the LOCAL filesystem
+    * maps it to rename(2), which silently REPLACES the target — two
+    * in-process claimants of the same number could both "succeed".
+    * The lock closes the in-process race; the read-back below closes
+    * (to a narrow window) the cross-process one on local filesystems.
+    * On HDFS neither is needed and both are cheap. */
+  private val claimLock = new Object
+
   /** Atomically claim version number `n`: write a tmp manifest and
-    * rename it to `_commits/vN` WITHOUT overwrite. Exactly one of two
-    * concurrent claimants of the same number succeeds (create-
-    * exclusive rename is atomic on HDFS-like filesystems; rename(2)
-    * semantics locally). Returns false when the number was already
-    * taken. */
+    * rename it to `_commits/vN` WITHOUT overwrite, then read the
+    * target back and verify it carries OUR body (data dir names are
+    * attempt-unique, so bodies distinguish claimants). Exactly one of
+    * two concurrent claimants of the same number wins. Returns false
+    * when the number was already taken. */
   private[graft] def tryClaim(spark: SparkSession, tableDir: String, n: Int,
-                              manifest: Manifest): Boolean = {
+                              manifest: Manifest): Boolean = claimLock.synchronized {
     val commits = new Path(tableDir, CommitDir)
     val fs = fsOf(spark, commits)
     fs.mkdirs(commits)
     val target = new Path(commits, versionName(n))
     if (fs.exists(target)) return false // cheap pre-check; the rename is the gate
     val tmp = new Path(commits, s".tmp-${java.util.UUID.randomUUID()}")
+    val body = manifestBody(manifest)
     val out = fs.create(tmp, true)
-    try out.write(manifestBody(manifest).getBytes("UTF-8")) finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     val fc = FileContext.getFileContext(commits.toUri,
       spark.sparkContext.hadoopConfiguration)
-    try { fc.rename(tmp, target); true }
-    catch {
-      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
-        fs.delete(tmp, false); false
-      case _: IOException if fs.exists(target) => // HDFS rename-to-existing variants
-        fs.delete(tmp, false); false
+    val renamed =
+      try { fc.rename(tmp, target); true }
+      catch {
+        case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+          fs.delete(tmp, false); false
+        case _: IOException if fs.exists(target) => // HDFS rename-to-existing variants
+          fs.delete(tmp, false); false
+      }
+    renamed && {
+      val in = fs.open(target)
+      val readBack = try {
+        val bytes = new Array[Byte](body.getBytes("UTF-8").length + 64)
+        val read = in.read(bytes)
+        new String(bytes, 0, math.max(read, 0), "UTF-8")
+      } finally in.close()
+      readBack == body // lost a cross-process replace race → behave as loser
     }
   }
 
@@ -327,6 +347,38 @@ object Snapshots {
           .parquet(new Path(new Path(tableDir), dd).toString)
         val newParts = (owned ++ touched.map(_ -> dd)).toSeq
         claimExactlyAfter(spark, tableDir, v, Manifest(None, partCol, newParts))
+    }
+  }
+
+  /** Consolidate the live version into ONE fresh data dir and publish
+    * it as a new version — the table-rewrite/OPTIMIZE analog. A long
+    * chain of partition-scoped merges leaves the live manifest
+    * referencing one data dir per historical commit; every one of them
+    * is pinned against [[vacuum]] for as long as any live partition
+    * entry points at it. Compaction re-points every partition at a
+    * single new dir, after which vacuum can reclaim the whole chain.
+    * Readers are untouched until the one-claim publish (same protocol
+    * as every commit); read-modify-write CAS semantics as
+    * [[commitUpsert]] — a racing committer makes this throw, re-run.
+    * Returns the new version name. */
+  def compact(spark: SparkSession, tableDir: String): String = {
+    val v = currentVersion(spark, tableDir).getOrElse(
+      throw new IOException(s"Snapshots.compact: no committed version at $tableDir"))
+    val m = readManifest(spark, tableDir, v)
+    val dd = newDataDirName()
+    val ddPath = new Path(new Path(tableDir), dd)
+    m.dataDir match {
+      case Some(_) =>
+        readVersion(spark, tableDir, v)
+          .write.mode(SaveMode.ErrorIfExists).parquet(ddPath.toString)
+        claimExactlyAfter(spark, tableDir, v, Manifest(Some(dd), "", Nil))
+      case None =>
+        readVersion(spark, tableDir, v)
+          .write.mode(SaveMode.ErrorIfExists).partitionBy(m.partCol)
+          .parquet(ddPath.toString)
+        val values = listPartitionValues(fsOf(spark, ddPath), ddPath, m.partCol)
+        claimExactlyAfter(spark, tableDir, v,
+          Manifest(None, m.partCol, values.map(_ -> dd)))
     }
   }
 

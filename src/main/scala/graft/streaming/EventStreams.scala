@@ -99,6 +99,22 @@ object EventStreams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** Backfill/catch-up runner: drain everything currently available
+    * through a streaming query, then stop — streaming semantics
+    * (incremental state, checkpointed exactly-once sink, and the
+    * per-micro-batch rate limits of [[fileSource]] all still apply)
+    * with a batch job's lifecycle. The composition matters at scale: a
+    * month-sized backlog drains in maxFilesPerTrigger-bounded slices
+    * under the SAME checkpoint the live stream will then resume from,
+    * so backfill and steady-state share one exactly-once history. */
+  def runAvailableNow(writer: org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row]): Unit = {
+    val q = writer
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
   /** Stream-static enrichment: join the unbounded event stream against
     * a bounded dimension (broadcast — the static side is re-read per
     * micro-batch and ships to every executor once; no stream-side

@@ -246,6 +246,35 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() === 1)
   }
 
+  test("compact consolidates a merge chain into one data dir so vacuum can reclaim it") {
+    val dir = freshDir()
+    Snapshots.commitOverwritePartitioned(spark, dir, Seq(
+      (1L, "F", 1.0), (2L, "O", 2.0), (3L, "P", 3.0)).toDF("k", "status", "amount"), "status")
+    (1 to 3).foreach(i => Snapshots.commitMergePartitioned(spark, dir,
+      Seq((1L, "F", i * 10.0), (10L + i, "O", i.toDouble))
+        .toDF("k", "status", "amount"), "k", "status"))
+    def owners(v: String) =
+      Snapshots.readManifest(spark, dir, v).partitions.map(_._2).distinct
+    val live = Snapshots.currentVersion(spark, dir).get
+    assert(owners(live).size >= 2, "merge chain should span multiple data dirs")
+    val before = Snapshots.read(spark, dir).orderBy("k")
+      .as[(Long, Double, String)].collect().toSeq
+    val cv = Snapshots.compact(spark, dir)
+    assert(owners(cv).size === 1)
+    // identical content through the rewrite
+    assert(Snapshots.read(spark, dir).orderBy("k")
+      .as[(Long, Double, String)].collect().toSeq === before)
+    // the chain is now unreferenced → vacuum reclaims every old dir
+    Snapshots.vacuum(spark, dir, keep = 1, orphanGraceMs = 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
+    assert(dataDirs.size === 1)
+    assert(Snapshots.read(spark, dir).orderBy("k")
+      .as[(Long, Double, String)].collect().toSeq === before)
+  }
+
   test("partition-scoped vacuum never deletes a data dir the live manifest still references") {
     val dir = freshDir()
     Snapshots.commitOverwritePartitioned(spark, dir, Seq(

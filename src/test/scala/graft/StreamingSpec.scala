@@ -211,6 +211,43 @@ class StreamingSpec extends SparkSpec {
     assert(sizes.count(_ > 0) >= 3, s"burst not sliced: $sizes")
   }
 
+  test("AvailableNow backfill drains a rate-limited backlog to completion, then terminates") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft_an").toString
+    val in = s"$root/in"
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    (0 until 5).foreach { i =>
+      Seq((ts(i), "click", i.toDouble)).toDF("ts", "event_type", "value")
+        .repartition(1).write.mode("append").parquet(in)
+    }
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    EventStreams.runAvailableNow(
+      EventStreams.fileSource(spark, in, schema, maxFilesPerTrigger = 2)
+        .writeStream
+        .option("checkpointLocation", s"$root/cp")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batchSizes.add(batch.count()); ()
+        })
+    val sizes = batchSizes.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    // terminated on its own with the whole backlog drained, still in
+    // rate-limited slices — and a SECOND run from the same checkpoint
+    // reprocesses nothing (shared exactly-once history)
+    assert(sizes.sum === 5L, s"backlog not fully drained: $sizes")
+    assert(sizes.forall(_ <= 2L), s"rate limit exceeded: $sizes")
+    batchSizes.clear()
+    EventStreams.runAvailableNow(
+      EventStreams.fileSource(spark, in, schema, maxFilesPerTrigger = 2)
+        .writeStream
+        .option("checkpointLocation", s"$root/cp")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batchSizes.add(batch.count()); ()
+        })
+    val second = batchSizes.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    assert(second.sum === 0L, s"checkpoint replayed data: $second")
+  }
+
   test("foreachBatch merge sink upserts micro-batches partition-scoped, replay-idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_msink").toString
