@@ -123,8 +123,12 @@ object Dims {
 
   /** Partition-scoped merge-upsert over a directory-partitioned
     * parquet table: only the partitions the incoming batch TOUCHES are
-    * read, merged and rewritten — untouched partitions' files are
-    * never opened. At 100 TB this is the difference between rewriting
+    * merged and rewritten. Untouched partitions contribute only a
+    * narrow (key, partCol) column scan that detects cross-partition
+    * key moves — a batch row whose key already lives elsewhere pulls
+    * that partition into the rewrite and the stale row is deleted
+    * (full MERGE semantics; a key is never duplicated across
+    * partitions). At 100 TB this is the difference between rewriting
     * a day's partition and rewriting the table: cost scales with the
     * delta, not the base.
     *
@@ -148,10 +152,25 @@ object Dims {
     // __HIVE_DEFAULT_PARTITION__ rows in the isin() prune while dynamic
     // overwrite still replaced that partition — existing rows would be
     // dropped. Refuse loudly instead of corrupting.
-    require(!touchedRaw.contains(null),
-      s"partitionScopedMerge: incoming batch has NULL $partCol values; " +
+    require(!touchedRaw.contains(null) && !touchedRaw.contains(""),
+      s"partitionScopedMerge: incoming batch has NULL or empty $partCol values; " +
         "null partitions are not supported — filter or default them first")
-    val touched = touchedRaw.sorted
+    // Cross-partition key moves (an incoming row whose key already
+    // lives in a partition the batch does NOT touch): the stale row
+    // must be deleted or the table holds the key twice. Detect by
+    // scanning only (key, partCol) of the untouched partitions
+    // (column-pruned, map-only) semi-joined against the broadcast
+    // incoming key set; moved-from partitions join the touched set and
+    // the delta-wins upsert below drops their stale rows — the
+    // Delta/Iceberg MERGE delete-and-reinsert semantics.
+    val incomingKeys = incoming.select(col(key)).distinct()
+    val movedParts = spark.read.parquet(basePath)
+      .filter(!col(partCol).isin(touchedRaw: _*))
+      .select(col(key), col(partCol).cast("string").as("_p"))
+      .join(broadcast(incomingKeys), Seq(key), "left_semi")
+      .select(col("_p")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val touched = (touchedRaw ++ movedParts).distinct.sorted
     val base = spark.read.parquet(basePath)
       .filter(col(partCol).isin(touched: _*))
     // align the incoming batch to the base's EXACT column types: a
@@ -171,11 +190,25 @@ object Dims {
     val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       merged.write.mode("overwrite").parquet(staging)
-      spark.read.parquet(staging)
-        .write.mode("overwrite")
+      val stagedBack = spark.read.parquet(staging)
+      stagedBack.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol)
         .parquet(basePath)
+      // a moved-from partition can be EMPTIED (every row moved out);
+      // dynamic overwrite only replaces partitions PRESENT in the
+      // written frame, so the stale dir must be dropped explicitly.
+      // (Not atomic with the overwrite — this operator is documented
+      // single-writer; Snapshots.commitMergePartitioned is the
+      // manifest-atomic answer.)
+      val present = stagedBack.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+      touched.filterNot(present).foreach { v =>
+        val dir = new org.apache.hadoop.fs.Path(basePath,
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(partCol, v))
+        fs.delete(dir, true)
+      }
     } finally fs.delete(stagingPath, true) // never leak staging data on failure
     touched
   }

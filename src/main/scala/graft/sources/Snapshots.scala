@@ -116,15 +116,11 @@ object Snapshots {
     m.dataDir match {
       case Some(dd) => spark.read.parquet(new Path(tableDir, dd).toString)
       case None =>
-        // group partitions by owning data dir: one read per owner with
-        // basePath so the partition column is inferred exactly as for
-        // a plain partitioned-parquet read, then union by name
-        m.partitions.groupBy(_._2).map { case (owner, parts) =>
-          val base = new Path(tableDir, owner)
-          val paths = parts.map { case (value, _) =>
-            new Path(base, partDirName(m.partCol, value)).toString }
-          spark.read.option("basePath", base.toString).parquet(paths: _*)
-        }.reduce(_ unionByName _)
+        // one read per owning data dir with basePath so the partition
+        // column is inferred exactly as for a plain partitioned-parquet
+        // read, then union by name
+        readPartitionsSubset(spark, tableDir, m.partitions.toMap, m.partCol,
+          m.partitions.map(_._1)).get
     }
   }
 
@@ -139,6 +135,10 @@ object Snapshots {
                                   version: String): Manifest = {
     val p = new Path(new Path(tableDir, CommitDir), version)
     val fs = fsOf(spark, p)
+    if (!fs.exists(p)) throw new IOException(
+      s"Snapshots: version $version of $tableDir is not retained " +
+        s"(vacuumed or never committed); retained: " +
+        listVersions(spark, tableDir).mkString(", "))
     val in = fs.open(p)
     val lines = try
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().map(_.trim)
@@ -147,11 +147,14 @@ object Snapshots {
     val dir = lines.collectFirst { case l if l.startsWith(DirLine) => l.stripPrefix(DirLine) }
     val partCol = lines.collectFirst {
       case l if l.startsWith(PartColLine) => l.stripPrefix(PartColLine) }.getOrElse("")
+    // values are stored Hive-escaped; the split is on the LAST '=' as
+    // defense in depth (data dir names are d-<12 hex>, never '=')
     val parts = lines.collect { case l if l.startsWith(PartLine) =>
       val body = l.stripPrefix(PartLine)
-      val eq = body.indexOf('=')
+      val eq = body.lastIndexOf('=')
       require(eq > 0, s"Snapshots: malformed manifest line '$l' in $version")
-      (body.substring(0, eq), body.substring(eq + 1))
+      (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(body.substring(0, eq)), body.substring(eq + 1))
     }
     require(dir.isDefined || parts.nonEmpty,
       s"Snapshots: empty manifest $version at $tableDir")
@@ -161,8 +164,19 @@ object Snapshots {
   private def manifestBody(m: Manifest): String = m.dataDir match {
     case Some(dd) => DirLine + dd + "\n"
     case None =>
+      // partition values are stored Hive-escaped so '=', newlines and
+      // other line-format-hostile characters round-trip; empty values
+      // are refused here (one choke point every commit passes through)
+      // because partitionBy writes them as the null-sentinel dir and
+      // they could not round-trip anyway
+      m.partitions.foreach { case (v, _) =>
+        require(v != null && v.nonEmpty,
+          "Snapshots: empty-string partition values are not supported " +
+            "(partitionBy conflates them with NULL) — filter or default them first")
+      }
       ((PartColLine + m.partCol) +: m.partitions.sorted.map { case (v, d) =>
-        s"$PartLine$v=$d" }).mkString("", "\n", "\n")
+        s"$PartLine${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v)}=$d" }).mkString("", "\n", "\n")
   }
 
   /** Partition dir name with Spark/Hive escaping, so values containing
@@ -212,16 +226,26 @@ object Snapshots {
       try { fc.rename(tmp, target); true }
       catch {
         case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
-          fs.delete(tmp, false); false
+          false
         case _: IOException if fs.exists(target) => // HDFS rename-to-existing variants
-          fs.delete(tmp, false); false
+          false
+      } finally {
+        // any failure path (including transient IOExceptions that
+        // propagate) must not leak the tmp manifest forever; vacuum
+        // additionally sweeps aged .tmp-* strays as a backstop
+        if (fs.exists(tmp)) fs.delete(tmp, false)
       }
     renamed && {
+      // full read-back (short reads are legal for InputStream.read on
+      // HDFS-like filesystems; a winner that misreports as loser would
+      // double-publish or spuriously fail an already-landed commit)
       val in = fs.open(target)
       val readBack = try {
-        val bytes = new Array[Byte](body.getBytes("UTF-8").length + 64)
-        val read = in.read(bytes)
-        new String(bytes, 0, math.max(read, 0), "UTF-8")
+        val buf = new java.io.ByteArrayOutputStream()
+        val bytes = new Array[Byte](8192)
+        var n = in.read(bytes)
+        while (n >= 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+        buf.toString("UTF-8")
       } finally in.close()
       readBack == body // lost a cross-process replace race → behave as loser
     }
@@ -262,7 +286,18 @@ object Snapshots {
                    key: String, expectedVersion: Option[String] = None): String = {
     val base = expectedVersion.orElse(currentVersion(spark, tableDir))
     base match {
-      case None => commitOverwrite(spark, tableDir, delta)
+      case None =>
+        // bootstrap is CAS-protected too: claim EXACTLY v1 (not
+        // retry-next-number) so of two concurrent first writers one
+        // fails loudly instead of silently hiding the other's rows
+        // behind a higher version; within-batch duplicate keys are
+        // merged the same way a non-empty-table upsert would
+        val dir = new Path(tableDir)
+        fsOf(spark, dir).mkdirs(dir)
+        val dd = newDataDirName()
+        graft.etl.Dims.upsert(None, delta, key)
+          .write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, dd).toString)
+        claimExactly(spark, tableDir, 1, Manifest(Some(dd), "", Nil))
       case Some(v) =>
         val merged = readVersion(spark, tableDir, v)
           .join(delta.select(col(key)).distinct(), Seq(key), "left_anti")
@@ -304,36 +339,86 @@ object Snapshots {
     * delta: at 100 TB, a daily one-partition delta rewrites one
     * partition, not the table.
     *
+    * Cross-partition key moves are handled with full MERGE semantics
+    * (delete-and-reinsert): a delta row whose key already lives in a
+    * DIFFERENT partition pulls that partition into the rewrite and the
+    * stale row is dropped, so a key is never duplicated across
+    * partitions (proved in SnapshotsSpec). The detection scan reads
+    * only the (key, partCol) columns of untouched partitions — when no
+    * key moves (the daily-delta common case) nothing extra is
+    * rewritten and untouched files stay byte-identical.
+    *
     * Read-modify-write CAS semantics as [[commitUpsert]]. */
+  /** Read a subset of a partitioned version's partitions from their
+    * owning data dirs (partition pruning by construction — only those
+    * dirs' partition subdirectories are ever listed). */
+  private def readPartitionsSubset(spark: SparkSession, tableDir: String,
+                                   owned: Map[String, String], partCol: String,
+                                   values: Seq[String]): Option[DataFrame] = {
+    val present = values.filter(owned.contains)
+    if (present.isEmpty) None else Some(
+      present.groupBy(owned).map { case (ownerDir, vls) =>
+        val ownerPath = new Path(new Path(tableDir), ownerDir)
+        val paths = vls.map(vl =>
+          new Path(ownerPath, partDirName(partCol, vl)).toString)
+        spark.read.option("basePath", ownerPath.toString).parquet(paths: _*)
+      }.reduce(_ unionByName _))
+  }
+
   def commitMergePartitioned(spark: SparkSession, tableDir: String,
                              delta: DataFrame, key: String, partCol: String,
                              tieBreak: Seq[Column] = Nil,
                              expectedVersion: Option[String] = None): String = {
     val base = expectedVersion.orElse(currentVersion(spark, tableDir))
     base match {
-      case None => commitOverwritePartitioned(spark, tableDir, delta, partCol)
+      case None =>
+        // bootstrap claims EXACTLY v1 (CAS) — see commitUpsert — and
+        // merges within-batch duplicate keys like any later commit
+        val dir = new Path(tableDir)
+        val fs = fsOf(spark, dir)
+        fs.mkdirs(dir)
+        val dd = newDataDirName()
+        val ddPath = new Path(dir, dd)
+        graft.etl.Dims.upsert(None, delta, key, tieBreak)
+          .write.mode(SaveMode.ErrorIfExists).partitionBy(partCol)
+          .parquet(ddPath.toString)
+        val values = listPartitionValues(fs, ddPath, partCol)
+        require(values.nonEmpty, "commitMergePartitioned: empty bootstrap delta")
+        claimExactly(spark, tableDir, 1,
+          Manifest(None, partCol, values.map(_ -> dd)))
       case Some(v) =>
         val m = readManifest(spark, tableDir, v)
         require(m.dataDir.isEmpty && m.partCol == partCol,
           s"commitMergePartitioned: version $v of $tableDir is not partitioned by $partCol")
         val touchedRaw = delta.select(col(partCol).cast("string")).distinct()
           .collect().map(_.getString(0)).toSeq
-        require(!touchedRaw.contains(null),
-          s"commitMergePartitioned: delta has NULL $partCol values; " +
+        require(!touchedRaw.contains(null) && !touchedRaw.contains(""),
+          s"commitMergePartitioned: delta has NULL or empty $partCol values; " +
             "null partitions are not supported — filter or default them first")
-        val touched = touchedRaw.sorted
         val owned = m.partitions.toMap
-        // base subset = the touched partitions that already exist,
-        // read from their owning data dirs (partition pruning by
-        // construction — only those dirs are listed)
-        val existing = touched.filter(owned.contains)
-        val baseSubset = if (existing.isEmpty) None else Some(
-          existing.groupBy(owned).map { case (ownerDir, values) =>
-            val ownerPath = new Path(new Path(tableDir), ownerDir)
-            val paths = values.map(vl =>
-              new Path(ownerPath, partDirName(partCol, vl)).toString)
-            spark.read.option("basePath", ownerPath.toString).parquet(paths: _*)
-          }.reduce(_ unionByName _))
+        // Cross-partition key moves (a delta row carrying an existing
+        // key whose partition value CHANGED — the dimension-attribute
+        // move): the stale row lives in a partition the delta does not
+        // touch and must be deleted, or the table holds the key twice.
+        // Detect by scanning ONLY (key, partCol) of the untouched
+        // partitions — column pruning keeps this a narrow map-only
+        // read — semi-joined against the broadcast delta key set; any
+        // partition holding a moved key joins the touched set, and the
+        // global delta-wins upsert below then drops its stale rows
+        // (delete-and-reinsert, the Delta/Iceberg MERGE semantics).
+        val deltaKeys = delta.select(col(key)).distinct()
+        val untouchedVals = owned.keys.toSeq.filterNot(touchedRaw.contains)
+        val movedParts = readPartitionsSubset(spark, tableDir, owned, partCol,
+          untouchedVals) match {
+          case None => Nil
+          case Some(unt) => unt
+            .select(col(key), col(partCol).cast("string").as("_p"))
+            .join(broadcast(deltaKeys), Seq(key), "left_semi")
+            .select(col("_p")).distinct()
+            .collect().map(_.getString(0)).toSeq
+        }
+        val touched = (touchedRaw ++ movedParts).distinct.sorted
+        val baseSubset = readPartitionsSubset(spark, tableDir, owned, partCol, touched)
         // align the delta to the base's exact column types (arithmetic
         // widens decimals; a forked schema would break later reads)
         val aligned = baseSubset match {
@@ -343,9 +428,14 @@ object Snapshots {
         }
         val merged = graft.etl.Dims.upsert(baseSubset, aligned, key, tieBreak)
         val dd = newDataDirName()
+        val ddPath = new Path(new Path(tableDir), dd)
         merged.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol)
-          .parquet(new Path(new Path(tableDir), dd).toString)
-        val newParts = (owned ++ touched.map(_ -> dd)).toSeq
+          .parquet(ddPath.toString)
+        // a moved-from partition can end up EMPTY (every row moved
+        // out): it produces no dir in the new data dir and must drop
+        // out of the manifest entirely, not point at a missing path
+        val present = listPartitionValues(fsOf(spark, ddPath), ddPath, partCol)
+        val newParts = ((owned -- touched) ++ present.map(_ -> dd)).toSeq
         claimExactlyAfter(spark, tableDir, v, Manifest(None, partCol, newParts))
     }
   }
@@ -384,8 +474,11 @@ object Snapshots {
 
   /** Claim exactly base+1 or fail loudly (the read-modify-write CAS). */
   private def claimExactlyAfter(spark: SparkSession, tableDir: String,
-                                baseVersion: String, m: Manifest): String = {
-    val n = versionNumber(baseVersion) + 1
+                                baseVersion: String, m: Manifest): String =
+    claimExactly(spark, tableDir, versionNumber(baseVersion) + 1, m)
+
+  private def claimExactly(spark: SparkSession, tableDir: String, n: Int,
+                           m: Manifest): String = {
     if (!tryClaim(spark, tableDir, n, m))
       throw new ConcurrentSnapshotCommitException(
         s"Snapshots: version ${versionName(n)} of $tableDir was claimed by a " +
@@ -396,13 +489,22 @@ object Snapshots {
   private def listPartitionValues(fs: FileSystem, dataDir: Path,
                                   partCol: String): Seq[String] = {
     val prefix = partCol + "="
-    fs.listStatus(dataDir).toSeq
+    val values = fs.listStatus(dataDir).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .collect { case n if n.startsWith(prefix) =>
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .unescapePathName(n.stripPrefix(prefix)) }
       .sorted
+    // NULL and empty-string partition values both land in the Hive
+    // default-partition dir and cannot round-trip as distinct values —
+    // refuse before the claim (the written data dir stays an
+    // unclaimed orphan; vacuum reclaims it)
+    require(!values.contains(
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME),
+      s"Snapshots: NULL or empty $partCol values are not supported — " +
+        "filter or default them first")
+    values
   }
 
   // ---------------------------------------------------------------- diff
@@ -438,16 +540,9 @@ object Snapshots {
     val newOwn = mn.partitions.toMap
     val changed = (oldOwn.keySet ++ newOwn.keySet)
       .filter(v => oldOwn.get(v) != newOwn.get(v)).toSeq.sorted
-    def side(own: Map[String, String], version: String): DataFrame = {
-      val present = changed.filter(own.contains)
-      if (present.isEmpty)
-        readVersion(spark, tableDir, version).filter(lit(false)) // schema-only
-      else present.groupBy(own).map { case (ownerDir, values) =>
-        val ownerPath = new Path(new Path(tableDir), ownerDir)
-        val paths = values.map(vl => new Path(ownerPath, partDirName(mo.partCol, vl)).toString)
-        spark.read.option("basePath", ownerPath.toString).parquet(paths: _*)
-      }.reduce(_ unionByName _)
-    }
+    def side(own: Map[String, String], version: String): DataFrame =
+      readPartitionsSubset(spark, tableDir, own, mo.partCol, changed)
+        .getOrElse(readVersion(spark, tableDir, version).filter(lit(false))) // schema-only
     diffFrames(side(oldOwn, vOld), side(newOwn, vNew), key)
   }
 
@@ -492,6 +587,15 @@ object Snapshots {
       .filter(st => !referenced.contains(st.getPath.getName))
       .filter(st => st.getModificationTime < cutoff)
       .foreach(st => fs.delete(st.getPath, true))
+    // stray .tmp-* manifests (a claimant that died between create and
+    // rename) are invisible to readers but would otherwise accumulate
+    // forever; aged ones are safe to sweep — an in-flight claim is
+    // younger than the grace window by the same argument as data dirs
+    val commits = new Path(dir, CommitDir)
+    if (fs.exists(commits)) fs.listStatus(commits).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(".tmp-"))
+      .filter(st => st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, false))
     doomed.size
   }
 }

@@ -75,6 +75,42 @@ class Round3Spec extends SparkSpec {
     assert(got === Set((1L, "10.00"), (2L, "70.00")))
   }
 
+  test("partitionScopedMerge deletes the stale row on a cross-partition key move") {
+    val dir = Files.createTempDirectory("graft_pmerge_move").toString
+    val table = s"$dir/t"
+    Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0))
+      .toDF("id", "part", "v")
+      .write.partitionBy("part").parquet(table)
+    // key 2 moves A→B: partition A is not in the batch's partition
+    // set, yet its stale row must be deleted (delete-and-reinsert)
+    val touched = Dims.partitionScopedMerge(spark, table,
+      Seq((2L, "B", 99.0)).toDF("id", "part", "v"), "id", "part")
+    assert(touched.toSet === Set("A", "B"))
+    val out = spark.read.parquet(table)
+      .select(col("id"), col("part"), col("v"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(out === Set((1L, "A", 10.0), (2L, "B", 99.0), (3L, "B", 30.0)))
+    assert(spark.read.parquet(table).groupBy("id").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
+  test("partitionScopedMerge removes a partition dir emptied by a key move") {
+    val dir = Files.createTempDirectory("graft_pmerge_empty").toString
+    val table = s"$dir/t"
+    Seq((1L, "A", 10.0), (5L, "P", 50.0)).toDF("id", "part", "v")
+      .write.partitionBy("part").parquet(table)
+    // P's only row moves to A: dynamic overwrite alone would leave the
+    // stale P dir (no P rows in the written frame) — it must be dropped
+    Dims.partitionScopedMerge(spark, table,
+      Seq((5L, "A", 55.0)).toDF("id", "part", "v"), "id", "part")
+    assert(!new File(s"$table/part=P").exists(),
+      "emptied partition dir must be removed")
+    val out = spark.read.parquet(table)
+      .select(col("id"), col("part"), col("v"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(out === Set((1L, "A", 10.0), (5L, "A", 55.0)))
+  }
+
   test("partitionScopedMerge refuses NULL partition values loudly") {
     val dir = Files.createTempDirectory("graft_pmerge3").toString
     val table = s"$dir/t"

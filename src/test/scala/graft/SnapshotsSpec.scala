@@ -275,6 +275,136 @@ class SnapshotsSpec extends SparkSpec {
       .as[(Long, Double, String)].collect().toSeq === before)
   }
 
+  test("cross-partition key move: stale row is deleted, key never duplicated") {
+    val dir = freshDir()
+    Snapshots.commitOverwritePartitioned(spark, dir, Seq(
+      (1L, "F", 10.0), (2L, "F", 20.0), (3L, "O", 30.0)).toDF("k", "status", "amount"),
+      "status")
+    // key 2 MOVES F→O (the dimension-attribute move): partition F is
+    // not in the delta's partition set, yet its stale row must go
+    Snapshots.commitMergePartitioned(spark, dir,
+      Seq((2L, "O", 99.0)).toDF("k", "status", "amount"), "k", "status")
+    val rows = Snapshots.read(spark, dir).orderBy("k")
+      .select(col("k"), col("status"), col("amount"))
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows === Seq((1L, "F", 10.0), (2L, "O", 99.0), (3L, "O", 30.0)))
+    // the invariant the round-5 verdict flagged: one row per key
+    assert(Snapshots.read(spark, dir).groupBy("k").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
+  test("key move that empties a partition drops it from the manifest") {
+    val dir = freshDir()
+    Snapshots.commitOverwritePartitioned(spark, dir, Seq(
+      (1L, "F", 10.0), (5L, "P", 50.0)).toDF("k", "status", "amount"), "status")
+    // P's only row moves to F → P must vanish from manifest and reads
+    val v2 = Snapshots.commitMergePartitioned(spark, dir,
+      Seq((5L, "F", 55.0)).toDF("k", "status", "amount"), "k", "status")
+    val m2 = Snapshots.readManifest(spark, dir, v2)
+    assert(!m2.partitions.map(_._1).contains("P"))
+    assert(Snapshots.read(spark, dir).orderBy("k")
+      .select(col("k"), col("status"), col("amount"))
+      .as[(Long, String, Double)].collect().toSeq
+      === Seq((1L, "F", 10.0), (5L, "F", 55.0)))
+  }
+
+  test("no key moves → untouched partitions still never rewritten (byte-identity preserved)") {
+    val dir = freshDir()
+    Snapshots.commitOverwritePartitioned(spark, dir, Seq(
+      (1L, "F", 10.0), (3L, "O", 30.0)).toDF("k", "status", "amount"), "status")
+    val before = fileStates(dir, "d-")
+    Snapshots.commitMergePartitioned(spark, dir,
+      Seq((1L, "F", 11.0)).toDF("k", "status", "amount"), "k", "status")
+    val after = fileStates(dir, "d-")
+    before.foreach { case (rel, st) => assert(after.get(rel) === Some(st), rel) }
+  }
+
+  test("bootstrap commits are CAS-protected: no silent lost update among concurrent first writers") {
+    val dir = freshDir()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = Await.result(
+      Future.sequence((1 to 4).toList.map(i => Future {
+        try Right(Snapshots.commitUpsert(spark, dir,
+          Seq((i.toLong, s"w$i")).toDF("k", "v"), "k"))
+        catch { case e: ConcurrentSnapshotCommitException => Left(e) }
+      })), 120.seconds)
+    val winners = attempts.zipWithIndex.collect { case (Right(_), i) => (i + 1).toLong }
+    assert(winners.nonEmpty)
+    // the contract: every writer either threw loudly or its rows are
+    // visible in the live snapshot — nobody's commit is silently hidden
+    val liveKeys = Snapshots.read(spark, dir).select("k")
+      .as[Long].collect().toSet
+    winners.foreach(w => assert(liveKeys.contains(w),
+      s"writer $w reported success but its rows are not in the live snapshot"))
+  }
+
+  test("manifest round-trips hostile partition values ('=', newline); empty is refused") {
+    val dir = freshDir()
+    val hostile = Seq((1L, "a=b", 1.0), (2L, "x\ny", 2.0), (3L, "c:d%e", 3.0))
+      .toDF("k", "status", "amount")
+    val v1 = Snapshots.commitOverwritePartitioned(spark, dir, hostile, "status")
+    assert(Snapshots.readVersion(spark, dir, v1).orderBy("k")
+      .select(col("k"), col("status"))
+      .as[(Long, String)].collect().toSeq
+      === Seq((1L, "a=b"), (2L, "x\ny"), (3L, "c:d%e")))
+    // a merge against a hostile-valued table resolves partitions correctly
+    Snapshots.commitMergePartitioned(spark, dir,
+      Seq((1L, "a=b", 9.0)).toDF("k", "status", "amount"), "k", "status")
+    assert(Snapshots.read(spark, dir).filter(col("k") === 1)
+      .select(col("amount")).as[Double].collect().toSeq === Seq(9.0))
+    // vacuum's referenced-set resolves escaped values → live dirs survive
+    Snapshots.vacuum(spark, dir, keep = 1, orphanGraceMs = 0L)
+    assert(Snapshots.read(spark, dir).count() === 3)
+    intercept[IllegalArgumentException] {
+      Snapshots.commitOverwritePartitioned(spark, freshDir(),
+        Seq((1L, "", 1.0)).toDF("k", "status", "amount"), "status")
+    }
+  }
+
+  test("failed claims leave no .tmp-* strays; vacuum sweeps aged ones") {
+    val dir = freshDir()
+    Snapshots.commitOverwrite(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    val m = Snapshots.readManifest(spark, dir, "v00000001")
+    assert(Snapshots.tryClaim(spark, dir, 1, m) === false) // number taken
+    val commits = new org.apache.hadoop.fs.Path(s"$dir/_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def strays() = fs.listStatus(commits).toSeq
+      .filter(_.getPath.getName.startsWith(".tmp-"))
+    assert(strays().isEmpty, "failed claim leaked its tmp manifest")
+    // a claimant that died between create and rename leaves a stray …
+    val dead = new org.apache.hadoop.fs.Path(commits, ".tmp-deadbeef")
+    val out = fs.create(dead, true)
+    try out.write("dir=d-000000000000\n".getBytes("UTF-8")) finally out.close()
+    fs.setTimes(dead, 0L, 0L) // aged far past any grace window
+    assert(strays().size === 1)
+    Snapshots.vacuum(spark, dir, keep = 2)
+    assert(strays().isEmpty, "vacuum did not sweep the aged stray")
+    assert(Snapshots.read(spark, dir).count() === 1) // table unharmed
+  }
+
+  test("pinned reader vs vacuum: within retention reads; past it fails loudly, never partially") {
+    val dir = freshDir()
+    (1 to 3).foreach(i =>
+      Snapshots.commitOverwrite(spark, dir, Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    val pinned = "v00000001"
+    // within retention (keep=3) the pinned snapshot reads completely
+    Snapshots.vacuum(spark, dir, keep = 3, orphanGraceMs = 0L)
+    assert(Snapshots.readVersion(spark, dir, pinned).as[(Long, String)]
+      .collect().toSeq === Seq((1L, "v1")))
+    // past retention the manifest is gone: the read FAILS with a clear
+    // error naming the retained versions — the documented failure mode
+    // (choose `keep` longer than the longest reader); it can never
+    // return partial data because manifests go before data dirs
+    Snapshots.vacuum(spark, dir, keep = 2, orphanGraceMs = 0L)
+    val e = intercept[java.io.IOException] {
+      Snapshots.readVersion(spark, dir, pinned).collect()
+    }
+    assert(e.getMessage.contains("not retained"))
+    assert(e.getMessage.contains("v00000002"))
+  }
+
   test("partition-scoped vacuum never deletes a data dir the live manifest still references") {
     val dir = freshDir()
     Snapshots.commitOverwritePartitioned(spark, dir, Seq(
