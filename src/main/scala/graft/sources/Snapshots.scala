@@ -74,6 +74,7 @@ object Snapshots {
   private val DirLine = "dir="
   private val PartColLine = "partcol="
   private val PartLine = "part:"
+  private val SchemaLine = "schema="
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -113,7 +114,7 @@ object Snapshots {
     * readers pinned to the snapshot they resolved). */
   def readVersion(spark: SparkSession, tableDir: String, version: String): DataFrame = {
     val m = readManifest(spark, tableDir, version)
-    m.dataDir match {
+    val raw = m.dataDir match {
       case Some(dd) => spark.read.parquet(new Path(tableDir, dd).toString)
       case None =>
         // one read per owning data dir with basePath so the partition
@@ -122,14 +123,39 @@ object Snapshots {
         readPartitionsSubset(spark, tableDir, m.partitions.toMap, m.partCol,
           m.partitions.map(_._1)).get
     }
+    // conform to the manifest's declared schema: stable column order,
+    // typed NULLs for columns that postdate a dir's files
+    manifestSchema(m).map(alignTo(raw, _)).getOrElse(raw)
   }
 
   // ------------------------------------------------------------ manifest
 
   /** Parsed manifest: either a whole-table data dir, or a partition
-    * map (value → owning data dir) with its partition column. */
+    * map (value → owning data dir) with its partition column; plus the
+    * version's declared schema (JSON `StructType`). The schema is the
+    * read contract: after an add-column evolution, untouched
+    * partitions' files still lack the new column physically, and
+    * readers reconcile by name against the manifest schema (missing →
+    * typed NULL). Manifests from before schema tracking parse with
+    * `schemaJson = None` and read exactly as they always did. */
   private[graft] case class Manifest(dataDir: Option[String], partCol: String,
-                                     partitions: Seq[(String, String)])
+                                     partitions: Seq[(String, String)],
+                                     schemaJson: Option[String] = None)
+
+  private def manifestSchema(m: Manifest): Option[org.apache.spark.sql.types.StructType] =
+    m.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Conform `df` to the declared schema: columns selected in schema
+    * order, cast to schema types, columns physically absent from the
+    * files (pre-evolution dirs) materialized as typed NULLs. */
+  private def alignTo(df: DataFrame,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(schema.fields.map(f =>
+      (if (have.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)).toSeq: _*)
+  }
 
   private[graft] def readManifest(spark: SparkSession, tableDir: String,
                                   version: String): Manifest = {
@@ -156,27 +182,36 @@ object Snapshots {
       (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(body.substring(0, eq)), body.substring(eq + 1))
     }
+    val schema = lines.collectFirst {
+      case l if l.startsWith(SchemaLine) => l.stripPrefix(SchemaLine) }
     require(dir.isDefined || parts.nonEmpty,
       s"Snapshots: empty manifest $version at $tableDir")
-    Manifest(dir, partCol, parts)
+    Manifest(dir, partCol, parts, schema)
   }
 
-  private def manifestBody(m: Manifest): String = m.dataDir match {
-    case Some(dd) => DirLine + dd + "\n"
-    case None =>
-      // partition values are stored Hive-escaped so '=', newlines and
-      // other line-format-hostile characters round-trip; empty values
-      // are refused here (one choke point every commit passes through)
-      // because partitionBy writes them as the null-sentinel dir and
-      // they could not round-trip anyway
-      m.partitions.foreach { case (v, _) =>
-        require(v != null && v.nonEmpty,
-          "Snapshots: empty-string partition values are not supported " +
-            "(partitionBy conflates them with NULL) — filter or default them first")
-      }
-      ((PartColLine + m.partCol) +: m.partitions.sorted.map { case (v, d) =>
-        s"$PartLine${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(v)}=$d" }).mkString("", "\n", "\n")
+  private def manifestBody(m: Manifest): String = {
+    // StructType.json is a single line; the schema line (when present)
+    // leads so humans diffing manifests see the contract first
+    val schemaLines = m.schemaJson.map(SchemaLine + _).toSeq
+    val body = m.dataDir match {
+      case Some(dd) => schemaLines :+ (DirLine + dd)
+      case None =>
+        // partition values are stored Hive-escaped so '=', newlines and
+        // other line-format-hostile characters round-trip; empty values
+        // are refused here (one choke point every commit passes through)
+        // because partitionBy writes them as the null-sentinel dir and
+        // they could not round-trip anyway
+        m.partitions.foreach { case (v, _) =>
+          require(v != null && v.nonEmpty,
+            "Snapshots: empty-string partition values are not supported " +
+              "(partitionBy conflates them with NULL) — filter or default them first")
+        }
+        schemaLines ++ ((PartColLine + m.partCol) +: m.partitions.sorted.map {
+          case (v, d) =>
+            s"$PartLine${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(v)}=$d" })
+    }
+    body.mkString("", "\n", "\n")
   }
 
   /** Partition dir name with Spark/Hive escaping, so values containing
@@ -262,9 +297,28 @@ object Snapshots {
     fsOf(spark, dir).mkdirs(dir)
     val dd = newDataDirName()
     df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, dd).toString)
+    val m = Manifest(Some(dd), "", Nil, Some(df.schema.json))
     var n = listVersions(spark, tableDir).lastOption.map(versionNumber).getOrElse(0) + 1
-    while (!tryClaim(spark, tableDir, n, Manifest(Some(dd), "", Nil))) n += 1
+    while (!tryClaim(spark, tableDir, n, m)) n += 1
     versionName(n)
+  }
+
+  /** Conform `delta` to a declared base schema for a merge commit:
+    * every base column must be present (cast to its declared type);
+    * EXTRA delta columns are the add-column schema evolution — they
+    * ride along and base rows read as typed NULLs for them. Dropping
+    * or renaming columns is refused loudly. */
+  private def evolveDeltaTo(sch: org.apache.spark.sql.types.StructType,
+                            delta: DataFrame): DataFrame = {
+    val missing = sch.fields.map(_.name).filterNot(delta.columns.contains)
+    require(missing.isEmpty,
+      s"Snapshots: delta is missing base columns ${missing.mkString(", ")}; " +
+        "schema evolution supports only ADDING columns — dropping/renaming " +
+        "requires an explicit commitOverwrite")
+    val declared = sch.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+    val added = delta.schema.fields.filterNot(f => sch.fieldNames.contains(f.name))
+      .map(f => col(f.name))
+    delta.select((declared ++ added).toSeq: _*)
   }
 
   /** Merge `delta` into the live snapshot by `key` (delta wins on key
@@ -295,17 +349,23 @@ object Snapshots {
         val dir = new Path(tableDir)
         fsOf(spark, dir).mkdirs(dir)
         val dd = newDataDirName()
-        graft.etl.Dims.upsert(None, delta, key)
-          .write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, dd).toString)
-        claimExactly(spark, tableDir, 1, Manifest(Some(dd), "", Nil))
+        val deduped = graft.etl.Dims.upsert(None, delta, key)
+        deduped.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, dd).toString)
+        claimExactly(spark, tableDir, 1,
+          Manifest(Some(dd), "", Nil, Some(deduped.schema.json)))
       case Some(v) =>
-        val merged = readVersion(spark, tableDir, v)
-          .join(delta.select(col(key)).distinct(), Seq(key), "left_anti")
-          .unionByName(delta)
+        val baseDf = readVersion(spark, tableDir, v)
+        val aligned = evolveDeltaTo(baseDf.schema, delta)
+        val merged = baseDf
+          .join(aligned.select(col(key)).distinct(), Seq(key), "left_anti")
+          // allowMissingColumns: an ADDED delta column reads as NULL on
+          // the surviving base rows (add-column schema evolution)
+          .unionByName(aligned, allowMissingColumns = true)
         val dd = newDataDirName()
         merged.write.mode(SaveMode.ErrorIfExists)
           .parquet(new Path(new Path(tableDir), dd).toString)
-        claimExactlyAfter(spark, tableDir, v, Manifest(Some(dd), "", Nil))
+        claimExactlyAfter(spark, tableDir, v,
+          Manifest(Some(dd), "", Nil, Some(merged.schema.json)))
     }
   }
 
@@ -324,7 +384,7 @@ object Snapshots {
       .parquet(ddPath.toString)
     val values = listPartitionValues(fs, ddPath, partCol)
     require(values.nonEmpty, "commitOverwritePartitioned: empty dataframe")
-    val m = Manifest(None, partCol, values.map(v => v -> dd))
+    val m = Manifest(None, partCol, values.map(v => v -> dd), Some(df.schema.json))
     var n = listVersions(spark, tableDir).lastOption.map(versionNumber).getOrElse(0) + 1
     while (!tryClaim(spark, tableDir, n, m)) n += 1
     versionName(n)
@@ -362,7 +422,9 @@ object Snapshots {
         val paths = vls.map(vl =>
           new Path(ownerPath, partDirName(partCol, vl)).toString)
         spark.read.option("basePath", ownerPath.toString).parquet(paths: _*)
-      }.reduce(_ unionByName _))
+        // allowMissingColumns: after an add-column evolution, dirs that
+        // predate the new column union with NULLs for it
+      }.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
   def commitMergePartitioned(spark: SparkSession, tableDir: String,
@@ -379,13 +441,13 @@ object Snapshots {
         fs.mkdirs(dir)
         val dd = newDataDirName()
         val ddPath = new Path(dir, dd)
-        graft.etl.Dims.upsert(None, delta, key, tieBreak)
-          .write.mode(SaveMode.ErrorIfExists).partitionBy(partCol)
+        val deduped = graft.etl.Dims.upsert(None, delta, key, tieBreak)
+        deduped.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol)
           .parquet(ddPath.toString)
         val values = listPartitionValues(fs, ddPath, partCol)
         require(values.nonEmpty, "commitMergePartitioned: empty bootstrap delta")
         claimExactly(spark, tableDir, 1,
-          Manifest(None, partCol, values.map(_ -> dd)))
+          Manifest(None, partCol, values.map(_ -> dd), Some(deduped.schema.json)))
       case Some(v) =>
         val m = readManifest(spark, tableDir, v)
         require(m.dataDir.isEmpty && m.partCol == partCol,
@@ -419,14 +481,25 @@ object Snapshots {
         }
         val touched = (touchedRaw ++ movedParts).distinct.sorted
         val baseSubset = readPartitionsSubset(spark, tableDir, owned, partCol, touched)
-        // align the delta to the base's exact column types (arithmetic
-        // widens decimals; a forked schema would break later reads)
-        val aligned = baseSubset match {
-          case Some(b) => delta.select(
-            b.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        // align the delta to the declared schema's exact column types
+        // (arithmetic widens decimals; a forked schema would break
+        // later reads); EXTRA delta columns are add-column evolution.
+        // The declared schema comes from the manifest (new manifests),
+        // falling back to the touched subset's physical schema
+        val declared = manifestSchema(m).orElse(baseSubset.map(_.schema))
+        val aligned = declared match {
+          case Some(sch) => evolveDeltaTo(sch, delta)
           case None => delta
         }
-        val merged = graft.etl.Dims.upsert(baseSubset, aligned, key, tieBreak)
+        // pad the base subset: conform to the declared schema, then
+        // materialize the delta's added columns as typed NULLs so the
+        // in-partition merge unions cleanly
+        val paddedBase = baseSubset.map { b =>
+          val conformed = manifestSchema(m).map(alignTo(b, _)).getOrElse(b)
+          aligned.schema.fields.filterNot(f => conformed.columns.contains(f.name))
+            .foldLeft(conformed)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
+        }
+        val merged = graft.etl.Dims.upsert(paddedBase, aligned, key, tieBreak)
         val dd = newDataDirName()
         val ddPath = new Path(new Path(tableDir), dd)
         merged.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol)
@@ -436,7 +509,8 @@ object Snapshots {
         // out of the manifest entirely, not point at a missing path
         val present = listPartitionValues(fsOf(spark, ddPath), ddPath, partCol)
         val newParts = ((owned -- touched) ++ present.map(_ -> dd)).toSeq
-        claimExactlyAfter(spark, tableDir, v, Manifest(None, partCol, newParts))
+        claimExactlyAfter(spark, tableDir, v,
+          Manifest(None, partCol, newParts, Some(merged.schema.json)))
     }
   }
 
@@ -461,14 +535,15 @@ object Snapshots {
       case Some(_) =>
         readVersion(spark, tableDir, v)
           .write.mode(SaveMode.ErrorIfExists).parquet(ddPath.toString)
-        claimExactlyAfter(spark, tableDir, v, Manifest(Some(dd), "", Nil))
+        claimExactlyAfter(spark, tableDir, v,
+          Manifest(Some(dd), "", Nil, m.schemaJson))
       case None =>
         readVersion(spark, tableDir, v)
           .write.mode(SaveMode.ErrorIfExists).partitionBy(m.partCol)
           .parquet(ddPath.toString)
         val values = listPartitionValues(fsOf(spark, ddPath), ddPath, m.partCol)
         claimExactlyAfter(spark, tableDir, v,
-          Manifest(None, m.partCol, values.map(_ -> dd)))
+          Manifest(None, m.partCol, values.map(_ -> dd), m.schemaJson))
     }
   }
 
@@ -546,10 +621,20 @@ object Snapshots {
     diffFrames(side(oldOwn, vOld), side(newOwn, vNew), key)
   }
 
-  private def diffFrames(o: DataFrame, n: DataFrame, key: String): DataFrame = {
-    require(o.columns.sorted.sameElements(n.columns.sorted),
-      s"diff: column sets differ: ${o.columns.mkString(",")} vs ${n.columns.mkString(",")}")
-    val payload = o.columns.filterNot(_ == key).toSeq
+  private def diffFrames(o0: DataFrame, n0: DataFrame, key: String): DataFrame = {
+    require(o0.columns.contains(key) && n0.columns.contains(key),
+      s"diff: key '$key' must exist in both versions")
+    // columns present in only one version (add-column evolution) are
+    // padded as typed NULLs on the other side, so a row whose new
+    // column is NULL in the new version compares 'unchanged' — the
+    // same reconciliation readVersion applies to pre-evolution files
+    def pad(df: DataFrame, other: DataFrame): DataFrame =
+      other.schema.fields.filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val o = pad(o0, n0)
+    val n = pad(n0, o0)
+    val payload = (o0.columns ++ n0.columns.filterNot(o0.columns.contains))
+      .filterNot(_ == key).toSeq
     val os = o.select(col(key), struct(payload.map(col): _*).as("_old"))
     val ns = n.select(col(key), struct(payload.map(col): _*).as("_new"))
     os.join(ns, Seq(key), "full_outer")

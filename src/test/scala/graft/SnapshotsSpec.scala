@@ -258,12 +258,14 @@ class SnapshotsSpec extends SparkSpec {
     val live = Snapshots.currentVersion(spark, dir).get
     assert(owners(live).size >= 2, "merge chain should span multiple data dirs")
     val before = Snapshots.read(spark, dir).orderBy("k")
-      .as[(Long, Double, String)].collect().toSeq
+      .select(col("k"), col("status"), col("amount"))
+      .as[(Long, String, Double)].collect().toSeq
     val cv = Snapshots.compact(spark, dir)
     assert(owners(cv).size === 1)
     // identical content through the rewrite
     assert(Snapshots.read(spark, dir).orderBy("k")
-      .as[(Long, Double, String)].collect().toSeq === before)
+      .select(col("k"), col("status"), col("amount"))
+      .as[(Long, String, Double)].collect().toSeq === before)
     // the chain is now unreferenced → vacuum reclaims every old dir
     Snapshots.vacuum(spark, dir, keep = 1, orphanGraceMs = 0L)
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -272,7 +274,8 @@ class SnapshotsSpec extends SparkSpec {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
     assert(dataDirs.size === 1)
     assert(Snapshots.read(spark, dir).orderBy("k")
-      .as[(Long, Double, String)].collect().toSeq === before)
+      .select(col("k"), col("status"), col("amount"))
+      .as[(Long, String, Double)].collect().toSeq === before)
   }
 
   test("cross-partition key move: stale row is deleted, key never duplicated") {
@@ -403,6 +406,59 @@ class SnapshotsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not retained"))
     assert(e.getMessage.contains("v00000002"))
+  }
+
+  test("add-column evolution: partitioned merge carries a new column; untouched partitions read typed NULLs") {
+    val dir = freshDir()
+    Snapshots.commitOverwritePartitioned(spark, dir, Seq(
+      (1L, "F", 10.0), (3L, "O", 30.0)).toDF("k", "status", "amount"), "status")
+    // delta adds a `note` column, touching only F — O's files predate
+    // the column and are NOT rewritten
+    val before = fileStates(dir, "d-")
+    val v2 = Snapshots.commitMergePartitioned(spark, dir,
+      Seq((1L, "F", 11.0, "updated"), (2L, "F", 20.0, "new"))
+        .toDF("k", "status", "amount", "note"), "k", "status")
+    val after = fileStates(dir, "d-")
+    before.foreach { case (rel, st) => assert(after.get(rel) === Some(st), rel) }
+    val rows = Snapshots.read(spark, dir).orderBy("k")
+      .select(col("k"), col("status"), col("amount"), col("note"))
+      .as[(Long, String, Double, Option[String])].collect().toSeq
+    assert(rows === Seq(
+      (1L, "F", 11.0, Some("updated")),
+      (2L, "F", 20.0, Some("new")),
+      (3L, "O", 30.0, None))) // pre-evolution partition → typed NULL
+    // a later merge WITHOUT the new column is refused (dropping ≠ evolving)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitMergePartitioned(spark, dir,
+        Seq((4L, "F", 40.0)).toDF("k", "status", "amount"), "k", "status")
+    }
+    assert(e.getMessage.contains("missing base columns"))
+    // diff across the evolution works; key 3's untouched partition is
+    // manifest-pruned (same owner dir both sides → never read at all)
+    val d = Snapshots.diffVersionsPartitioned(spark, dir, "v00000001", v2, "k")
+      .select(col("k"), col("change"))
+      .as[(Long, String)].collect().toMap
+    assert(d === Map(1L -> "changed", 2L -> "added"))
+    // the naive (unpruned) diff reads both full versions: the new
+    // column is NULL on both sides of key 3 → 'unchanged', not a
+    // spurious 'changed' from the evolution itself
+    val naive = Snapshots.diffVersions(spark, dir, "v00000001", v2, "k")
+      .select(col("k"), col("change")).as[(Long, String)].collect().toMap
+    assert(naive === Map(1L -> "changed", 2L -> "added", 3L -> "unchanged"))
+  }
+
+  test("add-column evolution on whole-table upsert commits") {
+    val dir = freshDir()
+    Snapshots.commitUpsert(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    Snapshots.commitUpsert(spark, dir,
+      Seq((2L, "B", 7L), (3L, "c", 9L)).toDF("k", "v", "score"), "k")
+    assert(Snapshots.read(spark, dir).orderBy("k")
+      .select(col("k"), col("v"), col("score"))
+      .as[(Long, String, Option[Long])].collect().toSeq
+      === Seq((1L, "a", None), (2L, "B", Some(7L)), (3L, "c", Some(9L))))
+    // the declared schema survives compaction
+    Snapshots.compact(spark, dir)
+    assert(Snapshots.read(spark, dir).columns.toSeq === Seq("k", "v", "score"))
   }
 
   test("partition-scoped vacuum never deletes a data dir the live manifest still references") {
