@@ -411,6 +411,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("change"), col("o_orderstatus"))
     }),
+    // REAL image decode (JDK javax.imageio, no stub): deterministic
+    // PNG per doc encoded and decoded executor-side; the oracle states
+    // dims + the fill pixel arithmetically, so only a real PNG
+    // round trip matches
+    "q81_image_decode" -> Multimodal.imageDecode _,
+    // manifest file-stats data skipping: orders committed key-clustered
+    // (range-partitioned files) with per-file o_orderkey ranges; the
+    // pruned range read opens only intersecting files (scan-file proof
+    // in SnapshotsSpec) and must return exactly the filtered rows
+    "q82_snapshot_skip" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val table = fixture("snapskip", s, d, "orders") { path =>
+        wipe(s, path) // a crashed builder + pid reuse could leave a partial chain
+        graft.sources.Snapshots.commitOverwrite(s, path,
+          o.repartitionByRange(8, col("o_orderkey")),
+          statsCols = Seq("o_orderkey"))
+        ()
+      }
+      graft.sources.Snapshots.readVersionPruned(s, table, "v00000001",
+          "o_orderkey", BigDecimal(1000), BigDecimal(5000))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -1027,6 +1055,24 @@ object SparkEntry {
         |      ORDER BY o_orderdate DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    // the decoded dims/pixel of the deterministic PNG, stated as the
+    // arithmetic the encoder used — a real encode→decode round trip is
+    // the only way the Spark side can reproduce these values
+    "q81_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 32 AS BIGINT) AS width,
+        |  CAST(12 + doc_id % 23 AS BIGINT) AS height,
+        |  CAST(doc_id % 256 AS BIGINT) AS r,
+        |  CAST((doc_id * 7) % 256 AS BIGINT) AS g,
+        |  CAST((doc_id * 13) % 256 AS BIGINT) AS b
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // the pruned snapshot range read must equal the plain filter —
+    // data skipping is an optimization, never a semantics change
+    "q82_snapshot_skip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // merge semantics expressed directly; the Spark side additionally
     // proves only the touched partition was rewritten (MergeSpec)
     "q62_partition_merge" -> partitionMergeOracleSql,

@@ -7,12 +7,14 @@ import graft.sources.Tables
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads plus typed metadata, flowing through Spark as first-class
-  * columns. The real decode libraries are not in this container, so
-  * the decode step is a clearly-marked deterministic STUB
-  * (`decodeStub`) — but the Spark-side machinery is real and tested:
-  * binary schema, per-partition batch decode via mapPartitions over a
-  * typed Dataset (the Scala analog of mapInPandas batches), frame
-  * sampling via binary slicing, and metadata projection.
+  * columns. IMAGE payloads (PNG/JPEG, detected by magic bytes) are
+  * decoded for REAL via the JDK's `javax.imageio` — no external codec
+  * libraries needed; audio/video decode remains a clearly-marked
+  * deterministic STUB (`decodeStub` — those codecs are not in this
+  * container). The Spark-side machinery is identical for both: binary
+  * schema, per-partition batch decode via mapPartitions over a typed
+  * Dataset (the Scala analog of mapInPandas batches), frame sampling
+  * via binary slicing, and metadata projection.
   *
   * At scale: payloads dominate bytes — keep them in their own column
   * so column pruning skips them unless a decode stage needs them;
@@ -25,6 +27,15 @@ object Multimodal {
   // all counts Long so the output schema matches the oracle's BIGINTs
   case class DecodedRow(media_id: Long, kind: String, byte_len: Long,
                         width: Long, height: Long, n_frames: Long, first_frame_hex: String)
+  case class ImgRow(media_id: Long, payload: Array[Byte])
+  case class ImgDecoded(media_id: Long, width: Long, height: Long,
+                        r: Long, g: Long, b: Long)
+
+  private def isPng(p: Array[Byte]): Boolean =
+    p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+
+  private def isJpeg(p: Array[Byte]): Boolean =
+    p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff
 
   /** Synthesize a deterministic media table from `documents` (text
     * bytes as the opaque payload) — the container has no real media
@@ -49,11 +60,63 @@ object Multimodal {
       first_frame_hex = hex)
   }
 
+  /** Real image decode for one row: JDK `javax.imageio` reads the
+    * PNG/JPEG header + pixel data — actual dimensions, no codec
+    * libraries required. */
+  private def decodeImageRow(r: MediaRow): DecodedRow = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"media_id=${r.media_id}: payload is not a decodable image")
+    val hex = r.payload.take(8).map(b => f"${b & 0xff}%02x").mkString
+    DecodedRow(r.media_id, r.kind, r.payload.length.toLong,
+      img.getWidth.toLong, img.getHeight.toLong, n_frames = 1L, first_frame_hex = hex)
+  }
+
   /** The mapInPandas-shaped decode stage: typed Dataset in, batched
-    * per-partition transform, typed Dataset out. */
+    * per-partition transform, typed Dataset out. Rows whose payload
+    * carries a PNG/JPEG magic number take the REAL `javax.imageio`
+    * path; anything else (audio/video, opaque text-bytes) falls back
+    * to the deterministic stub. */
   def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(_.map(decodeStub))
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      if (isPng(r.payload) || isJpeg(r.payload)) decodeImageRow(r) else decodeStub(r)
+    })
+  }
+
+  /** Deterministic PNG fixture: a solid-color image whose dimensions
+    * and fill color are pure functions of the id — so an arithmetic
+    * oracle can verify that the DECODED dims/pixels match, proving the
+    * decode is real (a broken decoder cannot fake the round trip). */
+  def encodePng(id: Long): Array[Byte] = {
+    val w = 16 + (id % 32).toInt
+    val h = 12 + (id % 23).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** End-to-end REAL image decode query: encode a deterministic PNG
+    * per document id (map-only, executor-side), decode it back with
+    * `javax.imageio`, emit dims + the (0,0) pixel. The oracle states
+    * the same values arithmetically — only a real PNG encode→decode
+    * round trip matches it. */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val png = encodePng(id)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val px = img.getRGB(0, 0)
+        ImgDecoded(id, img.getWidth.toLong, img.getHeight.toLong,
+          ((px >> 16) & 0xff).toLong, ((px >> 8) & 0xff).toLong, (px & 0xff).toLong)
+      })
+      .toDF().orderBy(col("media_id"))
   }
 
   /** End-to-end decode query (oracle-checkable because the stub is a

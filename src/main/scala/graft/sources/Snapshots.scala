@@ -75,6 +75,8 @@ object Snapshots {
   private val PartColLine = "partcol="
   private val PartLine = "part:"
   private val SchemaLine = "schema="
+  private val StatLine = "stat:"
+  private val StatColRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -140,7 +142,16 @@ object Snapshots {
     * `schemaJson = None` and read exactly as they always did. */
   private[graft] case class Manifest(dataDir: Option[String], partCol: String,
                                      partitions: Seq[(String, String)],
-                                     schemaJson: Option[String] = None)
+                                     schemaJson: Option[String] = None,
+                                     stats: Seq[FileStat] = Nil)
+
+  /** Per-file column range, the Iceberg-style data-skipping index:
+    * `relPath` is the data file's path relative to the table root
+    * (`d-…/…parquet`); `min`/`max` are decimal strings (numeric
+    * columns only — exact at any magnitude, unlike doubles). A file
+    * with no stat entry for a column is always read (conservative). */
+  private[graft] case class FileStat(col: String, min: String, max: String,
+                                     relPath: String)
 
   private def manifestSchema(m: Manifest): Option[org.apache.spark.sql.types.StructType] =
     m.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
@@ -184,17 +195,31 @@ object Snapshots {
     }
     val schema = lines.collectFirst {
       case l if l.startsWith(SchemaLine) => l.stripPrefix(SchemaLine) }
+    val stats = lines.collect { case l if l.startsWith(StatLine) =>
+      val body = l.stripPrefix(StatLine)
+      val ps = body.split("\\|", 4)
+      require(ps.length == 4, s"Snapshots: malformed stat line '$l' in $version")
+      FileStat(ps(0), ps(1), ps(2), ps(3))
+    }
     require(dir.isDefined || parts.nonEmpty,
       s"Snapshots: empty manifest $version at $tableDir")
-    Manifest(dir, partCol, parts, schema)
+    Manifest(dir, partCol, parts, schema, stats)
   }
 
   private def manifestBody(m: Manifest): String = {
     // StructType.json is a single line; the schema line (when present)
     // leads so humans diffing manifests see the contract first
     val schemaLines = m.schemaJson.map(SchemaLine + _).toSeq
+    // stat cols are validated identifiers and min/max plain decimals,
+    // so '|' is a safe separator; relPath (which may contain anything
+    // printable except newline) goes LAST and absorbs the remainder
+    val statLines = m.stats.sortBy(s => (s.relPath, s.col)).map { s =>
+      require(StatColRe.findFirstIn(s.col).isDefined,
+        s"Snapshots: stats column name '${s.col}' is not a plain identifier")
+      s"$StatLine${s.col}|${s.min}|${s.max}|${s.relPath}"
+    }
     val body = m.dataDir match {
-      case Some(dd) => schemaLines :+ (DirLine + dd)
+      case Some(dd) => schemaLines ++ ((DirLine + dd) +: statLines)
       case None =>
         // partition values are stored Hive-escaped so '=', newlines and
         // other line-format-hostile characters round-trip; empty values
@@ -209,7 +234,7 @@ object Snapshots {
         schemaLines ++ ((PartColLine + m.partCol) +: m.partitions.sorted.map {
           case (v, d) =>
             s"$PartLine${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .escapePathName(v)}=$d" })
+              .escapePathName(v)}=$d" }) ++ statLines
     }
     body.mkString("", "\n", "\n")
   }
@@ -292,12 +317,18 @@ object Snapshots {
     * concurrent writers: the payload is base-independent, so a claim
     * collision retries with the next number until it wins. Returns the
     * claimed version name. */
-  def commitOverwrite(spark: SparkSession, tableDir: String, df: DataFrame): String = {
+  def commitOverwrite(spark: SparkSession, tableDir: String, df: DataFrame,
+                      statsCols: Seq[String] = Nil): String = {
     val dir = new Path(tableDir)
     fsOf(spark, dir).mkdirs(dir)
     val dd = newDataDirName()
     df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, dd).toString)
-    val m = Manifest(Some(dd), "", Nil, Some(df.schema.json))
+    // keep maintaining whatever skipping index the table already tracks
+    val prevCols = currentVersion(spark, tableDir)
+      .map(v => readManifest(spark, tableDir, v)).map(effectiveStatsCols(statsCols, _))
+      .getOrElse(statsCols)
+    val stats = computeFileStats(spark, dir, dd, prevCols)
+    val m = Manifest(Some(dd), "", Nil, Some(df.schema.json), stats)
     var n = listVersions(spark, tableDir).lastOption.map(versionNumber).getOrElse(0) + 1
     while (!tryClaim(spark, tableDir, n, m)) n += 1
     versionName(n)
@@ -337,7 +368,8 @@ object Snapshots {
     * scan is map-only — one full-table write, zero full-table
     * shuffles. */
   def commitUpsert(spark: SparkSession, tableDir: String, delta: DataFrame,
-                   key: String, expectedVersion: Option[String] = None): String = {
+                   key: String, expectedVersion: Option[String] = None,
+                   statsCols: Seq[String] = Nil): String = {
     val base = expectedVersion.orElse(currentVersion(spark, tableDir))
     base match {
       case None =>
@@ -352,7 +384,8 @@ object Snapshots {
         val deduped = graft.etl.Dims.upsert(None, delta, key)
         deduped.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, dd).toString)
         claimExactly(spark, tableDir, 1,
-          Manifest(Some(dd), "", Nil, Some(deduped.schema.json)))
+          Manifest(Some(dd), "", Nil, Some(deduped.schema.json),
+            computeFileStats(spark, dir, dd, statsCols)))
       case Some(v) =>
         val baseDf = readVersion(spark, tableDir, v)
         val aligned = evolveDeltaTo(baseDf.schema, delta)
@@ -364,8 +397,11 @@ object Snapshots {
         val dd = newDataDirName()
         merged.write.mode(SaveMode.ErrorIfExists)
           .parquet(new Path(new Path(tableDir), dd).toString)
+        val mPrev = readManifest(spark, tableDir, v)
         claimExactlyAfter(spark, tableDir, v,
-          Manifest(Some(dd), "", Nil, Some(merged.schema.json)))
+          Manifest(Some(dd), "", Nil, Some(merged.schema.json),
+            computeFileStats(spark, new Path(tableDir), dd,
+              effectiveStatsCols(statsCols, mPrev))))
     }
   }
 
@@ -374,7 +410,8 @@ object Snapshots {
     * partition value to it. NULL partition values are refused (same
     * contract as [[graft.etl.Dims.partitionScopedMerge]]). */
   def commitOverwritePartitioned(spark: SparkSession, tableDir: String,
-                                 df: DataFrame, partCol: String): String = {
+                                 df: DataFrame, partCol: String,
+                                 statsCols: Seq[String] = Nil): String = {
     val dir = new Path(tableDir)
     val fs = fsOf(spark, dir)
     fs.mkdirs(dir)
@@ -384,7 +421,8 @@ object Snapshots {
       .parquet(ddPath.toString)
     val values = listPartitionValues(fs, ddPath, partCol)
     require(values.nonEmpty, "commitOverwritePartitioned: empty dataframe")
-    val m = Manifest(None, partCol, values.map(v => v -> dd), Some(df.schema.json))
+    val m = Manifest(None, partCol, values.map(v => v -> dd), Some(df.schema.json),
+      computeFileStats(spark, dir, dd, statsCols))
     var n = listVersions(spark, tableDir).lastOption.map(versionNumber).getOrElse(0) + 1
     while (!tryClaim(spark, tableDir, n, m)) n += 1
     versionName(n)
@@ -430,7 +468,8 @@ object Snapshots {
   def commitMergePartitioned(spark: SparkSession, tableDir: String,
                              delta: DataFrame, key: String, partCol: String,
                              tieBreak: Seq[Column] = Nil,
-                             expectedVersion: Option[String] = None): String = {
+                             expectedVersion: Option[String] = None,
+                             statsCols: Seq[String] = Nil): String = {
     val base = expectedVersion.orElse(currentVersion(spark, tableDir))
     base match {
       case None =>
@@ -447,7 +486,8 @@ object Snapshots {
         val values = listPartitionValues(fs, ddPath, partCol)
         require(values.nonEmpty, "commitMergePartitioned: empty bootstrap delta")
         claimExactly(spark, tableDir, 1,
-          Manifest(None, partCol, values.map(_ -> dd), Some(deduped.schema.json)))
+          Manifest(None, partCol, values.map(_ -> dd), Some(deduped.schema.json),
+            computeFileStats(spark, dir, dd, statsCols)))
       case Some(v) =>
         val m = readManifest(spark, tableDir, v)
         require(m.dataDir.isEmpty && m.partCol == partCol,
@@ -509,8 +549,25 @@ object Snapshots {
         // out of the manifest entirely, not point at a missing path
         val present = listPartitionValues(fsOf(spark, ddPath), ddPath, partCol)
         val newParts = ((owned -- touched) ++ present.map(_ -> dd)).toSeq
+        // data-skipping stats: entries for files whose (dir, partition)
+        // the new manifest still references carry forward verbatim
+        // (immutable files, unchanged ranges); the new data dir gets a
+        // fresh delta-sized stats scan
+        val newPartsMap = newParts.toMap
+        val carried = m.stats.filter { st =>
+          val segs = st.relPath.split("/")
+          segs.length >= 3 && {
+            val eq = segs(1).lastIndexOf('=')
+            eq > 0 && newPartsMap.get(
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(segs(1).substring(eq + 1))).contains(segs(0))
+          }
+        }
+        val fresh = computeFileStats(spark, new Path(tableDir), dd,
+          effectiveStatsCols(statsCols, m))
         claimExactlyAfter(spark, tableDir, v,
-          Manifest(None, partCol, newParts, Some(merged.schema.json)))
+          Manifest(None, partCol, newParts, Some(merged.schema.json),
+            carried ++ fresh))
     }
   }
 
@@ -531,19 +588,22 @@ object Snapshots {
     val m = readManifest(spark, tableDir, v)
     val dd = newDataDirName()
     val ddPath = new Path(new Path(tableDir), dd)
+    val statsCols = m.stats.map(_.col).distinct
     m.dataDir match {
       case Some(_) =>
         readVersion(spark, tableDir, v)
           .write.mode(SaveMode.ErrorIfExists).parquet(ddPath.toString)
         claimExactlyAfter(spark, tableDir, v,
-          Manifest(Some(dd), "", Nil, m.schemaJson))
+          Manifest(Some(dd), "", Nil, m.schemaJson,
+            computeFileStats(spark, new Path(tableDir), dd, statsCols)))
       case None =>
         readVersion(spark, tableDir, v)
           .write.mode(SaveMode.ErrorIfExists).partitionBy(m.partCol)
           .parquet(ddPath.toString)
         val values = listPartitionValues(fsOf(spark, ddPath), ddPath, m.partCol)
         claimExactlyAfter(spark, tableDir, v,
-          Manifest(None, m.partCol, values.map(_ -> dd), m.schemaJson))
+          Manifest(None, m.partCol, values.map(_ -> dd), m.schemaJson,
+            computeFileStats(spark, new Path(tableDir), dd, statsCols)))
     }
   }
 
@@ -580,6 +640,117 @@ object Snapshots {
       s"Snapshots: NULL or empty $partCol values are not supported — " +
         "filter or default them first")
     values
+  }
+
+  // ---------------------------------------------------------- file stats
+
+  /** Compute per-file min/max for `statsCols` over a freshly written
+    * data dir — one delta-sized scan of files that are still hot from
+    * the write. Numeric data columns only (partition columns live in
+    * dir names, not files). A file where a column is all-NULL gets no
+    * entry and is conservatively always read. */
+  private def computeFileStats(spark: SparkSession, tableDir: Path, dd: String,
+                               statsCols: Seq[String]): Seq[FileStat] = {
+    if (statsCols.isEmpty) return Nil
+    val df = spark.read.parquet(new Path(tableDir, dd).toString)
+    statsCols.foreach { c =>
+      require(StatColRe.findFirstIn(c).isDefined,
+        s"Snapshots: stats column '$c' is not a plain identifier")
+      require(df.schema.fields.exists(f => f.name == c &&
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]),
+        s"Snapshots: stats column '$c' must be a numeric data column")
+    }
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c")))
+    df.groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.flatMap { r =>
+        val file = r.getString(0)
+        // the data dir name is attempt-unique, so locating it in the
+        // URI is unambiguous regardless of scheme/authority spelling
+        val at = file.indexOf("/" + dd + "/")
+        require(at >= 0, s"Snapshots: file $file not under data dir $dd")
+        val rel = file.substring(at + 1)
+        statsCols.zipWithIndex.flatMap { case (c, i) =>
+          val lo = r.get(1 + 2 * i)
+          val hi = r.get(2 + 2 * i)
+          if (lo == null || hi == null) None
+          else Some(FileStat(c, lo.toString, hi.toString, rel))
+        }
+      }
+  }
+
+  /** The stats columns a follow-up commit should maintain: the
+    * caller's explicit choice, else whatever the previous manifest
+    * tracked — so the skipping index survives commits that don't
+    * mention it. */
+  private def effectiveStatsCols(statsCols: Seq[String], prev: Manifest): Seq[String] =
+    if (statsCols.nonEmpty) statsCols else prev.stats.map(_.col).distinct
+
+  /** List every data file of a version, relative to the table root. */
+  private def versionFiles(spark: SparkSession, tableDir: String,
+                           m: Manifest): Seq[String] = {
+    val root = new Path(tableDir)
+    val fs = fsOf(spark, root)
+    val qualifiedRoot = fs.makeQualified(root).toString
+    def listUnder(p: Path): Seq[String] = {
+      if (!fs.exists(p)) return Nil
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          b += fs.makeQualified(st.getPath).toString
+            .stripPrefix(qualifiedRoot).stripPrefix("/")
+      }
+      b.result()
+    }
+    m.dataDir match {
+      case Some(dd) => listUnder(new Path(root, dd))
+      case None => m.partitions.flatMap { case (value, dir) =>
+        listUnder(new Path(new Path(root, dir), partDirName(m.partCol, value)))
+      }
+    }
+  }
+
+  /** Range read with manifest-level data skipping: return the rows of
+    * `version` where `statCol` ∈ [lower, upper], reading ONLY the
+    * files whose recorded [min,max] intersects the range (plus any
+    * file with no stat entry — conservative). With per-file stats on
+    * a clustered column, a point/range read of a 100 TB snapshot
+    * opens a handful of files instead of every file of every
+    * referenced partition; the row-level filter still applies inside
+    * the survivors, so results equal `readVersion(...).filter(...)`
+    * exactly (proved in SnapshotsSpec with a scan-file assert). */
+  def readVersionPruned(spark: SparkSession, tableDir: String, version: String,
+                        statCol: String, lower: BigDecimal, upper: BigDecimal): DataFrame = {
+    val m = readManifest(spark, tableDir, version)
+    val predicate = col(statCol) >= lit(lower.underlying) &&
+      col(statCol) <= lit(upper.underlying)
+    val colStats = m.stats.filter(_.col == statCol).map(s => s.relPath -> s).toMap
+    if (colStats.isEmpty) return readVersion(spark, tableDir, version).filter(predicate)
+    val all = versionFiles(spark, tableDir, m)
+    val selected = all.filter { rel =>
+      colStats.get(rel) match {
+        case Some(s) => BigDecimal(s.min) <= upper && BigDecimal(s.max) >= lower
+        case None => true
+      }
+    }
+    if (selected.isEmpty)
+      return readVersion(spark, tableDir, version).filter(lit(false)).filter(predicate)
+    val root = new Path(tableDir)
+    val raw = m.dataDir match {
+      case Some(_) =>
+        spark.read.parquet(selected.map(new Path(root, _).toString): _*)
+      case None =>
+        // group survivors by owning data dir; basePath keeps partition
+        // column inference identical to the unpruned read
+        selected.groupBy(_.takeWhile(_ != '/')).map { case (owner, rels) =>
+          spark.read.option("basePath", new Path(root, owner).toString)
+            .parquet(rels.map(new Path(root, _).toString): _*)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    manifestSchema(m).map(alignTo(raw, _)).getOrElse(raw).filter(predicate)
   }
 
   // ---------------------------------------------------------------- diff

@@ -461,6 +461,66 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).columns.toSeq === Seq("k", "v", "score"))
   }
 
+  test("file stats prune a range read to intersecting files; results equal the unpruned filter") {
+    val dir = freshDir()
+    // key-clustered layout: 4 range partitions → 4 files with tight,
+    // disjoint key ranges — the layout a 100 TB table would maintain
+    // via Z-order/range-partitioned writes
+    val df = (1L to 400L).map(k => (k, s"v$k", (k % 7).toDouble))
+      .toDF("k", "v", "w")
+      .repartitionByRange(4, col("k"))
+    Snapshots.commitOverwrite(spark, dir, df, statsCols = Seq("k"))
+    val pruned = Snapshots.readVersionPruned(spark, dir, "v00000001",
+      "k", BigDecimal(150), BigDecimal(160))
+    // correctness: exactly the rows of the unpruned filter
+    assert(pruned.orderBy("k").select(col("k"), col("v"))
+      .as[(Long, String)].collect().toSeq
+      === (150L to 160L).map(k => (k, s"v$k")))
+    // skipping: the plan scans STRICTLY fewer files than the version has
+    def scannedFiles(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.toSeq
+      }.flatten.distinct
+    val all = scannedFiles(Snapshots.readVersion(spark, dir, "v00000001"))
+    val hit = scannedFiles(pruned)
+    assert(all.size === 4)
+    assert(hit.size < all.size,
+      s"pruned read scanned ${hit.size} of ${all.size} files — no skipping")
+    // an empty-range read scans nothing and returns no rows
+    assert(Snapshots.readVersionPruned(spark, dir, "v00000001",
+      "k", BigDecimal(1000), BigDecimal(2000)).count() === 0)
+  }
+
+  test("partitioned merge carries file stats forward and prunes across data dirs") {
+    val dir = freshDir()
+    val base = (1L to 300L).map(k => (k, if (k <= 200) "F" else "O", k.toDouble))
+      .toDF("k", "status", "amount")
+      .repartitionByRange(3, col("k"))
+    Snapshots.commitOverwritePartitioned(spark, dir, base, "status",
+      statsCols = Seq("k"))
+    // merge touches O only; F's stats must carry forward verbatim
+    val v2 = Snapshots.commitMergePartitioned(spark, dir,
+      Seq((250L, "O", 999.0)).toDF("k", "status", "amount"), "k", "status")
+    val pruned = Snapshots.readVersionPruned(spark, dir, v2,
+      "k", BigDecimal(250), BigDecimal(250))
+    assert(pruned.select(col("amount")).as[Double].collect().toSeq === Seq(999.0))
+    // a low-range read over carried stats never opens the new data dir
+    val lowFiles = Snapshots.readVersionPruned(spark, dir, v2,
+        "k", BigDecimal(1), BigDecimal(10))
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.toSeq
+      }.flatten
+    val m2 = Snapshots.readManifest(spark, dir, v2)
+    val newDd = m2.partitions.toMap.apply("O")
+    assert(lowFiles.nonEmpty && !lowFiles.exists(_.contains(newDd)),
+      "low-range read should be served entirely by carried stats on old dirs")
+    // results still exact
+    assert(Snapshots.readVersionPruned(spark, dir, v2, "k",
+      BigDecimal(1), BigDecimal(10)).count() === 10)
+  }
+
   test("partition-scoped vacuum never deletes a data dir the live manifest still references") {
     val dir = freshDir()
     Snapshots.commitOverwritePartitioned(spark, dir, Seq(
