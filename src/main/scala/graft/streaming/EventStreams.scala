@@ -75,6 +75,40 @@ object EventStreams {
         }
       }
 
+  /** Streaming merge sink over the SNAPSHOT commit log: each
+    * micro-batch lands as one [[graft.sources.Snapshots]] partition-
+    * scoped merge commit — so unlike [[mergeSink]]'s plain-parquet
+    * table, a concurrent reader always resolves a complete committed
+    * version (reader atomicity) and CONCURRENT WRITERS are safe: a
+    * batch-time writer racing the stream makes the commit CAS-fail
+    * with [[graft.sources.ConcurrentSnapshotCommitException]], and the
+    * sink re-runs the merge against the winner's snapshot (bounded
+    * retries — the merge is delta-wins-idempotent, so re-running is
+    * harmless). Replaying a micro-batch after a crash converges to the
+    * same table for the same reason. Write amplification per batch
+    * scales with the touched partitions, not the table. */
+  def snapshotMergeSink(events: DataFrame, tableDir: String, key: String,
+                        partCol: String, maxRetries: Int = 5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          var attempt = 0
+          var done = false
+          while (!done) {
+            try {
+              graft.sources.Snapshots.commitMergePartitioned(
+                batch.sparkSession, tableDir, batch, key, partCol)
+              done = true
+            } catch {
+              case _: graft.sources.ConcurrentSnapshotCommitException
+                  if attempt < maxRetries =>
+                attempt += 1 // re-resolve the live snapshot, re-merge
+            }
+          }
+        }
+      }
+
   /** Rate-limited file-stream source — the backpressure surface.
     *
     * `maxFilesPerTrigger` caps how many NEW files each micro-batch

@@ -248,6 +248,58 @@ class StreamingSpec extends SparkSpec {
     assert(second.sum === 0L, s"checkpoint replayed data: $second")
   }
 
+  test("snapshot merge sink: every micro-batch is a reader-atomic version; external commits survive; replay converges") {
+    import graft.sources.Snapshots
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapsink").toString
+    val table = s"$dir/t"
+    val source = MemoryStream[(Long, String, Double)]
+    val events = source.toDF().toDF("id", "part", "v")
+    val q = EventStreams.snapshotMergeSink(events, table, "id", "part")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      source.addData((1L, "A", 1.0), (2L, "B", 2.0))
+      q.processAllAvailable()
+      // batch 1 committed one complete version
+      assert(Snapshots.currentVersion(spark, table) === Some("v00000001"))
+      val pinned = Snapshots.currentVersion(spark, table).get
+      // an EXTERNAL batch writer lands between micro-batches — the
+      // stream's next merge must build on it, not lose it
+      Snapshots.commitMergePartitioned(spark, table,
+        Seq((9L, "C", 9.0)).toDF("id", "part", "v"), "id", "part")
+      source.addData((1L, "A", 10.0), (3L, "A", 3.0))
+      q.processAllAvailable()
+      val live = Snapshots.read(spark, table)
+        .select(col("id"), col("part"), col("v"))
+        .as[(Long, String, Double)].collect().toSet
+      assert(live === Set(
+        (1L, "A", 10.0), (2L, "B", 2.0), (3L, "A", 3.0), (9L, "C", 9.0)))
+      // the reader pinned before the external commit still reads its
+      // complete version — never a partial state
+      assert(Snapshots.readVersion(spark, table, pinned)
+        .select(col("id"), col("part"), col("v"))
+        .as[(Long, String, Double)].collect().toSet
+        === Set((1L, "A", 1.0), (2L, "B", 2.0)))
+    } finally q.stop()
+    // replaying a batch into a fresh checkpoint converges (idempotent
+    // delta-wins merge), adding a version but not duplicate keys
+    val source2 = MemoryStream[(Long, String, Double)]
+    val events2 = source2.toDF().toDF("id", "part", "v")
+    val q2 = EventStreams.snapshotMergeSink(events2, table, "id", "part")
+      .option("checkpointLocation", s"$dir/ckpt2").start()
+    try {
+      source2.addData((1L, "A", 10.0), (3L, "A", 3.0))
+      q2.processAllAvailable()
+      val got = Snapshots.read(spark, table)
+        .select(col("id"), col("part"), col("v"))
+        .as[(Long, String, Double)].collect().toSet
+      assert(got === Set(
+        (1L, "A", 10.0), (2L, "B", 2.0), (3L, "A", 3.0), (9L, "C", 9.0)))
+      assert(Snapshots.read(spark, table).groupBy("id").count()
+        .filter(col("count") > 1).count() === 0)
+    } finally q2.stop()
+  }
+
   test("foreachBatch merge sink upserts micro-batches partition-scoped, replay-idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_msink").toString
