@@ -59,7 +59,16 @@ object Bench {
     val failed = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, false) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"loadavg_before":"$load0","loadavg_after":"$load1","sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"loadavg_before":"$load0","loadavg_after":"$load1","sf":"$sfDir"}"""
+    println(json)
+    // also persist to a repo artifact: the driver's stdout tail has
+    // historically truncated the per-query map, leaving the round
+    // bench unparseable — the file keeps all entries diffable
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
     if (results.exists(_._3)) sys.exit(1)
   }
