@@ -439,6 +439,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
         .orderBy(col("o_orderstatus"))
     }),
+    // Z-order layout × file stats = TWO-dimensional data skipping: the
+    // snapshot is committed clustered by the Morton key of
+    // (o_orderkey, o_custkey) with per-file stats on that key; a 2D
+    // box query becomes one conservative z-range (the classic Z-curve
+    // corner bound) pruned at file level, refined by the exact row
+    // filter — so the oracle is the plain box filter. At 100 TB this
+    // is how a point-in-rectangle read avoids opening the table.
+    "q83_zorder_skip" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      import graft.sources.{Snapshots, ZOrder}
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      // domains from one tiny agg — deterministic per sf dir
+      val r = o.agg(min(col("o_orderkey")).cast("long"), max(col("o_orderkey")).cast("long"),
+        min(col("o_custkey")).cast("long"), max(col("o_custkey")).cast("long")).head()
+      val (xlo, xhi, ylo, yhi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val table = fixture("snapz", s, d, "orders") { path =>
+        wipe(s, path) // a crashed builder + pid reuse could leave a partial chain
+        val keyed = o.withColumn("z", ZOrder.zkey2(
+          ZOrder.scaled(col("o_orderkey"), xlo, xhi, 16),
+          ZOrder.scaled(col("o_custkey"), ylo, yhi, 16), 16))
+        Snapshots.commitOverwrite(s, path,
+          keyed.repartitionByRange(16, col("z")).sortWithinPartitions(col("z")),
+          statsCols = Seq("z"))
+        ()
+      }
+      // box: second quarter of each dimension (integer arithmetic the
+      // oracle mirrors with DuckDB's // operator)
+      val (bx1, bx2) = (xlo + (xhi - xlo) / 4, xlo + (xhi - xlo) / 3)
+      val (by1, by2) = (ylo + (yhi - ylo) / 4, ylo + (yhi - ylo) / 3)
+      val zlo = ZOrder.zvalue2(ZOrder.scaledValue(bx1, xlo, xhi),
+        ZOrder.scaledValue(by1, ylo, yhi))
+      val zhi = ZOrder.zvalue2(ZOrder.scaledValue(bx2, xlo, xhi),
+        ZOrder.scaledValue(by2, ylo, yhi))
+      Snapshots.readVersionPruned(s, table, "v00000001",
+          "z", BigDecimal(zlo), BigDecimal(zhi))
+        .filter(col("o_orderkey").between(bx1, bx2) &&
+          col("o_custkey").between(by1, by2))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -1072,6 +1116,18 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the z-range is a conservative superset refined by the exact box
+    // filter, so the oracle is the PLAIN box query — data skipping can
+    // never change semantics
+    "q83_zorder_skip" ->
+      """WITH d AS (SELECT min(o_orderkey) AS xlo, max(o_orderkey) AS xhi,
+        |    min(o_custkey) AS ylo, max(o_custkey) AS yhi FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM orders, d
+        |WHERE o_orderkey BETWEEN xlo + (xhi - xlo) // 4 AND xlo + (xhi - xlo) // 3
+        |  AND o_custkey BETWEEN ylo + (yhi - ylo) // 4 AND ylo + (yhi - ylo) // 3
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // merge semantics expressed directly; the Spark side additionally
     // proves only the touched partition was rewritten (MergeSpec)

@@ -510,8 +510,30 @@ object Snapshots {
         // (delete-and-reinsert, the Delta/Iceberg MERGE semantics).
         val deltaKeys = delta.select(col(key)).distinct()
         val untouchedVals = owned.keys.toSeq.filterNot(touchedRaw.contains)
-        val movedParts = readPartitionsSubset(spark, tableDir, owned, partCol,
-          untouchedVals) match {
+        // When the manifest tracks file stats on the merge key, prune
+        // the detection scan to files whose key range intersects the
+        // delta's key range. This is SAFE: a stale row shares its key
+        // with some delta row, so its file's [min,max] necessarily
+        // contains a value inside [delta min, delta max] — a pruned
+        // file cannot hold a moved key. At 100 TB this turns the
+        // untouched scan into a handful of file opens.
+        val keyStats = m.stats.filter(_.col == key).map(s => s.relPath -> s).toMap
+        val untouchedScan: Option[DataFrame] =
+          if (untouchedVals.isEmpty) None
+          else if (keyStats.isEmpty)
+            readPartitionsSubset(spark, tableDir, owned, partCol, untouchedVals)
+          else {
+            val b = delta.agg(min(col(key)).cast("string"), max(col(key)).cast("string")).head
+            if (b.isNullAt(0)) None // no non-null delta keys → nothing can move
+            else {
+              val files = filterByStats(keyStats,
+                partitionFilesRel(spark, tableDir, m, untouchedVals),
+                BigDecimal(b.getString(0)), BigDecimal(b.getString(1)))
+              if (files.isEmpty) None
+              else Some(readFilesByOwner(spark, new Path(tableDir), files))
+            }
+          }
+        val movedParts = untouchedScan match {
           case None => Nil
           case Some(unt) => unt
             .select(col(key), col(partCol).cast("string").as("_p"))
@@ -687,31 +709,65 @@ object Snapshots {
   private def effectiveStatsCols(statsCols: Seq[String], prev: Manifest): Seq[String] =
     if (statsCols.nonEmpty) statsCols else prev.stats.map(_.col).distinct
 
+  /** List the parquet files under `p`, as paths relative to `root`. */
+  private def listParquetRel(fs: FileSystem, root: Path, p: Path): Seq[String] = {
+    if (!fs.exists(p)) return Nil
+    val qualifiedRoot = fs.makeQualified(root).toString
+    val it = fs.listFiles(p, true)
+    val b = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        b += fs.makeQualified(st.getPath).toString
+          .stripPrefix(qualifiedRoot).stripPrefix("/")
+    }
+    b.result()
+  }
+
+  /** Data files of a subset of a partitioned version's partitions,
+    * relative to the table root. */
+  private def partitionFilesRel(spark: SparkSession, tableDir: String,
+                                m: Manifest, values: Seq[String]): Seq[String] = {
+    val root = new Path(tableDir)
+    val fs = fsOf(spark, root)
+    val owned = m.partitions.toMap
+    values.filter(owned.contains).flatMap { value =>
+      listParquetRel(fs, root,
+        new Path(new Path(root, owned(value)), partDirName(m.partCol, value)))
+    }
+  }
+
   /** List every data file of a version, relative to the table root. */
   private def versionFiles(spark: SparkSession, tableDir: String,
                            m: Manifest): Seq[String] = {
     val root = new Path(tableDir)
     val fs = fsOf(spark, root)
-    val qualifiedRoot = fs.makeQualified(root).toString
-    def listUnder(p: Path): Seq[String] = {
-      if (!fs.exists(p)) return Nil
-      val it = fs.listFiles(p, true)
-      val b = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-          b += fs.makeQualified(st.getPath).toString
-            .stripPrefix(qualifiedRoot).stripPrefix("/")
-      }
-      b.result()
-    }
     m.dataDir match {
-      case Some(dd) => listUnder(new Path(root, dd))
-      case None => m.partitions.flatMap { case (value, dir) =>
-        listUnder(new Path(new Path(root, dir), partDirName(m.partCol, value)))
-      }
+      case Some(dd) => listParquetRel(fs, root, new Path(root, dd))
+      case None => partitionFilesRel(spark, tableDir, m, m.partitions.map(_._1))
     }
   }
+
+  /** Keep the files whose recorded [min,max] for `statCol` intersects
+    * [lower, upper]; files with no entry survive (conservative). */
+  private def filterByStats(stats: Map[String, FileStat], files: Seq[String],
+                            lower: BigDecimal, upper: BigDecimal): Seq[String] =
+    files.filter { rel =>
+      stats.get(rel) match {
+        case Some(s) => BigDecimal(s.min) <= upper && BigDecimal(s.max) >= lower
+        case None => true
+      }
+    }
+
+  /** Read a set of relative file paths grouped by their owning data
+    * dir, with basePath per owner so partition-column inference matches
+    * the unpruned read. */
+  private def readFilesByOwner(spark: SparkSession, root: Path,
+                               rels: Seq[String]): DataFrame =
+    rels.groupBy(_.takeWhile(_ != '/')).map { case (owner, rs) =>
+      spark.read.option("basePath", new Path(root, owner).toString)
+        .parquet(rs.map(new Path(root, _).toString): _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Range read with manifest-level data skipping: return the rows of
     * `version` where `statCol` ∈ [lower, upper], reading ONLY the
@@ -729,26 +785,15 @@ object Snapshots {
       col(statCol) <= lit(upper.underlying)
     val colStats = m.stats.filter(_.col == statCol).map(s => s.relPath -> s).toMap
     if (colStats.isEmpty) return readVersion(spark, tableDir, version).filter(predicate)
-    val all = versionFiles(spark, tableDir, m)
-    val selected = all.filter { rel =>
-      colStats.get(rel) match {
-        case Some(s) => BigDecimal(s.min) <= upper && BigDecimal(s.max) >= lower
-        case None => true
-      }
-    }
+    val selected = filterByStats(colStats, versionFiles(spark, tableDir, m),
+      lower, upper)
     if (selected.isEmpty)
       return readVersion(spark, tableDir, version).filter(lit(false)).filter(predicate)
     val root = new Path(tableDir)
     val raw = m.dataDir match {
       case Some(_) =>
         spark.read.parquet(selected.map(new Path(root, _).toString): _*)
-      case None =>
-        // group survivors by owning data dir; basePath keeps partition
-        // column inference identical to the unpruned read
-        selected.groupBy(_.takeWhile(_ != '/')).map { case (owner, rels) =>
-          spark.read.option("basePath", new Path(root, owner).toString)
-            .parquet(rels.map(new Path(root, _).toString): _*)
-        }.reduce(_.unionByName(_, allowMissingColumns = true))
+      case None => readFilesByOwner(spark, root, selected)
     }
     manifestSchema(m).map(alignTo(raw, _)).getOrElse(raw).filter(predicate)
   }

@@ -33,12 +33,35 @@ object ZOrder {
       s"(($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)}"
     }.mkString("(", " + ", ")")
 
+  /** Driver-side mirror of [[scaled]] — identical double arithmetic,
+    * so a pruning bound computed from a box corner lands exactly where
+    * the data's own key expression would put it. */
+  def scaledValue(v: Long, lo: Long, hi: Long, bits: Int = 16): Long = {
+    val maxCode = (1L << bits) - 1
+    if (hi <= lo) 0L
+    else {
+      val clamped = math.max(lo, math.min(v, hi)) // corners may overshoot the domain
+      math.floor((clamped.toDouble - lo.toDouble) * maxCode.toDouble
+        / (hi - lo).toDouble).toLong
+    }
+  }
+
+  /** Driver-side mirror of [[zkey2]]: the Morton code of two scaled
+    * coordinates. For any box, every point inside has its z-value in
+    * [zvalue2(min corner), zvalue2(max corner)] — the classic Z-curve
+    * bound that makes a 2D box query a single (conservative) key
+    * range, refined by an exact row filter. */
+  def zvalue2(x: Long, y: Long, bits: Int = 16): Long =
+    (0 until bits).map { i =>
+      (((x >> i) & 1L) << (2 * i)) + (((y >> i) & 1L) << (2 * i + 1))
+    }.sum
+
   /** Column scaled to the full [0, 2^bits) domain given its min/max —
     * REQUIRED before interleaving: with unequal raw domains (say an
     * 11-bit partkey and a 7-bit suppkey) every high bit of the key
     * comes from the wider column and the sort degenerates to a
     * single-column cluster. */
-  private def scaled(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+  def scaled(c: Column, lo: Long, hi: Long, bits: Int): Column = {
     val maxCode = (1L << bits) - 1
     if (hi <= lo) lit(0L)
     else floor((c.cast("double") - lit(lo.toDouble)) * lit(maxCode.toDouble)

@@ -521,6 +521,59 @@ class SnapshotsSpec extends SparkSpec {
       BigDecimal(1), BigDecimal(10)).count() === 10)
   }
 
+  test("stats-pruned key-move detection still catches moves (pruning is provably safe)") {
+    val dir = freshDir()
+    // stats on the merge key: the detection scan can prune untouched
+    // files by key range. A stale row shares its key with a delta row,
+    // so its file's range always intersects the delta's — pruning can
+    // speed detection up but never miss a move.
+    val base = (1L to 300L).map(k => (k, if (k % 3 == 0) "O" else "F", k.toDouble))
+      .toDF("k", "status", "amount").repartitionByRange(3, col("k"))
+    Snapshots.commitOverwritePartitioned(spark, dir, base, "status",
+      statsCols = Seq("k"))
+    // key 150 (F) moves to O; delta touches only O
+    val v2 = Snapshots.commitMergePartitioned(spark, dir,
+      Seq((150L, "O", 999.0)).toDF("k", "status", "amount"), "k", "status")
+    val rows = Snapshots.read(spark, dir).filter(col("k") === 150L)
+      .select(col("status"), col("amount")).as[(String, Double)].collect().toSeq
+    assert(rows === Seq(("O", 999.0)))
+    assert(Snapshots.read(spark, dir).groupBy("k").count()
+      .filter(col("count") > 1).count() === 0)
+    // stats survive the move-merge: pruned reads stay exact
+    assert(Snapshots.readVersionPruned(spark, dir, v2, "k",
+      BigDecimal(150), BigDecimal(150)).select(col("amount"))
+      .as[Double].collect().toSeq === Seq(999.0))
+    assert(Snapshots.readVersionPruned(spark, dir, v2, "k",
+      BigDecimal(1), BigDecimal(50)).count() === 50)
+  }
+
+  test("z-order + stats: a 2D box read prunes files on the interleaved key") {
+    import graft.sources.ZOrder
+    val dir = freshDir()
+    // 64×64 grid, z-ordered into 16 files — each file covers a small
+    // rectangle, so an 8×8 box intersects few z-ranges
+    val grid = (for { x <- 0L to 63L; y <- 0L to 63L } yield (x, y, x * 64 + y))
+      .toDF("x", "y", "payload")
+    val keyed = grid.withColumn("z",
+      ZOrder.zkey2(ZOrder.scaled(col("x"), 0, 63, 16),
+        ZOrder.scaled(col("y"), 0, 63, 16), 16))
+    Snapshots.commitOverwrite(spark, dir,
+      keyed.repartitionByRange(16, col("z")).sortWithinPartitions(col("z")),
+      statsCols = Seq("z"))
+    val zlo = ZOrder.zvalue2(ZOrder.scaledValue(8, 0, 63), ZOrder.scaledValue(8, 0, 63))
+    val zhi = ZOrder.zvalue2(ZOrder.scaledValue(15, 0, 63), ZOrder.scaledValue(15, 0, 63))
+    val boxed = Snapshots.readVersionPruned(spark, dir, "v00000001",
+        "z", BigDecimal(zlo), BigDecimal(zhi))
+      .filter(col("x").between(8, 15) && col("y").between(15 - 7, 15))
+    assert(boxed.count() === 64) // exact box content
+    val scanned = boxed.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.toSeq
+    }.flatten.distinct
+    assert(scanned.size < 16,
+      s"2D box read scanned all ${scanned.size} files — z-skipping inert")
+  }
+
   test("partition-scoped vacuum never deletes a data dir the live manifest still references") {
     val dir = freshDir()
     Snapshots.commitOverwritePartitioned(spark, dir, Seq(
