@@ -155,6 +155,8 @@ object Dims {
     require(!touchedRaw.contains(null) && !touchedRaw.contains(""),
       s"partitionScopedMerge: incoming batch has NULL or empty $partCol values; " +
         "null partitions are not supported — filter or default them first")
+    // empty batch: a no-op — skip the scan/merge/overwrite machinery
+    if (touchedRaw.isEmpty) return Nil
     // Cross-partition key moves (an incoming row whose key already
     // lives in a partition the batch does NOT touch): the stale row
     // must be deleted or the table holds the key twice. Detect by

@@ -497,6 +497,8 @@ object Snapshots {
         require(!touchedRaw.contains(null) && !touchedRaw.contains(""),
           s"commitMergePartitioned: delta has NULL or empty $partCol values; " +
             "null partitions are not supported — filter or default them first")
+        // empty delta: a no-op — don't publish an identical version
+        if (touchedRaw.isEmpty) return v
         val owned = m.partitions.toMap
         // Cross-partition key moves (a delta row carrying an existing
         // key whose partition value CHANGED — the dimension-attribute

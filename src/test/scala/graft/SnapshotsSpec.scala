@@ -574,6 +574,45 @@ class SnapshotsSpec extends SparkSpec {
       s"2D box read scanned all ${scanned.size} files — z-skipping inert")
   }
 
+  test("empty delta merge is a no-op (no new version published)") {
+    val dir = freshDir()
+    Snapshots.commitOverwritePartitioned(spark, dir,
+      Seq((1L, "F", 1.0)).toDF("k", "status", "amount"), "status")
+    val v = Snapshots.commitMergePartitioned(spark, dir,
+      Seq.empty[(Long, String, Double)].toDF("k", "status", "amount"),
+      "k", "status")
+    assert(v === "v00000001")
+    assert(Snapshots.listVersions(spark, dir) === Seq("v00000001"))
+    assert(Snapshots.read(spark, dir).count() === 1)
+  }
+
+  test("key move into a brand-new partition deletes the stale row too") {
+    val dir = freshDir()
+    Snapshots.commitOverwritePartitioned(spark, dir, Seq(
+      (1L, "F", 10.0), (2L, "F", 20.0)).toDF("k", "status", "amount"), "status")
+    // key 2 moves to partition X which does not exist yet
+    Snapshots.commitMergePartitioned(spark, dir,
+      Seq((2L, "X", 99.0)).toDF("k", "status", "amount"), "k", "status")
+    assert(Snapshots.read(spark, dir).orderBy("k")
+      .select(col("k"), col("status"), col("amount"))
+      .as[(Long, String, Double)].collect().toSeq
+      === Seq((1L, "F", 10.0), (2L, "X", 99.0)))
+  }
+
+  test("pruned reads keep predicate pushdown (row-group pruning engages inside survivors)") {
+    val dir = freshDir()
+    val df = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+    Snapshots.commitOverwrite(spark, dir, df, statsCols = Seq("k"))
+    val plan = Snapshots.readVersionPruned(spark, dir, "v00000001",
+      "k", BigDecimal(10), BigDecimal(20)).queryExecution.sparkPlan
+    val pushed = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata("PushedFilters")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(k,10)") && pushed.contains("LessThanOrEqual(k,20)"),
+      s"range predicate not pushed to parquet: $pushed")
+  }
+
   test("partition-scoped vacuum never deletes a data dir the live manifest still references") {
     val dir = freshDir()
     Snapshots.commitOverwritePartitioned(spark, dir, Seq(
