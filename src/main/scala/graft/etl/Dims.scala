@@ -166,8 +166,20 @@ object Dims {
     // the delta-wins upsert below drops their stale rows — the
     // Delta/Iceberg MERGE delete-and-reinsert semantics.
     val incomingKeys = incoming.select(col(key)).distinct()
+    // a moved key IS an incoming key, so bounding the scan to the
+    // incoming key range is conservative-safe; pushed to parquet it
+    // engages row-group pruning on key-clustered bases (numeric keys
+    // only — a non-numeric min/max would compare lexically)
+    val keyIsNumeric = spark.read.parquet(basePath).schema.fields
+      .exists(f => f.name == key &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val keyBounds: Column = if (!keyIsNumeric) lit(true) else {
+      val b = incoming.agg(min(col(key)), max(col(key))).head
+      if (b.isNullAt(0)) lit(false)
+      else col(key) >= lit(b.get(0)) && col(key) <= lit(b.get(1))
+    }
     val movedParts = spark.read.parquet(basePath)
-      .filter(!col(partCol).isin(touchedRaw: _*))
+      .filter(!col(partCol).isin(touchedRaw: _*) && keyBounds)
       .select(col(key), col(partCol).cast("string").as("_p"))
       .join(broadcast(incomingKeys), Seq(key), "left_semi")
       .select(col("_p")).distinct()
@@ -179,7 +191,15 @@ object Dims {
     // delta produced by arithmetic (e.g. price + 50) carries widened
     // types (decimal(19,2) vs decimal(18,2)); writing those into some
     // partitions would fork the table into per-partition schemas and
-    // break non-mergeSchema reads
+    // break non-mergeSchema reads. EXTRA incoming columns are refused
+    // loudly — silently dropping them would look like data loss; the
+    // snapshot commit log (Snapshots.commitMergePartitioned) is the
+    // add-column evolution path
+    val extras = incoming.columns.filterNot(c => base.columns.contains(c))
+    require(extras.isEmpty,
+      s"partitionScopedMerge: incoming batch has columns ${extras.mkString(", ")} " +
+        "absent from the base table; plain-parquet merges do not evolve schemas — " +
+        "use Snapshots.commitMergePartitioned for add-column evolution")
     val aligned = incoming.select(
       base.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     val merged = upsert(Some(base), aligned, key, tieBreak)

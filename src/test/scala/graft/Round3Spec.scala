@@ -111,6 +111,17 @@ class Round3Spec extends SparkSpec {
     assert(out === Set((1L, "A", 10.0), (5L, "A", 55.0)))
   }
 
+  test("partitionScopedMerge refuses extra incoming columns instead of silently dropping them") {
+    val dir = Files.createTempDirectory("graft_pmerge_extra").toString
+    val table = s"$dir/t"
+    Seq((1L, "A", 1.0)).toDF("id", "part", "v").write.partitionBy("part").parquet(table)
+    val delta = Seq((2L, "A", 2.0, "note")).toDF("id", "part", "v", "extra")
+    val e = intercept[IllegalArgumentException] {
+      Dims.partitionScopedMerge(spark, table, delta, "id", "part")
+    }
+    assert(e.getMessage.contains("extra"))
+  }
+
   test("partitionScopedMerge refuses NULL partition values loudly") {
     val dir = Files.createTempDirectory("graft_pmerge3").toString
     val table = s"$dir/t"
