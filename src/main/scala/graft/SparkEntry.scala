@@ -416,6 +416,10 @@ object SparkEntry {
     // dims + the fill pixel arithmetically, so only a real PNG
     // round trip matches
     "q81_image_decode" -> Multimodal.imageDecode _,
+    // REAL audio decode (JDK javax.sound.sampled): deterministic PCM
+    // WAV per doc encoded and decoded executor-side; the oracle states
+    // the header fields + first sample arithmetically
+    "q84_audio_decode" -> Multimodal.audioDecode _,
     // manifest file-stats data skipping: orders committed key-clustered
     // (range-partitioned files) with per-file o_orderkey ranges; the
     // pruned range read opens only intersecting files (scan-file proof
@@ -1109,6 +1113,14 @@ object SparkEntry {
         |  CAST(doc_id % 256 AS BIGINT) AS r,
         |  CAST((doc_id * 7) % 256 AS BIGINT) AS g,
         |  CAST((doc_id * 13) % 256 AS BIGINT) AS b
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // WAV header + first 16-bit LE sample as the encoder's arithmetic
+    "q84_audio_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(32 + doc_id % 64 AS BIGINT) AS n_frames,
+        |  CAST(doc_id % 127 AS BIGINT) AS first_sample
         |FROM documents ORDER BY media_id""".stripMargin,
     // the pruned snapshot range read must equal the plain filter —
     // data skipping is an optimization, never a semantics change

@@ -7,11 +7,12 @@ import graft.sources.Tables
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads plus typed metadata, flowing through Spark as first-class
-  * columns. IMAGE payloads (PNG/JPEG, detected by magic bytes) are
-  * decoded for REAL via the JDK's `javax.imageio` — no external codec
-  * libraries needed; audio/video decode remains a clearly-marked
-  * deterministic STUB (`decodeStub` — those codecs are not in this
-  * container). The Spark-side machinery is identical for both: binary
+  * columns. IMAGE payloads (PNG/JPEG, magic-byte detected) decode for
+  * REAL via the JDK's `javax.imageio`, and WAV AUDIO via the JDK's
+  * `javax.sound.sampled` ([[audioDecode]]) — no external codec
+  * libraries needed; only VIDEO (and non-WAV audio) decode remains a
+  * clearly-marked deterministic STUB (`decodeStub` — those codecs are
+  * not in this container). The Spark-side machinery is identical for both: binary
   * schema, per-partition batch decode via mapPartitions over a typed
   * Dataset (the Scala analog of mapInPandas batches), frame sampling
   * via binary slicing, and metadata projection.
@@ -98,6 +99,51 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  case class WavDecoded(media_id: Long, sample_rate: Long, channels: Long,
+                        n_frames: Long, first_sample: Long)
+
+  /** Deterministic PCM WAV fixture: 16-bit mono, sample rate and
+    * frame count pure functions of the id, samples a fixed ramp — the
+    * audio analog of [[encodePng]]. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val rate = 8000 + (id % 4).toInt * 4000 // 8/12/16/20 kHz
+    val frames = 32 + (id % 64).toInt
+    val samples = Array.tabulate[Byte](frames * 2) { i =>
+      if (i % 2 == 0) ((id + i / 2) % 127).toByte else 0.toByte // little-endian lo byte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** End-to-end REAL audio decode query: encode a deterministic PCM
+    * WAV per document id, decode it back with the JDK's
+    * `javax.sound.sampled` (no external codecs), emit the format
+    * header + first sample. Only a real WAV encode→decode round trip
+    * reproduces the oracle's arithmetic. */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val wav = encodeWav(id)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        val fmt = ais.getFormat
+        val buf = new Array[Byte](2)
+        val read = ais.read(buf)
+        require(read == 2, s"media_id=$id: could not read first sample")
+        val first = ((buf(1) << 8) | (buf(0) & 0xff)).toLong // 16-bit LE
+        WavDecoded(id, fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+          ais.getFrameLength, first)
+      })
+      .toDF().orderBy(col("media_id"))
   }
 
   /** End-to-end REAL image decode query: encode a deterministic PNG

@@ -698,8 +698,14 @@ object Snapshots {
         statsCols.zipWithIndex.flatMap { case (c, i) =>
           val lo = r.get(1 + 2 * i)
           val hi = r.get(2 + 2 * i)
+          // NaN/Infinity (float columns) are not orderable decimals —
+          // such a file simply gets no entry and is always read
           if (lo == null || hi == null) None
-          else Some(FileStat(c, lo.toString, hi.toString, rel))
+          else (scala.util.Try(BigDecimal(lo.toString)).toOption,
+                scala.util.Try(BigDecimal(hi.toString)).toOption) match {
+            case (Some(_), Some(_)) => Some(FileStat(c, lo.toString, hi.toString, rel))
+            case _ => None
+          }
         }
       }
   }
@@ -756,7 +762,12 @@ object Snapshots {
                             lower: BigDecimal, upper: BigDecimal): Seq[String] =
     files.filter { rel =>
       stats.get(rel) match {
-        case Some(s) => BigDecimal(s.min) <= upper && BigDecimal(s.max) >= lower
+        case Some(s) =>
+          // a manifest hand-edited into an unparseable range must fail
+          // OPEN (read the file), never fail the whole read
+          scala.util.Try(
+            BigDecimal(s.min) <= upper && BigDecimal(s.max) >= lower
+          ).getOrElse(true)
         case None => true
       }
     }

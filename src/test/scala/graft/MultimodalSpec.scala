@@ -34,6 +34,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("audioDecode round trip matches the arithmetic contract (real javax.sound WAV decode)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wavdocs").toString
+    val ids = Seq(0L, 1L, 3L, 63L, 64L, 127L, 500L)
+    ids.map(id => (id, s"doc $id", "en", "src", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.audioDecode(spark, dir)
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("first_sample"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.foreach { case (id, rate, ch, frames, first) =>
+      assert(rate === 8000 + (id % 4) * 4000)
+      assert(ch === 1L)
+      assert(frames === 32 + id % 64)
+      assert(first === id % 127)
+    }
+  }
+
   test("imageDecode round trip matches the arithmetic contract for every id shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_imgdocs").toString
     val ids = Seq(0L, 1L, 31L, 32L, 255L, 256L, 1000L)
