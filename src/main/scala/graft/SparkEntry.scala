@@ -420,6 +420,35 @@ object SparkEntry {
     // WAV per doc encoded and decoded executor-side; the oracle states
     // the header fields + first sample arithmetically
     "q84_audio_decode" -> Multimodal.audioDecode _,
+    // JSONL ingest with dead-letter quarantine: documents exported as
+    // JSON Lines plus 3 planted malformed lines; the explicit-schema
+    // PERMISSIVE read quarantines each bad line into _corrupt_record
+    // (clean rows flow on, nothing dropped, nothing fails) and the
+    // gate counts both per-language rows and the quarantine bucket
+    "q85_jsonl_ingest" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val table = fixture("jsonl", s, d, "documents") { path =>
+        wipe(s, path)
+        graft.sources.Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+          .write.json(path)
+        val p = new org.apache.hadoop.fs.Path(path, "part-corrupt.json")
+        val out = p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true)
+        try out.write(
+          "{not json\n{\"doc_id\": }\ngarbage\n".getBytes("UTF-8"))
+        finally out.close()
+      }
+      val raw = graft.sources.JsonLines.readWithQuarantine(s, table, schema)
+      raw.groupBy(when(col(graft.sources.JsonLines.CorruptCol).isNotNull, lit("_corrupt"))
+          .otherwise(col("lang")).as("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
     // manifest file-stats data skipping: orders committed key-clustered
     // (range-partitioned files) with per-file o_orderkey ranges; the
     // pruned range read opens only intersecting files (scan-file proof
@@ -1114,6 +1143,12 @@ object SparkEntry {
         |  CAST((doc_id * 7) % 256 AS BIGINT) AS g,
         |  CAST((doc_id * 13) % 256 AS BIGINT) AS b
         |FROM documents ORDER BY media_id""".stripMargin,
+    // per-language counts of the clean rows + the 3 planted malformed
+    // lines as the quarantine bucket — lossless ingest accounting
+    "q85_jsonl_ingest" ->
+      """SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        |UNION ALL SELECT '_corrupt' AS lang, 3 AS n
+        |ORDER BY lang""".stripMargin,
     // WAV header + first 16-bit LE sample as the encoder's arithmetic
     "q84_audio_decode" ->
       """SELECT doc_id AS media_id,
