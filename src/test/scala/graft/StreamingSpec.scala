@@ -300,6 +300,36 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("two snapshot merge sinks on one table: CAS serializes them, no batch is lost") {
+    import graft.sources.Snapshots
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapsink2").toString
+    val table = s"$dir/t"
+    val srcA = MemoryStream[(Long, String, Double)]
+    val srcB = MemoryStream[(Long, String, Double)]
+    val qA = EventStreams.snapshotMergeSink(srcA.toDF().toDF("id", "part", "v"),
+      table, "id", "part").option("checkpointLocation", s"$dir/ckptA").start()
+    val qB = EventStreams.snapshotMergeSink(srcB.toDF().toDF("id", "part", "v"),
+      table, "id", "part").option("checkpointLocation", s"$dir/ckptB").start()
+    try {
+      // interleaved batches from both writers, overlapping partitions;
+      // bootstrap and follow-up commits race on the CAS claim — a
+      // loser retries against the winner's snapshot, so every batch's
+      // rows must survive into the live table
+      srcA.addData((1L, "A", 1.0)); srcB.addData((2L, "A", 2.0))
+      qA.processAllAvailable(); qB.processAllAvailable()
+      srcA.addData((3L, "B", 3.0)); srcB.addData((4L, "B", 4.0))
+      qA.processAllAvailable(); qB.processAllAvailable()
+      val live = Snapshots.read(spark, table)
+        .select(col("id"), col("part"), col("v"))
+        .as[(Long, String, Double)].collect().toSet
+      assert(live === Set((1L, "A", 1.0), (2L, "A", 2.0), (3L, "B", 3.0), (4L, "B", 4.0)))
+      // versions are linear: one per successful commit, no gaps
+      val versions = Snapshots.listVersions(spark, table)
+      assert(versions === versions.indices.map(i => f"v${i + 1}%08d"))
+    } finally { qA.stop(); qB.stop() }
+  }
+
   test("foreachBatch merge sink upserts micro-batches partition-scoped, replay-idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_msink").toString
