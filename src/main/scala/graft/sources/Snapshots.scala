@@ -631,6 +631,41 @@ object Snapshots {
     }
   }
 
+  /** OPTIMIZE ZORDER analog: consolidate the live version into one
+    * data dir CLUSTERED on the Morton key of (xCol, yCol) — domains
+    * learned from one tiny agg, both columns scaled to the full code
+    * range, one range exchange + local sort — with per-file stats
+    * recorded on BOTH RAW columns. Each output file then covers a
+    * small (x, y) rectangle, so [[readVersionPrunedMulti]] prunes 2D
+    * box reads on both dimensions directly; no curve key is
+    * materialized into the schema. Same CAS/read-modify-write
+    * semantics as [[compact]]; existing stats columns stay tracked. */
+  def compactZOrdered(spark: SparkSession, tableDir: String, xCol: String,
+                      yCol: String, numFiles: Int): String = {
+    val v = currentVersion(spark, tableDir).getOrElse(
+      throw new IOException(s"Snapshots.compactZOrdered: no committed version at $tableDir"))
+    val m = readManifest(spark, tableDir, v)
+    val df = readVersion(spark, tableDir, v)
+    val bits = 16
+    val r = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    val dd = newDataDirName()
+    val ddPath = new Path(new Path(tableDir), dd)
+    val clustered =
+      if (r.isNullAt(0)) df
+      else df.withColumn("_zkey", ZOrder.zkey2(
+          ZOrder.scaled(col(xCol), r.getLong(0), r.getLong(1), bits),
+          ZOrder.scaled(col(yCol), r.getLong(2), r.getLong(3), bits), bits))
+        .repartitionByRange(numFiles, col("_zkey"))
+        .sortWithinPartitions(col("_zkey"))
+        .drop("_zkey")
+    clustered.write.mode(SaveMode.ErrorIfExists).parquet(ddPath.toString)
+    val statsCols = (m.stats.map(_.col) ++ Seq(xCol, yCol)).distinct
+    claimExactlyAfter(spark, tableDir, v,
+      Manifest(Some(dd), "", Nil, Some(df.schema.json),
+        computeFileStats(spark, new Path(tableDir), dd, statsCols)))
+  }
+
   /** Claim exactly base+1 or fail loudly (the read-modify-write CAS). */
   private def claimExactlyAfter(spark: SparkSession, tableDir: String,
                                 baseVersion: String, m: Manifest): String =
@@ -792,14 +827,30 @@ object Snapshots {
     * the survivors, so results equal `readVersion(...).filter(...)`
     * exactly (proved in SnapshotsSpec with a scan-file assert). */
   def readVersionPruned(spark: SparkSession, tableDir: String, version: String,
-                        statCol: String, lower: BigDecimal, upper: BigDecimal): DataFrame = {
+                        statCol: String, lower: BigDecimal, upper: BigDecimal): DataFrame =
+    readVersionPrunedMulti(spark, tableDir, version, Seq((statCol, lower, upper)))
+
+  /** Conjunctive multi-column range read: rows where EVERY (col, lo,
+    * hi) holds, reading only files whose recorded range intersects
+    * every predicate's range. With a Z-ordered layout
+    * ([[compactZOrdered]]) each file covers a small rectangle in the
+    * clustered columns, so a 2D box prunes on BOTH dimensions without
+    * materializing a curve key. Files lacking a stat for some column
+    * survive that predicate (conservative); the row filter applies
+    * inside survivors, so results equal the plain filtered read. */
+  def readVersionPrunedMulti(spark: SparkSession, tableDir: String, version: String,
+                             preds: Seq[(String, BigDecimal, BigDecimal)]): DataFrame = {
+    require(preds.nonEmpty, "readVersionPrunedMulti: no predicates")
     val m = readManifest(spark, tableDir, version)
-    val predicate = col(statCol) >= lit(lower.underlying) &&
-      col(statCol) <= lit(upper.underlying)
-    val colStats = m.stats.filter(_.col == statCol).map(s => s.relPath -> s).toMap
-    if (colStats.isEmpty) return readVersion(spark, tableDir, version).filter(predicate)
-    val selected = filterByStats(colStats, versionFiles(spark, tableDir, m),
-      lower, upper)
+    val predicate = preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo.underlying) && col(c) <= lit(hi.underlying)
+    }.reduce(_ && _)
+    if (m.stats.isEmpty) return readVersion(spark, tableDir, version).filter(predicate)
+    val selected = preds.foldLeft(versionFiles(spark, tableDir, m)) {
+      case (files, (c, lo, hi)) =>
+        val colStats = m.stats.filter(_.col == c).map(s => s.relPath -> s).toMap
+        filterByStats(colStats, files, lo, hi)
+    }
     if (selected.isEmpty)
       return readVersion(spark, tableDir, version).filter(lit(false)).filter(predicate)
     val root = new Path(tableDir)

@@ -613,6 +613,28 @@ class SnapshotsSpec extends SparkSpec {
       s"range predicate not pushed to parquet: $pushed")
   }
 
+  test("compactZOrdered: 2D box reads prune on BOTH raw columns, results exact") {
+    val dir = freshDir()
+    // committed in x-major order: without re-clustering, every file
+    // spans the full y domain and a y-filter prunes nothing
+    val grid = (for { x <- 0L to 63L; y <- 0L to 63L } yield (x, y, x * 64 + y))
+      .toDF("x", "y", "payload").repartitionByRange(16, col("x"))
+    Snapshots.commitOverwrite(spark, dir, grid)
+    val cv = Snapshots.compactZOrdered(spark, dir, "x", "y", numFiles = 16)
+    // the z-clustered rewrite preserves content exactly
+    assert(Snapshots.readVersion(spark, dir, cv).count() === 64 * 64)
+    def box(q: org.apache.spark.sql.DataFrame) = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.toSeq
+    }.flatten.distinct.size
+    val read = Snapshots.readVersionPrunedMulti(spark, dir, cv, Seq(
+      ("x", BigDecimal(8), BigDecimal(15)), ("y", BigDecimal(40), BigDecimal(47))))
+    assert(read.count() === 64)
+    assert(read.agg(sum(col("payload"))).head.getLong(0)
+      === (for { x <- 8L to 15L; y <- 40L to 47L } yield x * 64 + y).sum)
+    assert(box(read) < 16, "2D box read should not open every file")
+  }
+
   test("partition-scoped vacuum never deletes a data dir the live manifest still references") {
     val dir = freshDir()
     Snapshots.commitOverwritePartitioned(spark, dir, Seq(
