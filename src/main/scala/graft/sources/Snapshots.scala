@@ -26,16 +26,24 @@ class ConcurrentSnapshotCommitException(msg: String) extends IOException(msg)
   *     v00000002
   * }}}
   *
-  * A manifest names the data dir(s) a version reads:
+  * A manifest names the data dir(s) a version reads, plus metadata:
+  *   - `schema=<StructType json>` — the version's declared read
+  *     contract (column order/types; missing-in-file columns read as
+  *     typed NULLs → add-column evolution without rewrites)
   *   - whole-table version:  `dir=d-1a2b3c4d5e6f`
   *   - partitioned version:  `partcol=o_orderstatus` then one
-  *     `part:F=d-...` line per live partition value, each naming the
-  *     data dir that OWNS that partition's files. A partition-scoped
-  *     commit writes ONLY the touched partitions into a new data dir
-  *     and re-points just those lines — untouched partitions keep
+  *     `part:F=d-...` line per live partition value (value stored
+  *     Hive-escaped, split on the LAST '='), each naming the data dir
+  *     that OWNS that partition's files. A partition-scoped commit
+  *     writes ONLY the touched partitions into a new data dir and
+  *     re-points just those lines — untouched partitions keep
   *     referencing their existing files, so commit cost scales with
   *     the delta, not the table (the daily single-partition pattern:
   *     reference dags/dag_datapelangan.py:188-234).
+  *   - `stat:<col>|<min>|<max>|<relPath>` — per-file numeric ranges
+  *     (the data-skipping index, [[readVersionPrunedMulti]]); merge
+  *     commits carry entries for still-referenced files forward
+  *     verbatim and stat-scan only the new dir.
   *
   * Commit protocol (the Delta/Iceberg optimistic-concurrency scheme at
   * file granularity): (1) write the new data dir under a fresh unique
