@@ -420,6 +420,11 @@ object SparkEntry {
     // WAV per doc encoded and decoded executor-side; the oracle states
     // the header fields + first sample arithmetically
     "q84_audio_decode" -> Multimodal.audioDecode _,
+    // BM25 lexical retrieval (rational log-free idf, 2-term corpus-top
+    // query, TakeOrdered top-10) — the curation "find matching docs"
+    // primitive; scoring op tree mirrored exactly in the oracle
+    "q86_bm25_retrieval" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bm25Retrieve(s, d)),
     // JSONL ingest with dead-letter quarantine: documents exported as
     // JSON Lines plus 3 planted malformed lines; the explicit-schema
     // PERMISSIVE read quarantines each bad line into _corrupt_record
@@ -1236,6 +1241,26 @@ object SparkEntry {
         |SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_no, CAST(s AS BIGINT) AS start,
         |  CAST(chunk_len AS BIGINT) AS chunk_len, chunk_hash
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+    // identical tokenization to q65; the BM25 op tree is written with
+    // the same association order as the Spark side, so doubles match
+    // bit-for-bit (rational idf, no log)
+    "q86_bm25_retrieval" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSqlDuck, ' ')) AS term FROM documents),
+        |t2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |lens AS (SELECT doc_id, count(*) AS len FROM t2 GROUP BY doc_id),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs, sum(len) AS tot_len FROM lens),
+        |q AS (SELECT term, df FROM dft ORDER BY df DESC, term LIMIT 2),
+        |s AS (SELECT doc_id,
+        |    (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |          * (CAST(len AS DOUBLE) / (CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS sc
+        |  FROM tf JOIN q USING (term) JOIN lens USING (doc_id), n)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS matched, sum(sc) AS bm25
+        |FROM s GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
     "q65_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSqlDuck, ' ')) AS term FROM documents),
         |t2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),

@@ -134,6 +134,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Lexical retrieval: BM25 top-k over the corpus for a
+    * deterministic self-contained query (the corpus's two
+    * highest-document-frequency terms) — the curation primitive
+    * behind "find the documents matching these terms" (inspection,
+    * decontamination, targeted sampling).
+    *
+    * Scoring is the classic BM25 shape (k1 = 1.2, b = 0.75) with the
+    * log replaced by the exact rational idf (N − df + 0.5)/(df + 0.5):
+    * log() is libm-dependent and not bit-portable across engines,
+    * while the rational form is order-preserving in df and a fixed
+    * IEEE op tree the oracle mirrors exactly. The query is capped at
+    * TWO terms so the per-doc score sum is a single commutative
+    * addition — bit-identical under any aggregation order.
+    *
+    * Shuffles: token explode → (doc, term) tf → term df; the
+    * two-term query head and the corpus scalars broadcast back;
+    * final top-k is TakeOrdered (per-partition heaps), never a
+    * global sort. */
+  def bm25Retrieve(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val toks = d.select(col("doc_id"),
+        explode(words(normalizeText(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scalars = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot_len"))
+    val query = dft.orderBy(col("df").desc, col("term")).limit(2)
+    val dD = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val avgdl = dD(col("tot_len")) / dD(col("n_docs"))
+    val idf = (dD(col("n_docs")) - dD(col("df")) + lit(0.5)) / (dD(col("df")) + lit(0.5))
+    val sc = idf * (dD(col("tf")) * lit(2.2)) /
+      (dD(col("tf")) + lit(1.2) * (lit(0.25) + lit(0.75) * (dD(col("len")) / avgdl)))
+    tf.join(broadcast(query), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("sc", sc)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("matched"), sum(col("sc")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Length-bucketed batching prep: documents binned into `buckets`
     * near-equal groups by token count — the padding-efficiency step
     * before batch assembly (batching similar lengths together wastes
