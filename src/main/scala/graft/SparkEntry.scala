@@ -420,6 +420,12 @@ object SparkEntry {
     // WAV per doc encoded and decoded executor-side; the oracle states
     // the header fields + first sample arithmetically
     "q84_audio_decode" -> Multimodal.audioDecode _,
+    // cross-corpus embedding near-dup: the incoming batch (vec_id%5=0)
+    // probed against the corpus through the same md5-parity hyperplane
+    // banding as q24 — "dedupe the new crawl against the lake"
+    "q87_crosscorpus_neardup" -> ((s: SparkSession, d: String) =>
+      Vectors.lshCrossNearDup(s, d, Vectors.NearDupPlanes, Vectors.NearDupBands,
+        Vectors.NearDupThreshold)),
     // BM25 lexical retrieval (rational log-free idf, 2-term corpus-top
     // query, TakeOrdered top-10) — the curation "find matching docs"
     // primitive; scoring op tree mirrored exactly in the oracle
@@ -798,6 +804,25 @@ object SparkEntry {
         |    round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
         |  FROM cand c JOIN e a ON a.vec_id = c.da JOIN e b ON b.vec_id = c.db)
         |SELECT da, db, cos FROM scored WHERE cos >= 0.45 ORDER BY da, db""".stripMargin,
+    // identical hyperplanes/signatures/banding to q24; the only change
+    // is the candidate join pairing the batch split against the corpus
+    "q87_crosscorpus_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT len(v) AS dim FROM e LIMIT 1),
+        |pl AS (SELECT p, list(CASE WHEN ((strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 2, 1)) - 1) & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY i) AS pv
+        |  FROM (SELECT p, i FROM (SELECT unnest(generate_series(0, 59)) AS p), d, unnest(generate_series(0, dim - 1)) t(i))
+        |  GROUP BY p),
+        |sig AS (SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(pv, v) >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM e, pl GROUP BY vec_id),
+        |banded AS (SELECT vec_id, b, (sig >> (b * 3)) & 7 AS bits FROM sig, unnest(generate_series(0, 19)) t(b)),
+        |cand AS (SELECT DISTINCT l.vec_id AS batch_id, r.vec_id AS corpus_id
+        |  FROM banded l JOIN banded r ON l.b = r.b AND l.bits = r.bits
+        |  WHERE l.vec_id % 5 = 0 AND r.vec_id % 5 <> 0),
+        |scored AS (SELECT c.batch_id, c.corpus_id,
+        |    round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+        |  FROM cand c JOIN e a ON a.vec_id = c.batch_id JOIN e b ON b.vec_id = c.corpus_id)
+        |SELECT batch_id, corpus_id, cos FROM scored WHERE cos >= 0.45
+        |ORDER BY batch_id, corpus_id""".stripMargin,
     "q25_multimodal_decode" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -280,7 +280,55 @@ object Vectors {
     */
   def lshNearDupPairs(spark: SparkSession, dir: String,
                       planes: Int = 16, bands: Int = 8,
-                      threshold: Double = 0.9): DataFrame = {
+                      threshold: Double = 0.9): DataFrame =
+    lshBanded(spark, dir, planes, bands) match {
+      case None => emptyPairs(spark, "da", "db")
+      case Some((sigs, banded)) =>
+        val r = planes / bands
+        val l = banded.select(col("vec_id").as("da"), col("band"), col("bits"))
+        val rt = banded.select(col("vec_id").as("db"), col("band"), col("bits"))
+        // dedup collision pairs BEFORE scoring: a near-identical pair
+        // can collide in every band — score each candidate once
+        val cand = l.join(rt, Seq("band", "bits"))
+          .filter(col("da") < col("db"))
+          .select(col("da"), col("db")).distinct()
+        scorePairs(sigs, cand, "da", "db", threshold)
+          .orderBy(col("da"), col("db"))
+    }
+
+  /** Cross-corpus near-dup: the incoming BATCH (vec_id % 5 = 0, the
+    * deterministic demo split) probed against the existing CORPUS
+    * (the rest) through the SAME md5-parity hyperplane banding —
+    * "dedupe the new crawl against the lake" at embedding level.
+    * Signatures are computed once over both sides; the band join
+    * pairs batch rows only with corpus rows (the sides are disjoint
+    * by construction), so cost is O(batch collisions), never
+    * corpus × corpus. Gated (q87) with the banding mirrored in the
+    * oracle exactly. */
+  def lshCrossNearDup(spark: SparkSession, dir: String,
+                      planes: Int = 16, bands: Int = 8,
+                      threshold: Double = 0.9): DataFrame =
+    lshBanded(spark, dir, planes, bands) match {
+      case None => emptyPairs(spark, "batch_id", "corpus_id")
+      case Some((sigs, banded)) =>
+        val l = banded.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("batch_id"), col("band"), col("bits"))
+        val rt = banded.filter(col("vec_id") % 5 =!= 0)
+          .select(col("vec_id").as("corpus_id"), col("band"), col("bits"))
+        val cand = l.join(rt, Seq("band", "bits"))
+          .select(col("batch_id"), col("corpus_id")).distinct()
+        scorePairs(sigs, cand, "batch_id", "corpus_id", threshold)
+          .orderBy(col("batch_id"), col("corpus_id"))
+    }
+
+  private def emptyPairs(spark: SparkSession, a: String, b: String): DataFrame =
+    spark.emptyDataFrame
+      .select(lit(0L).as(a), lit(0L).as(b), lit(0.0).as("cos")).limit(0)
+
+  /** Shared LSH core: (cached signature frame, banded key frame) —
+    * None on an empty embedding table. */
+  private def lshBanded(spark: SparkSession, dir: String, planes: Int,
+                        bands: Int): Option[(DataFrame, DataFrame)] = {
     import spark.implicits._
     require(planes % bands == 0, "bands must divide planes")
     require(planes <= 62, "signature is a long: at most 62 planes")
@@ -293,15 +341,13 @@ object Vectors {
     }
     val vecs = emb(spark, dir).as[(Long, Array[Double])]
     val first = vecs.limit(1).collect()
-    if (first.isEmpty)
-      return vecs.sparkSession.emptyDataFrame
-        .select(lit(0L).as("da"), lit(0L).as("db"), lit(0.0).as("cos")).limit(0)
+    if (first.isEmpty) return None
     val dim = first.head._2.length
     val planeMat = Array.tabulate(planes, dim)((p, i) => sign(p, i).toDouble)
     val bcPlanes = spark.sparkContext.broadcast(planeMat)
     // cached: the signature map (a typed .map, opaque to Catalyst
     // subplan reuse) feeds FOUR subplans — both sides of the band
-    // self-join and both verification id-joins; without the cache the
+    // join and both verification id-joins; without the cache the
     // scan + planes×dim signature computation runs 4× per query
     // (harness clears the Spark cache between queries)
     val sigs = vecs.map { case (id, v) =>
@@ -315,27 +361,24 @@ object Vectors {
       (id, v, sig)
     }.toDF("vec_id", "v", "sig").cache()
     // band keys: candidates collide on ≥1 band of r bits
-    val banded = sigs.select(col("vec_id"), col("v"),
+    val banded = sigs.select(col("vec_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("bits"))): _*)).as("bk"))
-      .select(col("vec_id"), col("v"), col("bk.band"), col("bk.bits"))
-    val l = banded.select(col("vec_id").as("da"), col("v").as("va"), col("band"), col("bits"))
-    val rt = banded.select(col("vec_id").as("db"), col("v").as("vb"), col("band"), col("bits"))
-    // dedup collision pairs BEFORE scoring: a near-identical pair can
-    // collide in every band, and each collision row carries both full
-    // vectors — score each candidate exactly once
-    val cand = l.select(col("da"), col("band"), col("bits"))
-      .join(rt.select(col("db"), col("band"), col("bits")), Seq("band", "bits"))
-      .filter(col("da") < col("db"))
-      .select(col("da"), col("db")).distinct()
+      .select(col("vec_id"), col("bk.band"), col("bk.bits"))
+    Some((sigs, banded))
+  }
+
+  /** Exact-cosine verification of candidate id pairs against the
+    * cached signature frame's vectors. */
+  private def scorePairs(sigs: DataFrame, cand: DataFrame, a: String, b: String,
+                         threshold: Double): DataFrame = {
     val vecsById = sigs.select(col("vec_id"), col("v"))
     cand
-      .join(vecsById.select(col("vec_id").as("da"), col("v").as("va")), Seq("da"))
-      .join(vecsById.select(col("vec_id").as("db"), col("v").as("vb")), Seq("db"))
-      .select(col("da"), col("db"), round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .join(vecsById.select(col("vec_id").as(a), col("v").as("va")), Seq(a))
+      .join(vecsById.select(col("vec_id").as(b), col("v").as("vb")), Seq(b))
+      .select(col(a), col(b), round(cosine(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
-      .orderBy(col("da"), col("db"))
   }
 
   /** Sequential primitive dot product — same fold order as the
