@@ -527,6 +527,128 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
         .orderBy(col("o_orderstatus"))
     }),
+    // DELETE WHERE on a partitioned snapshot: only partition O (the
+    // only one containing matches) is rewritten minus the deleted
+    // rows; F and P keep their files byte-identically (SnapshotsSpec).
+    // Idempotent per call: once deleted, the predicate matches nothing
+    // and commitDelete is a no-op that publishes no version
+    "q88_snapshot_delete" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val table = fixture("snapdel", s, d, "orders") { path =>
+        wipe(s, path) // a crashed builder + pid reuse could leave a partial chain
+        graft.sources.Snapshots.commitOverwritePartitioned(s, path, o, "o_orderstatus")
+        ()
+      }
+      graft.sources.Snapshots.commitDelete(s, table,
+        col("o_orderstatus") === "O" && col("o_orderkey") % 7 === 0)
+      graft.sources.Snapshots.read(s, table)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // UPDATE ... SET ... WHERE with a cross-partition move: matching O
+    // rows get status=F and a price bump, so they MOVE into partition
+    // F — source and target partitions are rewritten together (a
+    // manifest maps each partition to one owning dir), everything else
+    // is referenced. RHS evaluated against the OLD row, cast back to
+    // the declared decimal type. Idempotent per call: after the move
+    // the predicate matches nothing
+    "q89_snapshot_update" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val table = fixture("snapupd", s, d, "orders") { path =>
+        wipe(s, path)
+        graft.sources.Snapshots.commitOverwritePartitioned(s, path, o, "o_orderstatus")
+        ()
+      }
+      graft.sources.Snapshots.commitUpdate(s, table,
+        col("o_orderstatus") === "O" && col("o_orderkey") % 11 === 0,
+        Seq("o_orderstatus" -> lit("F"),
+          "price" -> (col("price") + lit(7).cast(DecimalType(18, 2)))))
+      graft.sources.Snapshots.read(s, table)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // RESTORE: v1 = full table, v2 = DELETE of partition F, v3 =
+    // restore(v1) — a pure manifest republish, zero data copied, that
+    // re-references v1's immutable dirs. The live read must equal v1
+    // exactly, so the oracle is the PLAIN base aggregation
+    "q90_snapshot_restore" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val table = fixture("snaprst", s, d, "orders") { path =>
+        wipe(s, path)
+        val v1 = graft.sources.Snapshots.commitOverwritePartitioned(s, path, o, "o_orderstatus")
+        graft.sources.Snapshots.commitDelete(s, path, col("o_orderstatus") === "F")
+        graft.sources.Snapshots.restore(s, path, v1)
+        ()
+      }
+      graft.sources.Snapshots.read(s, table)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // change data feed between v1 (2/3 of orders) and v2 (the daily
+    // delta merged): updates emit pre+post image rows, inserts one row,
+    // unchanged keys nothing; partitions whose manifest entries name
+    // the same immutable dir are skipped without reading a row (the
+    // q80 pruning). The gate aggregates per change type over the
+    // inline payload
+    "q91_snapshot_cdf" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val table = fixture("snapcdf", s, d, "orders") { path =>
+        wipe(s, path) // version NAMES v1/v2 are pinned — start clean
+        graft.sources.Snapshots.commitOverwritePartitioned(s, path,
+          o.filter(col("o_orderkey") % 3 =!= 0), "o_orderstatus")
+        val delta = o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 97 === 0)
+          .withColumn("price", col("price") + lit(50).cast(DecimalType(18, 2)))
+        graft.sources.Snapshots.commitMergePartitioned(s, path, delta,
+          "o_orderkey", "o_orderstatus")
+        ()
+      }
+      graft.sources.Snapshots.changeFeed(s, table,
+          "v00000001", "v00000002", "o_orderkey")
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
+        .orderBy(col("_change_type"))
+    }),
+    // SemDeDup-style semantic dedup: trained k-means clusters bound
+    // the pairwise cosine work to within-cluster joins (N²/k), greedy
+    // keep-lowest-id; the oracle unrolls the identical training and
+    // pair predicate
+    "q92_semantic_dedup" -> ((s: SparkSession, d: String) =>
+      Vectors.semanticDedup(s, d)),
+    // quality-aware canonical selection: per near-dup cluster (q41's
+    // capped-LSH connected components) keep the HIGHEST-quality doc
+    // (q19's quality score; doc_id tie-break) — dedup that keeps the
+    // best copy, not the lowest id
+    "q93_canonical_select" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val pairs = Dedup.minhashLshCapped(s, d).select(col("da"), col("db"))
+      val memb = operators.Components.minLabel(pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val qual = TextAnalysis.qualityScore(s, d).select(col("doc_id"), col("quality"))
+      val joined = memb.join(qual, Seq("doc_id"))
+      operators.OrderedDedup.keepFirst(joined, Seq("cluster_id"),
+          Seq(col("quality").desc, col("doc_id")))
+        .select(col("cluster_id"), col("doc_id").as("kept_doc_id"), col("quality"))
+        .orderBy(col("cluster_id"))
+    }),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -985,6 +1107,32 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q43_ann_ivf_trained" -> ivfTrainedSqlDuck,
+    "q92_semantic_dedup" -> semanticDedupSqlDuck,
+    // q41's recursive-CTE components + q19's quality formula; the
+    // canonical row is the per-cluster quality argmax (doc_id breaks
+    // ties), stated with one window
+    "q93_canonical_select" ->
+      s"""$shingleCteRec,
+        |$minhashCappedCtes,
+        |$clusterCtes,
+        |memb AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |qm AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    length(text) AS n_chars,
+        |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','of','and','is','to','in'))) AS n_stopwords
+        |  FROM documents),
+        |qual AS (SELECT doc_id,
+        |    least((n_chars - (n_words - 1)) * 1.0 / n_words / 8.0, 1.0) * 0.4
+        |      + (1.0 - n_punct * 1.0 / n_chars) * 0.3
+        |      + least(n_stopwords * 1.0 / n_words * 4.0, 1.0) * 0.3 AS quality
+        |  FROM qm),
+        |ranked AS (SELECT m.cluster_id, m.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY m.cluster_id ORDER BY q.quality DESC, m.doc_id) AS rk
+        |  FROM memb m JOIN qual q USING (doc_id))
+        |SELECT cluster_id, doc_id AS kept_doc_id, quality
+        |FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     // global prefix semantics: the oracle states it as one window; the
     // engine computes the identical prefix with the distributed
     // bucket-offset scheme (Packing.packByPrefix)
@@ -1212,6 +1360,58 @@ object SparkEntry {
     // identical merge semantics via the snapshot commit log; the
     // partition-referencing and CAS proofs live in SnapshotsSpec
     "q79_snapshot_partition_merge" -> partitionMergeOracleSql,
+    // DELETE removes rows where the predicate is TRUE; the engine-side
+    // partition-scoped rewrite is proved in SnapshotsSpec
+    "q88_snapshot_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM orders WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 7 = 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // UPDATE stated as a projection over the old rows (SQL UPDATE
+    // semantics: every RHS sees the pre-update row)
+    "q89_snapshot_update" ->
+      """WITH u AS (SELECT
+        |    CASE WHEN o_orderstatus = 'O' AND o_orderkey % 11 = 0
+        |         THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'O' AND o_orderkey % 11 = 0
+        |         THEN CAST(o_totalprice AS DECIMAL(18,2)) + CAST(7 AS DECIMAL(18,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS price_sum
+        |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // restore(v1) after a delete → the live table IS v1 again, so the
+    // oracle is the plain base aggregation; the zero-copy manifest
+    // republish is proved in SnapshotsSpec
+    "q90_snapshot_restore" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // CDF of v1→v2 stated naively: full-outer join of the two version
+    // contents, updates exploded into pre+post image rows; the engine
+    // side is manifest-pruned, which must not change the rows
+    "q91_snapshot_cdf" ->
+      """WITH batch1 AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |delta AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) + CAST(50 AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 97 = 0),
+        |merged AS (SELECT * FROM batch1
+        |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        |  UNION ALL SELECT * FROM delta),
+        |j AS (SELECT a.o_orderkey AS ko, b.o_orderkey AS kn,
+        |    a.price AS po, b.price AS pn,
+        |    a.o_orderstatus AS so, b.o_orderstatus AS sn
+        |  FROM batch1 a FULL OUTER JOIN merged b ON a.o_orderkey = b.o_orderkey),
+        |cdc AS (
+        |  SELECT 'insert' AS _change_type, pn AS price FROM j WHERE ko IS NULL
+        |  UNION ALL SELECT 'delete', po FROM j WHERE kn IS NULL
+        |  UNION ALL SELECT 'update_preimage', po FROM j
+        |    WHERE ko IS NOT NULL AND kn IS NOT NULL AND (po <> pn OR so <> sn)
+        |  UNION ALL SELECT 'update_postimage', pn FROM j
+        |    WHERE ko IS NOT NULL AND kn IS NOT NULL AND (po <> pn OR so <> sn))
+        |SELECT _change_type, count(*) AS n, CAST(sum(price) AS DOUBLE) AS price_sum
+        |FROM cdc GROUP BY _change_type ORDER BY _change_type""".stripMargin,
     // diff of v1 (= batch1) against v2 (= batch1 merged with the q79
     // delta), stated naively as a full-outer join; the engine side is
     // the manifest-pruned variant, which must produce the same rows
@@ -1574,13 +1774,18 @@ object SparkEntry {
     * independent — see trainCentroids scaladoc), so every engine
     * computes bit-identical centroids; cosines and ranking then match
     * the q22/q23 proven-portable pattern. */
-  private val ivfTrainedSqlDuck: String = {
-    def cosd(a: String, b: String) =
-      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 4)"
+  /** DuckDB rounded cosine, the exact arithmetic of Vectors.cosine. */
+  private def cosDuck(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 4)"
+
+  /** Unrolled Lloyd training (3 iterations, integer-quantized sum
+    * centroids — Vectors.trainCentroids bit-for-bit) ending in the
+    * final assignment `fasg(vec_id, cid)`; shared by q43 and q92. */
+  private val ivfTrainPreludeDuck: String = {
     val iters = 3
     val steps = (0 until iters).map { t =>
       s"""asg$t AS (SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosd("c.cv", "e.v")} DESC, c.cid) AS rk
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosDuck("c.cv", "e.v")} DESC, c.cid) AS rk
          |    FROM e, c$t c) WHERE rk = 1),
          |s$t AS (SELECT a.cid, t.i, sum(q.qv[t.i]) AS s
          |  FROM asg$t a JOIN q USING (vec_id), unnest(generate_series(1, len(q.qv))) t(i)
@@ -1593,17 +1798,32 @@ object SparkEntry {
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv FROM q WHERE vec_id < 16),
        |$steps
        |fasg AS (SELECT vec_id, cid FROM (
-       |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosd("c.cv", "e.v")} DESC, c.cid) AS rk
-       |    FROM e, c$iters c) WHERE rk = 1),
+       |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosDuck("c.cv", "e.v")} DESC, c.cid) AS rk
+       |    FROM e, c$iters c) WHERE rk = 1)""".stripMargin
+  }
+
+  private val ivfTrainedSqlDuck: String =
+    s"""$ivfTrainPreludeDuck,
        |qq AS (SELECT vec_id AS qid, v AS qv2 FROM e WHERE vec_id < 10),
        |probes AS (SELECT qid, qv2, cid FROM (
-       |    SELECT qid, qv2, c.cid, row_number() OVER (PARTITION BY qid ORDER BY ${cosd("c.cv", "qv2")} DESC, c.cid) AS prk
-       |    FROM qq, c$iters c)
+       |    SELECT qid, qv2, c.cid, row_number() OVER (PARTITION BY qid ORDER BY ${cosDuck("c.cv", "qv2")} DESC, c.cid) AS prk
+       |    FROM qq, c3 c)
        |  WHERE prk <= 4),
-       |scored AS (SELECT p.qid, e.vec_id, ${cosd("p.qv2", "e.v")} AS cos
+       |scored AS (SELECT p.qid, e.vec_id, ${cosDuck("p.qv2", "e.v")} AS cos
        |  FROM probes p JOIN fasg a ON a.cid = p.cid JOIN e ON e.vec_id = a.vec_id
        |  WHERE e.vec_id <> p.qid),
        |r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM scored)
        |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
-  }
+
+  /** q92: the same trained clustering, then within-cluster pairwise
+    * cosine with greedy keep-lowest-id removal. */
+  private val semanticDedupSqlDuck: String =
+    s"""$ivfTrainPreludeDuck,
+       |dups AS (SELECT DISTINCT b.vec_id
+       |  FROM fasg a JOIN fasg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE ${cosDuck("ea.v", "eb.v")} >= 0.45)
+       |SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cid,
+       |  CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM fasg f LEFT JOIN dups d USING (vec_id) ORDER BY vec_id""".stripMargin
 }

@@ -231,6 +231,37 @@ object Vectors {
     cents.toSeq.toDF("cid", "cv")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embeddings (the exact,
+    * engine-portable [[trainCentroids]]), then compare pairs ONLY
+    * within each cluster — the pairwise work drops from O(N²) to
+    * O(Σ|cluster|²) ≈ N²/k, and each cluster's pair join is an
+    * equi-join on the cluster id, so nothing quadratic ever crosses
+    * the shuffle. A vector is a duplicate when a LOWER-id member of
+    * its cluster is within `threshold` cosine (greedy keep-lowest-id
+    * — deterministic, one pass; full transitive-closure resolution is
+    * the q41 operator). At 100 TB, k scales with the corpus so
+    * clusters stay bounded; pathological mega-clusters get the same
+    * cap treatment as [[graft.operators.Dedup.minhashLshCapped]].
+    * Returns (vec_id, cid, is_dup) for every corpus vector. */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    k: Int = IvfCentroids, iters: Int = IvfTrainIters,
+                    threshold: Double = NearDupThreshold): DataFrame = {
+    val e = emb(spark, dir)
+    val assigned = ivfAssignmentWith(e, trainCentroids(spark, dir, k, iters)).cache()
+    val l = assigned.select(col("cid"), col("vec_id").as("da"), col("embedding").as("va"))
+    val r = assigned.select(col("cid"), col("vec_id").as("db"), col("embedding").as("vb"))
+    val dups = l.join(r, Seq("cid"))
+      .filter(col("da") < col("db"))
+      .filter(round(cosine(col("va"), col("vb")), 4) >= threshold)
+      .select(col("db").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dups.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+        coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Exact all-pairs near-dup baseline — TEST ORACLE ONLY, not the
     * gated path (that is [[lshNearDupPairs]]): collects the corpus to
     * the driver and broadcasts it, so it is bounded by driver memory

@@ -585,22 +585,247 @@ object Snapshots {
         // the new manifest still references carry forward verbatim
         // (immutable files, unchanged ranges); the new data dir gets a
         // fresh delta-sized stats scan
-        val newPartsMap = newParts.toMap
-        val carried = m.stats.filter { st =>
-          val segs = st.relPath.split("/")
-          segs.length >= 3 && {
-            val eq = segs(1).lastIndexOf('=')
-            eq > 0 && newPartsMap.get(
-              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                .unescapePathName(segs(1).substring(eq + 1))).contains(segs(0))
-          }
-        }
         val fresh = computeFileStats(spark, new Path(tableDir), dd,
           effectiveStatsCols(statsCols, m))
         claimExactlyAfter(spark, tableDir, v,
           Manifest(None, partCol, newParts, Some(merged.schema.json),
-            carried ++ fresh))
+            carriedStats(m, newParts.toMap) ++ fresh))
     }
+  }
+
+  // ---------------------------------------------------- delete / update
+
+  /** Rows a SQL DELETE/UPDATE leaves untouched: predicate FALSE or
+    * NULL (three-valued logic — only TRUE selects a row). */
+  private def keepCond(predicate: Column): Column =
+    !coalesce(predicate, lit(false))
+
+  /** DELETE WHERE on the live snapshot, partition-scoped: only
+    * partitions that actually CONTAIN matching rows are rewritten
+    * (minus the deleted rows) into a new data dir; every other
+    * partition keeps referencing its existing files byte-identically.
+    * A partition whose every row matches drops out of the manifest. A
+    * predicate matching nothing is a no-op — no identical version is
+    * published. On a non-partitioned table the whole dir is rewritten
+    * (one dir per version is the manifest granularity there).
+    *
+    * `prunePreds` (optional) bounds the detection scan with the
+    * file-stats index: the caller asserts `predicate` can only hold
+    * inside the conjunction of the (col, lo, hi) ranges, and the scan
+    * that finds touched partitions then opens only files whose
+    * recorded range intersects — at 100 TB a key-range delete finds
+    * its partitions from a handful of file opens. Rows outside the
+    * ranges are NEVER deleted, so an over-narrow bound silently
+    * under-deletes: it is the caller's contract, not a hint.
+    *
+    * Read-modify-write CAS semantics as [[commitUpsert]]: concurrent
+    * commit → [[ConcurrentSnapshotCommitException]], re-run. */
+  def commitDelete(spark: SparkSession, tableDir: String, predicate: Column,
+                   prunePreds: Seq[(String, BigDecimal, BigDecimal)] = Nil): String = {
+    val v = currentVersion(spark, tableDir).getOrElse(
+      throw new IOException(s"Snapshots.commitDelete: no committed version at $tableDir"))
+    val m = readManifest(spark, tableDir, v)
+    val statsCols = m.stats.map(_.col).distinct
+    val detect =
+      if (prunePreds.isEmpty) readVersion(spark, tableDir, v).filter(predicate)
+      else readVersionPrunedMulti(spark, tableDir, v, prunePreds).filter(predicate)
+    m.dataDir match {
+      case Some(_) =>
+        if (detect.isEmpty) return v // no match → no-op, don't publish a copy
+        val kept = readVersion(spark, tableDir, v).filter(keepCond(predicate))
+        val dd = newDataDirName()
+        kept.write.mode(SaveMode.ErrorIfExists)
+          .parquet(new Path(new Path(tableDir), dd).toString)
+        claimExactlyAfter(spark, tableDir, v,
+          Manifest(Some(dd), "", Nil, m.schemaJson,
+            computeFileStats(spark, new Path(tableDir), dd, statsCols)))
+      case None =>
+        val touched = detect.select(col(m.partCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        if (touched.isEmpty) return v
+        val owned = m.partitions.toMap
+        val subset = readPartitionsSubset(spark, tableDir, owned, m.partCol, touched)
+          .getOrElse(return v)
+        val conformed = manifestSchema(m).map(alignTo(subset, _)).getOrElse(subset)
+        val kept = conformed.filter(keepCond(predicate))
+        val dd = newDataDirName()
+        val ddPath = new Path(new Path(tableDir), dd)
+        kept.write.mode(SaveMode.ErrorIfExists).partitionBy(m.partCol)
+          .parquet(ddPath.toString)
+        // a fully-deleted partition writes no dir and leaves the manifest
+        val present = listPartitionValues(fsOf(spark, ddPath), ddPath, m.partCol)
+        val newParts = ((owned -- touched) ++ present.map(_ -> dd)).toSeq
+        claimExactlyAfter(spark, tableDir, v,
+          Manifest(None, m.partCol, newParts, m.schemaJson,
+            carriedStats(m, newParts.toMap) ++
+              computeFileStats(spark, new Path(tableDir), dd, statsCols)))
+    }
+  }
+
+  /** UPDATE ... SET ... WHERE on the live snapshot, partition-scoped.
+    * `sets` maps existing columns to expressions; every right-hand
+    * side is evaluated against the OLD row (SQL UPDATE semantics —
+    * `SET a = b, b = a` swaps), and each result is cast to the
+    * column's declared type so the schema never forks. Partitions
+    * rewritten: those CONTAINING matching rows, plus — when `sets`
+    * reassigns the partition column — the partitions updated rows
+    * MOVE INTO (their existing rows are rewritten alongside, because
+    * a manifest maps each partition to exactly one owning dir).
+    * Everything else keeps its files byte-identically; a moved-out-of
+    * partition left empty drops from the manifest; a no-match update
+    * is a no-op. NULL/empty partition-column results are refused
+    * (same contract as every partitioned commit).
+    *
+    * Read-modify-write CAS semantics as [[commitUpsert]]. */
+  def commitUpdate(spark: SparkSession, tableDir: String, predicate: Column,
+                   sets: Seq[(String, Column)]): String = {
+    require(sets.nonEmpty, "Snapshots.commitUpdate: no SET assignments")
+    val v = currentVersion(spark, tableDir).getOrElse(
+      throw new IOException(s"Snapshots.commitUpdate: no committed version at $tableDir"))
+    val m = readManifest(spark, tableDir, v)
+    val statsCols = m.stats.map(_.col).distinct
+    val setMap = sets.toMap
+    require(setMap.size == sets.size,
+      s"Snapshots.commitUpdate: duplicate SET column")
+    // one select, every RHS against the old row, cast to declared types
+    def applySets(df: DataFrame): DataFrame = {
+      val bad = setMap.keySet.diff(df.columns.toSet)
+      require(bad.isEmpty,
+        s"Snapshots.commitUpdate: SET of unknown column(s) ${bad.mkString(", ")} — " +
+          "UPDATE cannot add columns; use a merge commit for schema evolution")
+      val hit = coalesce(predicate, lit(false))
+      df.select(df.schema.fields.map { f =>
+        setMap.get(f.name) match {
+          case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq: _*)
+    }
+    m.dataDir match {
+      case Some(_) =>
+        if (readVersion(spark, tableDir, v).filter(predicate).isEmpty) return v
+        val updated = applySets(readVersion(spark, tableDir, v))
+        val dd = newDataDirName()
+        updated.write.mode(SaveMode.ErrorIfExists)
+          .parquet(new Path(new Path(tableDir), dd).toString)
+        claimExactlyAfter(spark, tableDir, v,
+          Manifest(Some(dd), "", Nil, m.schemaJson,
+            computeFileStats(spark, new Path(tableDir), dd, statsCols)))
+      case None =>
+        val matched = readVersion(spark, tableDir, v).filter(predicate)
+        val srcParts = matched.select(col(m.partCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (srcParts.isEmpty) return v
+        // rows moving INTO a partition force its rewrite too — the
+        // target's existing rows must land in the same owning dir
+        val tgtParts =
+          if (!setMap.contains(m.partCol)) Nil
+          else applySets(matched).select(col(m.partCol).cast("string")).distinct()
+            .collect().map(_.getString(0)).toSeq
+        require(!tgtParts.contains(null) && !tgtParts.contains(""),
+          s"Snapshots.commitUpdate: SET would assign NULL or empty ${m.partCol}; " +
+            "null partitions are not supported")
+        val owned = m.partitions.toMap
+        val touched = (srcParts ++ tgtParts).distinct.filter(p =>
+          owned.contains(p) || tgtParts.contains(p)).sorted
+        val subset = readPartitionsSubset(spark, tableDir, owned, m.partCol, touched)
+          .getOrElse(return v)
+        val conformed = manifestSchema(m).map(alignTo(subset, _)).getOrElse(subset)
+        val updated = applySets(conformed)
+        val dd = newDataDirName()
+        val ddPath = new Path(new Path(tableDir), dd)
+        updated.write.mode(SaveMode.ErrorIfExists).partitionBy(m.partCol)
+          .parquet(ddPath.toString)
+        val present = listPartitionValues(fsOf(spark, ddPath), ddPath, m.partCol)
+        val newParts = ((owned -- touched) ++ present.map(_ -> dd)).toSeq
+        claimExactlyAfter(spark, tableDir, v,
+          Manifest(None, m.partCol, newParts, m.schemaJson,
+            carriedStats(m, newParts.toMap) ++
+              computeFileStats(spark, new Path(tableDir), dd, statsCols)))
+    }
+  }
+
+  /** Stat entries of a previous manifest still valid under a new
+    * partition→dir map: files are immutable, so an entry survives iff
+    * the new manifest still references its (dir, partition). */
+  private def carriedStats(m: Manifest,
+                           newParts: Map[String, String]): Seq[FileStat] =
+    m.stats.filter { st =>
+      val segs = st.relPath.split("/")
+      segs.length >= 3 && {
+        val eq = segs(1).lastIndexOf('=')
+        eq > 0 && newParts.get(
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(segs(1).substring(eq + 1))).contains(segs(0))
+      }
+    }
+
+  // ------------------------------------------------------------- restore
+
+  /** RESTORE the table to a retained `version`: publish that
+    * version's manifest content as the NEW live version. Zero data is
+    * copied or moved — the new manifest re-references the old
+    * version's immutable dirs (which also re-pins them against
+    * [[vacuum]], since retention keeps everything the live manifest
+    * names). History is preserved: the rolled-back versions remain
+    * readable until vacuumed, exactly like Delta's RESTORE. Restoring
+    * a vacuumed version fails loudly in [[readManifest]]; restoring
+    * the live version is a no-op. Read-modify-write CAS semantics as
+    * [[commitUpsert]] — a concurrent commit between resolving the
+    * live version and the claim throws, re-run. */
+  def restore(spark: SparkSession, tableDir: String, version: String): String = {
+    val live = currentVersion(spark, tableDir).getOrElse(
+      throw new IOException(s"Snapshots.restore: no committed version at $tableDir"))
+    if (version == live) return live
+    val m = readManifest(spark, tableDir, version)
+    val root = new Path(tableDir)
+    val fs = fsOf(spark, root)
+    val gone = (m.dataDir.toSeq ++ m.partitions.map(_._2)).distinct
+      .filterNot(dd => fs.exists(new Path(root, dd)))
+    require(gone.isEmpty,
+      s"Snapshots.restore: $version references vacuumed data dir(s) " +
+        s"${gone.mkString(", ")} — restore a retained version instead")
+    claimExactlyAfter(spark, tableDir, live, m)
+  }
+
+  // --------------------------------------------------- change data feed
+
+  /** Change-data-feed rows between two retained versions: one row per
+    * CHANGE, with the full payload inline plus `_change_type` ∈
+    * {insert, delete, update_preimage, update_postimage} — a changed
+    * key emits its pre- and post-image as two rows (the Delta CDF
+    * row shape), an unchanged key emits nothing. When both versions
+    * are partitioned commits on the same column, partitions whose
+    * manifest entries name the SAME immutable dir are skipped without
+    * reading a row (the [[diffVersionsPartitioned]] pruning) — the
+    * CDF of a daily one-partition merge on a 100 TB table reads two
+    * copies of one partition. One full-outer shuffle on the key over
+    * what survives pruning. */
+  def changeFeed(spark: SparkSession, tableDir: String, vOld: String,
+                 vNew: String, key: String): DataFrame = {
+    val mo = readManifest(spark, tableDir, vOld)
+    val mn = readManifest(spark, tableDir, vNew)
+    val d =
+      if (mo.dataDir.isEmpty && mn.dataDir.isEmpty && mo.partCol == mn.partCol)
+        diffVersionsPartitioned(spark, tableDir, vOld, vNew, key)
+      else diffVersions(spark, tableDir, vOld, vNew, key)
+    val changed = d.filter(col("change") =!= "unchanged")
+    def tagged(payload: Column, tag: String): Column =
+      struct(payload.as("p"), lit(tag).as("t"))
+    val events = changed.select(col(key), explode(
+      when(col("change") === "added", array(tagged(col("_new"), "insert")))
+        .when(col("change") === "removed", array(tagged(col("_old"), "delete")))
+        .otherwise(array(tagged(col("_old"), "update_preimage"),
+          tagged(col("_new"), "update_postimage")))).as("_e"))
+    // payload columns in the new version's declared order (a
+    // partitioned physical read surfaces the partition column last)
+    val payload = events.select(col("_e.p.*")).columns.toSeq
+    val ordered = manifestSchema(mn)
+      .map(sch => sch.fieldNames.toSeq.filter(payload.contains) ++
+        payload.filterNot(sch.fieldNames.contains))
+      .getOrElse(payload)
+    events.select(col(key) +: ordered.map(c => col(s"_e.p.$c").as(c))
+      :+ col("_e.t").as("_change_type"): _*)
   }
 
   /** Consolidate the live version into ONE fresh data dir and publish

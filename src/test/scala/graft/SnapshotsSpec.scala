@@ -650,4 +650,174 @@ class SnapshotsSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().toSeq
       === Seq((1L, "F", 3.0), (2L, "O", 2.0)))
   }
+
+  // ------------------------------------------------------ delete / update
+
+  private def partedBase(dir: String): String = {
+    val base = Seq(
+      (1L, "F", 10.0), (2L, "F", 20.0),
+      (3L, "O", 30.0), (4L, "O", 40.0),
+      (5L, "P", 50.0)).toDF("k", "status", "amount")
+    Snapshots.commitOverwritePartitioned(spark, dir, base, "status")
+  }
+
+  test("commitDelete rewrites only partitions with matches; untouched files byte-identical") {
+    val dir = freshDir()
+    partedBase(dir)
+    val before = fileStates(dir, "d-")
+    val v2 = Snapshots.commitDelete(spark, dir, col("status") === "F" && col("k") === 2L)
+    assert(v2 === "v00000002")
+    val after = fileStates(dir, "d-")
+    before.foreach { case (rel, st) => assert(after.get(rel) === Some(st), rel) }
+    val m1 = Snapshots.readManifest(spark, dir, "v00000001").partitions.toMap
+    val m2 = Snapshots.readManifest(spark, dir, v2).partitions.toMap
+    assert(m2.view.filterKeys(Set("O", "P")).toMap === m1.view.filterKeys(Set("O", "P")).toMap)
+    assert(m2.get("F") !== m1.get("F"))
+    assert(Snapshots.read(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq === Seq(
+        (1L, "F", 10.0), (3L, "O", 30.0), (4L, "O", 40.0), (5L, "P", 50.0)))
+  }
+
+  test("commitDelete: a fully-deleted partition drops from the manifest; no-match is a no-op") {
+    val dir = freshDir()
+    partedBase(dir)
+    val v2 = Snapshots.commitDelete(spark, dir, col("status") === "P")
+    val m2 = Snapshots.readManifest(spark, dir, v2)
+    assert(!m2.partitions.toMap.contains("P"))
+    assert(Snapshots.read(spark, dir).count() === 4)
+    // NULL-predicate rows are kept (SQL three-valued DELETE), and a
+    // predicate matching nothing publishes no new version
+    val v3 = Snapshots.commitDelete(spark, dir, col("k") > lit(100L))
+    assert(v3 === v2)
+    val v4 = Snapshots.commitDelete(spark, dir,
+      when(col("k") === 1L, lit(null).cast("boolean")).otherwise(col("k") > 100L))
+    assert(v4 === v2)
+    assert(Snapshots.currentVersion(spark, dir) === Some(v2))
+  }
+
+  test("commitDelete on a non-partitioned table; stats-bounded detection never under-deletes in range") {
+    val dir = freshDir()
+    Snapshots.commitOverwrite(spark, dir,
+      spark.range(100).select(col("id").as("k"), (col("id") % 10).as("m"))
+        .repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    // the caller's contract: the predicate only holds inside k ∈ [10, 19]
+    val v2 = Snapshots.commitDelete(spark, dir,
+      col("m") === 3 && col("k") >= 10 && col("k") < 20,
+      prunePreds = Seq(("k", BigDecimal(10), BigDecimal(19))))
+    assert(v2 === "v00000002")
+    assert(Snapshots.read(spark, dir).count() === 99) // only k=13 gone
+    assert(Snapshots.read(spark, dir).filter(col("k") === 13L).count() === 0)
+  }
+
+  test("commitUpdate: RHS evaluated against the OLD row (SET a=b, b=a swaps); types preserved") {
+    val dir = freshDir()
+    Snapshots.commitOverwrite(spark, dir,
+      Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0)).toDF("k", "a", "b"))
+    Snapshots.commitUpdate(spark, dir, col("k") === 1L,
+      Seq("a" -> col("b"), "b" -> col("a")))
+    assert(Snapshots.read(spark, dir).orderBy("k")
+      .as[(Long, Double, Double)].collect().toSeq
+      === Seq((1L, 100.0, 10.0), (2L, 20.0, 200.0)))
+    // unknown SET column is refused — UPDATE cannot add columns
+    intercept[IllegalArgumentException] {
+      Snapshots.commitUpdate(spark, dir, col("k") === 1L, Seq("zzz" -> lit(1)))
+    }
+  }
+
+  test("commitUpdate partition-scoped: untouched partitions keep their files") {
+    val dir = freshDir()
+    partedBase(dir)
+    val before = fileStates(dir, "d-")
+    val v2 = Snapshots.commitUpdate(spark, dir,
+      col("status") === "O" && col("k") === 3L,
+      Seq("amount" -> (col("amount") + lit(5.0))))
+    val after = fileStates(dir, "d-")
+    before.foreach { case (rel, st) => assert(after.get(rel) === Some(st), rel) }
+    val m1 = Snapshots.readManifest(spark, dir, "v00000001").partitions.toMap
+    val m2 = Snapshots.readManifest(spark, dir, v2).partitions.toMap
+    assert(m2.view.filterKeys(Set("F", "P")).toMap === m1.view.filterKeys(Set("F", "P")).toMap)
+    assert(Snapshots.read(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq === Seq(
+        (1L, "F", 10.0), (2L, "F", 20.0), (3L, "O", 35.0),
+        (4L, "O", 40.0), (5L, "P", 50.0)))
+  }
+
+  test("commitUpdate moving rows across partitions merges them into the target partition") {
+    val dir = freshDir()
+    partedBase(dir)
+    // k=5 moves P → F; F's existing rows must survive in the same dir
+    val v2 = Snapshots.commitUpdate(spark, dir, col("status") === "P",
+      Seq("status" -> lit("F")))
+    val m2 = Snapshots.readManifest(spark, dir, v2)
+    assert(!m2.partitions.toMap.contains("P")) // emptied source partition drops
+    assert(Snapshots.read(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq === Seq(
+        (1L, "F", 10.0), (2L, "F", 20.0), (3L, "O", 30.0),
+        (4L, "O", 40.0), (5L, "F", 50.0)))
+    // a key is never duplicated across partitions by the move
+    assert(Snapshots.read(spark, dir).groupBy("k").count()
+      .filter(col("count") > 1).count() === 0)
+    // SET partCol to NULL is refused loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.commitUpdate(spark, dir, col("k") === 1L,
+        Seq("status" -> lit(null).cast("string")))
+    }
+  }
+
+  // -------------------------------------------------------------- restore
+
+  test("restore republishes an old version's manifest without copying data") {
+    val dir = freshDir()
+    val v1 = partedBase(dir)
+    Snapshots.commitDelete(spark, dir, col("status") === "F")
+    assert(Snapshots.read(spark, dir).count() === 3)
+    val before = fileStates(dir, "d-")
+    val v3 = Snapshots.restore(spark, dir, v1)
+    assert(v3 === "v00000003")
+    // zero data movement: the file population is unchanged
+    assert(fileStates(dir, "d-") === before)
+    // live content equals v1 exactly (manifest content carried verbatim)
+    assert(Snapshots.read(spark, dir).orderBy("k").collect().toSeq
+      === Snapshots.readVersion(spark, dir, v1).orderBy("k").collect().toSeq)
+    // restoring the live version is a no-op
+    assert(Snapshots.restore(spark, dir, v3) === v3)
+    // history preserved: the rolled-back v2 is still readable
+    assert(Snapshots.readVersion(spark, dir, "v00000002").count() === 3)
+  }
+
+  test("restore re-pins old dirs against vacuum; restoring a vacuumed version fails loudly") {
+    val dir = freshDir()
+    val v1 = Snapshots.commitOverwrite(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    Snapshots.commitOverwrite(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    val v3 = Snapshots.restore(spark, dir, v1)
+    // v1's dir is referenced by the live manifest → survives vacuum
+    Snapshots.vacuum(spark, dir, keep = 1, orphanGraceMs = 0L)
+    assert(Snapshots.read(spark, dir).as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    // v1's manifest itself is gone now → restoring it fails loudly
+    val err = intercept[java.io.IOException] { Snapshots.restore(spark, dir, v1) }
+    assert(err.getMessage.contains("not retained"))
+    assert(Snapshots.currentVersion(spark, dir) === Some(v3))
+  }
+
+  // ------------------------------------------------------ change data feed
+
+  test("changeFeed emits insert/delete/update pre+post rows; equals the diff it derives from") {
+    val dir = freshDir()
+    Snapshots.commitOverwritePartitioned(spark, dir, Seq(
+      (1L, "F", 10.0), (2L, "F", 20.0), (3L, "O", 30.0),
+      (5L, "P", 50.0)).toDF("k", "status", "amount"), "status")
+    // k=2 changed, k=6 inserted (F); k=5 deleted (P emptied)
+    Snapshots.commitMergePartitioned(spark, dir,
+      Seq((2L, "F", 99.0), (6L, "F", 60.0)).toDF("k", "status", "amount"), "k", "status")
+    Snapshots.commitDelete(spark, dir, col("k") === 5L)
+    val cdf = Snapshots.changeFeed(spark, dir, "v00000001", "v00000003", "k")
+    assert(cdf.columns.toSeq === Seq("k", "status", "amount", "_change_type"))
+    assert(cdf.orderBy("k", "_change_type")
+      .as[(Long, String, Double, String)].collect().toSeq === Seq(
+        (2L, "F", 99.0, "update_postimage"), (2L, "F", 20.0, "update_preimage"),
+        (5L, "P", 50.0, "delete"), (6L, "F", 60.0, "insert")))
+    // unchanged keys emit nothing
+    assert(cdf.filter(col("k").isin(1L, 3L)).count() === 0)
+  }
 }
