@@ -138,6 +138,33 @@ object Snapshots {
     manifestSchema(m).map(alignTo(raw, _)).getOrElse(raw)
   }
 
+  /** The latest version committed at or before `tsMillis` — the
+    * `TIMESTAMP AS OF` analog. A version's commit instant is its
+    * manifest file's modification time: the create-exclusive rename
+    * that published it is the single atomic commit point, so the
+    * file's mtime IS the publish time (set by the filesystem, not
+    * the writer — consistent even across writers with skewed
+    * clocks). */
+  def versionAt(spark: SparkSession, tableDir: String, tsMillis: Long): Option[String] = {
+    val commits = new Path(tableDir, CommitDir)
+    val fs = fsOf(spark, commits)
+    if (!fs.exists(commits)) None
+    else fs.listStatus(commits).toSeq.filter(_.isFile)
+      .collect { case st if VersionRe.matches(st.getPath.getName) &&
+          st.getModificationTime <= tsMillis => st.getPath.getName }
+      .sorted.lastOption
+  }
+
+  /** Time travel by timestamp: read the snapshot as of `tsMillis`.
+    * Fails loudly when no version existed yet (or the ones that did
+    * were vacuumed — retention bounds how far back this reaches). */
+  def readAsOf(spark: SparkSession, tableDir: String, tsMillis: Long): DataFrame =
+    readVersion(spark, tableDir, versionAt(spark, tableDir, tsMillis).getOrElse(
+      throw new IOException(
+        s"Snapshots.readAsOf: no version of $tableDir committed at or before " +
+          s"$tsMillis (earliest retained: ${listVersions(spark, tableDir).headOption
+            .getOrElse("none")})")))
+
   // ------------------------------------------------------------ manifest
 
   /** Parsed manifest: either a whole-table data dir, or a partition

@@ -154,6 +154,32 @@ object EventStreams {
     * micro-batch and ships to every executor once; no stream-side
     * shuffle, no state). The standard shape for decorating a firehose
     * with reference data at any scale. */
+  /** Watermarked stream-stream interval join: each click pairs with
+    * the same user's views from the preceding `lookback`. Both sides
+    * are unbounded, so Spark buffers each in join state; the
+    * watermarks PLUS the time-range condition are what make that
+    * state bounded — an old buffered view can be evicted once the
+    * click watermark passes `view_ts + lookback`, and a buffered
+    * click once its match window closes (without the range bound the
+    * state would grow forever; Spark refuses unbounded stream-stream
+    * inner joins on event time for exactly this reason). At 100
+    * TB/day the state is shuffled on user_id like any keyed state —
+    * per-executor state stores hold only the lookback window. */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+                    lookback: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    c.join(v, col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 

@@ -800,6 +800,24 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.currentVersion(spark, dir) === Some(v3))
   }
 
+  test("readAsOf time-travels by commit timestamp; before-first-commit fails loudly") {
+    val dir = freshDir()
+    Snapshots.commitOverwrite(spark, dir, Seq((1L, "a")).toDF("k", "v"))
+    val commits = new org.apache.hadoop.fs.Path(dir, "_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t1 = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(commits, "v00000001")).getModificationTime
+    Thread.sleep(50) // ensure v2's mtime lands strictly after t1
+    Snapshots.commitOverwrite(spark, dir, Seq((2L, "b")).toDF("k", "v"))
+    assert(Snapshots.versionAt(spark, dir, t1) === Some("v00000001"))
+    assert(Snapshots.readAsOf(spark, dir, t1).as[(Long, String)].collect()
+      .toSeq === Seq((1L, "a")))
+    assert(Snapshots.readAsOf(spark, dir, System.currentTimeMillis())
+      .as[(Long, String)].collect().toSeq === Seq((2L, "b")))
+    val err = intercept[java.io.IOException] { Snapshots.readAsOf(spark, dir, t1 - 3600000L) }
+    assert(err.getMessage.contains("no version"))
+  }
+
   // ------------------------------------------------------ change data feed
 
   test("changeFeed emits insert/delete/update pre+post rows; equals the diff it derives from") {

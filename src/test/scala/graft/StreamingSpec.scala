@@ -126,6 +126,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with in-window views across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val clickSrc = MemoryStream[(Long, Timestamp, Long)]
+    val viewSrc = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = clickSrc.toDF().toDF("event_id", "ts", "user_id")
+    val views = viewSrc.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStreams.clickViewJoin(clicks, views).writeStream
+      .format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      // views arrive first (buffered in join state), clicks in a LATER
+      // micro-batch — the join must pair across batches
+      viewSrc.addData((100L, ts(0), 1L), (101L, ts(20), 1L), (102L, ts(5), 2L))
+      q.processAllAvailable()
+      clickSrc.addData((200L, ts(25), 1L), (201L, ts(40), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select(col("user_id"), col("click_id"), col("view_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // user 1's click@25 pairs with its views @0 and @20 (both within
+      // the 30-min lookback); user 2's click@40 vs view@5 is a 35-min
+      // gap — outside the window, no pair
+      assert(rows === Set((1L, 200L, 100L), (1L, 200L, 101L)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, String, Double)]
