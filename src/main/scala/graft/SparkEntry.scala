@@ -627,6 +627,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
         .orderBy(col("_change_type"))
     }),
+    // BPE tokenizer-merge training: 8 greedy most-frequent-pair
+    // merges over the top-256 word types; the oracle unrolls the
+    // identical iterations (see bpeTrainSqlDuck)
+    "q96_bpe_train" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeTrain(s, d)),
+    // deterministic md5-nibble train/val/test split: stable under
+    // corpus growth and repartitioning (no rand(), no sort-and-cut)
+    "q94_dataset_split" -> ((s: SparkSession, d: String) =>
+      operators.Sampling.datasetSplit(s, d)),
+    // ORC round trip: documents written ORC (Spark's built-in
+    // columnar alternative to parquet), read back, aggregated — the
+    // oracle runs on the parquet originals, so the gate proves the
+    // format conversion is lossless
+    "q95_orc_roundtrip" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val table = fixture("orc", s, d, "documents") { path =>
+        wipe(s, path)
+        graft.sources.Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.orc(path)
+      }
+      s.read.orc(table)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars_sum"))
+        .orderBy(col("lang"), col("source"))
+    }),
     // SemDeDup-style semantic dedup: trained k-means clusters bound
     // the pairwise cosine work to within-cluster joins (N²/k), greedy
     // keep-lowest-id; the oracle unrolls the identical training and
@@ -1108,6 +1134,21 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q43_ann_ivf_trained" -> ivfTrainedSqlDuck,
     "q92_semantic_dedup" -> semanticDedupSqlDuck,
+    "q96_bpe_train" -> bpeTrainSqlDuck,
+    // identical md5-nibble arithmetic to q45's keep-predicate
+    "q94_dataset_split" ->
+      """WITH b AS (SELECT lang, n_chars,
+        |    strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib
+        |  FROM documents)
+        |SELECT CASE WHEN nib = 0 THEN 'test' WHEN nib = 1 THEN 'val'
+        |       ELSE 'train' END AS split,
+        |  lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM b GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    // the oracle reads the parquet originals — equality proves the
+    // ORC conversion lossless
+    "q95_orc_roundtrip" ->
+      """SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     // q41's recursive-CTE components + q19's quality formula; the
     // canonical row is the per-cluster quality argmax (doc_id breaks
     // ties), stated with one window
@@ -1814,6 +1855,47 @@ object SparkEntry {
        |  WHERE e.vec_id <> p.qid),
        |r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM scored)
        |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  /** q96: BPE merge training unrolled — 8 iterations of (pair count →
+    * top-1 → greedy merge application). The greedy left-to-right
+    * non-overlap that the Spark side gets from its left fold is
+    * expressed positionally here: within each maximal run of
+    * consecutive matching positions (gaps-and-islands on i −
+    * row_number), every ODD match applies; the position after an
+    * applied match is consumed (dropped) as the fused pair's right
+    * half. Both formulations are the canonical BPE application, so
+    * the learned merge tables must agree exactly. */
+  private val bpeTrainSqlDuck: String = {
+    val numMerges = 8
+    val steps = (0 until numMerges).map { t =>
+      s"""pc$t AS (SELECT syms[t.i] AS l, syms[t.i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS freq
+         |  FROM w$t, unnest(generate_series(1, len(syms) - 1)) t(i)
+         |  GROUP BY 1, 2),
+         |top$t AS MATERIALIZED (SELECT l, r, freq FROM pc$t ORDER BY freq DESC, l, r LIMIT 1),
+         |m$t AS (SELECT w.word, w.cnt, t.i, w.syms[t.i] AS s,
+         |    (w.syms[t.i] = (SELECT l FROM top$t) AND
+         |     coalesce(w.syms[t.i + 1] = (SELECT r FROM top$t), FALSE)) AS mt
+         |  FROM w$t w, unnest(generate_series(1, len(w.syms))) t(i)),
+         |g$t AS (SELECT *, i - row_number() OVER (PARTITION BY word, mt ORDER BY i) AS grp FROM m$t),
+         |a$t AS (SELECT *, mt AND row_number() OVER (PARTITION BY word, mt, grp ORDER BY i) % 2 = 1 AS app FROM g$t),
+         |d$t AS (SELECT *, coalesce(lag(app) OVER (PARTITION BY word ORDER BY i), FALSE) AS dropped FROM a$t),
+         |w${t + 1} AS MATERIALIZED (SELECT word, cnt,
+         |    list(CASE WHEN app THEN s || (SELECT r FROM top$t) ELSE s END ORDER BY i) AS syms
+         |  FROM d$t WHERE NOT dropped GROUP BY word, cnt),""".stripMargin
+    }.mkString("\n")
+    s"""WITH toks AS (SELECT unnest(string_split($normSqlDuck, ' ')) AS word FROM documents),
+       |wc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM toks WHERE length(word) > 0
+       |  GROUP BY word ORDER BY cnt DESC, word LIMIT 256),
+       |w0 AS MATERIALIZED (SELECT word, cnt,
+       |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
+       |  FROM wc),
+       |$steps
+       |ranked AS (
+       |  ${(0 until numMerges).map(t =>
+            s"SELECT CAST(${t + 1} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, freq FROM top$t")
+           .mkString("\n  UNION ALL ")})
+       |SELECT merge_rank, lhs, rhs, freq FROM ranked ORDER BY merge_rank""".stripMargin
+  }
 
   /** q92: the same trained clustering, then within-cluster pairwise
     * cosine with greedy keep-lowest-id removal. */

@@ -37,6 +37,26 @@ object Sampling {
   val DocRates16: Map[String, Int] =
     Map("en" -> 8, "de" -> 4, "es" -> 4, "fr" -> 2, "zh" -> 16)
 
+  /** Deterministic train/val/test split: the doc's first md5 hex
+    * nibble buckets it — 0 → test (1/16), 1 → val (1/16), the rest →
+    * train (14/16). A pure function of the id: stable across runs,
+    * partitionings and engines (no rand(), no global shuffle-and-cut,
+    * which would reassign rows whenever the data moves); adding
+    * documents never flips an existing document's split — the
+    * property that keeps eval sets uncontaminated as the corpus
+    * grows. Map-only; the gate aggregates per (split, lang). */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val b = hexBucket16(col("doc_id"))
+    d.select(col("lang"),
+        when(b === 0, lit("test")).when(b === 1, lit("val"))
+          .otherwise(lit("train")).as("split"),
+        col("n_chars"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars_sum"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   def stratifiedDocSample(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.loadSpread(spark, dir, "documents")
     d.select(col("lang"),

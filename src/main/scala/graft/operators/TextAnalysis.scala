@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -290,6 +290,72 @@ object TextAnalysis {
         // from the explode), so the denominator is ≥ 1
         (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_ratio"))
       .orderBy(col("doc_id"))
+  }
+
+  /** One greedy left-to-right BPE merge pass over a symbol array:
+    * every non-overlapping adjacent (a, b) becomes the fused symbol
+    * a+b. A left fold — append, or fuse with the accumulator's tail
+    * when it is `a` and the current symbol is `b`. Greedy
+    * non-overlap falls out of the fold: once fused, the tail is the
+    * strictly longer a+b, which can never equal `a` again (so
+    * [a,a,a,a] with pair (a,a) → [aa,aa], the canonical semantics). */
+  private[graft] def bpeMergeOnce(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** BPE tokenizer-merge training (Sennrich et al. 2016) over the
+    * corpus vocabulary: start from characters, repeatedly fuse the
+    * corpus-wide most frequent adjacent symbol pair (count ties →
+    * lexicographic pair). Classic BPE trains on WORD TYPES weighted
+    * by frequency, so after one token-count aggregate the working set
+    * is the vocabulary, not the corpus — here bounded to the top
+    * `vocabCap` types (count desc, word asc) so the oracle's unrolled
+    * SQL stays tractable; at 100 TB the uncapped type table is
+    * millions of rows and the shape is unchanged. Each of the
+    * `numMerges` iterations is one pair-explode + keyed count + a
+    * 1-row top-1 to the driver (the MODEL, like trainCentroids'
+    * k×dim sums), then a map-only fold applies the merge;
+    * localCheckpoint keeps the 8-iteration plan from nesting.
+    * Returns (merge_rank, lhs, rhs, freq) — the learned merge table. */
+  def bpeTrain(spark: SparkSession, dir: String,
+               numMerges: Int = 8, vocabCap: Int = 256): DataFrame = {
+    import spark.implicits._
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val chars = (w: Column) => transform(sequence(lit(1), length(w)),
+      i => w.substr(i, lit(1)))
+    var vocab = d.select(explode(words(normalizeText(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(vocabCap)
+      .select(col("word"), col("cnt"), chars(col("word")).as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1L
+    var exhausted = false
+    for (_ <- 0 until numMerges if !exhausted) {
+      // sequence(1, n) REVERSES for n < 1 (the shingles pitfall) —
+      // fully-fused single-symbol words must yield no pairs, not [1,0]
+      val pairs = vocab.select(col("cnt"), explode(
+          when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("l"),
+                element_at(col("syms"), i + 1).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (pairs(0).getString(0), pairs(0).getString(1), pairs(0).getLong(2))
+        merges += ((rank, l, r, f)); rank += 1
+        vocab = vocab.withColumn("syms", bpeMergeOnce(col("syms"), l, r))
+          .localCheckpoint()
+      }
+    }
+    merges.result().toDF("merge_rank", "lhs", "rhs", "freq").orderBy(col("merge_rank"))
   }
 
   /** Robust length-outlier detection per source: exact median and MAD

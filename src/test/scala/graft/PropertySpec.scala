@@ -14,6 +14,26 @@ class PropertySpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(20260812L)
 
+  test("bpeMergeOnce is greedy left-to-right non-overlapping") {
+    import graft.operators.TextAnalysis
+    def apply(syms: Seq[String], a: String, b: String): Seq[String] =
+      Seq(Tuple1(syms)).toDF("syms")
+        .select(TextAnalysis.bpeMergeOnce(col("syms"), a, b).as("m"))
+        .as[Seq[String]].head()
+    // overlapping run of an identical pair: every other position fuses
+    assert(apply(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    assert(apply(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    // ordinary pair, multiple disjoint occurrences
+    assert(apply(Seq("l", "o", "w", "l", "o"), "l", "o") === Seq("lo", "w", "lo"))
+    // no occurrence → unchanged; the fused symbol never re-matches
+    assert(apply(Seq("x", "y"), "a", "b") === Seq("x", "y"))
+    assert(apply(Seq("ab", "b"), "a", "b") === Seq("ab", "b"))
+    // reference BPE: merging ("e","r") in c,h,e,r,r,y touches only the
+    // first adjacency
+    assert(apply(Seq("c", "h", "e", "r", "r", "y"), "e", "r")
+      === Seq("c", "h", "er", "r", "y"))
+  }
+
   test("zkey2 matches the reference interleave and is injective on 16-bit domains") {
     def ref(x: Long, y: Long): Long =
       (0 until 16).foldLeft(0L) { (acc, i) =>
