@@ -627,6 +627,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
         .orderBy(col("_change_type"))
     }),
+    // deletion-vector delete: the fixture commits a partitioned base
+    // and then deletes keys %13 = 0 as a DELETION VECTOR — one
+    // key-parquet write, zero data files touched (byte-identity proof
+    // in SnapshotsSpec); every read path anti-joins the vector,
+    // scoped to the dirs that existed at delete time so re-inserts
+    // are never masked. The gate reads the live version; the oracle
+    // is the plain NOT-filter
+    "q97_snapshot_dv" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val table = fixture("snapdv", s, d, "orders") { path =>
+        wipe(s, path)
+        graft.sources.Snapshots.commitOverwritePartitioned(s, path, o, "o_orderstatus")
+        graft.sources.Snapshots.commitDeleteVector(s, path,
+          o.filter(col("o_orderkey") % 13 === 0).select(col("o_orderkey")),
+          "o_orderkey")
+        ()
+      }
+      graft.sources.Snapshots.read(s, table)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // BPE tokenizer-merge training: 8 greedy most-frequent-pair
     // merges over the top-256 word types; the oracle unrolls the
     // identical iterations (see bpeTrainSqlDuck)
@@ -1135,6 +1161,12 @@ object SparkEntry {
     "q43_ann_ivf_trained" -> ivfTrainedSqlDuck,
     "q92_semantic_dedup" -> semanticDedupSqlDuck,
     "q96_bpe_train" -> bpeTrainSqlDuck,
+    // the deletion vector must behave exactly as a row delete
+    "q97_snapshot_dv" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // identical md5-nibble arithmetic to q45's keep-predicate
     "q94_dataset_split" ->
       """WITH b AS (SELECT lang, n_chars,

@@ -84,6 +84,8 @@ object Snapshots {
   private val PartLine = "part:"
   private val SchemaLine = "schema="
   private val StatLine = "stat:"
+  private val DvKeyLine = "dvkey="
+  private val DvLine = "dv:"
   private val StatColRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
@@ -125,13 +127,13 @@ object Snapshots {
   def readVersion(spark: SparkSession, tableDir: String, version: String): DataFrame = {
     val m = readManifest(spark, tableDir, version)
     val raw = m.dataDir match {
-      case Some(dd) => spark.read.parquet(new Path(tableDir, dd).toString)
+      case Some(dd) => applyDv(spark, new Path(tableDir), m, dd,
+        spark.read.parquet(new Path(tableDir, dd).toString))
       case None =>
         // one read per owning data dir with basePath so the partition
         // column is inferred exactly as for a plain partitioned-parquet
         // read, then union by name
-        readPartitionsSubset(spark, tableDir, m.partitions.toMap, m.partCol,
-          m.partitions.map(_._1)).get
+        readPartitionsSubset(spark, tableDir, m, m.partitions.map(_._1)).get
     }
     // conform to the manifest's declared schema: stable column order,
     // typed NULLs for columns that postdate a dir's files
@@ -178,7 +180,9 @@ object Snapshots {
   private[graft] case class Manifest(dataDir: Option[String], partCol: String,
                                      partitions: Seq[(String, String)],
                                      schemaJson: Option[String] = None,
-                                     stats: Seq[FileStat] = Nil)
+                                     stats: Seq[FileStat] = Nil,
+                                     dvKey: String = "",
+                                     dvs: Seq[(String, String)] = Nil)
 
   /** Per-file column range, the Iceberg-style data-skipping index:
     * `relPath` is the data file's path relative to the table root
@@ -236,9 +240,17 @@ object Snapshots {
       require(ps.length == 4, s"Snapshots: malformed stat line '$l' in $version")
       FileStat(ps(0), ps(1), ps(2), ps(3))
     }
+    val dvKey = lines.collectFirst {
+      case l if l.startsWith(DvKeyLine) => l.stripPrefix(DvKeyLine) }.getOrElse("")
+    val dvs = lines.collect { case l if l.startsWith(DvLine) =>
+      val body = l.stripPrefix(DvLine)
+      val ps = body.split("\\|", 2)
+      require(ps.length == 2, s"Snapshots: malformed dv line '$l' in $version")
+      (ps(0), ps(1))
+    }
     require(dir.isDefined || parts.nonEmpty,
       s"Snapshots: empty manifest $version at $tableDir")
-    Manifest(dir, partCol, parts, schema, stats)
+    Manifest(dir, partCol, parts, schema, stats, dvKey, dvs)
   }
 
   private def manifestBody(m: Manifest): String = {
@@ -253,8 +265,14 @@ object Snapshots {
         s"Snapshots: stats column name '${s.col}' is not a plain identifier")
       s"$StatLine${s.col}|${s.min}|${s.max}|${s.relPath}"
     }
+    // deletion-vector lines: dir names are d-<12 hex> ('|'-free), so
+    // the 2-field split is unambiguous
+    val dvLines = (if (m.dvKey.nonEmpty) Seq(DvKeyLine + m.dvKey) else Nil) ++
+      m.dvs.sorted.map { case (dvDir, target) => s"$DvLine$dvDir|$target" }
+    require(m.dvs.isEmpty || m.dvKey.nonEmpty,
+      "Snapshots: dv entries require a dvkey line")
     val body = m.dataDir match {
-      case Some(dd) => schemaLines ++ ((DirLine + dd) +: statLines)
+      case Some(dd) => schemaLines ++ ((DirLine + dd) +: statLines) ++ dvLines
       case None =>
         // partition values are stored Hive-escaped so '=', newlines and
         // other line-format-hostile characters round-trip; empty values
@@ -269,7 +287,7 @@ object Snapshots {
         schemaLines ++ ((PartColLine + m.partCol) +: m.partitions.sorted.map {
           case (v, d) =>
             s"$PartLine${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .escapePathName(v)}=$d" }) ++ statLines
+              .escapePathName(v)}=$d" }) ++ statLines ++ dvLines
     }
     body.mkString("", "\n", "\n")
   }
@@ -482,19 +500,39 @@ object Snapshots {
     * rewritten and untouched files stay byte-identical.
     *
     * Read-modify-write CAS semantics as [[commitUpsert]]. */
+  /** Anti-join away the deletion-vector keys targeting rows that were
+    * read from `owner`'s files. DVs are scoped to the data dir that
+    * existed when the delete committed, so a later re-insert of the
+    * same key — which lands in a NEW dir — is never masked (the
+    * reason Delta/Iceberg DVs are file-scoped). The key frames are
+    * delete-sized; Catalyst broadcasts them against the corpus side. */
+  private def applyDv(spark: SparkSession, root: Path, m: Manifest,
+                      owner: String, df: DataFrame): DataFrame = {
+    val hits = m.dvs.filter(_._2 == owner).map(_._1).distinct
+    if (hits.isEmpty) df
+    else {
+      val keys = hits.map(dv => spark.read.parquet(new Path(root, dv).toString))
+        .reduce(_.unionByName(_)).select(col(m.dvKey)).distinct()
+      df.join(keys, Seq(m.dvKey), "left_anti")
+    }
+  }
+
   /** Read a subset of a partitioned version's partitions from their
     * owning data dirs (partition pruning by construction — only those
-    * dirs' partition subdirectories are ever listed). */
+    * dirs' partition subdirectories are ever listed), with each
+    * owner's deletion vectors applied. */
   private def readPartitionsSubset(spark: SparkSession, tableDir: String,
-                                   owned: Map[String, String], partCol: String,
+                                   m: Manifest,
                                    values: Seq[String]): Option[DataFrame] = {
+    val owned = m.partitions.toMap
     val present = values.filter(owned.contains)
     if (present.isEmpty) None else Some(
       present.groupBy(owned).map { case (ownerDir, vls) =>
         val ownerPath = new Path(new Path(tableDir), ownerDir)
         val paths = vls.map(vl =>
-          new Path(ownerPath, partDirName(partCol, vl)).toString)
-        spark.read.option("basePath", ownerPath.toString).parquet(paths: _*)
+          new Path(ownerPath, partDirName(m.partCol, vl)).toString)
+        applyDv(spark, new Path(tableDir), m, ownerDir,
+          spark.read.option("basePath", ownerPath.toString).parquet(paths: _*))
         // allowMissingColumns: after an add-column evolution, dirs that
         // predate the new column union with NULLs for it
       }.reduce(_.unionByName(_, allowMissingColumns = true)))
@@ -558,7 +596,7 @@ object Snapshots {
         val untouchedScan: Option[DataFrame] =
           if (untouchedVals.isEmpty) None
           else if (keyStats.isEmpty)
-            readPartitionsSubset(spark, tableDir, owned, partCol, untouchedVals)
+            readPartitionsSubset(spark, tableDir, m, untouchedVals)
           else {
             val b = delta.agg(min(col(key)).cast("string"), max(col(key)).cast("string")).head
             if (b.isNullAt(0)) None // no non-null delta keys → nothing can move
@@ -567,7 +605,7 @@ object Snapshots {
                 partitionFilesRel(spark, tableDir, m, untouchedVals),
                 BigDecimal(b.getString(0)), BigDecimal(b.getString(1)))
               if (files.isEmpty) None
-              else Some(readFilesByOwner(spark, new Path(tableDir), files))
+              else Some(readFilesByOwner(spark, new Path(tableDir), m, files))
             }
           }
         val movedParts = untouchedScan match {
@@ -579,7 +617,7 @@ object Snapshots {
             .collect().map(_.getString(0)).toSeq
         }
         val touched = (touchedRaw ++ movedParts).distinct.sorted
-        val baseSubset = readPartitionsSubset(spark, tableDir, owned, partCol, touched)
+        val baseSubset = readPartitionsSubset(spark, tableDir, m, touched)
         // align the delta to the declared schema's exact column types
         // (arithmetic widens decimals; a forked schema would break
         // later reads); EXTRA delta columns are add-column evolution.
@@ -614,9 +652,11 @@ object Snapshots {
         // fresh delta-sized stats scan
         val fresh = computeFileStats(spark, new Path(tableDir), dd,
           effectiveStatsCols(statsCols, m))
+        val dvs = carriedDvs(m, newParts.map(_._2).toSet)
         claimExactlyAfter(spark, tableDir, v,
           Manifest(None, partCol, newParts, Some(merged.schema.json),
-            carriedStats(m, newParts.toMap) ++ fresh))
+            carriedStats(m, newParts.toMap) ++ fresh,
+            if (dvs.nonEmpty) m.dvKey else "", dvs))
     }
   }
 
@@ -671,7 +711,7 @@ object Snapshots {
           .collect().map(_.getString(0)).toSeq.sorted
         if (touched.isEmpty) return v
         val owned = m.partitions.toMap
-        val subset = readPartitionsSubset(spark, tableDir, owned, m.partCol, touched)
+        val subset = readPartitionsSubset(spark, tableDir, m, touched)
           .getOrElse(return v)
         val conformed = manifestSchema(m).map(alignTo(subset, _)).getOrElse(subset)
         val kept = conformed.filter(keepCond(predicate))
@@ -682,10 +722,12 @@ object Snapshots {
         // a fully-deleted partition writes no dir and leaves the manifest
         val present = listPartitionValues(fsOf(spark, ddPath), ddPath, m.partCol)
         val newParts = ((owned -- touched) ++ present.map(_ -> dd)).toSeq
+        val dvs = carriedDvs(m, newParts.map(_._2).toSet)
         claimExactlyAfter(spark, tableDir, v,
           Manifest(None, m.partCol, newParts, m.schemaJson,
             carriedStats(m, newParts.toMap) ++
-              computeFileStats(spark, new Path(tableDir), dd, statsCols)))
+              computeFileStats(spark, new Path(tableDir), dd, statsCols),
+            if (dvs.nonEmpty) m.dvKey else "", dvs))
     }
   }
 
@@ -755,7 +797,7 @@ object Snapshots {
         val owned = m.partitions.toMap
         val touched = (srcParts ++ tgtParts).distinct.filter(p =>
           owned.contains(p) || tgtParts.contains(p)).sorted
-        val subset = readPartitionsSubset(spark, tableDir, owned, m.partCol, touched)
+        val subset = readPartitionsSubset(spark, tableDir, m, touched)
           .getOrElse(return v)
         val conformed = manifestSchema(m).map(alignTo(subset, _)).getOrElse(subset)
         val updated = applySets(conformed)
@@ -765,11 +807,53 @@ object Snapshots {
           .parquet(ddPath.toString)
         val present = listPartitionValues(fsOf(spark, ddPath), ddPath, m.partCol)
         val newParts = ((owned -- touched) ++ present.map(_ -> dd)).toSeq
+        val dvs = carriedDvs(m, newParts.map(_._2).toSet)
         claimExactlyAfter(spark, tableDir, v,
           Manifest(None, m.partCol, newParts, m.schemaJson,
             carriedStats(m, newParts.toMap) ++
-              computeFileStats(spark, new Path(tableDir), dd, statsCols)))
+              computeFileStats(spark, new Path(tableDir), dd, statsCols),
+            if (dvs.nonEmpty) m.dvKey else "", dvs))
     }
+  }
+
+  /** DV entries of a previous manifest still valid under a new set of
+    * referenced dirs: a deletion vector targets one data dir's rows
+    * and survives iff that dir is still referenced. (A rewritten
+    * partition's rows move to a new dir with the deletions already
+    * applied — its old dir's DV rides along only while OTHER
+    * partitions still read that dir.) */
+  private def carriedDvs(m: Manifest, newDirs: Set[String]): Seq[(String, String)] =
+    m.dvs.filter { case (_, target) => newDirs.contains(target) }
+
+  /** O(delta) DELETE: record the (distinct) keys of `keys` as a
+    * DELETION VECTOR — one delete-sized parquet write and a manifest
+    * claim; NO data file is touched, unlike [[commitDelete]]'s
+    * partition rewrite. Readers anti-join the vector against rows
+    * from the dirs it targets (the dirs referenced when the delete
+    * committed), so a later upsert RE-INSERTING a deleted key — which
+    * lands in a new dir — is never masked. DVs accumulate across
+    * deletes and merges; [[compact]] materializes the live rows and
+    * clears them (the REWRITE step of the Delta DV lifecycle). All
+    * DVs of a table must share one key column. Read-modify-write CAS
+    * semantics as [[commitUpsert]]. */
+  def commitDeleteVector(spark: SparkSession, tableDir: String, keys: DataFrame,
+                         key: String): String = {
+    val v = currentVersion(spark, tableDir).getOrElse(
+      throw new IOException(s"Snapshots.commitDeleteVector: no committed version at $tableDir"))
+    val m = readManifest(spark, tableDir, v)
+    require(m.dvKey.isEmpty || m.dvKey == key,
+      s"Snapshots.commitDeleteVector: existing deletion vectors use key '${m.dvKey}'")
+    val k = keys.select(col(key)).distinct()
+    if (k.isEmpty) return v
+    val root = new Path(tableDir)
+    val dd = newDataDirName()
+    k.write.mode(SaveMode.ErrorIfExists).parquet(new Path(root, dd).toString)
+    // target every dir the live version references — with per-file key
+    // stats a future refinement could skip dirs whose ranges exclude
+    // the keys, but an extra target is only a no-op anti-join
+    val targets = (m.dataDir.toSeq ++ m.partitions.map(_._2)).distinct
+    claimExactlyAfter(spark, tableDir, v,
+      m.copy(dvKey = key, dvs = m.dvs ++ targets.map(dd -> _)))
   }
 
   /** Stat entries of a previous manifest still valid under a new
@@ -807,7 +891,7 @@ object Snapshots {
     val m = readManifest(spark, tableDir, version)
     val root = new Path(tableDir)
     val fs = fsOf(spark, root)
-    val gone = (m.dataDir.toSeq ++ m.partitions.map(_._2)).distinct
+    val gone = (m.dataDir.toSeq ++ m.partitions.map(_._2) ++ m.dvs.map(_._1)).distinct
       .filterNot(dd => fs.exists(new Path(root, dd)))
     require(gone.isEmpty,
       s"Snapshots.restore: $version references vacuumed data dir(s) " +
@@ -1069,12 +1153,13 @@ object Snapshots {
 
   /** Read a set of relative file paths grouped by their owning data
     * dir, with basePath per owner so partition-column inference matches
-    * the unpruned read. */
-  private def readFilesByOwner(spark: SparkSession, root: Path,
+    * the unpruned read; each owner's deletion vectors applied. */
+  private def readFilesByOwner(spark: SparkSession, root: Path, m: Manifest,
                                rels: Seq[String]): DataFrame =
     rels.groupBy(_.takeWhile(_ != '/')).map { case (owner, rs) =>
-      spark.read.option("basePath", new Path(root, owner).toString)
-        .parquet(rs.map(new Path(root, _).toString): _*)
+      applyDv(spark, root, m, owner,
+        spark.read.option("basePath", new Path(root, owner).toString)
+          .parquet(rs.map(new Path(root, _).toString): _*))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Range read with manifest-level data skipping: return the rows of
@@ -1115,9 +1200,9 @@ object Snapshots {
       return readVersion(spark, tableDir, version).filter(lit(false)).filter(predicate)
     val root = new Path(tableDir)
     val raw = m.dataDir match {
-      case Some(_) =>
-        spark.read.parquet(selected.map(new Path(root, _).toString): _*)
-      case None => readFilesByOwner(spark, root, selected)
+      case Some(dd) => applyDv(spark, root, m, dd,
+        spark.read.parquet(selected.map(new Path(root, _).toString): _*))
+      case None => readFilesByOwner(spark, root, m, selected)
     }
     manifestSchema(m).map(alignTo(raw, _)).getOrElse(raw).filter(predicate)
   }
@@ -1153,12 +1238,18 @@ object Snapshots {
         "on the same column")
     val oldOwn = mo.partitions.toMap
     val newOwn = mn.partitions.toMap
+    // same immutable dir ⇒ same bytes — but only with the SAME
+    // deletion vectors targeting it; a DV delete between the versions
+    // changes a partition's effective rows without re-pointing its dir
+    def dvsFor(m: Manifest, dir: String): Set[String] =
+      m.dvs.filter(_._2 == dir).map(_._1).toSet
     val changed = (oldOwn.keySet ++ newOwn.keySet)
-      .filter(v => oldOwn.get(v) != newOwn.get(v)).toSeq.sorted
-    def side(own: Map[String, String], version: String): DataFrame =
-      readPartitionsSubset(spark, tableDir, own, mo.partCol, changed)
+      .filter(v => oldOwn.get(v) != newOwn.get(v) ||
+        dvsFor(mo, oldOwn(v)) != dvsFor(mn, newOwn(v))).toSeq.sorted
+    def side(m: Manifest, version: String): DataFrame =
+      readPartitionsSubset(spark, tableDir, m, changed)
         .getOrElse(readVersion(spark, tableDir, version).filter(lit(false))) // schema-only
-    diffFrames(side(oldOwn, vOld), side(newOwn, vNew), key)
+    diffFrames(side(mo, vOld), side(mn, vNew), key)
   }
 
   private def diffFrames(o0: DataFrame, n0: DataFrame, key: String): DataFrame = {
@@ -1204,7 +1295,7 @@ object Snapshots {
     doomed.foreach(v => fs.delete(new Path(new Path(tableDir, CommitDir), v), false))
     val referenced: Set[String] = kept.flatMap { v =>
       val m = readManifest(spark, tableDir, v)
-      m.dataDir.toSeq ++ m.partitions.map(_._2)
+      m.dataDir.toSeq ++ m.partitions.map(_._2) ++ m.dvs.map(_._1)
     }.toSet
     val cutoff = System.currentTimeMillis() - math.max(orphanGraceMs, 0L)
     if (fs.exists(dir)) fs.listStatus(dir).toSeq

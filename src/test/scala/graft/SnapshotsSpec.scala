@@ -818,6 +818,91 @@ class SnapshotsSpec extends SparkSpec {
     assert(err.getMessage.contains("no version"))
   }
 
+  // ------------------------------------------------------ deletion vectors
+
+  test("commitDeleteVector deletes without touching any data file; compact materializes and clears") {
+    val dir = freshDir()
+    partedBase(dir)
+    val before = fileStates(dir, "d-")
+    val v2 = Snapshots.commitDeleteVector(spark, dir,
+      Seq(Tuple1(2L), Tuple1(5L)).toDF("k"), "k")
+    assert(v2 === "v00000002")
+    // EVERY pre-existing data file is byte-identical — the delete
+    // wrote only the delete-sized key parquet
+    val after = fileStates(dir, "d-")
+    before.foreach { case (rel, st) => assert(after.get(rel) === Some(st), rel) }
+    assert(Snapshots.read(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq === Seq(
+        (1L, "F", 10.0), (3L, "O", 30.0), (4L, "O", 40.0)))
+    // the pre-delete version still reads complete (time travel)
+    assert(Snapshots.readVersion(spark, dir, "v00000001").count() === 5)
+    // a second DV with a different key column is refused
+    intercept[IllegalArgumentException] {
+      Snapshots.commitDeleteVector(spark, dir, Seq(Tuple1("F")).toDF("status"), "status")
+    }
+    // compact materializes live rows and clears the vectors
+    val v3 = Snapshots.compact(spark, dir)
+    assert(Snapshots.readManifest(spark, dir, v3).dvs.isEmpty)
+    assert(Snapshots.read(spark, dir).count() === 3)
+    // after retention passes, vacuum reclaims the dv dir with the rest
+    Snapshots.vacuum(spark, dir, keep = 1, orphanGraceMs = 0L)
+    assert(Snapshots.read(spark, dir).count() === 3)
+  }
+
+  test("re-inserting a DV-deleted key via merge resurfaces it; DVs ride along on untouched dirs") {
+    val dir = freshDir()
+    partedBase(dir)
+    Snapshots.commitDeleteVector(spark, dir, Seq(Tuple1(2L)).toDF("k"), "k")
+    assert(Snapshots.read(spark, dir).filter(col("k") === 2L).count() === 0)
+    // the re-insert lands in a NEW dir — the dir-scoped DV cannot mask it
+    Snapshots.commitMergePartitioned(spark, dir,
+      Seq((2L, "F", 99.0)).toDF("k", "status", "amount"), "k", "status")
+    assert(Snapshots.read(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq === Seq(
+        (1L, "F", 10.0), (2L, "F", 99.0), (3L, "O", 30.0),
+        (4L, "O", 40.0), (5L, "P", 50.0)))
+    // the untouched partitions (O, P) still read through the original
+    // dir with its DV applied — the manifest carried the entries
+    val live = Snapshots.currentVersion(spark, dir).get
+    assert(Snapshots.readManifest(spark, dir, live).dvs.nonEmpty)
+  }
+
+  test("pruned reads, diff and changeFeed all apply deletion vectors") {
+    val dir = freshDir()
+    Snapshots.commitOverwrite(spark, dir,
+      spark.range(100).select(col("id").as("k"), (col("id") % 7).as("m"))
+        .repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    Snapshots.commitDeleteVector(spark, dir,
+      spark.range(10, 15).select(col("id").as("k")), "k")
+    // stats-pruned range read: k ∈ [5, 20] minus the deleted [10, 14]
+    assert(Snapshots.readVersionPruned(spark, dir, "v00000002", "k",
+        BigDecimal(5), BigDecimal(20))
+      .select(col("k")).as[Long].collect().sorted.toSeq
+      === ((5L to 9L) ++ (15L to 20L)))
+    // diff v1→v2: exactly the 5 DV-deleted keys are 'removed'
+    val d = Snapshots.diffVersions(spark, dir, "v00000001", "v00000002", "k")
+    assert(d.filter(col("change") === "removed").select(col("k"))
+      .as[Long].collect().sorted.toSeq === (10L to 14L))
+    assert(d.filter(col("change") =!= "unchanged").count() === 5)
+    // changeFeed emits them as delete rows
+    val cdf = Snapshots.changeFeed(spark, dir, "v00000001", "v00000002", "k")
+    assert(cdf.select(col("_change_type")).distinct().as[String].collect()
+      .toSeq === Seq("delete"))
+    assert(cdf.count() === 5)
+  }
+
+  test("partitioned diff prunes by (dir, DV) pairs: a DV delete on an unchanged dir is not skipped") {
+    val dir = freshDir()
+    partedBase(dir)
+    Snapshots.commitDeleteVector(spark, dir, Seq(Tuple1(3L)).toDF("k"), "k")
+    val d = Snapshots.diffVersionsPartitioned(spark, dir,
+      "v00000001", "v00000002", "k")
+    assert(d.filter(col("change") === "removed").count() === 1)
+    // no false changes: everything else is unchanged
+    assert(d.filter(col("change") =!= "unchanged").count() === 1)
+  }
+
   // ------------------------------------------------------ change data feed
 
   test("changeFeed emits insert/delete/update pre+post rows; equals the diff it derives from") {
