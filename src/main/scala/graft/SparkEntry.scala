@@ -658,6 +658,10 @@ object SparkEntry {
     // identical iterations (see bpeTrainSqlDuck)
     "q96_bpe_train" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeTrain(s, d)),
+    // tokenize with the learned merges via the broadcast type table;
+    // per-doc whitespace vs BPE token counts
+    "q98_bpe_apply" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeApplyCounts(s, d)),
     // deterministic md5-nibble train/val/test split: stable under
     // corpus growth and repartitioning (no rand(), no sort-and-cut)
     "q94_dataset_split" -> ((s: SparkSession, d: String) =>
@@ -1161,6 +1165,7 @@ object SparkEntry {
     "q43_ann_ivf_trained" -> ivfTrainedSqlDuck,
     "q92_semantic_dedup" -> semanticDedupSqlDuck,
     "q96_bpe_train" -> bpeTrainSqlDuck,
+    "q98_bpe_apply" -> bpeApplySqlDuck,
     // the deletion vector must behave exactly as a row delete
     "q97_snapshot_dv" ->
       """SELECT o_orderstatus, count(*) AS n,
@@ -1897,36 +1902,71 @@ object SparkEntry {
     * applied match is consumed (dropped) as the fused pair's right
     * half. Both formulations are the canonical BPE application, so
     * the learned merge tables must agree exactly. */
-  private val bpeTrainSqlDuck: String = {
-    val numMerges = 8
-    val steps = (0 until numMerges).map { t =>
+  private val BpeMerges = 8
+
+  /** One greedy merge application step (top$tag's pair over `src` →
+    * `dst`): within each maximal run of consecutive matching
+    * positions, every odd match applies; the following position is
+    * consumed as the fused pair's right half. `carry` columns ride
+    * along unchanged (the training chain carries the type count). */
+  private def bpeApplyStepSql(tag: String, src: String, dst: String,
+                              top: String, carry: String): String = {
+    val c = if (carry.isEmpty) "" else s", $carry"
+    s"""m$tag AS (SELECT w.word$c, t.i, w.syms[t.i] AS s,
+       |    (w.syms[t.i] = (SELECT l FROM $top) AND
+       |     coalesce(w.syms[t.i + 1] = (SELECT r FROM $top), FALSE)) AS mt
+       |  FROM $src w, unnest(generate_series(1, len(w.syms))) t(i)),
+       |g$tag AS (SELECT *, i - row_number() OVER (PARTITION BY word, mt ORDER BY i) AS grp FROM m$tag),
+       |a$tag AS (SELECT *, mt AND row_number() OVER (PARTITION BY word, mt, grp ORDER BY i) % 2 = 1 AS app FROM g$tag),
+       |d$tag AS (SELECT *, coalesce(lag(app) OVER (PARTITION BY word ORDER BY i), FALSE) AS dropped FROM a$tag),
+       |$dst AS MATERIALIZED (SELECT word$c,
+       |    list(CASE WHEN app THEN s || (SELECT r FROM $top) ELSE s END ORDER BY i) AS syms
+       |  FROM d$tag WHERE NOT dropped GROUP BY word$c),""".stripMargin
+  }
+
+  /** The unrolled training chain: toks → capped type table w0 →
+    * (pair count → top-1 → apply)×8, defining top0..top7. */
+  private val bpeTrainPreludeDuck: String = {
+    val steps = (0 until BpeMerges).map { t =>
       s"""pc$t AS (SELECT syms[t.i] AS l, syms[t.i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS freq
          |  FROM w$t, unnest(generate_series(1, len(syms) - 1)) t(i)
          |  GROUP BY 1, 2),
          |top$t AS MATERIALIZED (SELECT l, r, freq FROM pc$t ORDER BY freq DESC, l, r LIMIT 1),
-         |m$t AS (SELECT w.word, w.cnt, t.i, w.syms[t.i] AS s,
-         |    (w.syms[t.i] = (SELECT l FROM top$t) AND
-         |     coalesce(w.syms[t.i + 1] = (SELECT r FROM top$t), FALSE)) AS mt
-         |  FROM w$t w, unnest(generate_series(1, len(w.syms))) t(i)),
-         |g$t AS (SELECT *, i - row_number() OVER (PARTITION BY word, mt ORDER BY i) AS grp FROM m$t),
-         |a$t AS (SELECT *, mt AND row_number() OVER (PARTITION BY word, mt, grp ORDER BY i) % 2 = 1 AS app FROM g$t),
-         |d$t AS (SELECT *, coalesce(lag(app) OVER (PARTITION BY word ORDER BY i), FALSE) AS dropped FROM a$t),
-         |w${t + 1} AS MATERIALIZED (SELECT word, cnt,
-         |    list(CASE WHEN app THEN s || (SELECT r FROM top$t) ELSE s END ORDER BY i) AS syms
-         |  FROM d$t WHERE NOT dropped GROUP BY word, cnt),""".stripMargin
+         |${bpeApplyStepSql(t.toString, s"w$t", s"w${t + 1}", s"top$t", "cnt")}""".stripMargin
     }.mkString("\n")
-    s"""WITH toks AS (SELECT unnest(string_split($normSqlDuck, ' ')) AS word FROM documents),
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSqlDuck, ' ')) AS word FROM documents),
        |wc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM toks WHERE length(word) > 0
        |  GROUP BY word ORDER BY cnt DESC, word LIMIT 256),
        |w0 AS MATERIALIZED (SELECT word, cnt,
        |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
        |  FROM wc),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private val bpeTrainSqlDuck: String =
+    s"""$bpeTrainPreludeDuck
        |ranked AS (
-       |  ${(0 until numMerges).map(t =>
+       |  ${(0 until BpeMerges).map(t =>
             s"SELECT CAST(${t + 1} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, freq FROM top$t")
            .mkString("\n  UNION ALL ")})
        |SELECT merge_rank, lhs, rhs, freq FROM ranked ORDER BY merge_rank""".stripMargin
+
+  /** q98: the learned merges applied to EVERY distinct word (the
+    * type-table tokenization), then per-doc token counts. */
+  private val bpeApplySqlDuck: String = {
+    val steps = (0 until BpeMerges).map(t =>
+      bpeApplyStepSql(s"y$t", s"ty$t", s"ty${t + 1}", s"top$t", ""))
+      .mkString("\n").stripSuffix(",")
+    s"""$bpeTrainPreludeDuck
+       |t2 AS MATERIALIZED (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+       |ty0 AS MATERIALIZED (SELECT word,
+       |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
+       |  FROM (SELECT DISTINCT word FROM t2)),
+       |$steps
+       |SELECT doc_id, count(*) AS ws_tokens,
+       |  CAST(sum(len(ty$BpeMerges.syms)) AS BIGINT) AS bpe_tokens
+       |FROM t2 JOIN ty$BpeMerges USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** q92: the same trained clustering, then within-cluster pairwise

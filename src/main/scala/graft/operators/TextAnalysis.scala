@@ -358,6 +358,36 @@ object TextAnalysis {
     merges.result().toDF("merge_rank", "lhs", "rhs", "freq").orderBy(col("merge_rank"))
   }
 
+  /** Tokenize the corpus with the merges [[bpeTrain]] learned and
+    * count per-document tokens. The classic type-table optimization:
+    * each DISTINCT word is tokenized once (chars → the merge chain,
+    * applied as `numMerges` chained folds in rank order — the model
+    * is ≤ numMerges driver rows, like trainCentroids' centroids), and
+    * documents join their words against the broadcast tokenized
+    * types. Per-doc work is therefore one explode + one broadcast
+    * join + one keyed count — never a per-token fold over the corpus.
+    * Returns (doc_id, ws_tokens, bpe_tokens). */
+  def bpeApplyCounts(spark: SparkSession, dir: String,
+                     numMerges: Int = 8, vocabCap: Int = 256): DataFrame = {
+    val merges = bpeTrain(spark, dir, numMerges, vocabCap)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val toks = d.select(col("doc_id"),
+        explode(words(normalizeText(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    val tokenized = toks.select(col("word")).distinct()
+      .select(col("word"), merges.foldLeft(chars) { case (syms, (l, r)) =>
+        bpeMergeOnce(syms, l, r) }.as("syms"))
+      .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    toks.join(broadcast(tokenized), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ws_tokens"), sum(col("n_syms")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Robust length-outlier detection per source: exact median and MAD
     * (median absolute deviation) of the whitespace token count, then
     * flag |toks − med| > 3·MAD. All interpolated medians land on
