@@ -662,6 +662,14 @@ object SparkEntry {
     // per-doc whitespace vs BPE token counts
     "q98_bpe_apply" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeApplyCounts(s, d)),
+    // bigram-LM rarity (perplexity-filter analog): rare iff
+    // cnt2·50 < cnt1 — integer-exact, no float boundary
+    "q99_bigram_rarity" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bigramRarity(s, d)),
+    // per-source winsorization: clip to exact R-7 [p25, p75]; the
+    // clipped sum is a sum of exact dyadics — order-independent
+    "q100_winsorize" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.winsorize(s, d)),
     // deterministic md5-nibble train/val/test split: stable under
     // corpus growth and repartitioning (no rand(), no sort-and-cut)
     "q94_dataset_split" -> ((s: SparkSession, d: String) =>
@@ -1166,6 +1174,32 @@ object SparkEntry {
     "q92_semantic_dedup" -> semanticDedupSqlDuck,
     "q96_bpe_train" -> bpeTrainSqlDuck,
     "q98_bpe_apply" -> bpeApplySqlDuck,
+    "q100_winsorize" ->
+      """WITH b AS (SELECT source,
+        |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4) AS p25,
+        |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4) AS p75
+        |  FROM documents GROUP BY source)
+        |SELECT source, p25, p75, count(*) AS n,
+        |  CAST(count(*) FILTER (WHERE n_chars < p25) AS BIGINT) AS n_low,
+        |  CAST(count(*) FILTER (WHERE n_chars > p75) AS BIGINT) AS n_high,
+        |  sum(least(greatest(CAST(n_chars AS DOUBLE), p25), p75)) AS win_sum
+        |FROM documents JOIN b USING (source)
+        |GROUP BY source, p25, p75 ORDER BY source""".stripMargin,
+    // context counts derived from the bigram counts, exactly as the
+    // engine side; the single per-doc division is the only double
+    "q99_bigram_rarity" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, ws[t.i] AS w1, ws[t.i + 1] AS w2
+        |  FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)
+        |  WHERE len(ws) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(cnt2) AS BIGINT) AS cnt1 FROM c2 GROUP BY w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(count(*) FILTER (WHERE cnt2 * 50 < cnt1) AS BIGINT) AS n_rare,
+        |  CAST(count(*) FILTER (WHERE cnt2 * 50 < cnt1) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS rare_ratio
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the deletion vector must behave exactly as a row delete
     "q97_snapshot_dv" ->
       """SELECT o_orderstatus, count(*) AS n,

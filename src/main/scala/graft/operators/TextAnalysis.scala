@@ -388,6 +388,68 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model rarity scoring — the integer-exact
+    * approximation of perplexity-based quality filtering (the CCNet
+    * recipe): a document full of improbable word transitions is
+    * likely boilerplate, spam or garbled text. The corpus bigram
+    * model is its own scorer: P(w2|w1) = C(w1,w2)/C(w1·), and a
+    * bigram is RARE iff P < 1/`denom`, tested as the integer
+    * predicate `C(w1,w2)·denom < C(w1·)` — no division, no float
+    * boundary, bit-identical on any engine. The only double is one
+    * final ratio per document. Two token-keyed shuffles (bigram
+    * counts, context counts) + one keyed re-join; nothing
+    * corpus-sized reaches the driver. */
+  def bigramRarity(spark: SparkSession, dir: String, denom: Int = 50): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val ws = words(normalizeText(col("text")))
+    // adjacent word pairs, in order (sequence() would reverse for
+    // single-token docs — guard like every pair extraction here)
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bg = d.select(col("doc_id"), explode(bigrams).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt2"))
+    // context count = how often w1 starts a bigram, derived from the
+    // (already aggregated) bigram counts — no third corpus pass
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("cnt2")).as("cnt1"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((col("cnt2") * denom < col("cnt1")).cast("long")).as("n_rare"))
+      .withColumn("rare_ratio",
+        col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source winsorization of the document length: clip n_chars to
+    * the source's [p25, p75] (exact R-7 percentiles — on integer
+    * inputs they land on multiples of 0.25, binary-exact on every
+    * engine) and report the clipped-tail counts plus the winsorized
+    * sum. Every clipped value is an exact dyadic (k/4) and the total
+    * stays far under 2^53, so the double sum is EXACT and therefore
+    * aggregation-order-independent — safe to gate across engines.
+    * One tiny per-source percentile agg broadcast back over a
+    * map-only clip: the 100 TB shape. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+      .select(col("source"), col("n_chars").cast("double").as("x"))
+    val bounds = d.groupBy(col("source")).agg(
+      round(percentile(col("x"), lit(0.25)), 4).as("p25"),
+      round(percentile(col("x"), lit(0.75)), 4).as("p75"))
+    d.join(broadcast(bounds), Seq("source"))
+      .withColumn("clip", least(greatest(col("x"), col("p25")), col("p75")))
+      .groupBy(col("source"), col("p25"), col("p75"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("x") < col("p25")).cast("long")).as("n_low"),
+        sum((col("x") > col("p75")).cast("long")).as("n_high"),
+        sum(col("clip")).as("win_sum"))
+      .select(col("source"), col("p25"), col("p75"), col("n"),
+        col("n_low"), col("n_high"), col("win_sum"))
+      .orderBy(col("source"))
+  }
+
   /** Robust length-outlier detection per source: exact median and MAD
     * (median absolute deviation) of the whitespace token count, then
     * flag |toks − med| > 3·MAD. All interpolated medians land on
