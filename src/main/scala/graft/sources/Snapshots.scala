@@ -44,6 +44,12 @@ class ConcurrentSnapshotCommitException(msg: String) extends IOException(msg)
   *     (the data-skipping index, [[readVersionPrunedMulti]]); merge
   *     commits carry entries for still-referenced files forward
   *     verbatim and stat-scan only the new dir.
+  *   - `dvkey=<col>` + `dv:<dvDir>|<targetDir>` — deletion vectors
+  *     ([[commitDeleteVector]]): keys in `dvDir`'s parquet are
+  *     anti-joined out of rows read from `targetDir`. Dir-scoped so a
+  *     re-inserted key (which lands in a new dir) is never masked;
+  *     rewrites carry entries forward while their target dir is still
+  *     referenced; [[compact]] materializes and clears them.
   *
   * Commit protocol (the Delta/Iceberg optimistic-concurrency scheme at
   * file granularity): (1) write the new data dir under a fresh unique
