@@ -173,6 +173,44 @@ object Snapshots {
           s"$tsMillis (earliest retained: ${listVersions(spark, tableDir).headOption
             .getOrElse("none")})")))
 
+  /** DESCRIBE HISTORY analog: one row per retained version with its
+    * commit instant (manifest mtime — the atomic claim), layout kind,
+    * partition / data-dir / deletion-vector counts and the declared
+    * schema's column count. Pure manifest metadata — no data files
+    * are opened. */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val commits = new Path(tableDir, CommitDir)
+    val fs = fsOf(spark, commits)
+    listVersions(spark, tableDir).map { v =>
+      val m = readManifest(spark, tableDir, v)
+      val mtime = fs.getFileStatus(new Path(commits, v)).getModificationTime
+      (v, new java.sql.Timestamp(mtime),
+        if (m.dataDir.isDefined) "whole-table" else s"partitioned:${m.partCol}",
+        m.partitions.size.toLong,
+        (m.dataDir.toSeq ++ m.partitions.map(_._2)).distinct.size.toLong,
+        m.dvs.size.toLong,
+        manifestSchema(m).map(_.fields.length.toLong).getOrElse(0L))
+    }.toDF("version", "committed_at", "layout", "n_partitions",
+      "n_data_dirs", "n_dvs", "n_columns")
+  }
+
+  /** Incremental change consumption: the CDF of everything committed
+    * after `sinceVersion` up to the live version — `(liveVersion,
+    * changes)`; the caller checkpoints the returned version and
+    * passes it back next poll (the foreachBatch-style incremental
+    * reader over the commit log). No new commits → `(sinceVersion,
+    * None)`. Retention bounds how far back a lagging consumer can
+    * resume — a vacuumed `sinceVersion` fails loudly in
+    * [[readManifest]] rather than silently skipping changes. */
+  def pollChanges(spark: SparkSession, tableDir: String, sinceVersion: String,
+                  key: String): (String, Option[DataFrame]) = {
+    val live = currentVersion(spark, tableDir).getOrElse(
+      throw new IOException(s"Snapshots.pollChanges: no committed version at $tableDir"))
+    if (versionNumber(live) <= versionNumber(sinceVersion)) (sinceVersion, None)
+    else (live, Some(changeFeed(spark, tableDir, sinceVersion, live, key)))
+  }
+
   // ------------------------------------------------------------ manifest
 
   /** Parsed manifest: either a whole-table data dir, or a partition

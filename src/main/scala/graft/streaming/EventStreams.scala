@@ -154,6 +154,26 @@ object EventStreams {
     * micro-batch and ships to every executor once; no stream-side
     * shuffle, no state). The standard shape for decorating a firehose
     * with reference data at any scale. */
+  /** Gap sessionization via Spark's NATIVE `session_window` — the
+    * declarative complement to [[sessionize]]'s
+    * flatMapGroupsWithState: windows sharing a user merge while
+    * events arrive within `gap` of the session's end; the watermark
+    * closes (and emits) sessions and bounds state. Prefer this form
+    * when per-session logic is pure aggregation — Catalyst plans the
+    * merge-sort-aggregate natively; drop to the keyed-state form only
+    * for custom state machines (e.g. [[sessionize]]'s running
+    * event-type tallies). */
+  def sessionWindowCounts(events: DataFrame, gap: String = "5 minutes",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D182)).cast(D182).as("value_sum"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("value_sum"))
+
   /** Watermarked stream-stream interval join: each click pairs with
     * the same user's views from the preceding `lookback`. Both sides
     * are unbounded, so Spark buffers each in join state; the

@@ -903,6 +903,65 @@ class SnapshotsSpec extends SparkSpec {
     assert(d.filter(col("change") =!= "unchanged").count() === 1)
   }
 
+  test("history lists retained versions with layout, dir/DV counts and schema width") {
+    val dir = freshDir()
+    partedBase(dir)
+    Snapshots.commitDeleteVector(spark, dir, Seq(Tuple1(2L)).toDF("k"), "k")
+    val h = Snapshots.history(spark, dir)
+      .select("version", "layout", "n_partitions", "n_dvs", "n_columns")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(h === Seq(
+      ("v00000001", "partitioned:status", 3L, 0L, 3L),
+      ("v00000002", "partitioned:status", 3L, 1L, 3L)))
+    // commit instants are monotone non-decreasing across versions
+    val times = Snapshots.history(spark, dir).select("committed_at")
+      .as[java.sql.Timestamp].collect().map(_.getTime).toSeq
+    assert(times === times.sorted)
+  }
+
+  test("pollChanges drains the CDF incrementally; no new commits → None") {
+    val dir = freshDir()
+    Snapshots.commitOverwrite(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val (v1, none) = Snapshots.pollChanges(spark, dir, "v00000001", "k")
+    assert(v1 === "v00000001" && none.isEmpty)
+    Snapshots.commitUpsert(spark, dir, Seq((2L, "B"), (3L, "c")).toDF("k", "v"), "k")
+    Snapshots.commitDelete(spark, dir, col("k") === 1L)
+    val (v3, Some(cdf)) = Snapshots.pollChanges(spark, dir, "v00000001", "k")
+    assert(v3 === "v00000003")
+    assert(cdf.orderBy("k", "_change_type").as[(Long, String, String)].collect()
+      .toSeq === Seq(
+        (1L, "a", "delete"), (2L, "B", "update_postimage"),
+        (2L, "b", "update_preimage"), (3L, "c", "insert")))
+    // the checkpointed version resumes cleanly: nothing new after v3
+    assert(Snapshots.pollChanges(spark, dir, v3, "k")._2.isEmpty)
+  }
+
+  test("deletion vectors compose with add-column evolution; concurrent DV claims CAS-serialize") {
+    val dir = freshDir()
+    partedBase(dir)
+    Snapshots.commitDeleteVector(spark, dir, Seq(Tuple1(5L)).toDF("k"), "k")
+    // add-column merge on the DV'd table: delta adds `note`; the DV'd
+    // dir is untouched and its vector still applies; old rows read the
+    // new column as typed NULLs
+    Snapshots.commitMergePartitioned(spark, dir,
+      Seq((6L, "F", 60.0, "new")).toDF("k", "status", "amount", "note"),
+      "k", "status")
+    val live = Snapshots.read(spark, dir)
+    assert(live.count() === 5) // 5 base - 1 DV-deleted + 1 inserted
+    assert(live.filter(col("k") === 5L).count() === 0)
+    assert(live.filter(col("k") === 6L).select("note").as[String].head() === "new")
+    // pre-evolution rows read the added column as NULL
+    assert(live.filter(col("k") === 1L).select("note").as[String].head() === null)
+    // a writer whose base the DV commit raced past loses loudly
+    val stale = Snapshots.currentVersion(spark, dir).get
+    Snapshots.commitDeleteVector(spark, dir, Seq(Tuple1(1L)).toDF("k"), "k")
+    intercept[ConcurrentSnapshotCommitException] {
+      Snapshots.commitUpsert(spark, dir,
+        Seq((9L, "F", 9.0, "x")).toDF("k", "status", "amount", "note"), "k",
+        expectedVersion = Some(stale))
+    }
+  }
+
   // ------------------------------------------------------ change data feed
 
   test("changeFeed emits insert/delete/update pre+post rows; equals the diff it derives from") {

@@ -126,6 +126,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window merges in-gap events and closes sessions at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, Long, Double)]
+    val events = source.toDF().toDF("ts", "user_id", "value")
+    val q = EventStreams.sessionWindowCounts(events, gap = "5 minutes",
+        watermark = "10 minutes").writeStream
+      .format("memory").queryName("swin").outputMode("append").start()
+    try {
+      // user 1: events at 0 and 2 min (one session), then 30 min later
+      // another (second session); advance the watermark far enough to
+      // close both
+      source.addData((ts(0), 1L, 1.0), (ts(2), 1L, 2.0), (ts(32), 1L, 7.0))
+      q.processAllAvailable()
+      source.addData((ts(120), 2L, 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("swin")
+        .select(col("user_id"), col("n_events"), col("value_sum").cast("double"),
+          col("session_start"), col("session_end"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getTimestamp(3), r.getTimestamp(4))).toSet
+      // session end = last event + gap (native session_window semantics)
+      assert(rows === Set(
+        (1L, 2L, 3.0, ts(0), new Timestamp(ts(2).getTime + 5 * 60000L)),
+        (1L, 1L, 7.0, ts(32), new Timestamp(ts(32).getTime + 5 * 60000L))))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window views across batches") {
     implicit val sqlCtx = spark.sqlContext
     val clickSrc = MemoryStream[(Long, Timestamp, Long)]
