@@ -670,6 +670,10 @@ object SparkEntry {
     // clipped sum is a sum of exact dyadics — order-independent
     "q100_winsorize" -> ((s: SparkSession, d: String) =>
       TextAnalysis.winsorize(s, d)),
+    // product-quantization ANN with exact re-rank: 4×16 integer-exact
+    // codebooks, 4-byte codes, ADC shortlist, exact top-5 (recall
+    // proof on a clustered corpus in DedupSpec)
+    "q101_ann_pq" -> ((s: SparkSession, d: String) => Vectors.annPq(s, d)),
     // deterministic md5-nibble train/val/test split: stable under
     // corpus growth and repartitioning (no rand(), no sort-and-cut)
     "q94_dataset_split" -> ((s: SparkSession, d: String) =>
@@ -1172,6 +1176,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q43_ann_ivf_trained" -> ivfTrainedSqlDuck,
     "q92_semantic_dedup" -> semanticDedupSqlDuck,
+    "q101_ann_pq" -> pqSqlDuck,
     "q96_bpe_train" -> bpeTrainSqlDuck,
     "q98_bpe_apply" -> bpeApplySqlDuck,
     "q100_winsorize" ->
@@ -2001,6 +2006,57 @@ object SparkEntry {
        |  CAST(sum(len(ty$BpeMerges.syms)) AS BIGINT) AS bpe_tokens
        |FROM t2 JOIN ty$BpeMerges USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** q101: product-quantization ANN unrolled — per subspace a sliced
+    * Lloyd training (Vectors.trainCentroidsOn bit-for-bit), argmax
+    * encode, query lookup tables weighted by the query subvector
+    * norm, the fixed ((v0+v1)+v2)+v3 ADC tree, shortlist-50, exact
+    * cosine re-rank. */
+  private val pqSqlDuck: String = {
+    val (nSub, k, iters, subLen) = (4, 16, 2, 16)
+    val per = (0 until nSub).map { sp =>
+      val lo = sp * subLen + 1; val hi = sp * subLen + subLen
+      val steps = (0 until iters).map { t =>
+        s"""pasg${sp}_$t AS (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosDuck("c.cv", "e.v")} DESC, c.cid) AS rk
+           |    FROM es$sp e, pc${sp}_$t c) WHERE rk = 1),
+           |ps${sp}_$t AS (SELECT a.cid, t.i, sum(q.qv[t.i]) AS s
+           |  FROM pasg${sp}_$t a JOIN qs$sp q USING (vec_id), unnest(generate_series(1, len(q.qv))) t(i)
+           |  GROUP BY a.cid, t.i),
+           |pc${sp}_${t + 1} AS (SELECT c.cid, coalesce(n.cv, c.cv) AS cv FROM pc${sp}_$t c
+           |  LEFT JOIN (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv FROM ps${sp}_$t GROUP BY cid) n USING (cid)),""".stripMargin
+      }.mkString("\n")
+      s"""es$sp AS MATERIALIZED (SELECT vec_id, list_slice(v, $lo, $hi) AS v FROM e),
+         |qs$sp AS MATERIALIZED (SELECT vec_id, list_slice(qv, $lo, $hi) AS qv FROM q),
+         |pc${sp}_0 AS (SELECT CAST(vec_id AS INT) AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv FROM qs$sp WHERE vec_id < $k),
+         |$steps
+         |enc$sp AS MATERIALIZED (SELECT vec_id, cid AS c$sp FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosDuck("c.cv", "e.v")} DESC, c.cid) AS rk
+         |    FROM es$sp e, pc${sp}_$iters c) WHERE rk = 1),
+         |t$sp AS MATERIALIZED (SELECT qq.vec_id AS qid, c.cid,
+         |    ${cosDuck("c.cv", "qq.v")} * sqrt(list_dot_product(qq.v, qq.v)) AS v$sp
+         |  FROM es$sp qq, pc${sp}_$iters c WHERE qq.vec_id < 10),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS qv FROM e),
+       |$per
+       |codes AS (SELECT e0.vec_id, e0.c0, e1.c1, e2.c2, e3.c3
+       |  FROM enc0 e0 JOIN enc1 e1 USING (vec_id) JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
+       |approxs AS (SELECT t0.qid, cd.vec_id, ((t0.v0 + t1.v1) + t2.v2) + t3.v3 AS approx
+       |  FROM codes cd
+       |  JOIN t0 ON t0.cid = cd.c0
+       |  JOIN t1 ON t1.qid = t0.qid AND t1.cid = cd.c1
+       |  JOIN t2 ON t2.qid = t0.qid AND t2.cid = cd.c2
+       |  JOIN t3 ON t3.qid = t0.qid AND t3.cid = cd.c3
+       |  WHERE cd.vec_id <> t0.qid),
+       |short AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS ark FROM approxs)
+       |  WHERE ark <= 50),
+       |rer AS (SELECT s.qid, s.vec_id, ${cosDuck("eq.v", "ev.v")} AS cos
+       |  FROM short s JOIN e ev ON ev.vec_id = s.vec_id JOIN e eq ON eq.vec_id = s.qid),
+       |r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM rer)
+       |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
   }
 
   /** q92: the same trained clustering, then within-cluster pairwise

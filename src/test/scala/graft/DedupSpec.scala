@@ -180,6 +180,39 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"trained IVF recall@5 $recall < 0.8")
   }
 
+  test("PQ ANN: deterministic across runs; recall@5 >= 0.8 on a clustered corpus") {
+    // bit-stability on the real (near-random) embeddings: integer
+    // codebooks + the fixed scoring op tree → identical runs. Recall
+    // on near-random vectors is inherently low for ANY product
+    // quantizer (top-5 cosines sit within the quantization error), so
+    // the recall bound is measured where there is structure to
+    // preserve — the same planted clustered corpus as the IVF test.
+    val sf = "/root/testdata/sf0.001"
+    val pq1 = Vectors.annPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    val pq2 = Vectors.annPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    assert(pq1.toSeq === pq2.toSeq)
+    val dir = Files.createTempDirectory("graft_pq").toString
+    val vecs = (0L until 480L).map { vid =>
+      val c = (vid % 4).toInt
+      val emb = Array.tabulate(16) { i =>
+        val base = if (i / 4 == c) 1.0f else 0.0f
+        val noise = (((vid * 2654435761L + i * 97L) % 1000L) - 500L) / 10000.0f
+        base + noise
+      }
+      (vid, emb)
+    }
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val bf = Vectors.annBruteForce(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val pq = Vectors.annPq(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (bf intersect pq).size.toDouble / bf.size
+    assert(recall >= 0.8, s"PQ recall@5 $recall < 0.8")
+  }
+
   test("IVF ANN recall vs brute force is high on real embeddings") {
     val sf = "/root/testdata/sf0.001"
     val bf = Vectors.annBruteForce(spark, sf).collect()
