@@ -900,6 +900,29 @@ object Snapshots {
       m.copy(dvKey = key, dvs = m.dvs ++ targets.map(dd -> _)))
   }
 
+  /** Right-to-be-forgotten composition: logically delete `keys` NOW
+    * (one [[commitDeleteVector]] — instant at any table size), then
+    * physically erase them by materializing the live rows
+    * ([[compact]]) and reclaiming every pre-compaction data dir and
+    * manifest ([[vacuum]] with `keep = 1`, zero grace). After this
+    * returns, no file under the table root contains the forgotten
+    * rows' bytes (proved byte-level in SnapshotsSpec) — the erasure a
+    * compliance delete needs, which a deletion vector alone
+    * deliberately does NOT provide (old versions stay readable).
+    * Collapses history to the single live version and assumes no
+    * concurrent writers/pinned readers during the erasure window —
+    * the caller serializes compliance jobs. */
+  def forget(spark: SparkSession, tableDir: String, keys: DataFrame,
+             key: String): String = {
+    commitDeleteVector(spark, tableDir, keys, key)
+    // even with no matching keys, compact+vacuum still runs: the
+    // caller asked for physical erasure of whatever may linger in
+    // old, still-readable versions
+    val v = compact(spark, tableDir)
+    vacuum(spark, tableDir, keep = 1, orphanGraceMs = 0L)
+    v
+  }
+
   /** Stat entries of a previous manifest still valid under a new
     * partition→dir map: files are immutable, so an entry survives iff
     * the new manifest still references its (dir, partition). */

@@ -962,6 +962,52 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("forget: after DV delete + compact + vacuum the forgotten bytes are physically gone") {
+    val dir = freshDir()
+    val sentinel = "FORGET_ME_7f3a9c"
+    Snapshots.commitOverwritePartitioned(spark, dir, Seq(
+      (1L, "F", "keep-a"), (2L, "F", sentinel),
+      (3L, "O", "keep-b")).toDF("k", "status", "payload"), "status")
+    // a merge creates a second version still carrying the sentinel
+    Snapshots.commitMergePartitioned(spark, dir,
+      Seq((4L, "O", "keep-c")).toDF("k", "status", "payload"), "k", "status")
+    def bytesContain(needle: String): Boolean = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(root, true)
+      var found = false
+      while (it.hasNext && !found) {
+        val st = it.next()
+        if (st.isFile) {
+          val in = fs.open(st.getPath)
+          val buf = new Array[Byte](st.getLen.toInt)
+          try in.readFully(0, buf) finally in.close()
+          if (new String(buf, "ISO-8859-1").contains(needle)) found = true
+        }
+      }
+      found
+    }
+    assert(bytesContain(sentinel)) // parquet stores the string in plain data pages
+    Snapshots.forget(spark, dir, Seq(Tuple1(2L)).toDF("k"), "k")
+    // logical: the key is gone; physical: NO remaining file holds the bytes
+    assert(Snapshots.read(spark, dir).orderBy("k")
+      .as[(Long, String, String)].collect().toSeq === Seq(
+        (1L, "F", "keep-a"), (3L, "O", "keep-b"), (4L, "O", "keep-c")))
+    assert(!bytesContain(sentinel), "forgotten payload still on disk")
+    // history collapsed to the single live version
+    assert(Snapshots.history(spark, dir).count() === 1)
+  }
+
+  test("DV anti-join broadcasts the delete-sized key set (no corpus shuffle)") {
+    val dir = freshDir()
+    Snapshots.commitOverwrite(spark, dir,
+      spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v")))
+    Snapshots.commitDeleteVector(spark, dir, Seq(Tuple1(7L)).toDF("k"), "k")
+    val plan = Snapshots.read(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join in:\n$plan")
+  }
+
   // ------------------------------------------------------ change data feed
 
   test("changeFeed emits insert/delete/update pre+post rows; equals the diff it derives from") {
