@@ -674,6 +674,10 @@ object SparkEntry {
     // codebooks, 4-byte codes, ADC shortlist, exact top-5 (recall
     // proof on a clustered corpus in DedupSpec)
     "q101_ann_pq" -> ((s: SparkSession, d: String) => Vectors.annPq(s, d)),
+    // the round's curation composition: quality × bigram rarity ×
+    // semantic dedup × train split, per-language verdict
+    "q102_curation" -> ((s: SparkSession, d: String) =>
+      operators.CorpusPipeline.curate(s, d)),
     // deterministic md5-nibble train/val/test split: stable under
     // corpus growth and repartitioning (no rand(), no sort-and-cut)
     "q94_dataset_split" -> ((s: SparkSession, d: String) =>
@@ -1177,6 +1181,7 @@ object SparkEntry {
     "q43_ann_ivf_trained" -> ivfTrainedSqlDuck,
     "q92_semantic_dedup" -> semanticDedupSqlDuck,
     "q101_ann_pq" -> pqSqlDuck,
+    "q102_curation" -> curationSqlDuck,
     "q96_bpe_train" -> bpeTrainSqlDuck,
     "q98_bpe_apply" -> bpeApplySqlDuck,
     "q100_winsorize" ->
@@ -2059,15 +2064,60 @@ object SparkEntry {
        |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
   }
 
-  /** q92: the same trained clustering, then within-cluster pairwise
-    * cosine with greedy keep-lowest-id removal. */
-  private val semanticDedupSqlDuck: String =
+  /** q92 prelude: the trained clustering, then within-cluster
+    * pairwise cosine with greedy keep-lowest-id removal, ending in
+    * `sdup(vec_id, is_dup)`; q102 composes it. */
+  private val semanticDedupPreludeDuck: String =
     s"""$ivfTrainPreludeDuck,
        |dups AS (SELECT DISTINCT b.vec_id
        |  FROM fasg a JOIN fasg b ON a.cid = b.cid AND a.vec_id < b.vec_id
        |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
-       |  WHERE ${cosDuck("ea.v", "eb.v")} >= 0.45)
-       |SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cid,
+       |  WHERE ${cosDuck("ea.v", "eb.v")} >= 0.45),
+       |sdup AS MATERIALIZED (SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cid,
        |  CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
-       |FROM fasg f LEFT JOIN dups d USING (vec_id) ORDER BY vec_id""".stripMargin
+       |  FROM fasg f LEFT JOIN dups d USING (vec_id))""".stripMargin
+
+  private val semanticDedupSqlDuck: String =
+    s"""$semanticDedupPreludeDuck
+       |SELECT vec_id, cid, is_dup FROM sdup ORDER BY vec_id""".stripMargin
+
+  /** q102: the end-to-end curation verdict — quality floor, bigram
+    * rarity cap, semantic near-dup removal, train-split membership —
+    * aggregated per language. Every signal reuses its gated
+    * formulation verbatim. */
+  private val curationSqlDuck: String =
+    s"""$semanticDedupPreludeDuck,
+       |qm AS (SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    length(text) AS n_chars,
+       |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
+       |    len(list_filter(string_split(text, ' '),
+       |        x -> x IN ('the','a','of','and','is','to','in'))) AS n_stopwords
+       |  FROM documents),
+       |qual AS (SELECT doc_id,
+       |    least((n_chars - (n_words - 1)) * 1.0 / n_words / 8.0, 1.0) * 0.4
+       |      + (1.0 - n_punct * 1.0 / n_chars) * 0.3
+       |      + least(n_stopwords * 1.0 / n_words * 4.0, 1.0) * 0.3 AS quality
+       |  FROM qm),
+       |wn AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws FROM documents),
+       |bg AS (SELECT doc_id, ws[t.i] AS w1, ws[t.i + 1] AS w2
+       |  FROM wn, unnest(generate_series(1, len(ws) - 1)) t(i)
+       |  WHERE len(ws) >= 2),
+       |bc2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bg GROUP BY w1, w2),
+       |bc1 AS (SELECT w1, CAST(sum(cnt2) AS BIGINT) AS cnt1 FROM bc2 GROUP BY w1),
+       |rar AS (SELECT doc_id,
+       |    CAST(count(*) FILTER (WHERE cnt2 * 50 < cnt1) AS BIGINT) AS n_rare
+       |  FROM bg JOIN bc2 USING (w1, w2) JOIN bc1 USING (w1) GROUP BY doc_id),
+       |verdict AS (SELECT d.doc_id, d.lang,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
+       |    (q.quality >= 0.6 AND coalesce(r.n_rare, 0) <= 1 AND s.is_dup = 0 AND
+       |     strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1 >= 2) AS kept
+       |  FROM documents d
+       |  JOIN qual q USING (doc_id)
+       |  LEFT JOIN rar r USING (doc_id)
+       |  JOIN sdup s ON s.vec_id = d.doc_id)
+       |SELECT lang, count(*) AS n_total,
+       |  CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(sum(toks) FILTER (kept), 0) AS BIGINT) AS tokens_kept
+       |FROM verdict GROUP BY lang ORDER BY lang""".stripMargin
 }

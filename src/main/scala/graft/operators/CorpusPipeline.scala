@@ -66,4 +66,37 @@ object CorpusPipeline {
       .filter(col("lang").isin(config.langs: _*))
       .orderBy(col("doc_id"))
   }
+
+  /** The round-6 curation composition — the multimodal verdict a
+    * pretraining data pipeline renders per document: structural
+    * quality floor (q19's score), bigram-LM rarity cap (q99's
+    * integer-exact perplexity analog), SemDeDup semantic near-dup
+    * removal over the doc's EMBEDDING (q92 — a different modality
+    * than [[clean]]'s lexical MinHash), and train-split membership
+    * (q94's md5 nibble), aggregated per language. Each signal is the
+    * gated operator reused verbatim; the joins are all id-keyed
+    * (rarity LEFT — a sub-2-token doc has no bigrams and passes the
+    * rarity cap by definition). */
+  def curate(spark: SparkSession, dir: String,
+             minQuality: Double = 0.6, maxRare: Long = 1L): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val base = d.select(col("doc_id"), col("lang"),
+      size(words(col("text"))).cast("long").as("toks"),
+      qualityExpr(col("text")).as("quality"))
+    val rar = TextAnalysis.bigramRarity(spark, dir)
+      .select(col("doc_id"), col("n_rare"))
+    val sdup = Vectors.semanticDedup(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("is_dup"))
+    val kept = col("quality") >= minQuality &&
+      coalesce(col("n_rare"), lit(0L)) <= maxRare &&
+      col("is_dup") === 0L &&
+      Sampling.hexBucket16(col("doc_id")) >= 2
+    base.join(rar, Seq("doc_id"), "left")
+      .join(sdup, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(kept, 1)).as("n_kept"),
+        coalesce(sum(when(kept, col("toks"))), lit(0L)).as("tokens_kept"))
+      .orderBy(col("lang"))
+  }
 }
