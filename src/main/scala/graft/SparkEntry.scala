@@ -678,6 +678,11 @@ object SparkEntry {
     // semantic dedup × train split, per-language verdict
     "q102_curation" -> ((s: SparkSession, d: String) =>
       operators.CorpusPipeline.curate(s, d)),
+    // REAL multi-frame decode: deterministic animated GIF per doc,
+    // every frame decoded back via javax.imageio; the oracle states
+    // the per-frame pixel arithmetic — only real frame extraction
+    // matches
+    "q103_gif_frames" -> Multimodal.gifFrames _,
     // deterministic md5-nibble train/val/test split: stable under
     // corpus growth and repartitioning (no rand(), no sort-and-cut)
     "q94_dataset_split" -> ((s: SparkSession, d: String) =>
@@ -1182,6 +1187,16 @@ object SparkEntry {
     "q92_semantic_dedup" -> semanticDedupSqlDuck,
     "q101_ann_pq" -> pqSqlDuck,
     "q102_curation" -> curationSqlDuck,
+    // frame count, width and per-frame fill colors as pure arithmetic
+    "q103_gif_frames" ->
+      """WITH f AS (SELECT doc_id, 2 + doc_id % 5 AS n FROM documents),
+        |fr AS (SELECT doc_id, n, t.i
+        |  FROM f, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) t(i))
+        |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_frames,
+        |  CAST(8 + doc_id % 8 AS BIGINT) AS width,
+        |  CAST(sum((doc_id + 17 * i) % 256) AS BIGINT) AS r_sum,
+        |  CAST((doc_id * 3 + 5 * (n - 1)) % 256 AS BIGINT) AS g_last
+        |FROM fr GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
     "q96_bpe_train" -> bpeTrainSqlDuck,
     "q98_bpe_apply" -> bpeApplySqlDuck,
     "q100_winsorize" ->

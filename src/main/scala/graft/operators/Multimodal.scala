@@ -8,11 +8,13 @@ import graft.sources.Tables
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads plus typed metadata, flowing through Spark as first-class
   * columns. IMAGE payloads (PNG/JPEG, magic-byte detected) decode for
-  * REAL via the JDK's `javax.imageio`, and WAV AUDIO via the JDK's
-  * `javax.sound.sampled` ([[audioDecode]]) — no external codec
-  * libraries needed; only VIDEO (and non-WAV audio) decode remains a
-  * clearly-marked deterministic STUB (`decodeStub` — those codecs are
-  * not in this container). The Spark-side machinery is identical for both: binary
+  * REAL via the JDK's `javax.imageio`, WAV AUDIO via the JDK's
+  * `javax.sound.sampled` ([[audioDecode]]), and MULTI-FRAME animated
+  * GIF via the indexed ImageIO reader ([[gifFrames]] — genuine
+  * per-frame extraction, the closest a JDK-only environment gets to
+  * video decode); only true video containers (and non-WAV audio)
+  * remain a clearly-marked deterministic STUB (`decodeStub` — those
+  * codecs are not in this container). The Spark-side machinery is identical for both: binary
   * schema, per-partition batch decode via mapPartitions over a typed
   * Dataset (the Scala analog of mapInPandas batches), frame sampling
   * via binary slicing, and metadata projection.
@@ -99,6 +101,77 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  case class GifDecoded(media_id: Long, n_frames: Long, width: Long,
+                        r_sum: Long, g_last: Long)
+
+  /** Deterministic multi-frame animated GIF fixture: frame count,
+    * dimensions and each frame's fill color are pure functions of
+    * (id, frame index). GIF's 256-color palette stores a solid fill
+    * exactly, so the decode is lossless. */
+  def encodeGif(id: Long): Array[Byte] = {
+    val n = 2 + (id % 5).toInt
+    val w = 8 + (id % 8).toInt
+    val h = 8
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var i = 0
+    while (i < n) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = ((((id + 17 * i) % 256) << 16) |
+        (((id * 3 + 5 * i) % 256) << 8) | ((id * 13) % 256)).toInt
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null,
+        writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)),
+        writer.getDefaultWriteParam)
+      i += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** End-to-end REAL multi-frame decode: encode a deterministic
+    * animated GIF per document id, decode EVERY frame back with the
+    * JDK's `javax.imageio` GIF reader (`getNumImages` + per-index
+    * `read` — genuine frame extraction, unlike the byte-stride
+    * sampler [[frameSample]]), and emit the frame count plus per-frame
+    * pixel arithmetic. The closest a JDK-only environment gets to
+    * video frame decode; container formats needing external codecs
+    * stay behind the documented stub. */
+  def gifFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val gif = encodeGif(id)
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(gif)))
+        val n = reader.getNumImages(true)
+        var rSum = 0L
+        var gLast = 0L
+        var w = 0L
+        var i = 0
+        while (i < n) {
+          val img = reader.read(i)
+          val px = img.getRGB(0, 0)
+          rSum += (px >> 16) & 0xff
+          gLast = (px >> 8) & 0xff
+          w = img.getWidth.toLong
+          i += 1
+        }
+        reader.dispose()
+        GifDecoded(id, n.toLong, w, rSum, gLast)
+      })
+      .toDF().orderBy(col("media_id"))
   }
 
   case class WavDecoded(media_id: Long, sample_rate: Long, channels: Long,
