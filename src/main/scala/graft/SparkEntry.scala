@@ -683,6 +683,10 @@ object SparkEntry {
     // the per-frame pixel arithmetic — only real frame extraction
     // matches
     "q103_gif_frames" -> Multimodal.gifFrames _,
+    // edit-distance near-dup: Levenshtein verify over the capped LSH
+    // candidates — the character-level lens alongside Jaccard/SimHash
+    "q104_editdist_neardup" -> ((s: SparkSession, d: String) =>
+      Dedup.editDistanceNearDup(s, d)),
     // deterministic md5-nibble train/val/test split: stable under
     // corpus growth and repartitioning (no rand(), no sort-and-cut)
     "q94_dataset_split" -> ((s: SparkSession, d: String) =>
@@ -1187,6 +1191,16 @@ object SparkEntry {
     "q92_semantic_dedup" -> semanticDedupSqlDuck,
     "q101_ann_pq" -> pqSqlDuck,
     "q102_curation" -> curationSqlDuck,
+    // same capped banding, Levenshtein verify (both engines implement
+    // the classic unit-cost DP)
+    "q104_editdist_neardup" ->
+      s"""$shingleCteRec,
+        |$cappedCandCtes,
+        |nt AS (SELECT doc_id, $normSqlDuck AS t FROM documents)
+        |SELECT c.da, c.db, CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        |FROM cand c JOIN nt a ON a.doc_id = c.da JOIN nt b ON b.doc_id = c.db
+        |WHERE levenshtein(a.t, b.t) <= 64
+        |ORDER BY da, db""".stripMargin,
     // frame count, width and per-frame fill colors as pure arithmetic
     "q103_gif_frames" ->
       """WITH f AS (SELECT doc_id, 2 + doc_id % 5 AS n FROM documents),
@@ -1860,10 +1874,10 @@ object SparkEntry {
           .mkString("\n  UNION ALL\n  ")}) u),
       |$jaccardVerifyCtes""".stripMargin
 
-  /** As [[minhashCtes]] but with hot band buckets (> BandBucketCap
-    * docs) excluded from candidate generation — mirrors
-    * Dedup.minhashLshCapped. */
-  private val minhashCappedCtes: String = {
+  /** Hot-band-capped candidate pairs (through `cand`) — mirrors
+    * Dedup.cappedBandCandidates; q41/q70 add the Jaccard verify,
+    * q104 an edit-distance verify. */
+  private val cappedCandCtes: String = {
     val cap = operators.Dedup.BandBucketCap
     s"""$sigBandCtes,
       |${(0 until 4).map(k =>
@@ -1871,9 +1885,15 @@ object SparkEntry {
           .mkString(",\n")},
       |cand AS (SELECT DISTINCT da, db FROM (${(0 until 4).map(k =>
           s"SELECT l.doc_id AS da, r.doc_id AS db FROM b l JOIN b r ON l.band$k = r.band$k AND l.doc_id < r.doc_id WHERE l.band$k NOT IN (SELECT bk FROM hot$k)")
-          .mkString("\n  UNION ALL\n  ")}) u),
-      |$jaccardVerifyCtes""".stripMargin
+          .mkString("\n  UNION ALL\n  ")}) u)""".stripMargin
   }
+
+  /** As [[minhashCtes]] but with hot band buckets (> BandBucketCap
+    * docs) excluded from candidate generation — mirrors
+    * Dedup.minhashLshCapped. */
+  private val minhashCappedCtes: String =
+    s"""$cappedCandCtes,
+      |$jaccardVerifyCtes""".stripMargin
 
   /** DuckDB fragment: verified MinHash pairs → undirected edges →
     * recursive transitive closure (the union-find oracle; mirrors

@@ -342,6 +342,33 @@ object Dedup {
     verifyJaccardOn(sh, cappedBandCandidates(sig, cap))
   }
 
+  /** Edit-distance near-dup: the THIRD verification lens over the
+    * same capped LSH candidates (Jaccard = set overlap, SimHash =
+    * bit distance, Levenshtein = character edits — each catches
+    * rewrites the others miss, e.g. a global token substitution
+    * keeps edit distance low while cratering shingle Jaccard).
+    * Candidates come from the hot-band-capped banding, so the
+    * quadratic DP (O(|a|·|b|) per pair) runs on candidate-count
+    * pairs, never the corpus; Spark's built-in `levenshtein` is
+    * codegen'd and matches DuckDB's unit-cost classic definition
+    * exactly on the normalized ASCII text. */
+  def editDistanceNearDup(spark: SparkSession, dir: String, maxDist: Int = 64,
+                          cap: Int = BandBucketCap): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val norm = d.select(col("doc_id"), normalizeText(col("text")).as("t"))
+    val sh = shingleRowsOf(d).cache()
+    val cand = cappedBandCandidates(minhashSignaturesFrom(sh), cap)
+    val out = cand
+      .join(norm.select(col("doc_id").as("da"), col("t").as("ta")), Seq("da"))
+      .join(norm.select(col("doc_id").as("db"), col("t").as("tb")), Seq("db"))
+      .select(col("da"), col("db"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("da"), col("db"))
+    sh.unpersist()
+    out
+  }
+
   /** Candidate pairs from band buckets of size ≤ cap. Exposed
     * package-private so the spec can assert the candidate COUNT bound
     * directly (a 60-clone boilerplate cluster yields zero candidates
