@@ -82,4 +82,54 @@ class DegenerateInputSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos"), r.getAs[Long]("doc_id")))
     assert(rows.sortBy(_._3).toSeq === again.sortBy(_._3).toSeq)
   }
+
+  test("BPE training degenerates gracefully: single-char vocab exhausts, empty corpus yields no merges") {
+    // every word is one character → no adjacent pairs → zero merges
+    val dir = corpus(Seq((0L, "a b c a b", "en", "src0", 9L)))
+    assert(TextAnalysis.bpeTrain(spark, dir).count() === 0L)
+    // a two-char word yields exactly one merge, then exhausts
+    val dir2 = corpus(Seq((0L, "ab ab ab", "en", "src0", 8L)))
+    val m = TextAnalysis.bpeTrain(spark, dir2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(m === Seq((1L, "a", "b", 3L)))
+    // tokenization with the single learned merge: 3 words × 1 symbol
+    assert(TextAnalysis.bpeApplyCounts(spark, dir2)
+      .as[(Long, Long, Long)].collect().toSeq === Seq((0L, 3L, 3L)))
+    assert(TextAnalysis.bpeTrain(spark, corpus(Seq.empty)).count() === 0L)
+  }
+
+  test("bigram rarity: sub-2-token docs emit no rows; single-doc corpus has no rare bigrams") {
+    val dir = corpus(Seq((0L, "one", "en", "src0", 3L), (1L, "", "en", "src0", 0L)))
+    assert(TextAnalysis.bigramRarity(spark, dir).count() === 0L)
+    // one doc, every bigram count equals its context count share —
+    // with a single doc "x y x y": cnt2(x,y)=2, cnt2(y,x)=1, cnt1(x)=2,
+    // cnt1(y)=1 → 50·cnt2 ≥ cnt1 everywhere: zero rare
+    val dir2 = corpus(Seq((0L, "x y x y", "en", "src0", 7L)))
+    val r = TextAnalysis.bigramRarity(spark, dir2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r === Seq((0L, 3L, 0L, 0.0)))
+  }
+
+  test("winsorize: single doc per source clips nothing (p25 = p75 = the value)") {
+    val dir = corpus(Seq((0L, "t", "en", "solo", 7L)))
+    val w = TextAnalysis.winsorize(spark, dir).collect()
+    assert(w.length === 1)
+    assert(w(0).getAs[Long]("n") === 1L)
+    assert(w(0).getAs[Long]("n_low") === 0L && w(0).getAs[Long]("n_high") === 0L)
+    assert(w(0).getAs[Double]("win_sum") === 7.0)
+  }
+
+  test("semantic dedup and PQ ANN survive a corpus smaller than the codebook") {
+    val dir = Files.createTempDirectory("graft_degen_vec").toString
+    // 3 vectors, k = 16 seeds → codebooks of 3; dim 64 for PQ slicing
+    val vecs = (0L until 3L).map(v =>
+      (v, Array.tabulate(64)(i => ((v * 31 + i * 7) % 13).toFloat / 13f)))
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val sd = graft.operators.Vectors.semanticDedup(spark, dir).collect()
+    assert(sd.length === 3)
+    val pq = graft.operators.Vectors.annPq(spark, dir).collect()
+    // every query (all 3 ids < NumQueries) ranks the other two
+    assert(pq.length === 6)
+  }
 }
