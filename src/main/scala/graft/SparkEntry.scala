@@ -687,6 +687,53 @@ object SparkEntry {
     // candidates — the character-level lens alongside Jaccard/SimHash
     "q104_editdist_neardup" -> ((s: SparkSession, d: String) =>
       Dedup.editDistanceNearDup(s, d)),
+    // THREE-dimensional Z-order data skipping: orders clustered on the
+    // 48-bit Morton key of (orderkey, custkey, orderdate-epoch-day)
+    // with per-file stats on it; a 3D box query becomes one
+    // conservative z-range refined by the exact filter, so the oracle
+    // is the plain box — same contract as q83, one dimension up
+    "q105_zorder3d" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      import graft.sources.{Snapshots, ZOrder}
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("o_day"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val r = o.agg(
+        min(col("o_orderkey")).cast("long"), max(col("o_orderkey")).cast("long"),
+        min(col("o_custkey")).cast("long"), max(col("o_custkey")).cast("long"),
+        min(col("o_day")), max(col("o_day"))).head()
+      val dom = (0 until 3).map(i => (r.getLong(2 * i), r.getLong(2 * i + 1)))
+      val table = fixture("snapz3", s, d, "orders") { path =>
+        wipe(s, path) // a crashed builder + pid reuse could leave a partial chain
+        val keyed = o.withColumn("z", ZOrder.zkeyN(Seq(
+          ZOrder.scaled(col("o_orderkey"), dom(0)._1, dom(0)._2, 16),
+          ZOrder.scaled(col("o_custkey"), dom(1)._1, dom(1)._2, 16),
+          ZOrder.scaled(col("o_day"), dom(2)._1, dom(2)._2, 16))))
+        Snapshots.commitOverwrite(s, path,
+          keyed.repartitionByRange(16, col("z")).sortWithinPartitions(col("z")),
+          statsCols = Seq("z"))
+        ()
+      }
+      // box: second quarter of each dimension (integer arithmetic)
+      val lo = dom.map { case (l, h) => l + (h - l) / 4 }
+      val hi = dom.map { case (l, h) => l + (h - l) / 3 }
+      val zlo = ZOrder.zvalueN((0 until 3).map(i =>
+        ZOrder.scaledValue(lo(i), dom(i)._1, dom(i)._2)))
+      val zhi = ZOrder.zvalueN((0 until 3).map(i =>
+        ZOrder.scaledValue(hi(i), dom(i)._1, dom(i)._2)))
+      Snapshots.readVersionPruned(s, table, "v00000001",
+          "z", BigDecimal(zlo), BigDecimal(zhi))
+        .filter(col("o_orderkey").between(lo(0), hi(0)) &&
+          col("o_custkey").between(lo(1), hi(1)) &&
+          col("o_day").between(lo(2), hi(2)))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // deterministic md5-nibble train/val/test split: stable under
     // corpus growth and repartitioning (no rand(), no sort-and-cut)
     "q94_dataset_split" -> ((s: SparkSession, d: String) =>
@@ -1191,6 +1238,23 @@ object SparkEntry {
     "q92_semantic_dedup" -> semanticDedupSqlDuck,
     "q101_ann_pq" -> pqSqlDuck,
     "q102_curation" -> curationSqlDuck,
+    // the z-range is a conservative superset refined by the exact 3D
+    // box filter, so the oracle is the PLAIN box query
+    "q105_zorder3d" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS o_day,
+        |    o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |d AS (SELECT min(o_orderkey) AS k1, max(o_orderkey) AS k2,
+        |    min(o_custkey) AS c1, max(o_custkey) AS c2,
+        |    min(o_day) AS d1, max(o_day) AS d2 FROM o)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(price) AS DOUBLE) AS price_sum
+        |FROM o, d
+        |WHERE o_orderkey BETWEEN k1 + (k2 - k1) // 4 AND k1 + (k2 - k1) // 3
+        |  AND o_custkey BETWEEN c1 + (c2 - c1) // 4 AND c1 + (c2 - c1) // 3
+        |  AND o_day BETWEEN d1 + (d2 - d1) // 4 AND d1 + (d2 - d1) // 3
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // same capped banding, Levenshtein verify (both engines implement
     // the classic unit-cost DP)
     "q104_editdist_neardup" ->

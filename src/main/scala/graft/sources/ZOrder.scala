@@ -56,6 +56,26 @@ object ZOrder {
       (((x >> i) & 1L) << (2 * i)) + (((y >> i) & 1L) << (2 * i + 1))
     }.sum
 
+  /** N-dimensional Morton key: column j takes bit positions
+    * `i·N + j` — [[zkey2]] is the N = 2 case. With 16 bits per
+    * dimension a 3-column key spans 48 bits, comfortably inside a
+    * long; the same corner bound ([[zvalueN]]) turns an N-dimensional
+    * box into one conservative key range. */
+  def zkeyN(cs: Seq[Column], bits: Int = 16): Column = {
+    val n = cs.length
+    require(n >= 2 && n * bits <= 63, s"zkeyN: $n dims × $bits bits")
+    (for { i <- 0 until bits; (c, j) <- cs.zipWithIndex } yield
+      shiftright(c.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j))
+    ).reduce(_ + _)
+  }
+
+  /** Driver-side mirror of [[zkeyN]] (box-corner bounds). */
+  def zvalueN(vs: Seq[Long], bits: Int = 16): Long = {
+    val n = vs.length
+    (for { i <- 0 until bits; (v, j) <- vs.zipWithIndex } yield
+      ((v >> i) & 1L) << (i * n + j)).sum
+  }
+
   /** Column scaled to the full [0, 2^bits) domain given its min/max —
     * REQUIRED before interleaving: with unequal raw domains (say an
     * 11-bit partkey and a 7-bit suppkey) every high bit of the key

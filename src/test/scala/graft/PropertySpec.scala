@@ -34,6 +34,27 @@ class PropertySpec extends SparkSpec {
       === Seq("c", "h", "er", "r", "y"))
   }
 
+  test("zkeyN generalizes zkey2 and bounds boxes in 3D") {
+    import graft.sources.ZOrder
+    val pts = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = pts.toDF("x", "y")
+    // N = 2 must equal the specialized interleave bit-for-bit
+    val mismatch = df.select((ZOrder.zkey2(col("x"), col("y")) =!=
+      ZOrder.zkeyN(Seq(col("x"), col("y")))).as("m")).filter(col("m")).count()
+    assert(mismatch === 0L)
+    // 3D corner bound: every point in a box has its z-value within the
+    // corners' z-values
+    val box = Seq((10L, 1000L), (20L, 900L), (30L, 800L))
+    val inside = Seq.fill(500)(box.map { case (l, h) =>
+      l + math.abs(rnd.nextLong()) % (h - l + 1) })
+    val zlo = ZOrder.zvalueN(box.map(_._1))
+    val zhi = ZOrder.zvalueN(box.map(_._2))
+    inside.foreach { p =>
+      val z = ZOrder.zvalueN(p)
+      assert(z >= zlo && z <= zhi, s"point $p z=$z outside [$zlo,$zhi]")
+    }
+  }
+
   test("zkey2 matches the reference interleave and is injective on 16-bit domains") {
     def ref(x: Long, y: Long): Long =
       (0 until 16).foldLeft(0L) { (acc, i) =>
