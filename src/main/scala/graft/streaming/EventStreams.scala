@@ -184,10 +184,18 @@ object EventStreams {
     * state would grow forever; Spark refuses unbounded stream-stream
     * inner joins on event time for exactly this reason). At 100
     * TB/day the state is shuffled on user_id like any keyed state —
-    * per-executor state stores hold only the lookback window. */
+    * per-executor state stores hold only the lookback window.
+    *
+    * `joinType` "left_outer" additionally emits a click with NULL
+    * view columns once the watermark proves no in-window view can
+    * still arrive — attribution's "click without preceding view";
+    * the emission is necessarily deferred until state expiry (an
+    * unmatched row is only knowable then), which is why outer
+    * stream-stream joins REQUIRE the watermark + range bound. */
   def clickViewJoin(clicks: DataFrame, views: DataFrame,
                     lookback: String = "30 minutes",
-                    watermark: String = "1 hour"): DataFrame = {
+                    watermark: String = "1 hour",
+                    joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
     val v = views.withWatermark("ts", watermark)
@@ -195,7 +203,7 @@ object EventStreams {
         col("ts").as("view_ts"))
     c.join(v, col("user_id") === col("v_user_id") &&
         col("view_ts") <= col("click_ts") &&
-        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"))
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"), joinType)
       .select(col("user_id"), col("click_id"), col("click_ts"),
         col("view_id"), col("view_ts"))
   }

@@ -178,6 +178,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched clicks after watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val clickSrc = MemoryStream[(Long, Timestamp, Long)]
+    val viewSrc = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = clickSrc.toDF().toDF("event_id", "ts", "user_id")
+    val views = viewSrc.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStreams.clickViewJoin(clicks, views,
+        joinType = "left_outer").writeStream
+      .format("memory").queryName("ssleft").outputMode("append").start()
+    try {
+      // user 1's click has a matching view; user 3's click has none
+      viewSrc.addData((100L, ts(10), 1L))
+      clickSrc.addData((200L, ts(20), 1L), (201L, ts(20), 3L))
+      q.processAllAvailable()
+      // push both watermarks far past the click's match window so the
+      // unmatched click's state expires and the NULL row emits
+      viewSrc.addData((101L, ts(600), 9L))
+      clickSrc.addData((202L, ts(600), 9L))
+      q.processAllAvailable()
+      val rows = spark.table("ssleft")
+        .select(col("user_id"), col("click_id"), col("view_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows.contains((1L, 200L, 100L)))
+      assert(rows.contains((3L, 201L, -1L)), s"unmatched click missing: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, String, Double)]
