@@ -687,6 +687,24 @@ object SparkEntry {
     // candidates — the character-level lens alongside Jaccard/SimHash
     "q104_editdist_neardup" -> ((s: SparkSession, d: String) =>
       Dedup.editDistanceNearDup(s, d)),
+    // SCD Type 2 merge: customers seeded as current history rows; a
+    // delta moves every key%7 to a new segment (close + reopen) and
+    // touches key%11 with UNCHANGED attributes (no-op); brand-new keys
+    // are impossible here so the gate isolates the drift logic
+    "q106_scd2" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val c = graft.sources.Tables.load(s, d, "customer")
+      val base = c.select(col("c_custkey"), col("c_mktsegment"),
+        lit("2020-01-01").as("valid_from"), lit(null).cast("string").as("valid_to"),
+        lit(true).as("is_current"))
+      val delta = c.filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      operators.Scd.scd2Merge(base, delta, "c_custkey",
+          Seq("c_mktsegment"), "2024-06-01")
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
     // THREE-dimensional Z-order data skipping: orders clustered on the
     // 48-bit Morton key of (orderkey, custkey, orderdate-epoch-day)
     // with per-file stats on it; a 3D box query becomes one
@@ -1238,6 +1256,26 @@ object SparkEntry {
     "q92_semantic_dedup" -> semanticDedupSqlDuck,
     "q101_ann_pq" -> pqSqlDuck,
     "q102_curation" -> curationSqlDuck,
+    // Type 2 semantics stated directly: changed current rows close at
+    // the effective date and reopen with the new attributes; no-op
+    // delta rows leave their key untouched
+    "q106_scd2" ->
+      """WITH delta AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0),
+        |changed AS (SELECT c.c_custkey FROM customer c JOIN delta d USING (c_custkey)
+        |  WHERE c.c_mktsegment <> d.seg),
+        |rows0 AS (
+        |  SELECT c_custkey, c_mktsegment, '2020-01-01' AS valid_from,
+        |      CASE WHEN c_custkey IN (SELECT c_custkey FROM changed)
+        |           THEN '2024-06-01' END AS valid_to,
+        |      c_custkey NOT IN (SELECT c_custkey FROM changed) AS is_current
+        |    FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'MOVED', '2024-06-01', NULL, TRUE
+        |    FROM changed)
+        |SELECT c_custkey, c_mktsegment, valid_from, valid_to, is_current
+        |FROM rows0 ORDER BY c_custkey, valid_from""".stripMargin,
     // the z-range is a conservative superset refined by the exact 3D
     // box filter, so the oracle is the PLAIN box query
     "q105_zorder3d" ->
