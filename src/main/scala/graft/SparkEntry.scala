@@ -705,6 +705,28 @@ object SparkEntry {
           Seq("c_mktsegment"), "2024-06-01")
         .orderBy(col("c_custkey"), col("valid_from"))
     }),
+    // point-in-time join over the SCD2 dimension: every key%7
+    // customer moves segment at 1995-01-01 (mid TPC-H date range), so
+    // each order picks the version valid AT ITS ORDER DATE; the
+    // oracle states the equivalent closed form
+    "q107_scd2_asof" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val c = graft.sources.Tables.load(s, d, "customer")
+      val base = c.select(col("c_custkey"), col("c_mktsegment"),
+        lit("1992-01-01").as("valid_from"), lit(null).cast("string").as("valid_to"),
+        lit(true).as("is_current"))
+      val delta = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("MOVED").as("c_mktsegment"))
+      val dim = operators.Scd.scd2Merge(base, delta, "c_custkey",
+        Seq("c_mktsegment"), "1995-01-01")
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_custkey").as("c_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      operators.Scd.pointInTimeJoin(o, dim, "c_custkey", col("odate"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
     // THREE-dimensional Z-order data skipping: orders clustered on the
     // 48-bit Morton key of (orderkey, custkey, orderdate-epoch-day)
     // with per-file stats on it; a 3D box query becomes one
@@ -1256,6 +1278,15 @@ object SparkEntry {
     "q92_semantic_dedup" -> semanticDedupSqlDuck,
     "q101_ann_pq" -> pqSqlDuck,
     "q102_curation" -> curationSqlDuck,
+    // the temporal join's closed form: pre-move orders of moved
+    // customers read the ORIGINAL segment, post-move read MOVED
+    "q107_scd2_asof" ->
+      """SELECT CASE WHEN c.c_custkey % 7 = 0 AND
+        |            strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') >= '1995-01-01'
+        |       THEN 'MOVED' ELSE c.c_mktsegment END AS c_mktsegment,
+        |  count(*) AS n
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     // Type 2 semantics stated directly: changed current rows close at
     // the effective date and reopen with the new attributes; no-op
     // delta rows leave their key untouched

@@ -59,4 +59,19 @@ object Scd {
         lit(true).as("is_current")): _*)
     untouched.unionByName(closed).unionByName(reopened).unionByName(brandNew)
   }
+
+  /** Point-in-time (temporal) join — why Type 2 history exists: each
+    * fact row picks the dimension version whose validity interval
+    * `[valid_from, valid_to)` contains the fact's date (`valid_to`
+    * NULL = open-ended). The key equality drives the join (hash/SMJ
+    * on the key, small dims broadcast); the interval predicate is a
+    * residual filter, and since a key's intervals partition the
+    * timeline, each fact matches exactly one version — no fan-out. */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame, key: String,
+                      factDate: Column): DataFrame =
+    facts.join(dim,
+      facts(key) === dim(key) &&
+        factDate >= dim("valid_from") &&
+        (dim("valid_to").isNull || factDate < dim("valid_to")))
+      .drop(dim(key))
 }
