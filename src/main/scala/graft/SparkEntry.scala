@@ -687,6 +687,10 @@ object SparkEntry {
     // candidates — the character-level lens alongside Jaccard/SimHash
     "q104_editdist_neardup" -> ((s: SparkSession, d: String) =>
       Dedup.editDistanceNearDup(s, d)),
+    // hashing-trick TF featurizer: stateless md5-bucket counts +
+    // L1 weights, sparse exploded layout
+    "q108_hashing_tf" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.hashingTf(s, d)),
     // SCD Type 2 merge: customers seeded as current history rows; a
     // delta moves every key%7 to a new segment (close + reopen) and
     // touches key%11 with UNCHANGED attributes (no-op); brand-new keys
@@ -1278,6 +1282,19 @@ object SparkEntry {
     "q92_semantic_dedup" -> semanticDedupSqlDuck,
     "q101_ann_pq" -> pqSqlDuck,
     "q102_curation" -> curationSqlDuck,
+    // identical md5 two-hex-digit bucket arithmetic; the single
+    // division per row is the only double
+    "q108_hashing_tf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSqlDuck, ' ')) AS tok FROM documents),
+        |t2 AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+        |b AS (SELECT doc_id,
+        |    CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS BIGINT) * 16
+        |      + CAST(strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1 AS BIGINT) AS h
+        |  FROM t2),
+        |tf AS (SELECT doc_id, h % 16 AS dim, count(*) AS tf FROM b GROUP BY doc_id, h % 16)
+        |SELECT doc_id, dim, tf,
+        |  CAST(tf AS DOUBLE) / CAST(sum(tf) OVER (PARTITION BY doc_id) AS DOUBLE) AS weight
+        |FROM tf ORDER BY doc_id, dim""".stripMargin,
     // the temporal join's closed form: pre-move orders of moved
     // customers read the ORIGINAL segment, post-move read MOVED
     "q107_scd2_asof" ->

@@ -429,6 +429,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashing-trick term-frequency featurizer (the HashingTF /
+    * feature-hashing primitive): each token maps to one of `dims`
+    * buckets by md5 nibble arithmetic (stateless — no vocabulary to
+    * build, ship or version, which is the point at 100 TB), and the
+    * document's feature vector is the per-bucket token count plus an
+    * L1-normalized weight. Emitted EXPLODED as (doc_id, dim, tf,
+    * weight) sparse rows — the join-friendly layout for downstream
+    * linear models, and exactly hashable by the cross-engine gate
+    * (array columns canonicalize differently per engine). One explode
+    * + one (doc, dim) count — map-side combinable. */
+  def hashingTf(spark: SparkSession, dir: String, dims: Int = 16): DataFrame = {
+    require(dims <= 256, "hashingTf: dims beyond two hex digits")
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val toks = d.select(col("doc_id"),
+        explode(words(normalizeText(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val bucket = (conv(substring(md5(col("tok")), 1, 2), 16, 10) % dims).cast("long")
+    toks.select(col("doc_id"), bucket.as("dim"))
+      .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("tf"))
+      .withColumn("weight", col("tf").cast("double") /
+        sum(col("tf")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))).cast("double"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
   /** Per-source winsorization of the document length: clip n_chars to
     * the source's [p25, p75] (exact R-7 percentiles — on integer
     * inputs they land on multiples of 0.25, binary-exact on every
