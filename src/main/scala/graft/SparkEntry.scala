@@ -691,6 +691,10 @@ object SparkEntry {
     // L1 weights, sparse exploded layout
     "q108_hashing_tf" -> ((s: SparkSession, d: String) =>
       TextAnalysis.hashingTf(s, d)),
+    // INTERSECT ALL / EXCEPT ALL — bag semantics with multiplicities
+    "q109_set_ops_all" -> Relational.setOpsAll _,
+    // RANGE frame (trailing 30 days by value, not row count)
+    "q110_range_frame" -> Relational.rangeFrameWindow _,
     // SCD Type 2 merge: customers seeded as current history rows; a
     // delta moves every key%7 to a new segment (close + reopen) and
     // touches key%11 with UNCHANGED attributes (no-op); brand-new keys
@@ -1282,6 +1286,29 @@ object SparkEntry {
     "q92_semantic_dedup" -> semanticDedupSqlDuck,
     "q101_ann_pq" -> pqSqlDuck,
     "q102_curation" -> curationSqlDuck,
+    "q109_set_ops_all" ->
+      """WITH base AS (SELECT o_custkey,
+        |    EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS y FROM orders
+        |  WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) IN (1996, 1997)),
+        |a AS (SELECT o_custkey FROM base WHERE y = 1996),
+        |b AS (SELECT o_custkey FROM base WHERE y = 1997),
+        |i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+        |e AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |SELECT 'both_all' AS bucket, count(*) AS n FROM i
+        |UNION ALL SELECT 'only_1996_all', count(*) FROM e
+        |ORDER BY bucket""".stripMargin,
+    "q110_range_frame" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS oday,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_custkey < 200)
+        |SELECT o_custkey, o_orderkey, oday,
+        |  count(*) OVER w AS n_30d,
+        |  CAST(sum(price) OVER w AS DOUBLE) AS spend_30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY oday
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, oday, o_orderkey""".stripMargin,
     // identical md5 two-hex-digit bucket arithmetic; the single
     // division per row is the only double
     "q108_hashing_tf" ->

@@ -385,6 +385,46 @@ object Relational {
   /** Extension: INTERSECT / EXCEPT set operations (absent from the
     * reference, SURVEY §2.8): customers active in both 1996 and 1997
     * vs only in 1996. */
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    * multiplicities matter — a customer with 3 orders in 1996 and 2
+    * in 1997 contributes min(3,2)=2 to the intersection and 3−2=1 to
+    * the difference, which the DISTINCT variants ([[setOps]]) erase.
+    * Spark plans both as aggregate-on-count forms, no join blowup. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate").cast("date")).as("y"))
+      .filter(col("y") === 1996 || col("y") === 1997)
+      .cache()
+    def custsIn(yr: Int) = base.filter(col("y") === yr).select(col("o_custkey"))
+    val both = custsIn(1996).intersectAll(custsIn(1997))
+    val only96 = custsIn(1996).exceptAll(custsIn(1997))
+    both.withColumn("bucket", lit("both_all"))
+      .unionByName(only96.withColumn("bucket", lit("only_1996_all")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /** RANGE-frame window: per-customer trailing 30-DAY order count and
+    * spend — the frame is bounded by the ORDER-DATE VALUE (epoch
+    * days), not a row count, so sparse and dense histories window
+    * identically; the complement to [[analyticWindows]]' ROWS
+    * frames. One shuffle on the partition key. */
+  def rangeFrameWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("oday"),
+        dec(col("o_totalprice")).as("price"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("oday"))
+      .rangeBetween(-30, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"), col("oday"),
+        count(lit(1)).over(w).as("n_30d"),
+        sum(col("price")).over(w).cast("double").as("spend_30d"))
+      .orderBy(col("o_custkey"), col("oday"), col("o_orderkey"))
+  }
+
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     // one orders scan, cached: intersect + except each consume both
     // year slices, so without the cache the table is scanned 4× —
