@@ -695,6 +695,36 @@ object SparkEntry {
     "q109_set_ops_all" -> Relational.setOpsAll _,
     // RANGE frame (trailing 30 days by value, not row count)
     "q110_range_frame" -> Relational.rangeFrameWindow _,
+    // incremental view maintenance: the q91 fixture's per-status
+    // (count, sum) aggregate over v1 is refreshed to v2 by applying
+    // the change feed as SIGNED deltas — never rescanning v2; the
+    // oracle recomputes v2's aggregate directly, so the gate proves
+    // incremental ≡ recompute exactly (decimal sums, no rounding)
+    "q111_incremental_agg" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val table = fixture("snapcdf", s, d, "orders") { path =>
+        wipe(s, path) // version NAMES v1/v2 are pinned — start clean
+        graft.sources.Snapshots.commitOverwritePartitioned(s, path,
+          o.filter(col("o_orderkey") % 3 =!= 0), "o_orderstatus")
+        val delta = o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 97 === 0)
+          .withColumn("price", col("price") + lit(50).cast(DecimalType(18, 2)))
+        graft.sources.Snapshots.commitMergePartitioned(s, path, delta,
+          "o_orderkey", "o_orderstatus")
+        ()
+      }
+      val baseAgg = graft.sources.Snapshots.readVersion(s, table, "v00000001")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("value_sum"))
+      graft.sources.Snapshots.maintainAggregate(s, table,
+          "v00000001", "v00000002", "o_orderkey", "o_orderstatus", "price", baseAgg)
+        .select(col("o_orderstatus"), col("n"),
+          col("value_sum").cast("double").as("value_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // SCD Type 2 merge: customers seeded as current history rows; a
     // delta moves every key%7 to a new segment (close + reopen) and
     // touches key%11 with UNCHANGED attributes (no-op); brand-new keys
@@ -1286,6 +1316,20 @@ object SparkEntry {
     "q92_semantic_dedup" -> semanticDedupSqlDuck,
     "q101_ann_pq" -> pqSqlDuck,
     "q102_curation" -> curationSqlDuck,
+    // the incrementally maintained aggregate must equal v2's direct
+    // recompute — stated as the recompute
+    "q111_incremental_agg" ->
+      """WITH batch1 AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |delta AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) + CAST(50 AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 97 = 0),
+        |merged AS (SELECT * FROM batch1
+        |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        |  UNION ALL SELECT * FROM delta)
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS value_sum
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q109_set_ops_all" ->
       """WITH base AS (SELECT o_custkey,
         |    EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS y FROM orders

@@ -1274,6 +1274,34 @@ object Snapshots {
     manifestSchema(m).map(alignTo(raw, _)).getOrElse(raw).filter(predicate)
   }
 
+  /** Incremental view maintenance for a grouped (count, sum)
+    * aggregate: apply the vOld→vNew change feed as SIGNED deltas to a
+    * previously materialized aggregate instead of rescanning the
+    * table — inserts and update post-images add, deletes and update
+    * pre-images subtract (count and sum are decomposable abelian
+    * aggregates, so signed application is exact; decimal sums carry
+    * no rounding). Work scales with the CHANGES — with the
+    * manifest-pruned CDF, refreshing a daily aggregate over a 100 TB
+    * table reads one partition's delta, not the table. Groups whose
+    * count reaches zero drop out, exactly as a recompute would. */
+  def maintainAggregate(spark: SparkSession, tableDir: String, vOld: String,
+                        vNew: String, key: String, groupCol: String,
+                        valCol: String, baseAgg: DataFrame): DataFrame = {
+    val cdf = changeFeed(spark, tableDir, vOld, vNew, key)
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val delta = cdf.select(col(groupCol), sign.as("_sg"), col(valCol))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_sg")).as("_dn"),
+        sum(col(valCol) * col("_sg")).as("_dsum"))
+    baseAgg.join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L))).as("n"),
+        (coalesce(col("value_sum"), lit(0)) + coalesce(col("_dsum"), lit(0)))
+          .as("value_sum"))
+      .filter(col("n") > 0)
+  }
+
   // ---------------------------------------------------------------- diff
 
   /** Row-level diff of two retained versions by `key`: one row per key

@@ -1008,6 +1008,31 @@ class SnapshotsSpec extends SparkSpec {
       s"expected broadcast anti-join in:\n$plan")
   }
 
+  test("maintainAggregate applies signed CDF deltas; zero-count groups drop like a recompute") {
+    val dir = freshDir()
+    partedBase(dir)
+    val baseAgg = Snapshots.readVersion(spark, dir, "v00000001")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("amount")).as("value_sum"))
+    // v2: update k=2 (F), insert k=6 (O), delete ALL of P
+    Snapshots.commitMergePartitioned(spark, dir,
+      Seq((2L, "F", 99.0), (6L, "O", 60.0)).toDF("k", "status", "amount"), "k", "status")
+    Snapshots.commitDelete(spark, dir, col("status") === "P")
+    val live = Snapshots.currentVersion(spark, dir).get
+    val inc = Snapshots.maintainAggregate(spark, dir, "v00000001", live,
+        "k", "status", "amount", baseAgg)
+      .orderBy("status")
+      .select(col("status"), col("n"), col("value_sum").cast("double"))
+      .as[(String, Long, Double)].collect().toSeq
+    val full = Snapshots.read(spark, dir)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("amount")).cast("double").as("value_sum"))
+      .orderBy("status")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(inc === full)
+    assert(!inc.exists(_._1 == "P")) // emptied group absent, as recomputed
+  }
+
   // ------------------------------------------------------ change data feed
 
   test("changeFeed emits insert/delete/update pre+post rows; equals the diff it derives from") {
