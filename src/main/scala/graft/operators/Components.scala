@@ -20,12 +20,47 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Edge sets at or below this size resolve on the DRIVER: after LSH
+    * capping, verified near-dup pairs are a vanishing fraction of the
+    * corpus, and a sub-million edge list is MODEL-sized state (the
+    * same judgment as trainCentroids' k×dim sums) — a local
+    * union-find is exact and skips ~15 tiny Spark jobs of pure
+    * scheduling latency. Larger edge sets take the distributed
+    * min-label loop unchanged. */
+  val DriverEdgeThreshold = 200000L
+
   /** For `pairs` with columns (da, db): one row (id, label) per node
     * appearing in any pair, where label = the minimum node id in the
-    * node's connected component. Deterministic by construction. */
-  def minLabel(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
-      .unionByName(pairs.select(col("db").as("a"), col("da").as("b")))
+    * node's connected component. Deterministic by construction; both
+    * paths produce identical labelings (spec-proven against each
+    * other). */
+  def minLabel(pairs: DataFrame, maxIter: Int = 50,
+               driverThreshold: Long = DriverEdgeThreshold): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val pc = pairs.persist()
+    val np = pc.count()
+    if (np <= driverThreshold) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pc.select(col("da").cast("long"), col("db").cast("long"))
+        .as[(Long, Long)].collect().foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      pc.unpersist()
+      return rows.toDF("id", "label")
+    }
+    val edges = pc.select(col("da").as("a"), col("db").as("b"))
+      .unionByName(pc.select(col("db").as("a"), col("da").as("b")))
       .distinct().cache()
     // init with the 1-hop fold (label = min(id, neighbors)) — for the
     // dominant pair/triangle clusters this IS the fixed point, so the
@@ -68,7 +103,7 @@ object Components {
         iter += 1
       }
       require(changed == 0, s"connected components did not converge in $maxIter iterations")
-    } finally edges.unpersist() // labels is checkpointed — safe to drop even on throw
+    } finally { edges.unpersist(); pc.unpersist() } // labels is checkpointed — safe to drop even on throw
     labels
   }
 

@@ -58,4 +58,17 @@ class ComponentsSpec extends SparkSpec {
     val expected = inGraph.map(i => i -> find(i)).toMap
     assert(labelsOf(edges) === expected)
   }
+
+  test("driver fast path and distributed loop produce identical labelings") {
+    val rnd = new scala.util.Random(20260813L)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val df = pairs.toDF("da", "db")
+    val fast = Components.minLabel(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driverThreshold = -1 forces the distributed min-label loop
+    val dist = Components.minLabel(df, driverThreshold = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === dist)
+  }
 }
