@@ -855,6 +855,14 @@ object SparkEntry {
         .select(col("cluster_id"), col("doc_id").as("kept_doc_id"), col("quality"))
         .orderBy(col("cluster_id"))
     }),
+    "q112_funnel"          -> ((s: SparkSession, d: String) => operators.Behavioral.funnel(s, d)),
+    "q113_cohort_retention" -> ((s: SparkSession, d: String) => operators.Behavioral.cohortRetention(s, d)),
+    "q114_brand_pairs"     -> ((s: SparkSession, d: String) => operators.Affinity.brandPairs(s, d)),
+    "q115_dup_spans"       -> ((s: SparkSession, d: String) => Dedup.duplicatedSpans(s, d)),
+    "q116_concurrency"     -> ((s: SparkSession, d: String) => operators.Behavioral.concurrencyProfile(s, d)),
+    "q117_pagerank"        -> ((s: SparkSession, d: String) => operators.Affinity.pageRankCoSupply(s, d)),
+    "q118_listagg"         -> Relational.listAgg _,
+    "q119_mode"            -> Relational.modalValue _,
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2044,6 +2052,117 @@ object SparkEntry {
         |FROM d JOIN md USING (source)
         |GROUP BY d.source, d.med, md.mad
         |ORDER BY d.source""".stripMargin,
+    // ordered funnel: each stage's earliest qualifying event must fall
+    // strictly after the previous stage's time and within 7 days of it
+    "q112_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 7 DAY GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 7 DAY GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, count(*) AS users FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        |ORDER BY step""".stripMargin,
+    // weekly cohort retention: both ends are Monday-truncated, so the
+    // day diff is an exact multiple of 7
+    "q113_cohort_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY 1),
+        |a AS (SELECT e.user_id, f.cohort,
+        |    date_diff('day', CAST(f.cohort AS DATE), CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS week_offset
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST(week_offset AS BIGINT) AS week_offset, count(DISTINCT user_id) AS users
+        |FROM a GROUP BY cohort, week_offset ORDER BY 1, 2""".stripMargin,
+    "q114_brand_pairs" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pr AS (SELECT a.brand AS b1, b.brand AS b2
+        |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand)
+        |SELECT b1, b2, count(*) AS n_orders FROM pr GROUP BY 1, 2
+        |ORDER BY n_orders DESC, b1, b2 LIMIT 30""".stripMargin,
+    // duplicated-span coverage: positional 8-gram hashes; islands
+    // (interval union) via running max of span ends per doc
+    "q115_dup_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS w FROM documents),
+        |d AS (SELECT doc_id, w, len(w) AS n_toks FROM w WHERE len(w) >= 8),
+        |sh AS (SELECT doc_id, n_toks, i - 1 AS pos,
+        |    md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |        w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]) AS h
+        |  FROM d, unnest(generate_series(1, len(w) - 7)) t(i)),
+        |dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+        |c AS (SELECT doc_id, n_toks, pos FROM sh WHERE h IN (SELECT h FROM dup)),
+        |m AS (SELECT doc_id, n_toks, pos,
+        |    CASE WHEN pos > coalesce(max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 7, -1) THEN 1 ELSE 0 END AS brk
+        |  FROM c),
+        |isl AS (SELECT doc_id, n_toks, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |g AS (SELECT doc_id, min(n_toks) AS n_toks, max(pos) + 7 - min(pos) + 1 AS len
+        |  FROM isl GROUP BY doc_id, island)
+        |SELECT doc_id, CAST(min(n_toks) AS BIGINT) AS n_toks,
+        |  CAST(sum(len) AS BIGINT) AS dup_tokens,
+        |  CAST(sum(len) AS DOUBLE) / min(n_toks) AS dup_frac
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // sweep-line concurrency: intervals [start, start+floor(value*60)s)
+    // clipped to day boundaries; ties order (t, -1 before +1, event_id)
+    "q116_concurrency" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS e_us FROM events),
+        |f AS (SELECT * FROM e WHERE e_us > s_us),
+        |spans AS (SELECT event_id, s_us, e_us, CAST(d AS DATE) AS day
+        |  FROM f, unnest(generate_series(CAST(make_timestamp(s_us) AS DATE),
+        |                                 CAST(make_timestamp(e_us - 1) AS DATE),
+        |                                 INTERVAL 1 DAY)) t(d)),
+        |clip AS (SELECT event_id, day,
+        |    greatest(s_us, epoch_us(CAST(day AS TIMESTAMP))) AS lo,
+        |    least(e_us, epoch_us(CAST(day AS TIMESTAMP)) + 86400000000) AS hi
+        |  FROM spans),
+        |pts AS (SELECT day, lo AS t, CAST(1 AS BIGINT) AS delta, event_id FROM clip
+        |  UNION ALL SELECT day, hi, -1, event_id FROM clip),
+        |run AS (SELECT day, CAST(sum(delta) OVER (PARTITION BY day ORDER BY t, delta, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open FROM pts)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) // 2 AS sessions,
+        |  max(open) AS max_concurrent
+        |FROM run GROUP BY day ORDER BY day""".stripMargin,
+    // integer-exact PageRank, 3 unrolled rounds over the symmetric
+    // co-supply graph; all arithmetic BIGINT floor division
+    "q117_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+        |deg AS (SELECT src, count(*) AS d FROM pairs GROUP BY 1),
+        |s0 AS (SELECT s_suppkey AS id, CAST(1000000 AS BIGINT) AS score FROM supplier),
+        |c1 AS (SELECT p.dst, sum(s.score // g.d) AS in_c
+        |  FROM pairs p JOIN s0 s ON p.src = s.id JOIN deg g ON g.src = p.src GROUP BY p.dst),
+        |s1 AS (SELECT n.id, CAST(150000 + coalesce(c.in_c, 0) * 85 // 100 AS BIGINT) AS score
+        |  FROM s0 n LEFT JOIN c1 c ON c.dst = n.id),
+        |c2 AS (SELECT p.dst, sum(s.score // g.d) AS in_c
+        |  FROM pairs p JOIN s1 s ON p.src = s.id JOIN deg g ON g.src = p.src GROUP BY p.dst),
+        |s2 AS (SELECT n.id, CAST(150000 + coalesce(c.in_c, 0) * 85 // 100 AS BIGINT) AS score
+        |  FROM s1 n LEFT JOIN c2 c ON c.dst = n.id),
+        |c3 AS (SELECT p.dst, sum(s.score // g.d) AS in_c
+        |  FROM pairs p JOIN s2 s ON p.src = s.id JOIN deg g ON g.src = p.src GROUP BY p.dst),
+        |s3 AS (SELECT n.id, CAST(150000 + coalesce(c.in_c, 0) * 85 // 100 AS BIGINT) AS score
+        |  FROM s2 n LEFT JOIN c3 c ON c.dst = n.id)
+        |SELECT id AS s_suppkey, score FROM s3 ORDER BY score DESC, id LIMIT 20""".stripMargin,
+    // LISTAGG with a pinned order — both sides sort the distinct set
+    "q118_listagg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  string_agg(DISTINCT strftime(o_orderdate, '%Y'), ',' ORDER BY strftime(o_orderdate, '%Y')) AS years,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // deterministic mode: top count, ties to the LOWER quantity
+    "q119_mode" ->
+      """WITH c AS (SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qty, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, qty, c,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, qty) AS rn
+        |  FROM c)
+        |SELECT l_returnflag, qty AS mode_qty, c AS n_modal
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Affinity / graph analytics over the order graph: market-basket
+  * co-occurrence mining and an integer-exact PageRank over the
+  * co-supply graph.
+  *
+  * Scale posture: both operators avoid the naive lineitem⋈lineitem
+  * self-join (which shuffles the fact table twice and re-expands
+  * every group). Instead each order's small member set (order size is
+  * bounded — TPC-H ≤ 7 lines) is collected in ONE shuffle and the
+  * pair expansion happens map-side over that bounded array, so the
+  * expensive part is a single fact-table-sized aggregation however
+  * large the corpus. PageRank iterations are plain equi-joins keyed
+  * on the edge endpoints; on a real cluster the score frame should be
+  * checkpointed every few iterations to truncate lineage.
+  */
+object Affinity {
+
+  /** Brand pairs bought together: distinct (order, brand) pairs,
+    * per-order sorted brand sets, map-side pair expansion, global
+    * pair count; top `k` by support. */
+  def brandPairs(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val p = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val sets = li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      .filter(size(col("bs")) >= 2)
+    // (bs[i], bs[j]) for i < j — sorted input ⇒ b1 < b2 canonically
+    val pairs = sets.select(explode(expr(
+      "flatten(transform(bs, (x, i) -> transform(slice(bs, i + 2, size(bs)), y -> struct(x AS b1, y AS b2))))"
+    )).as("pr"))
+    pairs.select(col("pr.b1").as("b1"), col("pr.b2").as("b2"))
+      .groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("b1"), col("b2"))
+      .limit(k)
+  }
+
+  /** Directed co-supply edges: src → dst iff both suppliers serve the
+    * same order (src ≠ dst, distinct). Symmetric by construction, so
+    * no dangling mass exists for nodes with in-edges. */
+  private def coSupplyEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val sets = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    sets.select(explode(expr(
+      "flatten(transform(ss, x -> transform(filter(ss, y -> y != x), y -> struct(x AS src, y AS dst))))"
+    )).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+  }
+
+  /** Integer-exact PageRank (damping 0.85, `iters` rounds) over the
+    * co-supply graph. All arithmetic is BIGINT with floor division
+    * (`div`), so every engine computes bit-identical scores:
+    *   score_0     = 1_000_000
+    *   score_{t+1} = 150_000 + (Σ_in (score_t div outdeg)) * 85 div 100
+    * Suppliers with no co-supply edges settle at the base 150_000.
+    * Returns the top `k` (score desc, key asc). */
+  def pageRankCoSupply(spark: SparkSession, dir: String,
+                       iters: Int = 3, k: Int = 20): DataFrame = {
+    // edge frame built once, hash-partitioned by dst so every
+    // iteration's incoming-sum aggregates WITHOUT re-shuffling the
+    // (corpus-sized) edges; all per-iteration state is node-sized
+    val edges = coSupplyEdges(spark, dir).repartition(col("dst")).cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val nodes = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey").as("id"))
+    var score = nodes.select(col("id"), lit(1000000L).as("score"))
+    for (_ <- 1 to iters) {
+      // per-edge contribution of each source: node-sized → broadcast
+      // (for node sets beyond broadcast range, drop the hint and this
+      // becomes a shuffle join on src — the edge frame still only
+      // shuffles once per iteration, on the join side)
+      val per = score.join(deg.withColumnRenamed("src", "id"), Seq("id"))
+        .select(col("id").as("src"), expr("score div d").as("c"))
+      val contrib = edges.join(broadcast(per), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
+      score = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("coalesce(in_c, 0L) * 85 div 100")).as("score"))
+    }
+    score.orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id").as("s_suppkey"), col("score"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Behavioral / product analytics over the events table: ordered
+  * funnel conversion, weekly cohort retention, and a sweep-line
+  * concurrency profile. These are the classic clickstream operators
+  * an analytics engine is asked for the day it ships (reference
+  * analog: the daily per-card/route/tariff aggregates of
+  * dags/dag_datapelangan.py:188-239 are the same "activity rollup"
+  * family, at event grain instead of day grain).
+  *
+  * Scale posture:
+  *   - funnel: one aggregation + equi-join per step, all keyed on
+  *     user_id — co-partitioned shuffles, and each stage frame is one
+  *     row per surviving user, so the frames shrink monotonically
+  *     down the funnel (AQE flips the later joins to broadcast).
+  *   - cohort: two user_id-keyed shuffles (first-touch agg + join
+  *     back), then a low-cardinality (cohort, week) count-distinct.
+  *   - concurrency: intervals are clipped to day boundaries so the
+  *     running sweep-line sum partitions BY DAY — there is no
+  *     globally-ordered window at any corpus size.
+  */
+object Behavioral {
+
+  /** Ordered funnel: for each step i, users whose earliest qualifying
+    * step-i event falls strictly after their step-(i-1) time and
+    * within `withinDays` of it. Returns one row per step with the
+    * surviving-user count. */
+  def funnel(spark: SparkSession, dir: String,
+             steps: Seq[String] = Seq("view", "click", "purchase"),
+             withinDays: Int = 7): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val first = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts")).as("t"))
+    val stages = steps.tail.scanLeft(first) { (prev, step) =>
+      e.filter(col("event_type") === step)
+        .join(prev, "user_id")
+        .filter(col("ts") > col("t") &&
+          col("ts") <= col("t") + expr(s"interval $withinDays days"))
+        .groupBy("user_id").agg(min(col("ts")).as("t"))
+    }
+    stages.zip(steps).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).cast("long").as("step"), lit(name).as("event_type"),
+          col("users"))
+    }.reduce(_ unionByName _).orderBy(col("step"))
+  }
+
+  /** Weekly cohort retention: users grouped by the Monday-start week
+    * of their first event; `users` counts distinct cohort members
+    * active `week_offset` weeks later. Week diffs are exact (both
+    * ends are week-truncated, so the day diff is a multiple of 7). */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(spark, dir).select(col("user_id"), col("ts"))
+    val firsts = e.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    e.join(firsts, "user_id")
+      .select(col("user_id"), col("cohort"),
+        (datediff(to_date(date_trunc("week", col("ts"))), to_date(col("cohort"))) / 7)
+          .cast("long").as("week_offset"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Sweep-line concurrency: each event opens a session of
+    * floor(value*60) seconds ([start, end) half-open); reports, per
+    * day, how many sessions touch the day and the maximum number
+    * simultaneously open. Intervals are clipped to day boundaries
+    * first, so the ordered running sum never leaves a day partition.
+    * Tie order (time, then -1 before +1, then event_id) is total —
+    * the running sums are identical in any engine, and back-to-back
+    * sessions touching at a boundary never count as concurrent. */
+  def concurrencyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val e = Tables.loadEvents(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + floor(col("value") * 60).cast("long") * 1000000L)
+          .as("e_us"))
+      .filter(col("e_us") > col("s_us"))
+    val spans = e.select(col("event_id"), col("s_us"), col("e_us"),
+      explode(sequence(
+        to_date(timestamp_micros(col("s_us"))),
+        to_date(timestamp_micros(col("e_us") - 1)))).as("day"))
+      .withColumn("day_us", unix_micros(col("day").cast("timestamp")))
+      .select(col("event_id"), col("day"),
+        greatest(col("s_us"), col("day_us")).as("lo"),
+        least(col("e_us"), col("day_us") + dayUs).as("hi"))
+    val points = spans.select(col("day"), col("lo").as("t"),
+        lit(1L).as("delta"), col("event_id"))
+      .unionByName(spans.select(col("day"), col("hi").as("t"),
+        lit(-1L).as("delta"), col("event_id")))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points.withColumn("open", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg((count(lit(1)) / 2).cast("long").as("sessions"),
+        max(col("open")).as("max_concurrent"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("sessions"), col("max_concurrent"))
+      .orderBy(col("day"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -367,6 +368,64 @@ object Dedup {
       .orderBy(col("da"), col("db"))
     sh.unpersist()
     out
+  }
+
+  /** Exact duplicated-SPAN coverage (the within/cross-document
+    * substring-dedup measure of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499 — their
+    * ExactSubstr, at token-n-gram resolution instead of a suffix
+    * array): for every document, how many token positions are covered
+    * by at least one length-`n` token window that occurs more than
+    * once in the corpus. Positional n-grams are hashed and counted in
+    * one corpus-wide shuffle; surviving positions are merged into
+    * maximal islands per document with an ordered window (running max
+    * of span ends), so coverage is an exact interval union, not a
+    * double-counted sum. Returns docs with any duplicated span:
+    * (doc_id, n_toks, dup_tokens, dup_frac).
+    *
+    * Scale posture: the only corpus-sized shuffles are the n-gram
+    * count (keyed on the 128-bit hash — uniform) and the semi-join
+    * back; the island window partitions per document. A suffix-array
+    * formulation would find arbitrary-length duplicates but cannot
+    * shard by hash; fixed-n windows are the standard distributed
+    * approximation (coverage is exact for spans ≥ n). */
+  def duplicatedSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), words(normalizeText(col("text"))).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n_toks"))
+      .filter(col("n_toks") >= n)
+    // (doc, 0-based start pos, md5 of the n-token window)
+    val sh = d.select(col("doc_id"), col("n_toks"),
+        posexplode(transform(
+          sequence(lit(1), size(col("w")) - (n - 1)),
+          i => md5(concat_ws(" ",
+            (0 until n).map(k => element_at(col("w"), i + lit(k))): _*))))
+          .as(Seq("pos", "h")))
+      .cache()
+    val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val covered = sh.join(dup, Seq("h"), "left_semi")
+    // island merge: a new island starts where this span's start lies
+    // beyond every previous span's end (all spans have length n, so
+    // prev max end = prev max pos + n-1)
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = covered
+      .withColumn("brk",
+        when(col("pos") > coalesce(max(col("pos")).over(wPrev) + (n - 1),
+          lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("n_toks")).as("n_toks"),
+        (max(col("pos")) + (n - 1) - min(col("pos")) + 1).as("len"))
+    islands.groupBy(col("doc_id"))
+      .agg(min(col("n_toks")).cast("long").as("n_toks"),
+        sum(col("len")).as("dup_tokens"))
+      .select(col("doc_id"), col("n_toks"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_toks")).as("dup_frac"))
+      .orderBy(col("doc_id"))
   }
 
   /** Candidate pairs from band buckets of size ≤ cap. Exposed

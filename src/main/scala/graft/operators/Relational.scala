@@ -528,4 +528,38 @@ object Relational {
         sum(dec(col("c_acctbal"))).cast("double").as("amount_sum"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
+
+  /** LISTAGG / string_agg: per order priority, the DETERMINISTICALLY
+    * ordered comma-joined value lists. collect_set is an unordered
+    * partial-merge aggregate (one shuffle, mergeable); the explicit
+    * array_sort pins the output order so any engine produces the same
+    * string — never rely on aggregation order for listagg. */
+  def listAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        array_join(array_sort(collect_set(date_format(col("o_orderdate"), "yyyy"))), ",")
+          .as("years"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Deterministic MODE: most frequent integral quantity per return
+    * flag, ties broken by value order. Spark's built-in `mode()` is
+    * tie-arbitrary; count-then-top1 (min_by over a total order) is
+    * the portable formulation and stays a two-level aggregate. */
+  def modalValue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val counts = li
+      .groupBy(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("qty"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("l_returnflag"))
+      // total order: larger count wins, then LOWER quantity — min_by
+      // over the (-count, qty) struct compares lexicographically
+      .agg(min_by(col("qty"),
+          struct((-col("c")).as("nc"), col("qty"))).as("mode_qty"),
+        max(col("c")).as("n_modal"))
+      .orderBy(col("l_returnflag"))
+  }
 }

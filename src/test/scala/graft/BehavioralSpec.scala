@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Affinity, Behavioral, Dedup}
+
+/** Semantic tests for the behavioral-analytics (funnel, cohort,
+  * sweep-line concurrency), affinity (market-basket pairs, integer
+  * PageRank) and duplicated-span operators on planted data where the
+  * ground truth is hand-computed.
+  */
+class BehavioralSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Events: u1 completes view→click→purchase in order; u2 clicked
+    * BEFORE its only view (order violation); u3 clicks 8 days after
+    * the view (outside the 7-day window); u4 views only. */
+  private lazy val funnelDir: String = {
+    val dir = Files.createTempDirectory("graft_funnel").toString
+    Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-03-01 11:00:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-03-02 09:00:00"), 1L, "purchase", 1.0, "{}"),
+      (4L, ts("2024-03-01 08:00:00"), 2L, "click", 1.0, "{}"),
+      (5L, ts("2024-03-01 09:00:00"), 2L, "view", 1.0, "{}"),
+      (6L, ts("2024-03-01 10:00:00"), 3L, "view", 1.0, "{}"),
+      (7L, ts("2024-03-09 10:00:01"), 3L, "click", 1.0, "{}"),
+      (8L, ts("2024-03-01 10:00:00"), 4L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("funnel counts only in-order, in-window stage completions") {
+    val out = Behavioral.funnel(spark, funnelDir).collect()
+      .map(r => r.getAs[Long]("step") -> r.getAs[Long]("users")).toMap
+    assert(out === Map(1L -> 4L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("cohort retention buckets users by first-event week") {
+    val dir = Files.createTempDirectory("graft_cohort").toString
+    // weeks: 2024-03-04 (Mon) and 2024-03-11 (Mon)
+    Seq(
+      (1L, ts("2024-03-04 10:00:00"), 1L, "view", 1.0, "{}"), // u1 cohort w0
+      (2L, ts("2024-03-12 10:00:00"), 1L, "view", 1.0, "{}"), // u1 active w0+1
+      (3L, ts("2024-03-05 10:00:00"), 2L, "view", 1.0, "{}"), // u2 cohort w0, never returns
+      (4L, ts("2024-03-13 10:00:00"), 3L, "view", 1.0, "{}")) // u3 cohort w1
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Behavioral.cohortRetention(spark, dir).collect()
+      .map(r => (r.getAs[String]("cohort_week"), r.getAs[Long]("week_offset")) ->
+        r.getAs[Long]("users")).toMap
+    assert(out === Map(
+      ("2024-03-04", 0L) -> 2L, ("2024-03-04", 1L) -> 1L,
+      ("2024-03-11", 0L) -> 1L))
+  }
+
+  test("concurrency: overlap counts, boundary touch does not, midnight splits") {
+    val dir = Files.createTempDirectory("graft_conc").toString
+    // value is minutes. u* sessions on 2024-03-01:
+    //   e1 10:00+60m, e2 10:30+60m, e3 10:45+60m → 3 open at 10:45
+    //   e4 12:00+30m, e5 12:30+30m → touching, never concurrent
+    //   e6 23:30+60m → crosses midnight, touches 03-01 and 03-02
+    Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1L, "view", 60.0, "{}"),
+      (2L, ts("2024-03-01 10:30:00"), 2L, "view", 60.0, "{}"),
+      (3L, ts("2024-03-01 10:45:00"), 3L, "view", 60.0, "{}"),
+      (4L, ts("2024-03-01 12:00:00"), 4L, "view", 30.0, "{}"),
+      (5L, ts("2024-03-01 12:30:00"), 5L, "view", 30.0, "{}"),
+      (6L, ts("2024-03-01 23:30:00"), 6L, "view", 60.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Behavioral.concurrencyProfile(spark, dir).collect()
+      .map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("sessions"), r.getAs[Long]("max_concurrent"))).toMap
+    assert(out === Map(
+      "2024-03-01" -> ((6L, 3L)), // e1-e3 stack to 3; e4/e5 only touch
+      "2024-03-02" -> ((1L, 1L)))) // e6's post-midnight remainder
+  }
+
+  /** Orders o1 {B1,B2}, o2 {B2,B3}, o3 {B1,B2} → pair (B1,B2) in two
+    * orders, (B2,B3) in one. */
+  test("brand pairs: per-order sorted-set expansion and support count") {
+    val dir = Files.createTempDirectory("graft_pairs").toString
+    Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L), (30L, 1L), (30L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "B1"), (2L, "B2"), (3L, "B3")).toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = Affinity.brandPairs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_orders"))
+    assert(out.toSeq === Seq(("B1", "B2") -> 2L, ("B2", "B3") -> 1L))
+  }
+
+  /** Path graph 1–2–3 (via co-supply orders {1,2} and {2,3}) plus the
+    * isolated supplier 4; three hand-unrolled integer iterations. */
+  test("pagerank: integer-exact scores on a hand-computed path graph") {
+    val dir = Files.createTempDirectory("graft_pr").toString
+    Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(1L, 2L, 3L, 4L).toDF("s_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val out = Affinity.pageRankCoSupply(spark, dir).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("score")).toMap
+    assert(out === Map(2L -> 1741625L, 1L -> 629187L, 3L -> 629187L, 4L -> 150000L))
+  }
+
+  test("duplicated spans: cross-doc island union, clean docs excluded") {
+    val dir = Files.createTempDirectory("graft_spans").toString
+    val w = (1 to 20).map(i => s"w$i") // 20 distinct tokens
+    val a = w.mkString(" ")            // doc 0: w1..w20
+    val b = (w.slice(4, 16) ++ Seq("zz1", "zz2", "zz3", "zz4", "zz5", "zz6", "zz7", "zz8"))
+      .mkString(" ")                   // doc 1: w5..w16 shared, then unique tail
+    val c = "completely unrelated tokens here nothing shared at all between docs"
+    Seq((0L, a, "en", "src0", a.length.toLong),
+        (1L, b, "en", "src0", b.length.toLong),
+        (2L, c, "en", "src1", c.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.duplicatedSpans(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("dup_tokens"))).toMap
+    // shared run w5..w16 = 12 tokens → 5 overlapping 8-gram windows
+    // merging into ONE island of 12 tokens in each doc; doc 2 clean
+    assert(out === Map(0L -> ((20L, 12L)), 1L -> ((20L, 12L))))
+  }
+}

@@ -132,4 +132,44 @@ class DegenerateInputSpec extends SparkSpec {
     // every query (all 3 ids < NumQueries) ranks the other two
     assert(pq.length === 6)
   }
+
+  test("behavioral operators on an empty events table return the identity shapes") {
+    val dir = Files.createTempDirectory("graft_degen_ev").toString
+    import java.sql.Timestamp
+    Seq.empty[(Long, Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // funnel still emits one row per step — with zero users each
+    val f = graft.operators.Behavioral.funnel(spark, dir).collect()
+    assert(f.map(_.getAs[Long]("users")).toSeq === Seq(0L, 0L, 0L))
+    assert(graft.operators.Behavioral.cohortRetention(spark, dir).count() === 0L)
+    assert(graft.operators.Behavioral.concurrencyProfile(spark, dir).count() === 0L)
+  }
+
+  test("duplicated spans: doc shorter than the window and zero-duplicate corpus yield no rows") {
+    val dir = corpus(Seq(
+      (0L, "too short", "en", "src0", 9L),
+      (1L, (1 to 12).map(i => s"a$i").mkString(" "), "en", "src0", 50L)))
+    assert(graft.operators.Dedup.duplicatedSpans(spark, dir).count() === 0L)
+  }
+
+  test("zero-duration sessions are dropped from the concurrency sweep") {
+    val dir = Files.createTempDirectory("graft_degen_ev0").toString
+    import java.sql.Timestamp
+    Seq((1L, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(graft.operators.Behavioral.concurrencyProfile(spark, dir).count() === 0L)
+  }
+
+  test("pagerank: graph with no edges settles every node at the base score") {
+    val dir = Files.createTempDirectory("graft_degen_pr").toString
+    // single-supplier orders → no co-supply pairs at all
+    Seq((10L, 1L), (20L, 2L)).toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(1L, 2L).toDF("s_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val pr = graft.operators.Affinity.pageRankCoSupply(spark, dir).collect()
+    assert(pr.map(_.getAs[Long]("score")).toSeq === Seq(150000L, 150000L))
+  }
 }
