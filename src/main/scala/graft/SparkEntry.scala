@@ -863,6 +863,9 @@ object SparkEntry {
     "q117_pagerank"        -> ((s: SparkSession, d: String) => operators.Affinity.pageRankCoSupply(s, d)),
     "q118_listagg"         -> Relational.listAgg _,
     "q119_mode"            -> Relational.modalValue _,
+    "q120_rolling_wau"     -> ((s: SparkSession, d: String) => operators.Behavioral.rollingWau(s, d)),
+    "q121_anomaly_days"    -> ((s: SparkSession, d: String) => operators.Behavioral.anomalyDays(s, d)),
+    "q122_skyline"         -> ((s: SparkSession, d: String) => operators.Skyline.customerFrontier(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2163,6 +2166,40 @@ object SparkEntry {
         |  FROM c)
         |SELECT l_returnflag, qty AS mode_qty, c AS n_modal
         |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    // rolling 7-day distinct users: each (user, active day) feeds the 7
+    // window-ends it belongs to; windows clipped to observed days
+    "q120_rolling_wau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |c AS (SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS wend
+        |  FROM du, unnest(generate_series(0, 6)) t(i)),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT strftime(c.wend, '%Y-%m-%d') AS day, count(*) AS wau
+        |FROM c JOIN days ON c.wend = days.day GROUP BY c.wend ORDER BY 1""".stripMargin,
+    // 2-sigma anomaly days on the cross-multiplied integer form —
+    // (n−1)(nx−Σx)² > 4n(nΣx²−(Σx)²) in HUGEINT, no float boundary
+    "q121_anomaly_days" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx FROM daily GROUP BY 1)
+        |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.x AS cents, st.n AS n_days
+        |FROM daily d JOIN st USING (event_type)
+        |WHERE st.n > 1
+        |  AND CAST(st.n - 1 AS HUGEINT) * (CAST(st.n AS HUGEINT) * d.x - st.sx)
+        |        * (CAST(st.n AS HUGEINT) * d.x - st.sx)
+        |      > CAST(4 AS HUGEINT) * st.n * (CAST(st.n AS HUGEINT) * st.sxx - CAST(st.sx AS HUGEINT) * st.sx)
+        |ORDER BY d.event_type, d.day""".stripMargin,
+    // skyline: the oracle is the naive quadratic NOT EXISTS dominance
+    // definition; the engine's two-phase window kernel must equal it
+    "q122_skyline" ->
+      """WITH pts AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v1,
+        |    count(*) AS v2 FROM orders GROUP BY 1)
+        |SELECT p.o_custkey, CAST(p.v1 AS DOUBLE) AS spend, p.v2 AS n_orders
+        |FROM pts p
+        |WHERE NOT EXISTS (SELECT 1 FROM pts q
+        |  WHERE q.v1 >= p.v1 AND q.v2 >= p.v2 AND (q.v1 > p.v1 OR q.v2 > p.v2))
+        |ORDER BY p.o_custkey""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

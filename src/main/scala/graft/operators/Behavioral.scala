@@ -109,4 +109,59 @@ object Behavioral {
         col("sessions"), col("max_concurrent"))
       .orderBy(col("day"))
   }
+
+  /** Rolling 7-day distinct users (WAU) per observed day. A sliding
+    * COUNT(DISTINCT) has no partial-mergeable form, so the scalable
+    * formulation materializes each (user, active-day) pair into the 7
+    * window-ends it contributes to, dedups (user, window) once, and
+    * counts — a bounded ×7 map-side expansion and one shuffle keyed
+    * on (user, window), never a per-window re-scan. Windows are
+    * clipped to days that actually appear in the data. */
+  def rollingWau(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.loadEvents(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val contrib = du.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6),
+          expr("interval 1 day"))).as("wend"))
+      .distinct()
+    val days = du.select(col("day")).distinct()
+    contrib.join(days, contrib("wend") === days("day"))
+      .groupBy(col("wend")).agg(count(lit(1)).as("wau"))
+      .select(date_format(col("wend"), "yyyy-MM-dd").as("day"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  /** Statistical anomaly days: for each event type, days whose total
+    * value (in cents) deviates from the type's own history by more
+    * than `sigmas` sample standard deviations. The test is evaluated
+    * on the cross-multiplied INTEGER form
+    *   (n−1)·(n·x − Σx)² > sigmas²·n·(n·Σx² − (Σx)²)
+    * in DECIMAL(38,0), so there is no float boundary anywhere and any
+    * engine flags the same days (safe while daily cent-sums stay
+    * below ~10^12 — 38 digits bound the squared products). One
+    * day-grain aggregation, one per-type stats aggregation (tiny),
+    * broadcast back over the day frame. */
+  def anomalyDays(spark: SparkSession, dir: String, sigmas: Int = 2): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // cents via DECIMAL(18,2): double→decimal→×100 is exact; a raw
+    // double×100 truncation would disagree across engines
+    val d182 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val daily = Tables.loadEvents(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast(d182) * 100).cast("long")).as("x"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum((col("x").cast(d38) * col("x").cast(d38)).cast(d38)).as("sxx"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .filter(col("n") > 1)
+      .withColumn("dev", (col("n").cast(d38) * col("x").cast(d38) -
+        col("sx").cast(d38)).cast(d38))
+      .withColumn("lhs", ((col("n") - 1).cast(d38) * (col("dev") * col("dev")).cast(d38)).cast(d38))
+      .withColumn("rhs", (lit(sigmas * sigmas).cast(d38) * col("n").cast(d38) *
+        (col("n").cast(d38) * col("sxx") - (col("sx").cast(d38) * col("sx").cast(d38)).cast(d38)).cast(d38)).cast(d38))
+      .filter(col("lhs") > col("rhs"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("x").as("cents"), col("n").as("n_days"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

@@ -111,6 +111,52 @@ class BehavioralSpec extends SparkSpec {
     assert(out === Map(2L -> 1741625L, 1L -> 629187L, 3L -> 629187L, 4L -> 150000L))
   }
 
+  test("rolling WAU: trailing 7-day distinct users, only observed days emitted") {
+    val dir = Files.createTempDirectory("graft_wau").toString
+    Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-03-01 11:00:00"), 2L, "view", 1.0, "{}"),
+      (3L, ts("2024-03-08 10:00:00"), 2L, "view", 1.0, "{}")) // 7 days later: u1 aged out
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Behavioral.rollingWau(spark, dir).collect()
+      .map(r => r.getAs[String]("day") -> r.getAs[Long]("wau")).toMap
+    assert(out === Map("2024-03-01" -> 2L, "2024-03-08" -> 1L))
+  }
+
+  test("anomaly days: integer 2-sigma boundary flags exactly the planted spike") {
+    val dir = Files.createTempDirectory("graft_anom").toString
+    // 9 days at 10.00, one at 20.00 → (n−1)(nx−Σx)² = 729e6 > 360e6 = 4n(nΣx²−Σx²)
+    val rows = (1 to 10).map { d =>
+      val v = if (d == 5) 20.0 else 10.0
+      (d.toLong, ts(f"2024-03-$d%02d 10:00:00"), 1L, "a", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Behavioral.anomalyDays(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("day") === "2024-03-05")
+    assert(out.head.getAs[Long]("cents") === 2000L)
+  }
+
+  test("skyline kernel: dominance with ties and duplicates, two-phase = definition") {
+    val pts = Seq(
+      (1L, 10L, 1L), // dominated by 2 (same v1, higher v2)
+      (2L, 10L, 5L), // frontier
+      (3L, 5L, 9L),  // dominated by 4 (strictly better v1, equal v2)
+      (4L, 9L, 9L),  // frontier
+      (5L, 10L, 5L), // exact duplicate of 2 — both survive
+      (6L, 3L, 2L),  // dominated
+      (7L, 10L, 4L)  // dominated by 2
+    ).toDF("id", "v1", "v2")
+    val out = graft.operators.Skyline.skyline(pts).collect().map(_.getAs[Long]("id")).sorted
+    assert(out.toSeq === Seq(2L, 4L, 5L))
+    assert(graft.operators.Skyline.skyline(pts.limit(0)).count() === 0L)
+    // identical points: nothing dominates anything — all kept
+    val same = Seq((1L, 7L, 7L), (2L, 7L, 7L), (3L, 7L, 7L)).toDF("id", "v1", "v2")
+    assert(graft.operators.Skyline.skyline(same).count() === 3L)
+  }
+
   test("duplicated spans: cross-doc island union, clean docs excluded") {
     val dir = Files.createTempDirectory("graft_spans").toString
     val w = (1 to 20).map(i => s"w$i") // 20 distinct tokens
