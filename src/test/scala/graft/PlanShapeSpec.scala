@@ -100,4 +100,24 @@ class PlanShapeSpec extends SparkSpec {
     val plan = df.queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
   }
+
+  test("q117: pagerank iterations broadcast the node-sized contribution frame") {
+    val plan = finalPlan(graft.operators.Affinity.pageRankCoSupply(spark, sf))
+    // 3 iterations → 3 broadcast joins of `per` against the cached
+    // edge frame; the edge frame itself is never broadcast (it is the
+    // corpus-sized side)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // top-k arrives via TakeOrdered, never a global Sort+collect
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q122: skyline phase-1 windows are hash-partitioned, not single-partition") {
+    val df = graft.operators.Skyline.customerFrontier(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    // the phase-1 kernel must window inside hash partitions (partial
+    // frontiers, spec `windowspecdefinition(p#…)`); only the phase-2
+    // pass over the small survivor set runs an unpartitioned window
+    assert(plan.contains("windowspecdefinition(p#"), plan)
+    assert(plan.contains("windowspecdefinition(v1#"), plan)
+  }
 }
