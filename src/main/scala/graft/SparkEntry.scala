@@ -866,6 +866,8 @@ object SparkEntry {
     "q120_rolling_wau"     -> ((s: SparkSession, d: String) => operators.Behavioral.rollingWau(s, d)),
     "q121_anomaly_days"    -> ((s: SparkSession, d: String) => operators.Behavioral.anomalyDays(s, d)),
     "q122_skyline"         -> ((s: SparkSession, d: String) => operators.Skyline.customerFrontier(s, d)),
+    "q123_triangles"       -> ((s: SparkSession, d: String) => operators.Affinity.triangleCount(s, d)),
+    "q124_profile"         -> ((s: SparkSession, d: String) => operators.Profile.ordersProfile(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2200,6 +2202,56 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM pts q
         |  WHERE q.v1 >= p.v1 AND q.v2 >= p.v2 AND (q.v1 > p.v1 OR q.v2 > p.v2))
         |ORDER BY p.o_custkey""".stripMargin,
+    // degree-ordered triangle counting over the support-thresholded
+    // part co-purchase graph; each triangle is exactly one closed
+    // wedge; n_wedges = Σ outdeg·(outdeg−1)/2 audits the bound
+    "q123_triangles" ->
+      """WITH e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT id, count(*) AS d
+        |  FROM (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0) GROUP BY 1),
+        |o AS (SELECT CASE WHEN (ds.d, e0.src) < (dd.d, e0.dst) THEN e0.src ELSE e0.dst END AS u,
+        |             CASE WHEN (ds.d, e0.src) < (dd.d, e0.dst) THEN e0.dst ELSE e0.src END AS v
+        |  FROM e0 JOIN deg ds ON ds.id = e0.src JOIN deg dd ON dd.id = e0.dst),
+        |w AS (SELECT o1.v AS y, o2.v AS z FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v),
+        |t AS (SELECT count(*) AS n_triangles FROM w
+        |  WHERE EXISTS (SELECT 1 FROM e0 WHERE e0.src = w.y AND e0.dst = w.z)),
+        |nw AS (SELECT CAST(sum(od * (od - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM (SELECT u, count(*) AS od FROM o GROUP BY u))
+        |SELECT t.n_triangles, nw.n_wedges FROM t, nw""".stripMargin,
+    // single-pass table profile of orders; formatting is
+    // type-dispatched so min/max strings are engine-portable
+    "q124_profile" ->
+      """SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_v, CAST(max(o_orderkey) AS VARCHAR) AS max_v
+        |FROM orders
+        |UNION ALL SELECT 'o_custkey', count(*),
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderstatus),
+        |  min(o_orderstatus), max(o_orderstatus) FROM orders
+        |UNION ALL SELECT 'o_totalprice', count(*),
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_totalprice),
+        |  CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |  CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'o_orderdate', count(*),
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderdate),
+        |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'), strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders
+        |UNION ALL SELECT 'o_orderpriority', count(*),
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority) FROM orders
+        |ORDER BY "column"""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -95,4 +95,68 @@ object Affinity {
       .limit(k)
       .select(col("id").as("s_suppkey"), col("score"))
   }
+
+  /** Undirected part co-purchase edges: parts appearing together in
+    * at least `minSupport` distinct orders, canonically keyed
+    * src < dst. The support threshold is what keeps the projected
+    * graph SPARSE — a bipartite projection without it densifies
+    * toward a clique as the corpus grows (the supplier projection
+    * here is already 91% complete at sf0.1), and no triangle
+    * algorithm survives a near-clique. */
+  private def coPurchaseEdges(spark: SparkSession, dir: String,
+                              minSupport: Int): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val sets = li.distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    sets.select(explode(expr(
+      "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS src, y AS dst))))"
+    )).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSupport)
+      .select(col("src"), col("dst"))
+  }
+
+  /** Triangle count over the part co-purchase graph, using the
+    * DEGREE-ORDERED orientation (Schank & Wagner / Cohen's MapReduce
+    * formulation): every edge points from its (degree, id)-smaller
+    * endpoint to the larger, so each triangle {x≺y≺z} is generated
+    * exactly once as the wedge x→y, x→z closed by y→z — and the wedge
+    * count is Σ outdeg² ≤ O(m^1.5) instead of Σ deg² (a single hub
+    * node no longer explodes the join: its edges all point INTO it).
+    * Returns the global count plus the wedge count (the audit number
+    * that proves the orientation bounded the join). */
+  def triangleCount(spark: SparkSession, dir: String,
+                    minSupport: Int = 2): DataFrame = {
+    // undirected edge set, canonically keyed src < dst (by id)
+    val und = coPurchaseEdges(spark, dir, minSupport).cache()
+    val deg = und.select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // orient each edge from its (degree, id)-smaller endpoint
+    val oriented = und
+      .join(deg.select(col("id").as("src"), col("d").as("ds")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("d").as("dd")), Seq("dst"))
+      .select(
+        when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
+          struct(col("src").as("u"), col("dst").as("v")))
+          .otherwise(struct(col("dst").as("u"), col("src").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .cache()
+    // every triangle has exactly ONE node with out-edges to the other
+    // two, so each is generated by exactly one wedge; y < z keeps one
+    // of the two symmetric join rows per out-neighbor pair
+    val wedges = oriented.select(col("u").as("x"), col("v").as("y"))
+      .join(oriented.select(col("u").as("x"), col("v").as("z")), Seq("x"))
+      .filter(col("y") < col("z"))
+      .select(col("y").as("src"), col("z").as("dst"))
+    val closed = wedges.join(und, Seq("src", "dst"), "left_semi")
+    // wedge count from out-degrees (Σ d·(d−1)/2) — the audit number
+    // never materializes the wedge frame a second time
+    val nWedges = oriented.groupBy(col("u")).agg(count(lit(1)).as("od"))
+      .agg(sum(expr("od * (od - 1) div 2")).as("n_wedges"))
+    closed.agg(count(lit(1)).as("n_triangles")).crossJoin(nWedges)
+  }
 }

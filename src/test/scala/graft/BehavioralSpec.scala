@@ -157,6 +157,37 @@ class BehavioralSpec extends SparkSpec {
     assert(graft.operators.Skyline.skyline(same).count() === 3L)
   }
 
+  test("triangles: K4 co-purchase clique has 4 triangles; orientation bounds wedges") {
+    val dir = Files.createTempDirectory("graft_tri").toString
+    // TWO orders over parts {1,2,3,4} → all 6 K4 edges at support 2;
+    // a pendant pair {4,5} twice (edge, no triangle); {1,5} appears
+    // only ONCE → below the support threshold, no edge
+    val rows = Seq(10L, 20L).flatMap(o => Seq(1L, 2L, 3L, 4L).map(p => (o, p))) ++
+      Seq((30L, 4L), (30L, 5L), (40L, 4L), (40L, 5L), (50L, 1L), (50L, 5L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Affinity.triangleCount(spark, dir).collect().head
+    assert(out.getAs[Long]("n_triangles") === 4L)
+    // degree-ordered out-degrees: 1:{2,3,4}, 2:{3,4}, 3:{4}, 5:{4} →
+    // Σ d(d−1)/2 = 3 + 1 = 4 wedges, every one closed; a naive
+    // Σ deg² orientation would have generated 10
+    assert(out.getAs[Long]("n_wedges") === 4L)
+  }
+
+  test("profile: one-pass per-column nulls, distincts and typed min/max rendering") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some(2.5)),
+      (Some(2L), None, Some(10.0)),
+      (None, Some("b"), Some(2.5))).toDF("k", "s", "v")
+    val out = graft.operators.Profile.profile(df).collect()
+      .map(r => r.getAs[String]("column") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"), r.getAs[Long]("n_distinct"),
+          r.getAs[String]("min_v"), r.getAs[String]("max_v"))).toMap
+    assert(out("k") === ((3L, 1L, 2L, "1", "2")))
+    assert(out("s") === ((3L, 1L, 2L, "a", "b")))
+    assert(out("v") === ((3L, 0L, 2L, "2.50", "10.00")))
+  }
+
   test("duplicated spans: cross-doc island union, clean docs excluded") {
     val dir = Files.createTempDirectory("graft_spans").toString
     val w = (1 to 20).map(i => s"w$i") // 20 distinct tokens
