@@ -149,6 +149,12 @@ object Multimodal {
   def gifFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents").select(col("doc_id").as("media_id"))
+      // the multi-frame codec loop is CPU-heavy and the single-file
+      // scan is ONE split — spread the (tiny) id column across all
+      // cores first (measured 4.5 s -> 1.5 s at sf0.1; the PNG/WAV
+      // decoders below stay unspread: their per-row cost is too small
+      // to amortize the shuffle)
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .mapPartitions(_.map { id =>
         val gif = encodeGif(id)
