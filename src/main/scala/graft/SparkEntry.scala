@@ -868,6 +868,36 @@ object SparkEntry {
     "q122_skyline"         -> ((s: SparkSession, d: String) => operators.Skyline.customerFrontier(s, d)),
     "q123_triangles"       -> ((s: SparkSession, d: String) => operators.Affinity.triangleCount(s, d)),
     "q124_profile"         -> ((s: SparkSession, d: String) => operators.Profile.ordersProfile(s, d)),
+    // CHECK constraints end-to-end: a violating delta (odd keys,
+    // negated prices) is REFUSED at commit time; only the conforming
+    // delta lands — the final aggregate proves the refusal by content
+    "q125_snapshot_check" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val table = fixture("snapcheck", s, d, "orders") { path =>
+        wipe(s, path)
+        graft.sources.Snapshots.commitOverwrite(s, path,
+          o.filter(col("o_orderkey") % 2 === 0))
+        graft.sources.Snapshots.setCheck(s, path, "price_positive", "price >= 0")
+        val bad = o.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("price", -col("price"))
+        val refused =
+          try { graft.sources.Snapshots.commitUpsert(s, path, bad, "o_orderkey"); false }
+          catch { case _: graft.sources.CheckConstraintViolationException => true }
+        require(refused, "q125: violating commit was NOT refused")
+        graft.sources.Snapshots.commitUpsert(s, path,
+          o.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 3 === 0),
+          "o_orderkey")
+        ()
+      }
+      graft.sources.Snapshots.read(s, table)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2252,6 +2282,14 @@ object SparkEntry {
         |  count(DISTINCT o_orderpriority),
         |  min(o_orderpriority), max(o_orderpriority) FROM orders
         |ORDER BY "column"""".stripMargin,
+    // the refused delta (odd keys, negative prices) must be absent:
+    // the surviving table is evens + odd multiples of 3, unmodified
+    "q125_snapshot_check" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0 OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   * silently drop the other writer's rows (a lost update). */
 class ConcurrentSnapshotCommitException(msg: String) extends IOException(msg)
 
+/** A CHECK constraint rejected rows a commit tried to publish; nothing
+  * was published (the written data dir is an orphan vacuum reclaims). */
+class CheckConstraintViolationException(msg: String) extends IOException(msg)
+
 /** Manifest-committed versioned table ("Delta-lite") — the
   * reader-atomic, multi-writer-safe complement to
   * [[Sinks.atomicOverwrite]].
@@ -93,6 +97,7 @@ object Snapshots {
   private val DvKeyLine = "dvkey="
   private val DvLine = "dv:"
   private val StatColRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  private val ChecksFile = "_checks"
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -360,6 +365,100 @@ object Snapshots {
     * On HDFS neither is needed and both are cheap. */
   private val claimLock = new Object
 
+  // ------------------------------------------------- CHECK constraints
+
+  /** Table-level CHECK constraints (name → boolean SQL expression),
+    * stored in `tableDir/_checks` (one `name|expr` line each; the name
+    * is a validated identifier, the expr absorbs the line remainder —
+    * same framing as manifest stat lines). */
+  def checks(spark: SparkSession, tableDir: String): Seq[(String, String)] = {
+    val p = new Path(tableDir, ChecksFile)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList finally in.close()
+    lines.map { l =>
+      val bar = l.indexOf('|')
+      require(bar > 0, s"Snapshots: malformed check line '$l' in $tableDir/$ChecksFile")
+      (l.substring(0, bar), l.substring(bar + 1))
+    }
+  }
+
+  private def writeChecks(spark: SparkSession, tableDir: String,
+                          cs: Seq[(String, String)]): Unit = {
+    val p = new Path(tableDir, ChecksFile)
+    val fs = fsOf(spark, p)
+    val tmp = new Path(tableDir, s".tmp-checks-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(cs.map { case (n, e) => s"$n|$e" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"Snapshots: could not publish $ChecksFile")
+  }
+
+  /** Add (or replace) a CHECK constraint. Like Delta's ADD CONSTRAINT,
+    * the CURRENT snapshot must already satisfy it — otherwise this
+    * throws and the constraint is not installed. From then on every
+    * commit validates the data dirs it newly references and refuses
+    * loudly on violation; a NULL check result counts as a violation
+    * (CHECK must evaluate to true). */
+  def setCheck(spark: SparkSession, tableDir: String, name: String,
+               checkExpr: String): Unit = {
+    require(StatColRe.findFirstIn(name).isDefined,
+      s"Snapshots: check name '$name' is not a plain identifier")
+    require(!checkExpr.contains("\n") && !checkExpr.contains("\r"),
+      "Snapshots: check expressions must be single-line")
+    currentVersion(spark, tableDir).foreach { v =>
+      val bad = readVersion(spark, tableDir, v)
+        .filter(!coalesce(expr(checkExpr), lit(false))).limit(1).collect()
+      if (bad.nonEmpty) throw new CheckConstraintViolationException(
+        s"Snapshots: existing data of $tableDir violates CHECK $name " +
+          s"($checkExpr); offending row: ${bad.head}")
+    }
+    writeChecks(spark, tableDir,
+      checks(spark, tableDir).filterNot(_._1 == name) :+ (name -> checkExpr))
+  }
+
+  def dropCheck(spark: SparkSession, tableDir: String, name: String): Unit =
+    writeChecks(spark, tableDir, checks(spark, tableDir).filterNot(_._1 == name))
+
+  /** Commit-time enforcement, run before any claim: rows in data dirs
+    * the PREVIOUS version does not already reference must satisfy
+    * every installed check. Dirs carried forward (partition refs,
+    * restore targets, DV key dirs) are exempt — constraints gate data
+    * entering the table from now on, they never retroactively poison
+    * time travel or restore. A violation throws before the manifest is
+    * written, so nothing is published and the new dir is a plain
+    * vacuum-reclaimable orphan (the crash contract). */
+  private def validateChecks(spark: SparkSession, tableDir: String,
+                             manifest: Manifest): Unit = {
+    val cs = checks(spark, tableDir)
+    if (cs.isEmpty) return
+    // exempt dirs referenced by ANY retained version: they are table
+    // history, not new data (this is what keeps restore legal); note
+    // compaction writes a NEW dir, so compacting restored
+    // pre-constraint data re-validates — drop the check first if that
+    // is intended
+    val prevDirs: Set[String] =
+      listVersions(spark, tableDir).flatMap { v =>
+        val pm = readManifest(spark, tableDir, v)
+        pm.dataDir.toSeq ++ pm.partitions.map(_._2)
+      }.toSet
+    val newDirs = (manifest.dataDir.toSeq ++ manifest.partitions.map(_._2))
+      .distinct.filterNot(prevDirs.contains)
+    newDirs.foreach { dd =>
+      val df = spark.read.parquet(new Path(tableDir, dd).toString)
+      cs.foreach { case (name, ce) =>
+        val bad = df.filter(!coalesce(expr(ce), lit(false))).limit(1).collect()
+        if (bad.nonEmpty) throw new CheckConstraintViolationException(
+          s"Snapshots: commit to $tableDir rejected by CHECK $name ($ce); " +
+            s"offending row: ${bad.head}")
+      }
+    }
+  }
+
   /** Atomically claim version number `n`: write a tmp manifest and
     * rename it to `_commits/vN` WITHOUT overwrite, then read the
     * target back and verify it carries OUR body (data dir names are
@@ -368,6 +467,7 @@ object Snapshots {
     * when the number was already taken. */
   private[graft] def tryClaim(spark: SparkSession, tableDir: String, n: Int,
                               manifest: Manifest): Boolean = claimLock.synchronized {
+    validateChecks(spark, tableDir, manifest)
     val commits = new Path(tableDir, CommitDir)
     val fs = fsOf(spark, commits)
     fs.mkdirs(commits)
@@ -1405,6 +1505,11 @@ object Snapshots {
     val commits = new Path(dir, CommitDir)
     if (fs.exists(commits)) fs.listStatus(commits).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith(".tmp-"))
+      .filter(st => st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, false))
+    // same sweep for a dead setCheck's tmp file in the table root
+    if (fs.exists(dir)) fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(".tmp-checks-"))
       .filter(st => st.getModificationTime < cutoff)
       .foreach(st => fs.delete(st.getPath, false))
     doomed.size
