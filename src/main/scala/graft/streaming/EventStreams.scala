@@ -133,6 +133,40 @@ object EventStreams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** Trending top-k sink: tumbling-window event-type counts finalized
+    * by the watermark (append mode → each window leaves the aggregate
+    * EXACTLY once), reduced inside `foreachBatch` to the `k` most
+    * frequent types per window by the native bounded-heap TopK
+    * operator, and published with DYNAMIC PARTITION OVERWRITE keyed
+    * on the window — so a replayed micro-batch rewrites the same
+    * window partitions instead of appending duplicates (idempotent
+    * sink, the exactly-once complement of the watermark's exactly-once
+    * emission). Heap ties at the k-boundary are operator-arbitrary —
+    * callers needing a total order should disambiguate the count
+    * (window row_number) at read time. */
+  def trendingTopKSink(events: DataFrame, outDir: String, k: Int = 3,
+                       window_ : String = "1 hour", watermark: String = "10 minutes")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("event_type"), col("n"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val top = graft.plans.TopK
+            .perGroup(batch, Seq("window_start"), "n", k, ascending = false)
+            .orderBy(col("window_start"), col("n").desc, col("event_type"))
+          top.sparkSession.conf
+            .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          top.write.mode("overwrite").partitionBy("window_start").parquet(outDir)
+        }
+        ()
+      }
+
   /** Backfill/catch-up runner: drain everything currently available
     * through a streaming query, then stop — streaming semantics
     * (incremental state, checkpointed exactly-once sink, and the

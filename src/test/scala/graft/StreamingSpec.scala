@@ -444,4 +444,46 @@ class StreamingSpec extends SparkSpec {
       assert(got === Set((1L, "A", 10.0), (2L, "B", 2.0), (3L, "A", 3.0)))
     } finally q2.stop()
   }
+
+  test("trending top-k sink emits finalized windows once, overwrite-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_trend").toString
+    val source = MemoryStream[(Timestamp, String, Double)]
+    val events = source.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.trendingTopKSink(events, s"$dir/out", k = 2)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // window [22:00, 23:00): click ×3, view ×2, error ×1 → top2 click, view
+      source.addData(
+        (ts(0), "click", 1.0), (ts(1), "click", 1.0), (ts(2), "click", 1.0),
+        (ts(3), "view", 1.0), (ts(4), "view", 1.0), (ts(5), "error", 1.0))
+      q.processAllAvailable()
+      // nothing finalized yet — the watermark has not passed the window
+      assert(!new java.io.File(s"$dir/out").exists() ||
+        spark.read.parquet(s"$dir/out").count() === 0)
+      // an event far past the window advances the watermark → finalize
+      source.addData((ts(200), "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out")
+        .select(col("event_type"), col("n")).as[(String, Long)].collect().toSet
+      assert(got === Set(("click", 3L), ("view", 2L)))
+    } finally q.stop()
+    // a fresh checkpoint replaying the same batches overwrites the same
+    // window partition — no duplicate rows accumulate
+    val source2 = MemoryStream[(Timestamp, String, Double)]
+    val events2 = source2.toDF().toDF("ts", "event_type", "value")
+    val q2 = EventStreams.trendingTopKSink(events2.toDF(), s"$dir/out", k = 2)
+      .option("checkpointLocation", s"$dir/ckpt2").start()
+    try {
+      source2.addData(
+        (ts(0), "click", 1.0), (ts(1), "click", 1.0), (ts(2), "click", 1.0),
+        (ts(3), "view", 1.0), (ts(4), "view", 1.0), (ts(5), "error", 1.0))
+      q2.processAllAvailable()
+      source2.addData((ts(200), "click", 1.0))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out")
+        .select(col("event_type"), col("n")).as[(String, Long)].collect().toSet
+      assert(got === Set(("click", 3L), ("view", 2L)))
+    } finally q2.stop()
+  }
 }
