@@ -898,6 +898,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
         .orderBy(col("o_orderstatus"))
     }),
+    "q126_event_paths"   -> ((s: SparkSession, d: String) => operators.Behavioral.eventPaths(s, d)),
+    "q127_funnel_timing" -> ((s: SparkSession, d: String) => operators.Behavioral.funnelTiming(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2290,6 +2292,32 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey % 2 = 0 OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // consecutive event-type trigrams per user stream, global top-20
+    "q126_event_paths" ->
+      """WITH w AS (SELECT event_type,
+        |    lead(event_type, 1) OVER win AS e2, lead(event_type, 2) OVER win AS e3
+        |  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        |FROM w WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // funnel transition delays in whole seconds; R-7 quantiles on
+    // integers are dyadic — binary-exact on both engines
+    "q127_funnel_timing" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 7 DAY GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 7 DAY GROUP BY 1),
+        |d1 AS (SELECT (epoch_us(s2.t) - epoch_us(s1.t)) // 1000000 AS delay_s
+        |  FROM s1 JOIN s2 USING (user_id)),
+        |d2 AS (SELECT (epoch_us(s3.t) - epoch_us(s2.t)) // 1000000 AS delay_s
+        |  FROM s2 JOIN s3 USING (user_id))
+        |SELECT 'view>click' AS transition, count(*) AS n_users,
+        |  round(quantile_cont(delay_s, 0.5), 4) AS median_s,
+        |  round(quantile_cont(delay_s, 0.9), 4) AS p90_s FROM d1
+        |UNION ALL SELECT 'click>purchase', count(*),
+        |  round(quantile_cont(delay_s, 0.5), 4), round(quantile_cont(delay_s, 0.9), 4) FROM d2
+        |ORDER BY transition""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -131,6 +131,58 @@ object Behavioral {
       .orderBy(col("day"))
   }
 
+  /** Path analysis: the most common CONSECUTIVE event-type triples
+    * across user streams (the "what do users do next" query). Two
+    * lead() windows inside the user partition build the trigrams —
+    * no self-joins — then one low-cardinality count. Ties in the
+    * top-k break lexicographically on the path. */
+  def eventPaths(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Funnel step timing: for users who complete each funnel
+    * transition (same in-order, in-window rule as [[funnel]]), the
+    * R-7 median and p90 of the transition delay in whole seconds.
+    * Delays are integer seconds, so the quantiles land on dyadic
+    * rationals — binary-exact in any engine (same argument as the
+    * length-outlier medians). */
+  def funnelTiming(spark: SparkSession, dir: String,
+                   steps: Seq[String] = Seq("view", "click", "purchase"),
+                   withinDays: Int = 7): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val first = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts")).as("t"))
+    val stages = steps.tail.scanLeft(first) { (prev, step) =>
+      e.filter(col("event_type") === step)
+        .join(prev, "user_id")
+        .filter(col("ts") > col("t") &&
+          col("ts") <= col("t") + expr(s"interval $withinDays days"))
+        .groupBy("user_id").agg(min(col("ts")).as("t"))
+    }
+    stages.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      val d = a.select(col("user_id"), col("t").as("ta"))
+        .join(b.select(col("user_id"), col("t").as("tb")), "user_id")
+        .select(((unix_micros(col("tb")) - unix_micros(col("ta"))) / 1000000L)
+          .cast("long").as("delay_s"))
+      d.agg(count(lit(1)).as("n_users"),
+          round(percentile(col("delay_s"), lit(0.5)), 4).as("median_s"),
+          round(percentile(col("delay_s"), lit(0.9)), 4).as("p90_s"))
+        .select(lit(s"${steps(i)}>${steps(i + 1)}").as("transition"),
+          col("n_users"), col("median_s"), col("p90_s"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("transition"))
+  }
+
   /** Statistical anomaly days: for each event type, days whose total
     * value (in cents) deviates from the type's own history by more
     * than `sigmas` sample standard deviations. The test is evaluated

@@ -111,6 +111,43 @@ class BehavioralSpec extends SparkSpec {
     assert(out === Map(2L -> 1741625L, 1L -> 629187L, 3L -> 629187L, 4L -> 150000L))
   }
 
+  test("event paths: consecutive trigrams within a user stream, never across users") {
+    val dir = Files.createTempDirectory("graft_paths").toString
+    Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-03-01 10:01:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-03-01 10:02:00"), 1L, "purchase", 1.0, "{}"),
+      (4L, ts("2024-03-01 10:03:00"), 1L, "view", 1.0, "{}"),
+      (5L, ts("2024-03-01 10:00:30"), 2L, "error", 1.0, "{}"), // u2: 1 event, no trigram
+      (6L, ts("2024-03-01 10:04:00"), 3L, "view", 1.0, "{}"),
+      (7L, ts("2024-03-01 10:05:00"), 3L, "click", 1.0, "{}"),
+      (8L, ts("2024-03-01 10:06:00"), 3L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Behavioral.eventPaths(spark, dir).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("n")).toMap
+    assert(out === Map("view>click>purchase" -> 2L, "click>purchase>view" -> 1L))
+  }
+
+  test("funnel timing: whole-second transition delays with exact medians") {
+    val dir = Files.createTempDirectory("graft_ftime").toString
+    // u1: view→click 90 s, click→purchase 30 s; u2: view→click 10 s
+    Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-03-01 10:01:30"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-03-01 10:02:00"), 1L, "purchase", 1.0, "{}"),
+      (4L, ts("2024-03-01 11:00:00"), 2L, "view", 1.0, "{}"),
+      (5L, ts("2024-03-01 11:00:10"), 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Behavioral.funnelTiming(spark, dir).collect()
+      .map(r => r.getAs[String]("transition") ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("median_s"))).toMap
+    assert(out === Map(
+      "view>click" -> ((2L, 50.0)), // R-7 median of {10, 90}
+      "click>purchase" -> ((1L, 30.0))))
+  }
+
   test("rolling WAU: trailing 7-day distinct users, only observed days emitted") {
     val dir = Files.createTempDirectory("graft_wau").toString
     Seq(
