@@ -900,6 +900,14 @@ object SparkEntry {
     }),
     "q126_event_paths"   -> ((s: SparkSession, d: String) => operators.Behavioral.eventPaths(s, d)),
     "q127_funnel_timing" -> ((s: SparkSession, d: String) => operators.Behavioral.funnelTiming(s, d)),
+    "q128_attribution"   -> ((s: SparkSession, d: String) => operators.Behavioral.attribution(s, d)),
+    "q129_group_regression" -> Relational.groupRegression _,
+    "q130_ewma"          -> ((s: SparkSession, d: String) => operators.Behavioral.ewmaDaily(s, d)),
+    "q131_kcore"         -> ((s: SparkSession, d: String) => operators.Affinity.kCore(s, d)),
+    "q132_bfs_hops"      -> ((s: SparkSession, d: String) => operators.Affinity.bfsHops(s, d)),
+    "q133_sig_jaccard"   -> ((s: SparkSession, d: String) => Dedup.signatureJaccard(s, d)),
+    "q134_fk_audit"      -> Relational.fkAudit _,
+    "q135_readability"   -> ((s: SparkSession, d: String) => TextAnalysis.readability(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2318,6 +2326,158 @@ object SparkEntry {
         |UNION ALL SELECT 'click>purchase', count(*),
         |  round(quantile_cont(delay_s, 0.5), 4), round(quantile_cont(delay_s, 0.9), 4) FROM d2
         |ORDER BY transition""".stripMargin,
+    // first/last-touch attribution: per-user timeline totally ordered
+    // by (ts, event_id); purchases with no prior touch → 'direct'
+    "q128_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+        |t AS (SELECT *,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM e),
+        |p AS (SELECT coalesce(ft, 'direct') AS fc, coalesce(lt, 'direct') AS lc, cents
+        |  FROM t WHERE event_type = 'purchase'),
+        |f AS (SELECT fc AS channel, CAST(sum(cents) AS BIGINT) AS first_touch_cents,
+        |    count(*) AS n_first FROM p GROUP BY 1),
+        |l AS (SELECT lc AS channel, CAST(sum(cents) AS BIGINT) AS last_touch_cents,
+        |    count(*) AS n_last FROM p GROUP BY 1)
+        |SELECT channel,
+        |  CAST(coalesce(first_touch_cents, 0) AS BIGINT) AS first_touch_cents,
+        |  CAST(coalesce(n_first, 0) AS BIGINT) AS n_first,
+        |  CAST(coalesce(last_touch_cents, 0) AS BIGINT) AS last_touch_cents,
+        |  CAST(coalesce(n_last, 0) AS BIGINT) AS n_last
+        |FROM f FULL OUTER JOIN l USING (channel) ORDER BY channel""".stripMargin,
+    // per-group OLS: exact integer sufficient statistics, then ONE
+    // mirrored IEEE expression tree (same recipe as q55)
+    "q129_group_regression" ->
+      """WITH xy AS (SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+        |       THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope_cents_per_unit,
+        |  CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+        |       THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END AS intercept_cents
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    // windowed dyadic EWMA: BIGINT numerator/denominator, one final
+    // double division
+    "q130_ewma" -> {
+      val ord = "OVER (PARTITION BY event_type ORDER BY day)"
+      val num = (0 until 8).map(k =>
+        if (k == 0) "cents * 128"
+        else s"coalesce(lag(cents, $k) $ord * ${1L << (7 - k)}, 0)").mkString(" + ")
+      val den = (0 until 8).map(k =>
+        if (k == 0) "128"
+        else s"CASE WHEN lag(cents, $k) $ord IS NOT NULL THEN ${1L << (7 - k)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, cents,
+        |    $num AS num,
+        |    $den AS den
+        |  FROM daily)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cents,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma_cents
+        |FROM w ORDER BY event_type, day""".stripMargin
+    },
+    // 4-round k-core peel (k=4) over q123's support-2 co-purchase
+    // graph; each round drops degree<k nodes and restricts the edges
+    "q131_kcore" -> {
+      val rounds = (0 until 4).map { i =>
+        s"""d$i AS (SELECT id, count(*) AS d
+          |  FROM (SELECT src AS id FROM e$i UNION ALL SELECT dst FROM e$i) GROUP BY 1),
+          |s$i AS (SELECT id FROM d$i WHERE d >= 4),
+          |e${i + 1} AS (SELECT src, dst FROM e$i
+          |  WHERE src IN (SELECT id FROM s$i) AND dst IN (SELECT id FROM s$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |$rounds
+        |SELECT id AS p_partkey, count(*) AS core_degree
+        |FROM (SELECT src AS id FROM e4 UNION ALL SELECT dst FROM e4)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // 3-round BFS min-hop relaxation from the %10=0 seed suppliers
+    // over q117's co-supply graph
+    "q132_bfs_hops" -> {
+      val rounds = (0 until 3).map { i =>
+        s"""d${i + 1} AS (SELECT id, min(dist) AS dist FROM (
+          |    SELECT id, dist FROM d$i
+          |    UNION ALL
+          |    SELECT p.dst AS id, d$i.dist + 1 FROM pairs p JOIN d$i ON p.src = d$i.id)
+          |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+        |d0 AS (SELECT s_suppkey AS id, CAST(0 AS BIGINT) AS dist
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |$rounds
+        |SELECT id AS s_suppkey, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY 1""".stripMargin
+    },
+    // signature-estimated vs exact Jaccard over the capped candidates;
+    // pairs with no shared shingle report exact 0 via the left join
+    "q133_sig_jaccard" ->
+      s"""$shingleCte,
+        |$cappedCandCtes,
+        |$jaccardVerifyCtes,
+        |eq AS (SELECT c.da, c.db,
+        |    CAST(${(0 until 12).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")} AS BIGINT) AS n_equal
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.da JOIN sig sb ON sb.doc_id = c.db)
+        |SELECT e.da, e.db, e.n_equal, CAST(e.n_equal AS DOUBLE) / 12.0 AS est_sim,
+        |  round(CAST(coalesce(x.i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(x.i, 0)), 4) AS jaccard
+        |FROM eq e LEFT JOIN inter x ON x.da = e.da AND x.db = e.db
+        |JOIN cnt ca ON ca.doc_id = e.da JOIN cnt cb ON cb.doc_id = e.db
+        |ORDER BY e.da, e.db""".stripMargin,
+    // star-schema referential-integrity audit: one row per FK edge
+    "q134_fk_audit" -> {
+      def edge(label: String, child: String, ck: String,
+               parent: String, pk: String): String =
+        s"""SELECT '$label' AS fk,
+          |  (SELECT count(*) FROM $child) AS n_child,
+          |  (SELECT CAST(coalesce(sum(CASE WHEN $ck IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+          |     FROM $child) AS n_null_keys,
+          |  (SELECT count(*) FROM $child c WHERE c.$ck IS NOT NULL
+          |     AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) AS n_orphans""".stripMargin
+      Seq(
+        edge("lineitem.l_orderkey>orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem.l_partkey>part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem.l_suppkey>supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("orders.o_custkey>customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("customer.c_nationkey>nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("supplier.s_nationkey>nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        edge("nation.n_regionkey>region", "nation", "n_regionkey", "region", "r_regionkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+    },
+    // Flesch readability: three integer counts, one mirrored double
+    // expression, banding over the identical double
+    "q135_readability" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'), x -> len(trim(x)) > 0)), 1) AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+        |    206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |            - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+        |  FROM b WHERE n_words > 0)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+        |  CASE WHEN flesch >= 70.0 THEN 'easy'
+        |       WHEN flesch >= 50.0 THEN 'medium' ELSE 'hard' END AS band
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -159,4 +159,74 @@ object Affinity {
       .agg(sum(expr("od * (od - 1) div 2")).as("n_wedges"))
     closed.agg(count(lit(1)).as("n_triangles")).crossJoin(nWedges)
   }
+
+  /** k-core decomposition by `rounds` peeling iterations over the part
+    * co-purchase graph: each round drops every node whose degree in
+    * the surviving subgraph is below `k`, then restricts the edges to
+    * the survivors. With enough rounds this is the exact k-core
+    * (dropping a node only ever lowers neighbors' degrees, so peeling
+    * is confluent); a fixed round count makes the operator
+    * oracle-unrollable and bounds the synchronization points on a
+    * cluster — the standard distributed formulation. Returns the
+    * surviving nodes with their in-core degree.
+    *
+    * Scale posture: each round is one degree aggregation plus two
+    * semi-joins keyed on the edge endpoints, all on a monotonically
+    * SHRINKING edge frame; nothing is ever collected. */
+  def kCore(spark: SparkSession, dir: String, k: Int = 4,
+            rounds: Int = 4, minSupport: Int = 2): DataFrame = {
+    var edges = coPurchaseEdges(spark, dir, minSupport).cache()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("src"), col("dst"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    for (_ <- 1 to rounds) {
+      // the survivor set is node-sized → broadcast semi-joins keep
+      // every round map-only over the edge frame (drop the hint for
+      // graphs whose NODE set outgrows broadcast range); each round's
+      // edge frame is materialized and the previous one released, so
+      // round r never re-executes rounds 1..r-1 (unbounded lineage
+      // growth is the classic iterative-DataFrame trap)
+      val keep = degrees(edges).filter(col("d") >= k).select(col("id"))
+      val next = edges
+        .join(broadcast(keep.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
+        .cache()
+      next.count()
+      edges.unpersist()
+      edges = next
+    }
+    degrees(edges)
+      .select(col("id").as("p_partkey"), col("d").as("core_degree"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Bounded-hop BFS (single-source shortest paths, `maxHops` rounds)
+    * over the co-supply graph from the seed suppliers
+    * (s_suppkey % seedMod = 0). Classic iterative frontier relaxation:
+    *   dist_{t+1}(n) = min(dist_t(n), min over edges src→n of dist_t(src)+1)
+    * unrolled a fixed number of rounds (distances beyond `maxHops`
+    * are unreported). Returns every reached supplier with its hop
+    * distance.
+    *
+    * Scale posture: per round, one equi-join of the node-sized
+    * distance frame against the edge frame (pre-partitioned by src so
+    * the edges never re-shuffle) and one min-aggregate; the frontier
+    * frame is node-sized, never edge-sized. */
+  def bfsHops(spark: SparkSession, dir: String, maxHops: Int = 3,
+              seedMod: Int = 10): DataFrame = {
+    val edges = coSupplyEdges(spark, dir).repartition(col("src")).cache()
+    val seeds = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey").as("id"))
+      .filter(col("id") % seedMod === 0)
+    var dist = seeds.select(col("id"), lit(0L).as("dist"))
+    for (_ <- 1 to maxHops) {
+      val next = edges
+        .join(broadcast(dist.withColumnRenamed("id", "src")), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+    }
+    dist.select(col("id").as("s_suppkey"), col("dist"))
+      .orderBy(col("s_suppkey"))
+  }
 }

@@ -216,4 +216,77 @@ object Behavioral {
         col("x").as("cents"), col("n").as("n_days"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** Multi-touch revenue attribution: each purchase's value (exact
+    * cents) is credited to the user's FIRST non-purchase touch
+    * (first-touch model) and to the LAST non-purchase touch strictly
+    * before the purchase (last-touch model); purchases with no prior
+    * touch credit the synthetic 'direct' channel. The per-user event
+    * timeline is totally ordered by (ts, event_id), so both models
+    * are deterministic under same-timestamp events.
+    *
+    * Scale posture: one user_id-keyed window pass over the events
+    * (the same shuffle the sessionizers pay — no self-join per
+    * purchase), then two channel-grain aggregations over the
+    * purchase-sized frame, merged with a full outer join on the tiny
+    * channel dimension. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val d182 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val e = Tables.loadEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("value"))
+    val before = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val credited = e
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(before))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(before))
+      .filter(col("event_type") === "purchase")
+      .select(
+        coalesce(col("first_touch"), lit("direct")).as("fc"),
+        coalesce(col("last_touch"), lit("direct")).as("lc"),
+        (col("value").cast(d182) * 100).cast("long").as("cents"))
+    val ft = credited.groupBy(col("fc").as("channel"))
+      .agg(sum(col("cents")).as("first_touch_cents"),
+        count(lit(1)).as("n_first"))
+    val lt = credited.groupBy(col("lc").as("channel"))
+      .agg(sum(col("cents")).as("last_touch_cents"),
+        count(lit(1)).as("n_last"))
+    ft.join(lt, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("first_touch_cents"), lit(0L)).as("first_touch_cents"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("last_touch_cents"), lit(0L)).as("last_touch_cents"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"))
+      .orderBy(col("channel"))
+  }
+
+  /** Per-observation EWMA (α = 1/2) of the daily per-type cent
+    * totals, windowed to the last 8 observations so the weights are
+    * the exact dyadics 128,64,…,1 — numerator and denominator are
+    * BIGINT sums and the single final division is the only float op,
+    * giving bit-identical results on any engine. (An unbounded EWMA
+    * needs a running float product, which no two engines agree on.)
+    * One day-grain aggregation, one event_type-partitioned window. */
+  def ewmaDaily(spark: SparkSession, dir: String, window: Int = 8): DataFrame = {
+    val d182 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val daily = Tables.loadEvents(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast(d182) * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val terms = (0 until window).map { k =>
+      val weight = 1L << (window - 1 - k)
+      val x = if (k == 0) col("cents") else lag(col("cents"), k).over(w)
+      (coalesce(x * lit(weight), lit(0L)),
+        when(x.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    daily
+      .withColumn("ewma_cents", num.cast("double") / den.cast("double"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cents"), col("ewma_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

@@ -69,15 +69,25 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSignaturesFrom(shingleRows(spark, dir))
 
-  private[graft] def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
+  /** Raw per-document minhash components (doc_id, h0..h11) — the
+    * signature BEFORE banding; [[signatureJaccard]] compares these
+    * component-wise to estimate Jaccard without touching shingles. */
+  private[graft] def minhashRawFrom(sh: DataFrame): DataFrame = {
     val hashes = (0 until NumHashes).map(i => minhashAgg(col("s"), i).as(s"h$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
+    sh.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
+  }
+
+  /** Band keys (doc_id, band0..band3) from raw signatures. */
+  private[graft] def bandsOf(raw: DataFrame): DataFrame = {
     val bands = (0 until Bands).map { b =>
       md5(concat((0 until NumHashes / Bands)
         .map(r => col(s"h${b * (NumHashes / Bands) + r}")): _*)).as(s"band$b")
     }
-    sig.select(col("doc_id") +: bands: _*)
+    raw.select(col("doc_id") +: bands: _*)
   }
+
+  private[graft] def minhashSignaturesFrom(sh: DataFrame): DataFrame =
+    bandsOf(minhashRawFrom(sh))
 
   /** MinHash+LSH near-dup pairs: bucket-join per band (shuffle on the
     * band signature, never all-pairs), union candidates, then verify
@@ -426,6 +436,50 @@ object Dedup {
       .select(col("doc_id"), col("n_toks"), col("dup_tokens"),
         (col("dup_tokens").cast("double") / col("n_toks")).as("dup_frac"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Signature-estimated vs exact Jaccard over the hot-band-capped
+    * candidate pairs: the MinHash estimator is the fraction of equal
+    * signature components (an unbiased estimate of Jaccard — the
+    * property LSH banding relies on), reported next to the exact
+    * shingle Jaccard so the estimator's error is measurable per pair.
+    * This is the at-scale similarity path: once signatures exist,
+    * estimation touches 12 fixed-width strings per pair instead of
+    * the shingle inverted index — the exact column here is the audit,
+    * not the product. Candidates with NO shared shingle (possible
+    * band collisions) report exact 0 via the left join.
+    *
+    * n_equal is an integer (0..12) and est_sim its single double
+    * division — both engine-exact; the exact Jaccard uses the same
+    * rounding contract as [[minhashLsh]]. */
+  def signatureJaccard(spark: SparkSession, dir: String,
+                       cap: Int = BandBucketCap): DataFrame = {
+    val sh = shingleRows(spark, dir).cache()
+    val raw = minhashRawFrom(sh).cache()
+    val cand = cappedBandCandidates(bandsOf(raw), cap)
+    val eq = (0 until NumHashes)
+      .map(i => when(col(s"ha$i") === col(s"hb$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val aSide = raw.select(col("doc_id").as("da") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"ha$i")): _*)
+    val bSide = raw.select(col("doc_id").as("db") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"hb$i")): _*)
+    val est = cand.join(aSide, Seq("da")).join(bSide, Seq("db"))
+      .select(col("da"), col("db"), eq.as("n_equal"))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    est
+      .join(inter, Seq("da", "db"), "left")
+      .join(counts.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(counts.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"), col("n_equal"),
+        (col("n_equal").cast("double") / lit(NumHashes.toDouble)).as("est_sim"),
+        round(coalesce(col("i"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("i"), lit(0L))), 4).as("jaccard"))
+      .orderBy(col("da"), col("db"))
   }
 
   /** Candidate pairs from band buckets of size ≤ cap. Exposed

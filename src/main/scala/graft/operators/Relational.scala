@@ -190,6 +190,44 @@ object Relational {
         |  (SELECT count(*) FROM customer) AS customer_rows""".stripMargin)
   }
 
+  /** Extension: referential-integrity audit across the whole star
+    * schema — per FK edge, the child row count, NULL-key count, and
+    * orphan count (child keys absent from the parent). The audit every
+    * warehouse load runs after staging (the reference's row-count
+    * audits at stage_csv_dims_to_pg.py:148-163 are the same idea at
+    * count grain; this adds the key-level containment check).
+    *
+    * Scale posture: each edge is one anti-join keyed on the FK — the
+    * parent side is projected to its distinct key column first, so
+    * small dims broadcast and the fact side never carries payload;
+    * the per-edge result is ONE row, so the union is driver-free. */
+  def fkAudit(spark: SparkSession, dir: String): DataFrame = {
+    def edge(label: String, childTable: String, ck: String,
+             parentTable: String, pk: String): DataFrame = {
+      val child = Tables.load(spark, dir, childTable).select(col(ck))
+      val parent = Tables.load(spark, dir, parentTable)
+        .select(col(pk).as(ck)).distinct()
+      val orphan = child.filter(col(ck).isNotNull)
+        .join(parent, Seq(ck), "left_anti")
+      child.agg(count(lit(1)).as("n_child"),
+          coalesce(sum(when(col(ck).isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_null_keys"))
+        .crossJoin(orphan.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(label).as("fk"), col("n_child"), col("n_null_keys"),
+          col("n_orphans"))
+    }
+    Seq(
+      edge("lineitem.l_orderkey>orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem.l_partkey>part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem.l_suppkey>supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders.o_custkey>customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer.c_nationkey>nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("supplier.s_nationkey>nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      edge("nation.n_regionkey>region", "nation", "n_regionkey", "region", "r_regionkey"))
+      .reduce(_ unionByName _)
+      .orderBy(col("fk"))
+  }
+
   /** Extension: ranked top-N per group (row_number window + filter) —
     * absent from the reference (SURVEY §2.8) but table stakes for an
     * analytics engine. Deterministic tie-break on the key. */
@@ -331,6 +369,37 @@ object Relational {
         when(col("n") > 1 && varX > 0 && varY > 0,
           (nD * col("sxy") - col("sx") * col("sy")) / (sqrt(varX) * sqrt(varY)))
           .as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Extension: per-group ordinary least squares (slope + intercept of
+    * price-cents on whole-unit quantity). Same exactness recipe as
+    * [[corrAgg]]: the five sufficient statistics are EXACT integer
+    * sums (accumulated DECIMAL(38,0), cast long — loud overflow, no
+    * silent wrap), and the closed-form
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * is then one mirrored IEEE expression tree over those exact
+    * values, identical in any engine. Zero-variance / single-row
+    * groups are NULL by explicit guard on both sides. Map-side
+    * combinable, one shuffle, no second pass (the textbook
+    * mean-centered formulation needs the means first). */
+  def groupRegression(spark: SparkSession, dir: String): DataFrame = {
+    val D380 = DecimalType(38, 0)
+    val x = floor(col("l_quantity")).cast("long")
+    val y = (col("l_extendedprice").cast(D182) * 100).cast("long")
+    def psum(c: Column) = sum(c.cast(D380)).cast("long").cast("double")
+    val li = Tables.load(spark, dir, "lineitem")
+    val sums = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        psum(x).as("sx"), psum(y).as("sy"), psum(x * y).as("sxy"),
+        psum(x * x).as("sxx"))
+    val nD = col("n").cast("double")
+    val den = nD * col("sxx") - col("sx") * col("sx")
+    val slope = (nD * col("sxy") - col("sx") * col("sy")) / den
+    sums.select(col("l_returnflag"), col("n"),
+        when(col("n") > 1 && den > 0, slope).as("slope_cents_per_unit"),
+        when(col("n") > 1 && den > 0,
+          (col("sy") - slope * col("sx")) / nD).as("intercept_cents"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -509,4 +509,35 @@ object TextAnalysis {
       .select(col("source"), col("n_docs"), col("n_outliers"), col("med"), col("mad"))
       .orderBy(col("source"))
   }
+
+  /** Flesch-style readability scoring, map-only: non-empty whitespace
+    * words, sentences split on [.!?]+ runs, syllables approximated as
+    * vowel-group runs (the standard dictionary-free heuristic). The
+    * score
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    * is one mirrored IEEE expression over three integers, so any
+    * engine lands on the identical double; the difficulty band then
+    * thresholds that identical value. Documents with no words are
+    * excluded (the ratios are undefined); zero-sentence docs count as
+    * one sentence (a fragment is still a sentence for the ratio). */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val nWords = size(filter(words(col("text")), t => length(t) > 0))
+    val nSents = greatest(
+      size(filter(split(col("text"), "[.!?]+", -1), s => length(trim(s)) > 0)),
+      lit(1))
+    val nSyl = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+    val base = d.select(col("doc_id"),
+        nWords.cast("long").as("n_words"), nSents.cast("long").as("n_sentences"),
+        nSyl.cast("long").as("n_syllables"))
+      .filter(col("n_words") > 0)
+    val flesch = lit(206.835) -
+      lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double")) -
+      lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double"))
+    base.withColumn("flesch", flesch)
+      .withColumn("band",
+        when(col("flesch") >= 70.0, lit("easy"))
+          .when(col("flesch") >= 50.0, lit("medium")).otherwise(lit("hard")))
+      .orderBy(col("doc_id"))
+  }
 }

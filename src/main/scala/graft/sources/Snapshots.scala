@@ -16,6 +16,16 @@ class ConcurrentSnapshotCommitException(msg: String) extends IOException(msg)
   * was published (the written data dir is an orphan vacuum reclaims). */
 class CheckConstraintViolationException(msg: String) extends IOException(msg)
 
+/** An OCC auto-rebase found a REAL data conflict: the concurrent winner
+  * changed partitions (or rows of this merge's keys) that this commit
+  * also reads or writes, so replaying the delta against the new base
+  * would not be serializable. The caller must re-derive its delta from
+  * the live snapshot. Distinct from its parent, which only signals a
+  * version-number race that [[Snapshots.commitMergePartitionedOcc]]
+  * resolves automatically when the write sets are disjoint. */
+class SnapshotWriteConflictException(msg: String)
+  extends ConcurrentSnapshotCommitException(msg)
+
 /** Manifest-committed versioned table ("Delta-lite") — the
   * reader-atomic, multi-writer-safe complement to
   * [[Sinks.atomicOverwrite]].
@@ -804,6 +814,103 @@ object Snapshots {
     }
   }
 
+  /** Partitions whose content differs between two versions, or None
+    * when the range cannot be reasoned about partition-wise (an
+    * unpartitioned commit in the range, treated as "everything
+    * changed"). A partition differs when it appears/disappears, its
+    * owning data dir is re-pointed, or the deletion vectors applied to
+    * its owner change. Manifest-only — no data files are read. */
+  private def changedPartitionsBetween(spark: SparkSession, tableDir: String,
+                                       vOld: Option[String],
+                                       vNew: String): Option[Seq[String]] = {
+    val mN = readManifest(spark, tableDir, vNew)
+    if (mN.dataDir.isDefined) return None
+    def dvByOwner(m: Manifest): Map[String, Set[String]] =
+      m.dvs.groupBy(_._2).map { case (o, s) => o -> s.map(_._1).toSet }
+    vOld match {
+      case None => Some(mN.partitions.map(_._1))
+      case Some(v0) =>
+        val m0 = readManifest(spark, tableDir, v0)
+        if (m0.dataDir.isDefined) return None
+        val (d0, dN) = (dvByOwner(m0), dvByOwner(mN))
+        val (p0, pN) = (m0.partitions.toMap, mN.partitions.toMap)
+        Some((p0.keySet ++ pN.keySet).toSeq.filter { v =>
+          (p0.get(v), pN.get(v)) match {
+            case (Some(a), Some(b)) =>
+              a != b || d0.getOrElse(a, Set.empty) != dN.getOrElse(b, Set.empty)
+            case _ => true
+          }
+        })
+    }
+  }
+
+  /** [[commitMergePartitioned]] with Delta-style optimistic concurrency:
+    * on losing the CAS race, diff the winning commits' changed
+    * partitions (manifest-only) against this merge's read+write set —
+    * the delta's partitions plus any changed partition now holding one
+    * of the delta's keys. Disjoint → the two commits serialize in either
+    * order, so rebase onto the new version and replay (no caller
+    * involvement); overlapping → [[SnapshotWriteConflictException]],
+    * because the delta may have been derived from a snapshot the winner
+    * invalidated. At 100 TB this is the difference between "concurrent
+    * per-region writers each retry their whole merge job" and "they
+    * never see each other": the conflict check costs two manifest reads
+    * plus, only when partitions changed at all, a key semi-join bounded
+    * by the changed partitions' size. */
+  def commitMergePartitionedOcc(spark: SparkSession, tableDir: String,
+                                delta: DataFrame, key: String, partCol: String,
+                                tieBreak: Seq[Column] = Nil,
+                                statsCols: Seq[String] = Nil,
+                                maxAttempts: Int = 5,
+                                expectedVersion: Option[String] = None): String = {
+    // `expectedVersion` pins the snapshot the delta was DERIVED from —
+    // the conflict check then covers every commit that landed since,
+    // not just ones racing the claim itself
+    var base = expectedVersion.orElse(currentVersion(spark, tableDir))
+    var attempt = 0
+    while (true) {
+      try return commitMergePartitioned(spark, tableDir, delta, key, partCol,
+        tieBreak, base, statsCols)
+      catch {
+        case e: SnapshotWriteConflictException => throw e
+        case e: ConcurrentSnapshotCommitException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+          val newBase = currentVersion(spark, tableDir)
+          if (newBase == base) throw e // claim raced something non-commit-like
+          val changed = changedPartitionsBetween(spark, tableDir, base, newBase.get)
+            .getOrElse(throw new SnapshotWriteConflictException(
+              s"Snapshots: concurrent UNPARTITIONED commit on $tableDir " +
+                s"(${base.getOrElse("<empty>")} -> ${newBase.get}) conflicts with " +
+                "a partition-scoped merge; re-derive the delta from the live snapshot"))
+          val ours = delta.select(col(partCol).cast("string")).distinct()
+            .collect().map(_.getString(0)).toSeq
+          val overlap = changed.intersect(ours)
+          if (overlap.nonEmpty) throw new SnapshotWriteConflictException(
+            s"Snapshots: concurrent commit ${newBase.get} on $tableDir changed " +
+              s"partition(s) ${overlap.sorted.mkString(", ")} this merge also " +
+              "writes; re-derive the delta from the live snapshot")
+          // key-level read-set check: a delta key now living in a
+          // partition the winner changed means the winner wrote rows
+          // this merge would delete-and-reinsert — order matters
+          val mN = readManifest(spark, tableDir, newBase.get)
+          val keyHits = readPartitionsSubset(spark, tableDir, mN,
+            changed.filter(mN.partitions.toMap.contains)) match {
+            case None => 0L
+            case Some(ch) => ch.select(col(key))
+              .join(broadcast(delta.select(col(key)).distinct()), Seq(key), "left_semi")
+              .limit(1).count()
+          }
+          if (keyHits > 0) throw new SnapshotWriteConflictException(
+            s"Snapshots: concurrent commit ${newBase.get} on $tableDir wrote rows " +
+              s"carrying this merge's keys (in partitions ${changed.sorted.mkString(", ")}); " +
+              "re-derive the delta from the live snapshot")
+          base = newBase
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // ---------------------------------------------------- delete / update
 
   /** Rows a SQL DELETE/UPDATE leaves untouched: predicate FALSE or
@@ -1026,15 +1133,22 @@ object Snapshots {
   /** Stat entries of a previous manifest still valid under a new
     * partition→dir map: files are immutable, so an entry survives iff
     * the new manifest still references its (dir, partition). */
+  /** Stats entries whose (owning dir, partition value) the new
+    * manifest still references. Matching is by dir PREFIX + the
+    * partition subdir segment, not positional path segments, so
+    * clone-borrowed absolute dirs carry their stats too. */
   private def carriedStats(m: Manifest,
                            newParts: Map[String, String]): Seq[FileStat] =
     m.stats.filter { st =>
-      val segs = st.relPath.split("/")
-      segs.length >= 3 && {
-        val eq = segs(1).lastIndexOf('=')
-        eq > 0 && newParts.get(
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(segs(1).substring(eq + 1))).contains(segs(0))
+      newParts.exists { case (value, dd) =>
+        st.relPath.startsWith(dd + "/") && {
+          val rest = st.relPath.substring(dd.length + 1).split("/")
+          rest.length == 2 && {
+            val eq = rest(0).lastIndexOf('=')
+            eq > 0 && org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(rest(0).substring(eq + 1)) == value
+          }
+        }
       }
     }
 
@@ -1175,6 +1289,63 @@ object Snapshots {
     claimExactlyAfter(spark, tableDir, v,
       Manifest(Some(dd), "", Nil, Some(df.schema.json),
         computeFileStats(spark, new Path(tableDir), dd, statsCols)))
+  }
+
+  /** Zero-copy SHALLOW CLONE (Delta-style): publish `targetDir` as a
+    * new snapshot table whose v1 manifest references the SOURCE
+    * table's data files by absolute path — no bytes are copied, the
+    * clone commits in manifest-write time however large the source.
+    * Subsequent commits on the clone write their data dirs locally
+    * and diverge freely: a partition-scoped merge rewrites only the
+    * touched partitions into the clone's own dirs while untouched
+    * partitions keep reading the source's files; the source never
+    * observes any of it. File stats and deletion vectors are carried
+    * (absolutized), so data skipping and DV masking survive the clone.
+    *
+    * Lifetime contract (same as Delta/Iceberg shallow clones): the
+    * clone borrows the source's files, so a `vacuum` on the SOURCE
+    * that drops the cloned version's dirs breaks the clone — pin the
+    * source's retention for as long as the clone (or any of its
+    * descendant versions) lives. `vacuum` on the CLONE is always safe:
+    * it only ever deletes dirs under the clone's own root.
+    *
+    * The target must not already be a snapshot table (the bootstrap
+    * claims exactly v1, CAS-protected like any bootstrap). */
+  def cloneShallow(spark: SparkSession, sourceDir: String, targetDir: String,
+                   version: Option[String] = None): String = {
+    val v = version.getOrElse(currentVersion(spark, sourceDir).getOrElse(
+      throw new IOException(s"cloneShallow: $sourceDir has no committed version")))
+    val m = readManifest(spark, sourceDir, v)
+    // fully-QUALIFIED source root (file:/… / hdfs://…): file listings
+    // compare qualified paths, so borrowed-dir names must be stored in
+    // the same form or stats/DV lookups would silently miss
+    val srcRoot = fsOf(spark, new Path(sourceDir))
+      .makeQualified(new Path(sourceDir)).toString
+    def abs(d: String): String =
+      if (d.startsWith("/") || d.contains(":/")) d else s"$srcRoot/$d"
+    // the partition manifest line splits dir from value on the LAST
+    // '=', so a borrowed DIR name must not contain one (file paths
+    // inside stat lines are '|'-delimited and may — Hive partition
+    // subdirs always do)
+    def absDir(d: String): String = {
+      val a = abs(d)
+      require(!a.contains("=") && !a.contains("\n"),
+        s"cloneShallow: source dir '$a' contains a manifest delimiter")
+      a
+    }
+    val cloned = m.copy(
+      dataDir = m.dataDir.map(absDir),
+      partitions = m.partitions.map { case (value, dd) => (value, absDir(dd)) },
+      stats = m.stats.map(s => s.copy(relPath = abs(s.relPath))),
+      dvs = m.dvs.map { case (dv, owner) => (abs(dv), absDir(owner)) })
+    val tgt = new Path(targetDir)
+    // refuse a target with ANY commit history — a vacuumed table keeps
+    // its later versions, and claiming a retired low number would
+    // splice foreign history under them
+    require(listVersions(spark, targetDir).isEmpty,
+      s"cloneShallow: target $targetDir is already a snapshot table")
+    fsOf(spark, tgt).mkdirs(tgt)
+    claimExactly(spark, targetDir, 1, cloned)
   }
 
   /** Claim exactly base+1 or fail loudly (the read-modify-write CAS). */
@@ -1322,12 +1493,19 @@ object Snapshots {
     * dir, with basePath per owner so partition-column inference matches
     * the unpruned read; each owner's deletion vectors applied. */
   private def readFilesByOwner(spark: SparkSession, root: Path, m: Manifest,
-                               rels: Seq[String]): DataFrame =
-    rels.groupBy(_.takeWhile(_ != '/')).map { case (owner, rs) =>
+                               rels: Seq[String]): DataFrame = {
+    // resolve each file's owning dir against the manifest's dir set —
+    // clone-borrowed dirs are absolute URIs, so "first path segment"
+    // would misparse them
+    val dirs = (m.dataDir.toSeq ++ m.partitions.map(_._2)).distinct
+    def ownerOf(rel: String): String =
+      dirs.find(d => rel.startsWith(d + "/")).getOrElse(rel.takeWhile(_ != '/'))
+    rels.groupBy(ownerOf).map { case (owner, rs) =>
       applyDv(spark, root, m, owner,
         spark.read.option("basePath", new Path(root, owner).toString)
           .parquet(rs.map(new Path(root, _).toString): _*))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Range read with manifest-level data skipping: return the rows of
     * `version` where `statCol` ∈ [lower, upper], reading ONLY the

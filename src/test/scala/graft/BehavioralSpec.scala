@@ -225,6 +225,88 @@ class BehavioralSpec extends SparkSpec {
     assert(out("v") === ((3L, 0L, 2L, "2.50", "10.00")))
   }
 
+  test("attribution: first/last-touch credit per purchase; untouched purchases go to 'direct'") {
+    val dir = Files.createTempDirectory("graft_attr").toString
+    Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-03-01 11:00:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-03-01 12:00:00"), 1L, "purchase", 2.0, "{}"),
+      (4L, ts("2024-03-01 13:00:00"), 1L, "purchase", 1.0, "{}"),
+      (5L, ts("2024-03-02 09:00:00"), 2L, "purchase", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Behavioral.attribution(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // u1's both purchases: first touch = view, last touch = click
+    // (still the latest NON-purchase before t4); u2 has no touch
+    assert(out === Map(
+      "view" -> ((300L, 2L, 0L, 0L)),
+      "click" -> ((0L, 0L, 300L, 2L)),
+      "direct" -> ((500L, 1L, 500L, 1L))))
+  }
+
+  test("ewma: dyadic 8-observation window, exact integer num/den, short-history renormalization") {
+    val dir = Files.createTempDirectory("graft_ewma").toString
+    Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-03-02 10:00:00"), 1L, "a", 2.0, "{}"),
+      (3L, ts("2024-03-03 10:00:00"), 1L, "a", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Behavioral.ewmaDaily(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getDouble(3)).toMap
+    // day1: 100·128/128; day2: (200·128+100·64)/192; day3:
+    // (400·128+200·64+100·32)/224 — denominators shrink to the
+    // PRESENT observations, so the head of the series is unbiased
+    assert(out === Map(
+      "2024-03-01" -> 100.0,
+      "2024-03-02" -> 32000.0 / 192.0,
+      "2024-03-03" -> 67200.0 / 224.0))
+  }
+
+  /** K5 clique (all pairs in 2 orders) + a pendant node 6 attached to
+    * node 1: the pendant peels in round 1, the clique is the 4-core. */
+  test("k-core: pendant peels, clique survives with in-core degrees") {
+    val dir = Files.createTempDirectory("graft_kcore").toString
+    val clique = for (o <- Seq(10L, 20L); p <- 1L to 5L) yield (o, p)
+    val pendant = Seq((30L, 1L), (30L, 6L), (40L, 1L), (40L, 6L))
+    (clique ++ pendant).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Affinity.kCore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === (1L to 5L).map(_ -> 4L).toMap)
+  }
+
+  test("bfs hops: min-distance relaxation from the %10 seed, unreached nodes unreported") {
+    val dir = Files.createTempDirectory("graft_bfs").toString
+    // co-supply path 10–1–2; supplier 3 is disconnected
+    Seq((100L, 10L), (100L, 1L), (200L, 1L), (200L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(1L, 2L, 3L, 10L).toDF("s_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val out = Affinity.bfsHops(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toSeq === Seq(1L -> 1L, 2L -> 2L, 10L -> 0L))
+  }
+
+  test("group regression: exact line recovered exactly; degenerate groups are NULL") {
+    val dir = Files.createTempDirectory("graft_regr").toString
+    // flag A: y = 200x + 500 cents exactly; B: one point; C: zero variance
+    val a = (1 to 5).map(x => ("A", x.toDouble, 2.0 * x + 5.0))
+    val b = Seq(("B", 3.0, 11.0))
+    val c = Seq(("C", 2.0, 9.0), ("C", 2.0, 13.0))
+    (a ++ b ++ c).toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = graft.operators.Relational.groupRegression(spark, dir).collect()
+    val byFlag = rows.map(r => r.getString(0) -> r).toMap
+    assert(byFlag("A").getDouble(2) === 200.0)
+    assert(byFlag("A").getDouble(3) === 500.0)
+    assert(byFlag("B").isNullAt(2) && byFlag("B").isNullAt(3))
+    assert(byFlag("C").isNullAt(2) && byFlag("C").isNullAt(3))
+  }
+
   test("duplicated spans: cross-doc island union, clean docs excluded") {
     val dir = Files.createTempDirectory("graft_spans").toString
     val w = (1 to 20).map(i => s"w$i") // 20 distinct tokens

@@ -222,4 +222,26 @@ class DedupSpec extends SparkSpec {
     val recall = (bf intersect ivf).size.toDouble / bf.size
     assert(recall >= 0.3, s"IVF recall $recall too low") // 4/16 lists probed on unclustered data
   }
+
+  test("signature Jaccard: identical docs estimate 1.0 exactly; estimates bounded; exact column matches minhashLsh contract") {
+    val out = Dedup.signatureJaccard(spark, corpusDir).collect()
+    val byPair = out.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getAs[Long]("n_equal"), r.getAs[Double]("est_sim"), r.getAs[Double]("jaccard"))).toMap
+    // docs 0 and 1 normalize to the SAME text: every minhash component
+    // equal, estimator exactly 1, exact Jaccard exactly 1
+    assert(byPair((0L, 1L)) === ((12L, 1.0, 1.0)))
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_equal")
+      assert(n >= 0 && n <= 12)
+      assert(r.getAs[Double]("est_sim") === n / 12.0)
+    }
+    // the exact column agrees with the verified-pairs operator on the
+    // pairs both report (signatureJaccard additionally keeps sub-0.5
+    // candidates; minhashLshCapped filters them)
+    val verified = Dedup.minhashLshCapped(spark, corpusDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    verified.foreach { case (pair, j) =>
+      assert(byPair.contains(pair) && byPair(pair)._3 === j, s"pair $pair")
+    }
+  }
 }

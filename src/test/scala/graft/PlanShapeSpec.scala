@@ -120,4 +120,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(p#"), plan)
     assert(plan.contains("windowspecdefinition(v1#"), plan)
   }
+
+  test("q131/q132: iterative graph rounds broadcast the node-sized frame, never the edges") {
+    // k-core: every peel round's survivor semi-joins are broadcast
+    val kc = finalPlan(graft.operators.Affinity.kCore(spark, sf))
+    assert(kc.contains("BroadcastHashJoin"), kc)
+    // bfs: the frontier joins edges via broadcast; min-dist is an agg,
+    // not a window (no global sort anywhere in the loop)
+    val bfs = finalPlan(graft.operators.Affinity.bfsHops(spark, sf))
+    assert(bfs.contains("BroadcastHashJoin"), bfs)
+  }
 }

@@ -343,6 +343,137 @@ class SnapshotsSpec extends SparkSpec {
       s"writer $w reported success but its rows are not in the live snapshot"))
   }
 
+  test("shallow clone: zero-copy read equality, independent divergence, partition-scoped borrow") {
+    val src = freshDir()
+    Snapshots.commitMergePartitioned(spark, src,
+      Seq((1L, "A", 1.0), (2L, "B", 2.0), (3L, "B", 3.0)).toDF("k", "p", "amount"),
+      "k", "p")
+    val tgt = freshDir()
+    val v1 = Snapshots.cloneShallow(spark, src, tgt)
+    assert(v1 === "v00000001")
+    // zero bytes copied: no data dirs exist under the clone root
+    assert(fileStates(tgt, "d-").isEmpty)
+    // clone reads the source version exactly
+    assert(Snapshots.read(spark, tgt).orderBy("k").collect().toSeq ===
+      Snapshots.read(spark, src).orderBy("k").collect().toSeq)
+    // a partition-scoped merge on the CLONE rewrites only partition B
+    // locally; partition A keeps reading the SOURCE's bytes
+    val srcBytes = fileStates(src, "d-")
+    Snapshots.commitMergePartitioned(spark, tgt,
+      Seq((3L, "B", 33.0)).toDF("k", "p", "amount"), "k", "p")
+    assert(fileStates(src, "d-") === srcBytes, "source files untouched by clone write")
+    val cloneRows = Snapshots.read(spark, tgt).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(cloneRows === Seq((1L, 1.0), (2L, 2.0), (3L, 33.0)))
+    // the source never sees the clone's divergence
+    assert(Snapshots.read(spark, src).filter(col("k") === 3L)
+      .head().getDouble(2) === 3.0)
+    // vacuum on the clone is safe: it deletes nothing under the source
+    Snapshots.vacuum(spark, tgt, keep = 1, orphanGraceMs = 0L)
+    assert(fileStates(src, "d-") === srcBytes, "clone vacuum never touches source files")
+    assert(Snapshots.read(spark, tgt).count() === 3)
+    // cloning onto an existing table is refused — even one whose early
+    // versions were vacuumed (re-claiming a retired number would
+    // splice foreign history under the live versions)
+    intercept[IllegalArgumentException] {
+      Snapshots.cloneShallow(spark, src, tgt)
+    }
+  }
+
+  test("shallow clone carries file stats: skipping still prunes source files from the clone") {
+    val src = freshDir()
+    Snapshots.commitOverwritePartitioned(spark, src,
+      spark.range(1, 101).selectExpr("id AS k", "CASE WHEN id <= 50 THEN 'L' ELSE 'H' END AS p",
+        "CAST(id AS DOUBLE) AS amount"),
+      "p", statsCols = Seq("k"))
+    val tgt = freshDir()
+    Snapshots.cloneShallow(spark, src, tgt)
+    val pruned = Snapshots.readVersionPruned(spark, tgt, "v00000001",
+      "k", BigDecimal(7), BigDecimal(7))
+    assert(pruned.count() === 1)
+    def scannedFiles(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.toSeq
+      }.flatten.distinct
+    val all = scannedFiles(Snapshots.readVersion(spark, tgt, "v00000001"))
+    val hit = scannedFiles(pruned)
+    assert(hit.size < all.size,
+      s"clone stats skipping must prune: scanned ${hit.size} of ${all.size}")
+  }
+
+  test("OCC auto-rebase: a merge that lost the CAS race to a DISJOINT-partition commit retries and lands") {
+    val dir = freshDir()
+    val base = Snapshots.commitMergePartitioned(spark, dir,
+      Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("k", "p", "amount"), "k", "p")
+    // winner commits into partition A while our writer still holds `base`
+    val winner = Snapshots.commitMergePartitioned(spark, dir,
+      Seq((3L, "A", 3.0)).toDF("k", "p", "amount"), "k", "p")
+    assert(winner === "v00000002")
+    // plain CAS path: stale expectedVersion throws
+    intercept[ConcurrentSnapshotCommitException] {
+      Snapshots.commitMergePartitioned(spark, dir,
+        Seq((4L, "C", 4.0)).toDF("k", "p", "amount"), "k", "p",
+        expectedVersion = Some(base))
+    }
+    // deterministic rebase: the delta was derived from the pre-winner
+    // base but targets a partition the winner never touched — the OCC
+    // path MUST land it without caller involvement
+    val rebased = Snapshots.commitMergePartitionedOcc(spark, dir,
+      Seq((5L, "X", 5.0)).toDF("k", "p", "amount"), "k", "p",
+      expectedVersion = Some(base))
+    assert(rebased === "v00000003")
+    assert(Snapshots.read(spark, dir).filter(col("p") === "A").count() === 2,
+      "the winner's partition-A row survived the rebased commit")
+    // and racing OCC writers on DISJOINT partitions all land
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence(List("C", "D", "E").zipWithIndex.map {
+      case (p, i) => Future {
+        Snapshots.commitMergePartitionedOcc(spark, dir,
+          Seq((10L + i, p, 10.0 + i)).toDF("k", "p", "amount"), "k", "p")
+      }
+    }), 300.seconds)
+    assert(results.distinct.size === 3, s"each writer got its own version: $results")
+    val live = Snapshots.read(spark, dir)
+    assert(live.count() === 7) // 1,2,3 + rebased 5 + the three racing writers
+    assert(live.filter(col("p").isin("C", "D", "E")).count() === 3)
+  }
+
+  test("OCC auto-rebase: overlapping write sets conflict loudly instead of silently serializing") {
+    val dir = freshDir()
+    Snapshots.commitMergePartitioned(spark, dir,
+      Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("k", "p", "amount"), "k", "p")
+    val stale = Snapshots.currentVersion(spark, dir)
+    // winner rewrites partition A
+    Snapshots.commitMergePartitioned(spark, dir,
+      Seq((1L, "A", 99.0)).toDF("k", "p", "amount"), "k", "p")
+    // loser also writes partition A from the stale base: the OCC path
+    // must refuse (the loser's delta may be derived from pre-winner A)
+    val e = intercept[graft.sources.SnapshotWriteConflictException] {
+      // the delta was derived from the stale base: the claim against it
+      // fails, and the rebase finds A in both the winner's changed set
+      // and our write set
+      Snapshots.commitMergePartitionedOcc(spark, dir,
+        Seq((7L, "A", 7.0)).toDF("k", "p", "amount"), "k", "p",
+        expectedVersion = stale)
+    }
+    assert(e.getMessage.contains("A"))
+    // key-level conflict: winner wrote key 2 into a NEW partition; a
+    // stale merge carrying key 2 (targeting fresh partition Z) must
+    // also conflict — the winner's row would be resurrected otherwise
+    val stale2 = Snapshots.currentVersion(spark, dir)
+    Snapshots.commitMergePartitioned(spark, dir,
+      Seq((2L, "M", 22.0)).toDF("k", "p", "amount"), "k", "p")
+    val e2 = intercept[graft.sources.SnapshotWriteConflictException] {
+      Snapshots.commitMergePartitionedOcc(spark, dir,
+        Seq((2L, "Z", 0.0)).toDF("k", "p", "amount"), "k", "p",
+        expectedVersion = stale2)
+    }
+    assert(e2.getMessage.contains("keys"))
+  }
+
   test("manifest round-trips hostile partition values ('=', newline); empty is refused") {
     val dir = freshDir()
     val hostile = Seq((1L, "a=b", 1.0), (2L, "x\ny", 2.0), (3L, "c:d%e", 3.0))
