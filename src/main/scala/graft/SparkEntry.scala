@@ -908,6 +908,51 @@ object SparkEntry {
     "q133_sig_jaccard"   -> ((s: SparkSession, d: String) => Dedup.signatureJaccard(s, d)),
     "q134_fk_audit"      -> Relational.fkAudit _,
     "q135_readability"   -> ((s: SparkSession, d: String) => TextAnalysis.readability(s, d)),
+    "q136_k_anonymity"   -> ((s: SparkSession, d: String) => operators.Privacy.customerKAnonymity(s, d)),
+    // incremental JOIN-view maintenance: two snapshot tables (orders
+    // facts keyed o_orderkey, customers keyed c_custkey) each advance
+    // one version (A: price updates on %97 keys + %15 inserts; B:
+    // nation moves on %13 keys); the per-nation revenue view is
+    // maintained from BOTH change feeds via the signed IVM expansion
+    // ΔA⋈B₀ + A₀⋈ΔB + ΔA⋈ΔB — the oracle recomputes the view from
+    // the FINAL states directly, so the gate proves the algebra
+    "q137_incremental_join" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val D182 = DecimalType(18, 2)
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(D182).as("price"))
+      val c = graft.sources.Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val root = fixture("snapjoin", s, d, "orders") { path =>
+        wipe(s, path)
+        graft.sources.Snapshots.commitOverwrite(s, s"$path/a",
+          o.filter(col("o_orderkey") % 3 =!= 0))
+        graft.sources.Snapshots.commitUpsert(s, s"$path/a",
+          o.filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 97 === 0)
+            .withColumn("price", col("price") + lit(50).cast(D182))
+            .unionByName(o.filter(col("o_orderkey") % 15 === 0)), "o_orderkey")
+        graft.sources.Snapshots.commitOverwrite(s, s"$path/b", c)
+        graft.sources.Snapshots.commitUpsert(s, s"$path/b",
+          c.filter(col("c_custkey") % 13 === 0)
+            .withColumn("c_nationkey", (col("c_nationkey") + 7) % 25), "c_custkey")
+        ()
+      }
+      val baseAgg = graft.sources.Snapshots.readVersion(s, s"$root/a", "v00000001")
+        .join(graft.sources.Snapshots.readVersion(s, s"$root/b", "v00000001"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("value_sum"))
+      graft.sources.Snapshots.maintainJoinAggregate(s,
+          s"$root/a", "v00000001", "v00000002", "o_orderkey", "o_custkey", "price",
+          s"$root/b", "v00000001", "v00000002", "c_custkey", "c_nationkey",
+          baseAgg)
+        .select(col("c_nationkey"), col("n"),
+          col("value_sum").cast("double").as("value_sum"))
+        .orderBy(col("c_nationkey"))
+    }),
+    "q138_order_streaks" -> ((s: SparkSession, d: String) => operators.TimeSeries.longestStreak(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2478,6 +2523,48 @@ object SparkEntry {
         |  CASE WHEN flesch >= 70.0 THEN 'easy'
         |       WHEN flesch >= 50.0 THEN 'medium' ELSE 'hard' END AS band
         |FROM f ORDER BY doc_id""".stripMargin,
+    // k-anonymity audit: quasi-identifier groups under k=10
+    "q136_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 10
+        |ORDER BY 1, 2""".stripMargin,
+    // the oracle computes the view from the FINAL table states; the
+    // engine must land on identical numbers via the incremental path
+    "q137_incremental_join" ->
+      """WITH fa AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) +
+        |      CASE WHEN o_orderkey % 97 = 0 THEN CAST(50 AS DECIMAL(18,2))
+        |           ELSE CAST(0 AS DECIMAL(18,2)) END AS price
+        |  FROM orders WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 15 = 0),
+        |fb AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 13 = 0 THEN (c_nationkey + 7) % 25
+        |         ELSE c_nationkey END AS c_nationkey
+        |  FROM customer)
+        |SELECT fb.c_nationkey, count(*) AS n, CAST(sum(fa.price) AS DOUBLE) AS value_sum
+        |FROM fa JOIN fb ON fa.o_custkey = fb.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // gaps-and-islands at month grain: add_months(m, -rn) is constant
+    // within a consecutive run; best streak picked by (len, start) desc
+    "q138_order_streaks" ->
+      """WITH months AS (SELECT DISTINCT o_custkey,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS m FROM orders),
+        |r AS (SELECT o_custkey, m,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS rn FROM months),
+        |isl AS (SELECT o_custkey, CAST(m - to_months(CAST(rn AS INTEGER)) AS DATE) AS grp, m FROM r),
+        |g AS (SELECT o_custkey, grp, count(*) AS len,
+        |    strftime(min(m), '%Y-%m-%d') AS streak_start
+        |  FROM isl GROUP BY 1, 2),
+        |p AS (SELECT o_custkey, len, streak_start,
+        |    CAST(sum(len) OVER (PARTITION BY o_custkey) AS BIGINT) AS active_months,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY len DESC, streak_start DESC) AS rn
+        |  FROM g)
+        |SELECT o_custkey, len AS streak_months, streak_start, active_months
+        |FROM p WHERE rn = 1
+        |ORDER BY streak_months DESC, active_months DESC, o_custkey LIMIT 20""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

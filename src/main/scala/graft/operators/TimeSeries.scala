@@ -70,4 +70,40 @@ object TimeSeries {
         sum(col("v")).cast("double").as("value_sum"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** Longest consecutive-month ordering streak per customer — the
+    * gaps-and-islands pattern at month grain (the sessionizers above
+    * are its time-gap cousins): distinct active months, a per-customer
+    * row_number, and `add_months(month, −rn)` which is CONSTANT within
+    * a consecutive run — the island key with no self-join or iteration.
+    * Top `k` customers by (streak, activity) with a total tie-break.
+    *
+    * Scale posture: one distinct-months aggregation + one
+    * customer-partitioned window + TakeOrdered for the top-k — no
+    * global sort, nothing driver-side. */
+  def longestStreak(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val months = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        trunc(col("o_orderdate"), "month").as("m"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+    val islands = months
+      .withColumn("grp", add_months(col("m"), -row_number().over(w)))
+      .groupBy(col("o_custkey"), col("grp"))
+      .agg(count(lit(1)).as("len"),
+        date_format(min(col("m")), "yyyy-MM-dd").as("streak_start"))
+    val totals = Window.partitionBy(col("o_custkey"))
+    val pick = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("len").desc, col("streak_start").desc)
+    islands
+      .withColumn("active_months", sum(col("len")).over(totals))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("len").as("streak_months"),
+        col("streak_start"), col("active_months"))
+      .orderBy(col("streak_months").desc, col("active_months").desc,
+        col("o_custkey"))
+      .limit(k)
+  }
 }

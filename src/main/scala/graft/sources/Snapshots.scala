@@ -1580,6 +1580,52 @@ object Snapshots {
       .filter(col("n") > 0)
   }
 
+  /** Incremental maintenance of a two-table JOIN view's aggregate from
+    * BOTH tables' change feeds — the join extension of
+    * [[maintainAggregate]]. View: A ⋈ B on A.`fkCol` = B.`keyB`,
+    * grouped by B.`groupCol`, aggregating count + sum(A.`valCol`).
+    * The signed delta is the standard IVM expansion
+    *   ΔV = ΔA⋈B₀ + A₀⋈ΔB + ΔA⋈ΔB
+    * (signs multiply in the last term), applied to `baseAgg` — the
+    * view at (vA0, vB0) — with a full-outer merge. Equals recomputing
+    * the view at (vA1, vB1) exactly (gated: q137), at delta-join cost:
+    * the only non-delta-sized input is one scan each of A₀ and B₀
+    * pruned to the join/group columns, and the delta sides broadcast.
+    * At 100 TB this is the difference between re-joining two fact
+    * tables nightly and joining yesterday's changes. */
+  def maintainJoinAggregate(spark: SparkSession,
+                            dirA: String, vA0: String, vA1: String,
+                            keyA: String, fkCol: String, valCol: String,
+                            dirB: String, vB0: String, vB1: String,
+                            keyB: String, groupCol: String,
+                            baseAgg: DataFrame): DataFrame = {
+    def signed(cdf: DataFrame): DataFrame = cdf.withColumn("_sg",
+      when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+        .otherwise(lit(-1L)))
+    val dA = signed(changeFeed(spark, dirA, vA0, vA1, keyA))
+      .select(col(fkCol), col(valCol), col("_sg").as("_sa"))
+    val dB = signed(changeFeed(spark, dirB, vB0, vB1, keyB))
+      .select(col(keyB).as(fkCol), col(groupCol), col("_sg").as("_sb"))
+    val a0 = readVersion(spark, dirA, vA0).select(col(fkCol), col(valCol))
+    val b0 = readVersion(spark, dirB, vB0).select(col(keyB).as(fkCol), col(groupCol))
+    val t1 = broadcast(dA).join(b0, Seq(fkCol))
+      .select(col(groupCol), col("_sa").as("_sg"), col(valCol))
+    val t2 = a0.join(broadcast(dB), Seq(fkCol))
+      .select(col(groupCol), col("_sb").as("_sg"), col(valCol))
+    val t3 = dA.join(dB, Seq(fkCol))
+      .select(col(groupCol), (col("_sa") * col("_sb")).as("_sg"), col(valCol))
+    val delta = t1.unionByName(t2).unionByName(t3)
+      .groupBy(col(groupCol))
+      .agg(sum(col("_sg")).as("_dn"),
+        sum(col(valCol) * col("_sg")).as("_dsum"))
+    baseAgg.join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L))).as("n"),
+        (coalesce(col("value_sum"), lit(0)) + coalesce(col("_dsum"), lit(0)))
+          .as("value_sum"))
+      .filter(col("n") > 0)
+  }
+
   // ---------------------------------------------------------------- diff
 
   /** Row-level diff of two retained versions by `key`: one row per key

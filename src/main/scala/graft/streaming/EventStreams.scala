@@ -331,4 +331,69 @@ object EventStreams {
           }
       }
   }
+
+  case class EwmaDay(event_type: String, day: String, cents: Long,
+                     ewma_cents: Double)
+  case class EwmaDayState(openDay: String, openCents: Long,
+                          hist: List[(String, Long)])
+
+  /** Streaming counterpart of [[graft.operators.Behavioral.ewmaDaily]]:
+    * per event_type, a day's cent total and its dyadic 8-observation
+    * EWMA are emitted when a LATER day's first event proves the day
+    * complete (bounded input: `flushTrailing` also closes each key's
+    * final open day). State per key is O(1) — the open day's
+    * accumulator plus the last 7 closed observations — so the operator
+    * holds at any key cardinality and any stream length.
+    *
+    * Exactness contract: day extraction and per-event cent conversion
+    * happen as the SAME Catalyst expressions the batch operator uses
+    * (before the stateful step, which then does only Long adds and one
+    * double division), so a closed day's row is bit-identical to the
+    * batch row — proved in StreamingSpec by direct comparison. Days
+    * arriving AFTER their successor closed them (cross-batch
+    * stragglers) are dropped: append-mode output cannot revise an
+    * emitted row. Within a batch, arrival order is irrelevant. */
+  def ewmaStream(spark: SparkSession, events: DataFrame,
+                 flushTrailing: Boolean = false): Dataset[EwmaDay] = {
+    import spark.implicits._
+    val prepared = events.select(
+        col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        (col("value").cast(D182) * 100).cast("long").as("cents"))
+      .as[(String, String, Long)]
+    def close(key: String, day: String, cents: Long,
+              hist: List[(String, Long)]): EwmaDay = {
+      // weights 128, 64, … — identical to the batch lag expansion
+      val obs = (day, cents) :: hist
+      val num = obs.zipWithIndex.map { case ((_, c), k) => c * (1L << (7 - k)) }.sum
+      val den = obs.zipWithIndex.map { case (_, k) => 1L << (7 - k) }.sum
+      EwmaDay(key, day, cents, num.toDouble / den.toDouble)
+    }
+    prepared.groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaDayState, EwmaDay](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String, Long)],
+         state: GroupState[EwmaDayState]) =>
+          val byDay = rows.toSeq.groupBy(_._2).toSeq
+            .map { case (d, rs) => (d, rs.map(_._3).sum) }.sortBy(_._1)
+          var st = state.getOption.orNull
+          var out = List.empty[EwmaDay]
+          byDay.foreach { case (d, c) =>
+            st match {
+              case null => st = EwmaDayState(d, c, Nil)
+              case s if d == s.openDay => st = s.copy(openCents = s.openCents + c)
+              case s if d > s.openDay =>
+                out ::= close(key, s.openDay, s.openCents, s.hist)
+                st = EwmaDayState(d, c,
+                  ((s.openDay, s.openCents) :: s.hist).take(7))
+              case _ => () // straggler for an already-closed day: dropped
+            }
+          }
+          if (flushTrailing) {
+            if (st != null) out ::= close(key, st.openDay, st.openCents, st.hist)
+            state.remove()
+          } else if (st != null) state.update(st)
+          out.reverseIterator
+      }
+  }
 }

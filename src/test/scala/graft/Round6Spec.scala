@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.{Relational, TextAnalysis}
 
 /** Semantic tests for the round-6 audit/readability operators on
@@ -37,6 +39,66 @@ class Round6Spec extends SparkSpec {
       "customer.c_nationkey>nation" -> ((1L, 0L, 0L)),
       "supplier.s_nationkey>nation" -> ((1L, 0L, 0L)),
       "nation.n_regionkey>region" -> ((2L, 0L, 1L))))
+  }
+
+  test("k-anonymity: under-k groups reported; suppression removes exactly their rows") {
+    val df = (1 to 12).map(i => (i.toLong, "NY", "A")) ++
+      Seq((20L, "SF", "A"), (21L, "SF", "A")) // group of 2 → violation
+    val d = df.toDF("id", "city", "seg")
+    val v = graft.operators.Privacy.kAnonymityViolations(d, Seq("city", "seg"), 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(v.toSeq === Seq(("SF", "A", 2L)))
+    val kept = graft.operators.Privacy.suppressViolations(d, Seq("city", "seg"), 10)
+    assert(kept.count() === 12)
+    assert(kept.filter(col("city") === "SF").count() === 0)
+  }
+
+  test("longest streak: consecutive months merge across year boundary, gaps split") {
+    val dir = Files.createTempDirectory("graft_streak").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // cust 1: Nov, Dec, Jan, Feb (4-streak over the year boundary),
+    // then Apr (gap → own island); cust 2: two isolated months
+    Seq((1L, d("2023-11-05")), (1L, d("2023-12-28")), (1L, d("2024-01-02")),
+        (1L, d("2024-02-14")), (1L, d("2024-04-01")),
+        (2L, d("2024-01-15")), (2L, d("2024-03-15")))
+      .toDF("o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.operators.TimeSeries.longestStreak(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 4L, "2023-11-01", 5L),
+      (2L, 1L, "2024-03-01", 2L))) // tie on len → LATEST start wins
+  }
+
+  test("join-view maintenance: the signed delta algebra survives deletes, updates, inserts and group moves") {
+    import graft.sources.Snapshots
+    val root = Files.createTempDirectory("graft_ivm").toString
+    val a0 = Seq((1L, 10L, BigDecimal("5.00")), (2L, 10L, BigDecimal("7.00")),
+      (3L, 20L, BigDecimal("9.00")))
+      .toDF("ok", "ck", "price")
+    Snapshots.commitOverwrite(spark, s"$root/a", a0)
+    // A v2: delete ok=2 (via deletion vector), update ok=3 price, insert ok=4
+    Snapshots.commitDeleteVector(spark, s"$root/a", Seq(2L).toDF("ok"), "ok")
+    Snapshots.commitUpsert(spark, s"$root/a",
+      Seq((3L, 20L, BigDecimal("11.00")), (4L, 20L, BigDecimal("1.00")))
+        .toDF("ok", "ck", "price"), "ok")
+    val vA1 = Snapshots.currentVersion(spark, s"$root/a").get
+    val b0 = Seq((10L, "N1"), (20L, "N2")).toDF("ck", "nation")
+    Snapshots.commitOverwrite(spark, s"$root/b", b0)
+    // B v2: customer 10 moves to nation N3
+    Snapshots.commitUpsert(spark, s"$root/b",
+      Seq((10L, "N3")).toDF("ck", "nation"), "ck")
+    val baseAgg = Snapshots.readVersion(spark, s"$root/a", "v00000001")
+      .join(Snapshots.readVersion(spark, s"$root/b", "v00000001"), Seq("ck"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("value_sum"))
+    val got = Snapshots.maintainJoinAggregate(spark,
+        s"$root/a", "v00000001", vA1, "ok", "ck", "price",
+        s"$root/b", "v00000001", "v00000002", "ck", "nation", baseAgg)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue)).toMap
+    // final: a = {1→(10,5), 3→(20,11), 4→(20,1)}, b = {10→N3, 20→N2}
+    assert(got === Map("N3" -> ((1L, 5.0)), "N2" -> ((2L, 12.0))))
   }
 
   test("readability: hand-computed Flesch, sentence clamp, empty docs excluded") {

@@ -486,4 +486,45 @@ class StreamingSpec extends SparkSpec {
       assert(got === Set(("click", 3L), ("view", 2L)))
     } finally q2.stop()
   }
+
+  test("streaming EWMA closes a day on its successor and matches the batch operator bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sewma").toString
+    def ev(id: Long, dayMin: Int, ty: String, v: Double) =
+      (id, new Timestamp(1700000000000L + dayMin * 1440L * 60000L), 1L, ty, v, "{}")
+    // type a: 3 days; type b: 2 days; values exercise cent rounding
+    Seq(ev(1, 0, "a", 1.0), ev(2, 0, "a", 0.005), ev(3, 1, "a", 2.0),
+        ev(4, 2, "a", 4.0), ev(5, 0, "b", 9.0), ev(6, 2, "b", 3.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.Behavioral.ewmaDaily(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // streamed out-of-order ACROSS keys and within a batch; day
+    // boundaries split across two micro-batches
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = source.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.ewmaStream(spark, events).writeStream
+      .format("memory").queryName("sewma").outputMode("append").start()
+    try {
+      val rows = spark.read.parquet(s"$dir/events.parquet")
+        .as[(Long, Timestamp, Long, String, Double, String)].collect()
+      val (b1, b2) = rows.sortBy(_._1).splitAt(3)
+      source.addData(b1.reverse: _*); q.processAllAvailable()
+      source.addData(b2.reverse: _*); q.processAllAvailable()
+      val streamed = spark.table("sewma").as[EventStreams.EwmaDay].collect()
+        .map(e => (e.event_type, e.day) -> (e.cents, e.ewma_cents)).toMap
+      // every closed day (all but each key's final day) equals the
+      // batch row exactly — same cents, same double
+      val lastDays = batch.keys.groupBy(_._1).map { case (t, ks) => t -> ks.map(_._2).max }
+      val closed = batch.filter { case ((t, d), _) => d != lastDays(t) }
+      assert(streamed === closed, s"streamed=$streamed closed=$closed")
+      // bounded single-pass with flushTrailing: FULL parity
+      val all = EventStreams.ewmaStream(spark,
+          spark.read.parquet(s"$dir/events.parquet"), flushTrailing = true)
+        .collect().map(e => (e.event_type, e.day) -> (e.cents, e.ewma_cents)).toMap
+      assert(all === batch)
+    } finally q.stop()
+  }
 }
