@@ -953,6 +953,17 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
     "q138_order_streaks" -> ((s: SparkSession, d: String) => operators.TimeSeries.longestStreak(s, d)),
+    "q139_rolling_stats" -> ((s: SparkSession, d: String) => operators.Behavioral.rollingDailyStats(s, d)),
+    // the reference's SQL-UDF surface driven THROUGH spark.sql — the
+    // functions are extension-registered catalyst trees, not UDFs
+    "q140_sql_surface" -> ((s: SparkSession, d: String) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql("""SELECT p_brand, norm_body(p_brand) AS body,
+              |  to_bool_safe(CASE WHEN p_size % 2 = 0 THEN 'Y' ELSE 'off' END) AS flag,
+              |  count(*) AS n
+              |FROM part GROUP BY p_brand, body, flag
+              |ORDER BY p_brand, flag""".stripMargin)
+    }),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2565,6 +2576,36 @@ object SparkEntry {
         |SELECT o_custkey, len AS streak_months, streak_start, active_months
         |FROM p WHERE rn = 1
         |ORDER BY streak_months DESC, active_months DESC, o_custkey LIMIT 20""".stripMargin,
+    // rolling 7-obs daily stats: integer min/max, q30-contract median,
+    // mean as one exact-integer division
+    "q139_rolling_stats" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cents,
+        |  round(quantile_cont(cents, 0.5) OVER w, 4) AS med7,
+        |  CAST(CAST(sum(cents) OVER w AS BIGINT) AS DOUBLE) /
+        |    CAST(count(*) OVER w AS DOUBLE) AS avg7,
+        |  CAST(min(cents) OVER w AS BIGINT) AS min7,
+        |  CAST(max(cents) OVER w AS BIGINT) AS max7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    // mirrors the norm_body/to_bool_safe trees the SQL functions wrap
+    "q140_sql_surface" ->
+      """WITH c AS (SELECT p_brand, p_size,
+        |    regexp_replace(p_brand, '[^A-Za-z0-9]', '', 'g') AS cleaned FROM part),
+        |b AS (SELECT p_brand,
+        |    CASE WHEN p_brand IS NULL OR trim(p_brand) = '' THEN NULL
+        |         ELSE nullif(regexp_extract(upper(cleaned), '([A-Z]{3})', 1), '')
+        |              || '-' ||
+        |              lpad(nullif(regexp_extract(cleaned, '([0-9]{1,3})', 1), ''), 3, '0')
+        |    END AS body,
+        |    (p_size % 2 = 0) AS flag
+        |  FROM c)
+        |SELECT p_brand, body, flag, count(*) AS n
+        |FROM b GROUP BY 1, 2, 3 ORDER BY p_brand, flag""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

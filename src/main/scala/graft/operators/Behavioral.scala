@@ -269,6 +269,31 @@ object Behavioral {
     * giving bit-identical results on any engine. (An unbounded EWMA
     * needs a running float product, which no two engines agree on.)
     * One day-grain aggregation, one event_type-partitioned window. */
+  /** Rolling 7-observation daily stats per event type: exact-integer
+    * min/max/sum, the interpolated median (same cross-engine
+    * percentile contract as the q30 family, rounded at 4dp), and the
+    * mean as one exact-integer division mirrored on both engines.
+    * One day-grain aggregation + one partitioned window — the
+    * continuous-monitoring view next to [[anomalyDays]]'s
+    * whole-history test. */
+  def rollingDailyStats(spark: SparkSession, dir: String,
+                        window: Int = 7): DataFrame = {
+    val d182 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val daily = Tables.loadEvents(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast(d182) * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    daily.select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("cents"),
+        round(percentile(col("cents"), lit(0.5)).over(w), 4).as("med7"),
+        (sum(col("cents")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("avg7"),
+        min(col("cents")).over(w).as("min7"),
+        max(col("cents")).over(w).as("max7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def ewmaDaily(spark: SparkSession, dir: String, window: Int = 8): DataFrame = {
     val d182 = org.apache.spark.sql.types.DecimalType(18, 2)
     val daily = Tables.loadEvents(spark, dir)

@@ -88,6 +88,12 @@ object Dedup {
 
   private[graft] def minhashSignaturesFrom(sh: DataFrame): DataFrame =
     bandsOf(minhashRawFrom(sh))
+  // NB a "map-side" alternative (12 array_min-over-transform lambdas on
+  // per-doc shingle ARRAYS, no explode/shuffle) measured 40x SLOWER at
+  // sf0.1 (23 s vs 0.6 s): each array_min(transform(sa, …)) projection
+  // re-evaluates the free shingle-array expression, and no projection
+  // barrier survives 12 sibling references. The explode + 12-min-agg
+  // shuffle is ~0.6 s of a 2.5 s query — not the bottleneck.
 
   /** MinHash+LSH near-dup pairs: bucket-join per band (shuffle on the
     * band signature, never all-pairs), union candidates, then verify

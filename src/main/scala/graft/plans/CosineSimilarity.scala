@@ -107,6 +107,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"), CosineSimilarity.info,
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    // the reference's SQL UDF surface (norm_body / to_bool_safe /
+    // norm_date) as composed catalyst trees — see functions.SqlFunctions
+    graft.functions.SqlFunctions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => SimplifyRedundantCase)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }

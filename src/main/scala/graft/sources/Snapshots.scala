@@ -1291,6 +1291,21 @@ object Snapshots {
         computeFileStats(spark, new Path(tableDir), dd, statsCols)))
   }
 
+  /** Auto-OPTIMIZE policy: compact only when the live manifest
+    * references more than `maxDirs` distinct data dirs — the point
+    * where a long partition-scoped merge chain starts costing real
+    * read fan-out (one basePath listing per dir) and pinning the whole
+    * chain against [[vacuum]]. Cheap to call after every commit: the
+    * check is one manifest read; below threshold nothing runs.
+    * Returns the new version when a compaction was triggered. */
+  def maybeCompact(spark: SparkSession, tableDir: String,
+                   maxDirs: Int = 16): Option[String] =
+    currentVersion(spark, tableDir).flatMap { v =>
+      val m = readManifest(spark, tableDir, v)
+      val nDirs = (m.dataDir.toSeq ++ m.partitions.map(_._2)).distinct.size
+      if (nDirs > maxDirs) Some(compact(spark, tableDir)) else None
+    }
+
   /** Zero-copy SHALLOW CLONE (Delta-style): publish `targetDir` as a
     * new snapshot table whose v1 manifest references the SOURCE
     * table's data files by absolute path — no bytes are copied, the

@@ -109,6 +109,35 @@ object EventStreams {
         }
       }
 
+  /** Per-micro-batch temporal enrichment against a SNAPSHOT table: at
+    * every batch the sink resolves the dimension's live version ONCE
+    * and joins the batch against that pinned `readVersion` — so a
+    * concurrent dimension commit mid-batch can never produce a torn
+    * join (half the batch on v_n, half on v_n+1), and each output row
+    * records which version enriched it (`_dim_version`) for exact
+    * replay/audit. The dimension is broadcast per batch: the streaming
+    * side never shuffles. This is the streaming face of the
+    * slowly-changing-dimension lookup — the SCD2 point-in-time join
+    * (q107) answers "as of the EVENT time"; this answers "as of the
+    * PROCESSING batch", which is what online enrichment wants. */
+  def snapshotEnrichSink(events: DataFrame, tableDir: String, key: String,
+                         outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val v = graft.sources.Snapshots.currentVersion(spark, tableDir)
+            .getOrElse(throw new java.io.IOException(
+              s"snapshotEnrichSink: no committed version at $tableDir"))
+          val dim = graft.sources.Snapshots.readVersion(spark, tableDir, v)
+          batch.join(broadcast(dim), Seq(key), "left")
+            .withColumn("_dim_version", lit(v))
+            .withColumn("_batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
+      }
+
   /** Rate-limited file-stream source — the backpressure surface.
     *
     * `maxFilesPerTrigger` caps how many NEW files each micro-batch

@@ -172,4 +172,74 @@ class DegenerateInputSpec extends SparkSpec {
     val pr = graft.operators.Affinity.pageRankCoSupply(spark, dir).collect()
     assert(pr.map(_.getAs[Long]("score")).toSeq === Seq(150000L, 150000L))
   }
+
+  test("attribution/ewma/rolling on empty events; k-core and bfs on edgeless graphs") {
+    val ev = Files.createTempDirectory("graft_degen_ev2").toString
+    import java.sql.Timestamp
+    Seq.empty[(Long, Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$ev/events.parquet")
+    assert(graft.operators.Behavioral.attribution(spark, ev).count() === 0L)
+    assert(graft.operators.Behavioral.ewmaDaily(spark, ev).count() === 0L)
+    assert(graft.operators.Behavioral.rollingDailyStats(spark, ev).count() === 0L)
+    val g = Files.createTempDirectory("graft_degen_g").toString
+    // single-member orders: no co-purchase and no co-supply pairs
+    Seq((10L, 1L, 1L), (20L, 2L, 2L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$g/lineitem.parquet")
+    Seq(1L, 2L, 10L).toDF("s_suppkey")
+      .write.mode("overwrite").parquet(s"$g/supplier.parquet")
+    // no co-occurrence edges: the k-core is empty; BFS reaches only
+    // the seed itself at distance 0
+    assert(graft.operators.Affinity.kCore(spark, g).count() === 0L)
+    val bfs = graft.operators.Affinity.bfsHops(spark, g).collect()
+    assert(bfs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((10L, 0L)))
+  }
+
+  test("purchase-only attribution credits 'direct' on both models") {
+    val ev = Files.createTempDirectory("graft_degen_attr").toString
+    import java.sql.Timestamp
+    Seq((1L, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, "purchase", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$ev/events.parquet")
+    val out = graft.operators.Behavioral.attribution(spark, ev).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "direct")
+    assert(out.head.getLong(1) === 250L && out.head.getLong(3) === 250L)
+  }
+
+  test("single-observation EWMA and rolling stats equal the observation itself") {
+    val ev = Files.createTempDirectory("graft_degen_ewma1").toString
+    import java.sql.Timestamp
+    Seq((1L, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, "a", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$ev/events.parquet")
+    val e = graft.operators.Behavioral.ewmaDaily(spark, ev).head()
+    assert(e.getDouble(3) === 300.0)
+    val r = graft.operators.Behavioral.rollingDailyStats(spark, ev).head()
+    assert(r.getDouble(4) === 300.0 && r.getLong(5) === 300L && r.getLong(6) === 300L)
+  }
+
+  test("fk audit on empty children; readability/sig-jaccard/k-anonymity on empty inputs") {
+    val dir = Files.createTempDirectory("graft_degen_fk").toString
+    def w(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    w(Seq.empty[Long].toDF("r_regionkey"), "region")
+    w(Seq.empty[(Long, Long)].toDF("n_nationkey", "n_regionkey"), "nation")
+    w(Seq.empty[(Long, Long)].toDF("c_custkey", "c_nationkey"), "customer")
+    w(Seq.empty[(Long, Long)].toDF("s_suppkey", "s_nationkey"), "supplier")
+    w(Seq.empty[Long].toDF("p_partkey"), "part")
+    w(Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"), "orders")
+    w(Seq.empty[(Long, Long, Long)].toDF("l_orderkey", "l_partkey", "l_suppkey"),
+      "lineitem")
+    val fk = graft.operators.Relational.fkAudit(spark, dir).collect()
+    assert(fk.length === 7)
+    fk.foreach(r => assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((0L, 0L, 0L))))
+    val docs = corpus(Seq((0L, "", "en", "s", 0L)))
+    assert(TextAnalysis.readability(spark, docs).count() === 0L)
+    assert(graft.operators.Dedup.signatureJaccard(spark, docs).count() === 0L)
+    assert(graft.operators.Privacy
+      .kAnonymityViolations(Seq.empty[(Long, String)].toDF("id", "g"), Seq("g"), 10)
+      .count() === 0L)
+  }
 }

@@ -60,4 +60,27 @@ class NormalizeSpec extends SparkSpec {
       None,              // regex passes but month 13 invalid → NULL (vs PG error; documented)
       None))
   }
+
+  test("SQL surface: norm_body/to_bool_safe/norm_date callable from spark.sql, equal to the Column API") {
+    val r = spark.sql(
+      """SELECT norm_body('KLG4590') AS b1, norm_body('ab1') AS b2,
+        |  to_bool_safe('no') AS f1, to_bool_safe('on') AS f2,
+        |  CAST(norm_date('15/07/2025') AS STRING) AS d1,
+        |  norm_date('7/30/2025') AS d2""".stripMargin).head()
+    assert(r.getString(0) === "KLG-459")
+    assert(r.isNullAt(1))
+    assert(r.getBoolean(2) === false)
+    assert(r.getBoolean(3) === true)
+    assert(r.getString(4) === "2025-07-15")
+    assert(r.isNullAt(5))
+    // SQL registration and Column API are the same tree: identical
+    // results over an arbitrary frame
+    val in = Seq("BRT322-B", "x9", "", null).map(Option(_)).toDF("s")
+    in.createOrReplaceTempView("sqlfn_in")
+    val viaSql = spark.sql("SELECT norm_body(s) FROM sqlfn_in").collect()
+      .map(r0 => Option(r0.getString(0))).toSeq
+    val viaCol = in.select(Normalize.normBody(col("s"))).collect()
+      .map(r0 => Option(r0.getString(0))).toSeq
+    assert(viaSql === viaCol)
+  }
 }

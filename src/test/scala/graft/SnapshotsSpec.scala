@@ -343,6 +343,23 @@ class SnapshotsSpec extends SparkSpec {
       s"writer $w reported success but its rows are not in the live snapshot"))
   }
 
+  test("maybeCompact triggers only past the dir-count threshold and is then a no-op") {
+    val dir = freshDir()
+    Snapshots.commitMergePartitioned(spark, dir,
+      Seq((1L, "A", 1.0)).toDF("k", "p", "amount"), "k", "p")
+    (2 to 4).foreach { i =>
+      Snapshots.commitMergePartitioned(spark, dir,
+        Seq((i.toLong, s"P$i", i.toDouble)).toDF("k", "p", "amount"), "k", "p")
+    }
+    // live manifest references 4 dirs — below a threshold of 4 nothing runs
+    assert(Snapshots.maybeCompact(spark, dir, maxDirs = 4) === None)
+    val v = Snapshots.maybeCompact(spark, dir, maxDirs = 3)
+    assert(v.isDefined)
+    assert(Snapshots.read(spark, dir).count() === 4)
+    // compacted: one dir → immediate no-op at the same threshold
+    assert(Snapshots.maybeCompact(spark, dir, maxDirs = 3) === None)
+  }
+
   test("shallow clone: zero-copy read equality, independent divergence, partition-scoped borrow") {
     val src = freshDir()
     Snapshots.commitMergePartitioned(spark, src,

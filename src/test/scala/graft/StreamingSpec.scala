@@ -487,6 +487,35 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("snapshot enrichment re-resolves the dimension per batch; each row records its version") {
+    val root = java.nio.file.Files.createTempDirectory("graft_senrich").toString
+    val dimDir = s"$root/dim"
+    graft.sources.Snapshots.commitOverwrite(spark, dimDir,
+      Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment"))
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, Double)]
+    val events = source.toDF().toDF("event_id", "user_id", "value")
+    val q = EventStreams.snapshotEnrichSink(events, dimDir, "user_id", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      source.addData((1L, 1L, 5.0), (2L, 2L, 6.0))
+      q.processAllAvailable()
+      // dimension advances between batches: user 1 moves to platinum
+      graft.sources.Snapshots.commitUpsert(spark, dimDir,
+        Seq((1L, "platinum")).toDF("user_id", "segment"), "user_id")
+      source.addData((3L, 1L, 7.0), (4L, 9L, 8.0)) // 9 = unknown key
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$root/out")
+        .select(col("event_id"), col("segment"), col("_dim_version"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+      assert(out === Set(
+        (1L, Some("gold"), "v00000001"),
+        (2L, Some("basic"), "v00000001"),
+        (3L, Some("platinum"), "v00000002"), // same key, new version
+        (4L, None, "v00000002")))            // left join keeps unknown keys
+    } finally q.stop()
+  }
+
   test("streaming EWMA closes a day on its successor and matches the batch operator bit-for-bit") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sewma").toString
     def ev(id: Long, dayMin: Int, ty: String, v: Double) =
