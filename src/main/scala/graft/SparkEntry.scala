@@ -964,6 +964,20 @@ object SparkEntry {
               |FROM part GROUP BY p_brand, body, flag
               |ORDER BY p_brand, flag""".stripMargin)
     }),
+    // incremental LSH index maintenance: the indexed corpus
+    // contributes only its PERSISTED raw signatures (built once as a
+    // fixture — its text is never re-shingled); the delta slice
+    // (doc_id % 10 = 3) is shingled, signed, band-joined against the
+    // index, and verified by signature agreement. The oracle
+    // recomputes capped LSH over the full corpus and restricts to
+    // pairs involving the delta — proving the incremental algebra
+    "q141_incremental_lsh" -> ((s: SparkSession, d: String) => {
+      val idx = fixture("lshidx", s, d, "documents") { path =>
+        wipe(s, path)
+        operators.Dedup.lshIndexSignatures(s, d).write.parquet(path)
+      }
+      operators.Dedup.incrementalLsh(s, d, idx)
+    }),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2606,6 +2620,17 @@ object SparkEntry {
         |  FROM c)
         |SELECT p_brand, body, flag, count(*) AS n
         |FROM b GROUP BY 1, 2, 3 ORDER BY p_brand, flag""".stripMargin,
+    // full capped-LSH recompute restricted to pairs with >= 1 delta
+    // member — the incremental path must reproduce it exactly
+    "q141_incremental_lsh" ->
+      s"""$shingleCte,
+        |$cappedCandCtes,
+        |dcand AS (SELECT da, db FROM cand WHERE da % 10 = 3 OR db % 10 = 3),
+        |eq AS (SELECT c.da, c.db,
+        |    CAST(${(0 until 12).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")} AS BIGINT) AS n_equal
+        |  FROM dcand c JOIN sig sa ON sa.doc_id = c.da JOIN sig sb ON sb.doc_id = c.db)
+        |SELECT da, db, n_equal, CAST(n_equal AS DOUBLE) / 12.0 AS est_sim
+        |FROM eq WHERE n_equal >= 6 ORDER BY da, db""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

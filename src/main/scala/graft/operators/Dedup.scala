@@ -179,6 +179,33 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Asymmetric containment near-dup: directed pairs (da, db) where
+    * at least `num`/`den` of da's shingles also appear in db —
+    * catching the inclusion duplicates symmetric Jaccard misses (a
+    * short document quoted whole inside a long one has tiny Jaccard
+    * but containment ≈ 1; every pretraining corpus is full of them:
+    * quotes, syndication, boilerplate-plus-article). Same capped
+    * inverted index and skew bound as [[ngramJaccard]]; the filter is
+    * integer-exact (`i·den ≥ na·num`), the reported score a single
+    * rounded division. Docs with < `minShingles` capped shingles are
+    * suppressed (trivially contained). */
+  def containment(spark: SparkSession, dir: String,
+                  cap: Int = HotShingleCap, minShingles: Int = 5,
+                  num: Int = 8, den: Int = 10): DataFrame = {
+    val sh = cappedShinglesOf(shingleRows(spark, dir), cap).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    val inter = sh.select(col("doc_id").as("da"), col("s"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") =!= col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col("doc_id").as("da"), col("na")), Seq("da"))
+      .filter(col("i") * den >= col("na") * num && col("na") >= minShingles)
+      .select(col("da"), col("db"), col("na"), col("i"),
+        round(col("i").cast("double") / col("na"), 4).as("containment"))
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing ≥1
     * normalized 3-gram shingle with a held-out eval set — the overlap
     * check every pretraining pipeline runs before training (real
@@ -487,6 +514,99 @@ object Dedup {
           (col("na") + col("nb") - coalesce(col("i"), lit(0L))), 4).as("jaccard"))
       .orderBy(col("da"), col("db"))
   }
+
+  /** Minimum matching signature components (of [[NumHashes]]) for the
+    * incremental path's agreement verify — 6/12 ≈ Jaccard 0.5, the
+    * same threshold the batch paths verify exactly. */
+  val MinSigAgreement = 6
+
+  /** Raw minhash signatures (doc_id, h0..h11) for the INDEX side of
+    * [[incrementalLshFrom]]: the docs NOT in the delta slice
+    * (doc_id % deltaMod ≠ deltaRes). In production this frame is the
+    * persisted signature table an ingest pipeline maintains — 12
+    * strings per document, no text. */
+  def lshIndexSignatures(spark: SparkSession, dir: String,
+                         deltaMod: Int = 10, deltaRes: Int = 3): DataFrame =
+    minhashRawFrom(shingleRowsOf(
+      Tables.loadSpread(spark, dir, "documents")
+        .filter(col("doc_id") % deltaMod =!= deltaRes)))
+
+  /** The delta slice of the corpus (the "newly ingested" documents). */
+  def lshDeltaDocs(spark: SparkSession, dir: String,
+                   deltaMod: Int = 10, deltaRes: Int = 3): DataFrame =
+    Tables.loadSpread(spark, dir, "documents")
+      .filter(col("doc_id") % deltaMod === deltaRes)
+
+  /** Incremental LSH index maintenance: near-dup pairs INVOLVING the
+    * delta docs, computed without ever re-shingling the indexed
+    * corpus. The index contributes only its persisted raw signatures
+    * (12 hashes/doc); the delta is shingled, signed, and its band
+    * keys joined against index ∪ delta band buckets. Buckets whose
+    * COMBINED membership exceeds `cap` are dropped — identical
+    * semantics to [[minhashLshCapped]] restricted to pairs with ≥1
+    * delta member, which is exactly what the oracle recomputes.
+    * Verification is signature-component agreement (≥ `minEqual` of
+    * [[NumHashes]]) — the index stores no shingles, so exact Jaccard
+    * is impossible by design; agreement is the unbiased estimator of
+    * it ([[signatureJaccard]] pins the two side by side).
+    *
+    * Shape at 100 TB: the expensive work (normalize → shingle →
+    * 12-min-agg) touches ONLY the delta; the index-side cost is one
+    * narrow scan of a 12-column signature table (band keys are
+    * recomputed from h0..h11 — cheap md5s — or, in a production
+    * index, stored alongside). The pair join fans out only from
+    * delta band rows, and the cap bounds its worst key at cap².
+    * Bucket counts are re-aggregated here for the harness; a real
+    * index maintains them incrementally (count += delta per bucket),
+    * which preserves the same hot set. */
+  def incrementalLshFrom(indexRaw: DataFrame, deltaDocs: DataFrame,
+                         cap: Int = BandBucketCap,
+                         minEqual: Int = MinSigAgreement): DataFrame = {
+    val deltaRaw = minhashRawFrom(shingleRowsOf(deltaDocs)).cache()
+    def melt(raw: DataFrame): DataFrame =
+      bandsOf(raw).select(col("doc_id"), posexplode(
+        array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band", "bk")))
+    val deltaM = melt(deltaRaw).cache()
+    val allM = melt(indexRaw).unionByName(deltaM)
+    val hot = allM.groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > cap)
+      .select(col("band"), col("bk"))
+    val coldAll = allM.join(broadcast(hot), Seq("band", "bk"), "left_anti")
+    val coldDelta = deltaM.join(broadcast(hot), Seq("band", "bk"), "left_anti")
+    val cand = coldDelta.select(col("band"), col("bk"), col("doc_id").as("x"))
+      .join(coldAll.select(col("band"), col("bk"), col("doc_id").as("y")),
+        Seq("band", "bk"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("da"),
+        greatest(col("x"), col("y")).as("db"))
+      .distinct()
+    val allRaw = indexRaw.unionByName(deltaRaw)
+    val eqExpr = (0 until NumHashes)
+      .map(i => when(col(s"ha$i") === col(s"hb$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val aSide = allRaw.select(col("doc_id").as("da") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"ha$i")): _*)
+    val bSide = allRaw.select(col("doc_id").as("db") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"hb$i")): _*)
+    cand.join(aSide, Seq("da")).join(bSide, Seq("db"))
+      .select(col("da"), col("db"), eqExpr.as("n_equal"))
+      .filter(col("n_equal") >= minEqual)
+      .select(col("da"), col("db"), col("n_equal"),
+        (col("n_equal").cast("double") / lit(NumHashes.toDouble)).as("est_sim"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** [[incrementalLshFrom]] wired to the deterministic base/delta
+    * corpus split (delta = doc_id % deltaMod = deltaRes). The gated
+    * entry reads the index from a PERSISTED parquet signature table
+    * (built once as a fixture) — the point of the operator is that
+    * the indexed corpus's text is never touched. */
+  def incrementalLsh(spark: SparkSession, dir: String, indexPath: String,
+                     deltaMod: Int = 10, deltaRes: Int = 3,
+                     cap: Int = BandBucketCap,
+                     minEqual: Int = MinSigAgreement): DataFrame =
+    incrementalLshFrom(spark.read.parquet(indexPath),
+      lshDeltaDocs(spark, dir, deltaMod, deltaRes), cap, minEqual)
 
   /** Candidate pairs from band buckets of size ≤ cap. Exposed
     * package-private so the spec can assert the candidate COUNT bound

@@ -244,4 +244,32 @@ class DedupSpec extends SparkSpec {
       assert(byPair.contains(pair) && byPair(pair)._3 === j, s"pair $pair")
     }
   }
+
+  test("incremental LSH equals capped full recompute restricted to delta pairs") {
+    val docs = spark.read.parquet(s"$corpusDir/documents.parquet")
+    // delta = docs {1, 3}; index = the rest (persisted signatures only)
+    val delta = docs.filter(col("doc_id").isin(1L, 3L))
+    val index = Dedup.minhashRawFrom(
+      Dedup.shingleRowsOf(docs.filter(!col("doc_id").isin(1L, 3L))))
+    val inc = Dedup.incrementalLshFrom(index, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_equal")).toMap
+    // ground truth: capped candidates over the FULL corpus, agreement
+    // >= 6, restricted to pairs touching the delta
+    val sh = Dedup.shingleRowsOf(docs)
+    val raw = Dedup.minhashRawFrom(sh)
+    val cand = Dedup.cappedBandCandidates(Dedup.bandsOf(raw), Dedup.BandBucketCap)
+    val eq = (0 until Dedup.NumHashes)
+      .map(i => when(col(s"ha$i") === col(s"hb$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val aSide = raw.select(col("doc_id").as("da") +:
+      (0 until Dedup.NumHashes).map(i => col(s"h$i").as(s"ha$i")): _*)
+    val bSide = raw.select(col("doc_id").as("db") +:
+      (0 until Dedup.NumHashes).map(i => col(s"h$i").as(s"hb$i")): _*)
+    val full = cand.join(aSide, Seq("da")).join(bSide, Seq("db"))
+      .select(col("da"), col("db"), eq.as("n_equal"))
+      .filter(col("n_equal") >= Dedup.MinSigAgreement)
+      .filter(col("da").isin(1L, 3L) || col("db").isin(1L, 3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_equal")).toMap
+    assert(inc === full)
+    assert(inc.contains((0L, 1L)) && inc((0L, 1L)) === 12L) // exact dup lands in delta
+  }
 }
