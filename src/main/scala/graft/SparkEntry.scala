@@ -978,6 +978,12 @@ object SparkEntry {
       }
       operators.Dedup.incrementalLsh(s, d, idx)
     }),
+    // asymmetric containment near-dup (inclusion duplicates)
+    "q142_containment" -> ((s: SparkSession, d: String) => operators.Dedup.containment(s, d)),
+    // item-item collaborative-filtering cosine over order baskets
+    "q143_item_cf"     -> ((s: SparkSession, d: String) => operators.Affinity.itemSimilarity(s, d)),
+    // per-day event-type distribution drift, fixed-point L2
+    "q144_drift_days"  -> ((s: SparkSession, d: String) => operators.Behavioral.driftDays(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2631,6 +2637,50 @@ object SparkEntry {
         |  FROM dcand c JOIN sig sa ON sa.doc_id = c.da JOIN sig sb ON sb.doc_id = c.db)
         |SELECT da, db, n_equal, CAST(n_equal AS DOUBLE) / 12.0 AS est_sim
         |FROM eq WHERE n_equal >= 6 ORDER BY da, db""".stripMargin,
+    // directed containment over the capped shingle index; integer-
+    // exact threshold i*10 >= na*8, na >= 5
+    "q142_containment" ->
+      s"""$shingleCte,
+        |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 20),
+        |shc AS (SELECT doc_id, s FROM sh ANTI JOIN hot USING (s)),
+        |cnt AS (SELECT doc_id, count(*) AS na FROM shc GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT x.da, x.db, c.na, x.i,
+        |  round(CAST(x.i AS DOUBLE) / c.na, 4) AS containment
+        |FROM inter x JOIN cnt c ON c.doc_id = x.da
+        |WHERE x.i * 10 >= c.na * 8 AND c.na >= 5
+        |ORDER BY x.da, x.db""".stripMargin,
+    // cosine surrogate co^2 * 1e8 div (deg_a * deg_b) — integer-exact
+    "q143_item_cf" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |deg AS (SELECT l_partkey, count(*) AS d FROM op GROUP BY 1),
+        |pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS co
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pa, pb, co, da.d AS n_a, db.d AS n_b,
+        |  co * co * 100000000 // (da.d * db.d) AS score
+        |FROM pr JOIN deg da ON da.l_partkey = pa JOIN deg db ON db.l_partkey = pb
+        |ORDER BY score DESC, pa, pb LIMIT 25""".stripMargin,
+    // fixed-point (x1e6, floor div) L2 distance between each day's
+    // event-type mix and the global mix; missing types contribute
+    // their full squared reference frequency
+    "q144_drift_days" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |dtot AS (SELECT day, sum(c) AS td FROM daily GROUP BY 1),
+        |gmix AS (SELECT event_type, sum(c) AS g FROM daily GROUP BY 1),
+        |tot AS (SELECT sum(g) AS t FROM gmix),
+        |grid AS (SELECT dt.day, dt.td,
+        |    coalesce(d.c, 0) * 1000000 // dt.td AS f_day,
+        |    gl.g * 1000000 // tt.t AS f_ref
+        |  FROM dtot dt CROSS JOIN gmix gl CROSS JOIN tot tt
+        |  LEFT JOIN daily d ON d.day = dt.day AND d.event_type = gl.event_type)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(td AS BIGINT) AS n_events,
+        |  CAST(sum((f_day - f_ref) * (f_day - f_ref)) AS BIGINT) AS drift
+        |FROM grid GROUP BY day, td
+        |ORDER BY drift DESC, day LIMIT 15""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -96,6 +96,41 @@ object Affinity {
       .select(col("id").as("s_suppkey"), col("score"))
   }
 
+  /** Item-item collaborative-filtering similarity over the order
+    * baskets: cosine between parts' order-occurrence vectors,
+    *   cos(a,b) = co(a,b) / √(deg a · deg b),
+    * ranked by the INTEGER surrogate co²·10⁸ div (deg·deg) — exact,
+    * engine-portable, and order-equivalent to cos² (cos itself needs
+    * a square root; its square doesn't). Pairs below `minSupport`
+    * co-occurrences are dropped first — both the statistical floor
+    * and the sparsity bound (see [[coPurchaseEdges]]).
+    *
+    * Scale posture: the pair expansion is map-side over per-order
+    * sorted member sets (order size is bounded), so the expensive
+    * step is one fact-sized aggregation; degrees are a second
+    * distinct-pair aggregation; the final join keys on part ids. */
+  def itemSimilarity(spark: SparkSession, dir: String,
+                     minSupport: Int = 2, k: Int = 25): DataFrame = {
+    val op = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().cache()
+    val deg = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("d"))
+    val sets = op.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    val co = sets.select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
+      )).as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minSupport)
+    co.join(deg.select(col("l_partkey").as("pa"), col("d").as("n_a")), Seq("pa"))
+      .join(deg.select(col("l_partkey").as("pb"), col("d").as("n_b")), Seq("pb"))
+      .select(col("pa"), col("pb"), col("co"), col("n_a"), col("n_b"),
+        expr("co * co * 100000000 div (n_a * n_b)").as("score"))
+      .orderBy(col("score").desc, col("pa"), col("pb"))
+      .limit(k)
+  }
+
   /** Undirected part co-purchase edges: parts appearing together in
     * at least `minSupport` distinct orders, canonically keyed
     * src < dst. The support threshold is what keeps the projected

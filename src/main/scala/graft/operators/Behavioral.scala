@@ -217,6 +217,41 @@ object Behavioral {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Distribution drift per day: scaled-L2 distance between each
+    * day's event-type mix and the corpus-wide mix — the data-quality
+    * monitor a continuously-ingesting pipeline runs to catch a feed
+    * going bad (one source dropping out skews the type distribution
+    * long before volume alarms fire). Frequencies are fixed-point
+    * (×10⁶, floor division) so the statistic is integer-exact and
+    * engine-portable; days missing a type contribute that type's full
+    * squared reference frequency (the zero row is materialized via
+    * the day×type frame, both sides tiny). Returns the `k` most
+    * drifted days.
+    *
+    * Scale posture: one fact-sized (day, type) count aggregation;
+    * everything after is dimension-sized (days × types) and the
+    * reference mix is a broadcast scalar frame. */
+  def driftDays(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val daily = Tables.loadEvents(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    val dayTot = daily.groupBy(col("day")).agg(sum(col("c")).as("td"))
+    val glob = daily.groupBy(col("event_type")).agg(sum(col("c")).as("g"))
+    val tot = glob.agg(sum(col("g")).as("t"))
+    val grid = dayTot.crossJoin(broadcast(glob.crossJoin(tot)))
+      .join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("td"),
+        expr("(coalesce(c, 0) * 1000000) div td").as("f_day"),
+        expr("(g * 1000000) div t").as("f_ref"))
+    grid.groupBy(col("day"), col("td"))
+      .agg(sum((col("f_day") - col("f_ref")) * (col("f_day") - col("f_ref"))).as("drift"))
+      .orderBy(col("drift").desc, col("day"))
+      .limit(k)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("td").as("n_events"), col("drift"))
+  }
+
   /** Multi-touch revenue attribution: each purchase's value (exact
     * cents) is credited to the user's FIRST non-purchase touch
     * (first-touch model) and to the LAST non-purchase touch strictly

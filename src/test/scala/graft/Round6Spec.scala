@@ -122,4 +122,62 @@ class Round6Spec extends SparkSpec {
     assert((d1.getLong(1), d1.getLong(2), d1.getLong(3)) === ((3L, 1L, 6L)))
     assert(d1.getString(5) === "hard")
   }
+
+  test("containment: a short doc quoted whole inside a long one is caught; Jaccard would miss it") {
+    val dir = Files.createTempDirectory("graft_cont").toString
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = "intro words before the quote " + quote +
+      " and a very long tail " + (1 to 30).map(i => s"filler$i").mkString(" ")
+    Seq((1L, quote, "en", "s", 10L), (2L, long, "en", "s", 10L),
+        (3L, "unrelated content entirely different words", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.containment(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment")).toMap
+    // doc 1's shingles all appear in doc 2 → containment 1.0 directed 1→2
+    assert(out((1L, 2L)) === 1.0)
+    // the reverse direction is NOT contained (long tail unique to 2)
+    assert(!out.contains((2L, 1L)) && !out.keys.exists(_._1 == 3L))
+    // symmetric Jaccard on the same corpus misses the pair entirely
+    val jac = graft.operators.Dedup.ngramJaccard(spark, dir).collect()
+    assert(!jac.exists(r => Set(r.getLong(0), r.getLong(1)) == Set(1L, 2L)))
+  }
+
+  test("item similarity: parts always bought together outrank popular-but-uncorrelated pairs") {
+    val dir = Files.createTempDirectory("graft_cf").toString
+    // parts 1,2 co-occur in all their 3 orders (cos=1); part 9 is in
+    // every order (popular) so its pairs have low cosine
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 9L),
+      (11L, 1L), (11L, 2L), (11L, 9L),
+      (12L, 1L), (12L, 2L), (12L, 9L),
+      (13L, 9L), (14L, 9L), (15L, 9L), (16L, 9L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Affinity.itemSimilarity(spark, dir).collect()
+    val top = out.head
+    assert((top.getLong(0), top.getLong(1)) === ((1L, 2L)))
+    assert(top.getAs[Long]("score") === 100000000L) // cos = 1 exactly
+    val scores = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("score")).toMap
+    // (1,9): co=3, deg1=3, deg9=7 → 9e8 div 21 < 1e8
+    assert(scores((1L, 9L)) === 9L * 100000000L / 21L)
+  }
+
+  test("drift days: a day missing a dominant type drifts more than a balanced day") {
+    val dir = Files.createTempDirectory("graft_drift").toString
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // two balanced days (50/50 a,b) and one day of only 'a'
+    val ev = (1 to 10).map(i => (i.toLong, 1L, "a", ts("2024-01-01 00:00:00"), 1.0)) ++
+      Seq.tabulate(5)(i => ((100 + i).toLong, 1L, "a", ts("2024-01-02 01:00:00"), 1.0)) ++
+      Seq.tabulate(5)(i => ((200 + i).toLong, 1L, "b", ts("2024-01-02 02:00:00"), 1.0)) ++
+      Seq.tabulate(5)(i => ((300 + i).toLong, 1L, "a", ts("2024-01-03 01:00:00"), 1.0)) ++
+      Seq.tabulate(5)(i => ((400 + i).toLong, 1L, "b", ts("2024-01-03 02:00:00"), 1.0))
+    ev.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Behavioral.driftDays(spark, dir).collect()
+    assert(out.head.getString(0) === "2024-01-01") // the all-'a' day drifts most
+    val drifts = out.map(r => r.getString(0) -> r.getAs[Long]("drift")).toMap
+    assert(drifts("2024-01-01") > drifts("2024-01-02"))
+    assert(drifts("2024-01-02") === drifts("2024-01-03")) // identical mixes tie
+  }
 }
