@@ -36,7 +36,13 @@ object Bench {
     // on stderr — a regression can't masquerade as a fast run.
     // NonFatal only: an OutOfMemoryError/LinkageError must abort the
     // whole bench — timings from a corrupted JVM are worse than none.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local iteration: SPARK_GRAFT_BENCH_ONLY=q132_bfs_hops,q41_...
+    // restricts the run (the driver's env sets no value → full run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case NonFatal(_) => () } // warmup
       spark.catalog.clearCache()
       val runs = (1 to reps).map { _ =>

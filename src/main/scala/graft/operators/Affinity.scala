@@ -53,11 +53,16 @@ object Affinity {
     val sets = li.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
       .filter(size(col("ss")) >= 2)
-    sets.select(explode(expr(
-      "flatten(transform(ss, x -> transform(filter(ss, y -> y != x), y -> struct(x AS src, y AS dst))))"
+    // canonical (i < j) pairs through the dedup shuffle — half the
+    // rows of the both-directions expansion — then mirrored; the
+    // mirror reads the deduped exchange twice (ReusedExchange), not
+    // the fact table
+    val canon = sets.select(explode(expr(
+      "flatten(transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss)), y -> struct(x AS src, y AS dst))))"
     )).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
+    canon.unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** Integer-exact PageRank (damping 0.85, `iters` rounds) over the
@@ -253,13 +258,27 @@ object Affinity {
     val seeds = Tables.load(spark, dir, "supplier")
       .select(col("s_suppkey").as("id"))
       .filter(col("id") % seedMod === 0)
-    var dist = seeds.select(col("id"), lit(0L).as("dist"))
-    for (_ <- 1 to maxHops) {
-      val next = edges
-        .join(broadcast(dist.withColumnRenamed("id", "src")), Seq("src"))
-        .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
-      dist = dist.unionByName(next)
-        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+    // frontier BFS: only the nodes FIRST discovered last round expand
+    // (unit edge weights ⇒ a distance never improves after first
+    // discovery), so settled nodes' edges are never re-joined — on a
+    // big graph each round touches O(frontier-adjacent) edge rows,
+    // not O(reached). Each round's distance frame is cached but NOT
+    // force-materialized: within the single final action the two
+    // references per round (anti-join + union) compute once and
+    // cache; blocking per-round counts measured ~20% slower at sf0.1
+    // (3 extra job round-trips) for identical results. On a real
+    // cluster with many rounds, checkpoint every few rounds to
+    // truncate lineage.
+    var dist = seeds.select(col("id"), lit(0L).as("dist")).cache()
+    var frontier = dist.select(col("id"))
+    for (h <- 1 to maxHops) {
+      val reached = edges
+        .join(broadcast(frontier.withColumnRenamed("id", "src")), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+      val fresh = reached.join(dist, Seq("id"), "left_anti")
+        .select(col("id"), lit(h.toLong).as("dist"))
+      dist = dist.unionByName(fresh).cache()
+      frontier = dist.filter(col("dist") === h).select(col("id"))
     }
     dist.select(col("id").as("s_suppkey"), col("dist"))
       .orderBy(col("s_suppkey"))
