@@ -984,6 +984,10 @@ object SparkEntry {
     "q143_item_cf"     -> ((s: SparkSession, d: String) => operators.Affinity.itemSimilarity(s, d)),
     // per-day event-type distribution drift, fixed-point L2
     "q144_drift_days"  -> ((s: SparkSession, d: String) => operators.Behavioral.driftDays(s, d)),
+    // weak-supervision labeling-function bank, plurality vote
+    "q145_weak_labels" -> ((s: SparkSession, d: String) => TextAnalysis.weakLabels(s, d)),
+    // in-engine ANN quality: recall@5 of IVF vs brute force
+    "q146_ann_recall"  -> ((s: SparkSession, d: String) => Vectors.annRecall(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2681,6 +2685,60 @@ object SparkEntry {
         |  CAST(sum((f_day - f_ref) * (f_day - f_ref)) AS BIGINT) AS drift
         |FROM grid GROUP BY day, td
         |ORDER BY drift DESC, day LIMIT 15""".stripMargin,
+    // keyword labeling functions; plurality vote, lexicographic ties
+    "q145_weak_labels" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |v AS (SELECT doc_id,
+        |    CAST(list_contains(w, 'spark') AS BIGINT) + CAST(list_contains(w, 'query') AS BIGINT) AS v_compute,
+        |    CAST(list_contains(w, 'vector') AS BIGINT) + CAST(list_contains(w, 'hash') AS BIGINT) AS v_ml,
+        |    CAST(list_contains(w, 'table') AS BIGINT) + CAST(list_contains(w, 'row') AS BIGINT) AS v_storage,
+        |    CAST(list_contains(w, 'stream') AS BIGINT) + CAST(list_contains(w, 'batch') AS BIGINT) AS v_streaming
+        |  FROM t),
+        |m AS (SELECT doc_id, v_compute + v_ml + v_storage + v_streaming AS n_votes,
+        |    unnest([{'nv': -v_compute, 'l': 'compute'}, {'nv': -v_ml, 'l': 'ml'},
+        |            {'nv': -v_storage, 'l': 'storage'}, {'nv': -v_streaming, 'l': 'streaming'}]) AS u
+        |  FROM v WHERE v_compute + v_ml + v_storage + v_streaming > 0),
+        |r AS (SELECT doc_id, n_votes, u.nv AS nv, u.l AS l,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY u.nv, u.l) AS rk FROM m)
+        |SELECT doc_id, n_votes, l AS label, CAST(-nv AS BIGINT) AS label_votes,
+        |  round(CAST(-nv AS DOUBLE) / n_votes, 4) AS confidence
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    // recall@5 of the q23 IVF search against the q22 brute force,
+    // computed from the SAME CTE definitions both gates already prove
+    "q146_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |bscored AS (SELECT qid, vec_id, $cosSqlDuck AS cos
+        |  FROM e, q WHERE vec_id <> qid),
+        |bf AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        |  FROM bscored) WHERE rk <= 5),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |asg0 AS (SELECT vec_id, v, cid,
+        |    round(list_dot_product(cv, v) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(v, v))), 4) AS ccos
+        |  FROM e, cents),
+        |asg AS (SELECT vec_id, v, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM asg0)
+        |  WHERE crk = 1),
+        |probes AS (SELECT qid, qv, cid FROM (
+        |    SELECT qid, qv, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY
+        |        round(list_dot_product(cv, qv) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 4) DESC, cid) AS prk
+        |    FROM q, cents)
+        |  WHERE prk <= 4),
+        |iscored AS (SELECT p.qid, a.vec_id,
+        |    round(list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 4) AS cos
+        |  FROM probes p JOIN asg a ON a.cid = p.cid
+        |  WHERE a.vec_id <> p.qid),
+        |ivf AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        |  FROM iscored) WHERE rk <= 5),
+        |h AS (SELECT bf.qid, count(*) AS hits FROM bf JOIN ivf
+        |  ON ivf.qid = bf.qid AND ivf.vec_id = bf.vec_id GROUP BY 1)
+        |SELECT qq.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / 5, 4) AS recall
+        |FROM (SELECT DISTINCT qid FROM bf) qq LEFT JOIN h ON h.qid = qq.qid
+        |ORDER BY qq.qid""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

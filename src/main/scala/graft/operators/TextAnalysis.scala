@@ -43,6 +43,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Weak-supervision labeling: a bank of keyword labeling functions
+    * (the Snorkel pattern) votes per document; the plurality label
+    * wins, ties break lexicographically, all-abstain docs are
+    * excluded. Everything is ONE map-only projection — votes are
+    * array_contains sums and the argmax an in-row sort of a 4-element
+    * (−votes, label) struct array, so the operator is a single
+    * codegen'd pass however large the corpus (no explode, no
+    * per-label shuffle). confidence = top votes / total votes, one
+    * division. */
+  def weakLabels(spark: SparkSession, dir: String): DataFrame = {
+    val lfs: Seq[(String, String)] = Seq(
+      "spark" -> "compute", "query" -> "compute",
+      "table" -> "storage", "row" -> "storage",
+      "stream" -> "streaming", "batch" -> "streaming",
+      "vector" -> "ml", "hash" -> "ml")
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val toks = words(lower(col("text")))
+    def votesFor(label: String): Column = lfs.collect {
+      case (kw, l) if l == label =>
+        when(array_contains(toks, kw), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    val labels = lfs.map(_._2).distinct.sorted
+    val voted = d.select(col("doc_id") +:
+      labels.map(l => votesFor(l).as(s"v_$l")): _*)
+    val ranked = array_sort(array(labels.map(l =>
+      struct((-col(s"v_$l")).as("nv"), lit(l).as("l"))): _*))
+    voted
+      .withColumn("n_votes", labels.map(l => col(s"v_$l")).reduce(_ + _))
+      .filter(col("n_votes") > 0)
+      .withColumn("top", ranked.getItem(0))
+      .select(col("doc_id"), col("n_votes"),
+        col("top.l").as("label"), (-col("top.nv")).as("label_votes"),
+        round((-col("top.nv")).cast("double") / col("n_votes"), 4).as("confidence"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting: whitespace tokens and BPE-ish regex tokens. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.loadSpread(spark, dir, "documents")

@@ -110,6 +110,31 @@ object Vectors {
   def annIvfTrained(spark: SparkSession, dir: String): DataFrame =
     annIvfWith(spark, dir, trainCentroids(spark, dir))
 
+  /** ANN quality evaluation IN the engine: recall@k of the IVF probe
+    * search against the brute-force ground truth, per query — the
+    * continuous check an embedding-dedup/retrieval pipeline runs
+    * when it swaps an index parameter (nlist/nprobe) and needs to
+    * know what it traded. hits is an integer intersection count;
+    * recall its single division.
+    *
+    * Scale posture: both searches are the proven bounded plans
+    * (queries broadcast, probe lists bounded); the comparison itself
+    * joins two k×queries-sized frames — negligible. At a real 100 TB
+    * corpus the brute-force side runs over a SAMPLED query set (the
+    * standard recall-estimation protocol); the operator is agnostic
+    * to how the query frame was drawn. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteForce(spark, dir).select(col("qid"), col("vec_id"))
+    val ivf = annIvf(spark, dir).select(col("qid"), col("vec_id"))
+    val hits = bf.join(ivf, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    bf.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / TopK, 4).as("recall"))
+      .orderBy(col("qid"))
+  }
+
   private def annIvfWith(spark: SparkSession, dir: String, centsDf: DataFrame): DataFrame = {
     val e = emb(spark, dir)
     val assigned = ivfAssignmentWith(e, centsDf)

@@ -180,4 +180,22 @@ class Round6Spec extends SparkSpec {
     assert(drifts("2024-01-01") > drifts("2024-01-02"))
     assert(drifts("2024-01-02") === drifts("2024-01-03")) // identical mixes tie
   }
+
+  test("weak labels: plurality wins, ties break lexicographically, all-abstain docs drop") {
+    val dir = Files.createTempDirectory("graft_weak").toString
+    Seq(
+      (1L, "spark query stream", "en", "s", 10L),  // compute 2, streaming 1
+      (2L, "table row words", "en", "s", 10L),     // storage 2
+      (3L, "spark table", "en", "s", 10L),         // 1-1 tie -> compute (lex)
+      (4L, "nothing matches here", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.weakLabels(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getAs[Long]("label_votes"),
+        r.getAs[Long]("n_votes"), r.getAs[Double]("confidence")))).toMap
+    assert(out(1L) === (("compute", 2L, 3L, 0.6667)))
+    assert(out(2L) === (("storage", 2L, 2L, 1.0)))
+    assert(out(3L)._1 === "compute")
+    assert(!out.contains(4L))
+  }
 }
