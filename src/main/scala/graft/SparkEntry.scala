@@ -988,6 +988,12 @@ object SparkEntry {
     "q145_weak_labels" -> ((s: SparkSession, d: String) => TextAnalysis.weakLabels(s, d)),
     // in-engine ANN quality: recall@5 of IVF vs brute force
     "q146_ann_recall"  -> ((s: SparkSession, d: String) => Vectors.annRecall(s, d)),
+    // frequency-ordered categorical dictionary (StringIndexer)
+    "q147_string_indexer" -> ((s: SparkSession, d: String) => operators.Featurize.stringIndexer(s, d)),
+    // m-estimate target encoding, integer cents
+    "q148_target_encode"  -> ((s: SparkSession, d: String) => operators.Featurize.targetEncode(s, d)),
+    // corpus composition data card (ppm shares + cumulative)
+    "q149_composition"    -> ((s: SparkSession, d: String) => TextAnalysis.corpusComposition(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2739,6 +2745,29 @@ object SparkEntry {
         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / 5, 4) AS recall
         |FROM (SELECT DISTINCT qid FROM bf) qq LEFT JOIN h ON h.qid = qq.qid
         |ORDER BY qq.qid""".stripMargin,
+    "q147_string_indexer" ->
+      """WITH f AS (SELECT p_type AS category, count(*) AS n FROM part GROUP BY 1)
+        |SELECT category, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, category) - 1 AS BIGINT) AS idx
+        |FROM f ORDER BY idx""".stripMargin,
+    "q148_target_encode" ->
+      """WITH o AS (SELECT o_orderpriority AS category,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders),
+        |per AS (SELECT category, count(*) AS n, sum(cents) AS s FROM o GROUP BY 1),
+        |g AS (SELECT sum(cents) AS gs, count(*) AS gn FROM o)
+        |SELECT category, n, CAST(s // n AS BIGINT) AS mean_cents,
+        |  CAST((s + 10 * (gs // gn)) // (n + 10) AS BIGINT) AS enc_cents
+        |FROM per CROSS JOIN g ORDER BY category""".stripMargin,
+    "q149_composition" ->
+      """WITH per AS (SELECT source, lang, count(*) AS docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t FROM per)
+        |SELECT source, lang, docs, tokens,
+        |  CAST(tokens * 1000000 // t AS BIGINT) AS share_ppm,
+        |  CAST(sum(tokens * 1000000 // t) OVER
+        |    (ORDER BY tokens DESC, source, lang ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ppm
+        |FROM per CROSS JOIN tot ORDER BY tokens DESC, source, lang""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -79,6 +79,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus composition report: per (source, lang) document and
+    * token counts with each cell's parts-per-million share of the
+    * corpus and the cumulative share in descending-size order — the
+    * first table in every pretraining data card, and the input to
+    * mixture reweighting. Shares are fixed-point (×10⁶, floor div):
+    * integer-exact and engine-portable. One fact-sized aggregation;
+    * the share/cumulative windows run over the tiny (source, lang)
+    * grid against a broadcast total. */
+  def corpusComposition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val per = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(size(words(col("text"))).cast("long")).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tokens").desc, col("source"), col("lang"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("docs"), col("tokens"),
+        expr("tokens * 1000000 div t").as("share_ppm"))
+      .withColumn("cum_ppm", sum(col("share_ppm")).over(w))
+      .orderBy(col("tokens").desc, col("source"), col("lang"))
+  }
+
   /** Token counting: whitespace tokens and BPE-ish regex tokens. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.loadSpread(spark, dir, "documents")

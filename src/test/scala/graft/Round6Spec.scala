@@ -198,4 +198,29 @@ class Round6Spec extends SparkSpec {
     assert(out(3L)._1 === "compute")
     assert(!out.contains(4L))
   }
+
+  test("target encoding shrinks small categories toward the prior; indexer ranks by frequency") {
+    val dir = Files.createTempDirectory("graft_feat").toString
+    // category A: 2 orders at 100.00; B: 1 order at 1000.00
+    Seq(("A", 100.0), ("A", 100.0), ("B", 1000.0))
+      .toDF("o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val enc = graft.operators.Featurize.targetEncode(spark, dir, m = 10).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("mean_cents"), r.getAs[Long]("enc_cents")))).toMap
+    // prior = 120000 div 3 = 40000 cents
+    assert(enc("A")._1 === 10000L)
+    assert(enc("B")._1 === 100000L)
+    // both encodings pulled toward the prior, between raw mean and prior
+    assert(enc("A")._2 > 10000L && enc("A")._2 < 40000L)
+    assert(enc("B")._2 < 100000L && enc("B")._2 > 40000L)
+    // m-estimate formula exactly: (s + 10*prior) div (n + 10)
+    assert(enc("A")._2 === (20000L + 10L * 40000L) / 12L)
+
+    Seq(("x", "t1"), ("y", "t2"), ("z", "t2"), ("w", "t3"), ("v", "t3"), ("u", "t3"))
+      .toDF("p_partkey", "p_type")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val idx = graft.operators.Featurize.stringIndexer(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("idx")).toMap
+    assert(idx === Map("t3" -> 0L, "t2" -> 1L, "t1" -> 2L))
+  }
 }
