@@ -994,6 +994,12 @@ object SparkEntry {
     "q148_target_encode"  -> ((s: SparkSession, d: String) => operators.Featurize.targetEncode(s, d)),
     // corpus composition data card (ppm shares + cumulative)
     "q149_composition"    -> ((s: SparkSession, d: String) => TextAnalysis.corpusComposition(s, d)),
+    // link prediction: top common-neighbor non-edges, capped centers
+    "q150_link_prediction" -> ((s: SparkSession, d: String) => operators.Affinity.linkPrediction(s, d)),
+    // A/B readout: funnel-ordered conversion per deterministic variant
+    "q151_ab_test"         -> ((s: SparkSession, d: String) => operators.Behavioral.abTest(s, d)),
+    // per-dimension robust scaler fit via distributed exact quantiles
+    "q152_robust_scaler"   -> ((s: SparkSession, d: String) => Vectors.dimRobustStats(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2768,6 +2774,51 @@ object SparkEntry {
         |  CAST(sum(tokens * 1000000 // t) OVER
         |    (ORDER BY tokens DESC, source, lang ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ppm
         |FROM per CROSS JOIN tot ORDER BY tokens DESC, source, lang""".stripMargin,
+    // common-neighbor counts over the co-purchase graph, hub centers
+    // (> 100 neighbors) excluded, existing edges removed
+    "q150_link_prediction" ->
+      """WITH e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |ctr AS (SELECT src FROM adj GROUP BY src HAVING count(*) BETWEEN 2 AND 100),
+        |w AS (SELECT a1.dst AS pa, a2.dst AS pb FROM adj a1
+        |  JOIN adj a2 ON a1.src = a2.src AND a1.dst < a2.dst
+        |  JOIN ctr ON ctr.src = a1.src),
+        |ncn AS (SELECT pa, pb, count(*) AS cn FROM w GROUP BY 1, 2)
+        |SELECT c.pa, c.pb, c.cn FROM ncn c
+        |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.src = c.pa AND e0.dst = c.pb)
+        |ORDER BY c.cn DESC, c.pa, c.pb LIMIT 20""".stripMargin,
+    // conversion = purchase strictly after the user's first view;
+    // variant = user_id % 2; rates in ppm, floor div
+    "q151_ab_test" ->
+      """WITH fv AS (SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |conv AS (SELECT DISTINCT e.user_id FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > fv.t0)
+        |SELECT CASE WHEN fv.user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |  count(*) AS n_exposed,
+        |  CAST(sum(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  CAST(sum(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS cvr_ppm
+        |FROM fv LEFT JOIN conv ON conv.user_id = fv.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // micro-unit quantization then R-7 quartiles per dimension —
+    // quantile_cont on integers matches the engine's rank-interpolated
+    // computation bit-for-bit (dyadic h, integer values)
+    "q152_robust_scaler" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(t.i - 1 AS BIGINT) AS dim,
+        |    CAST(floor(v[t.i] * 1000000) AS BIGINT) AS q
+        |  FROM e, unnest(generate_series(1, len(v))) t(i))
+        |SELECT dim, count(*) AS n,
+        |  round(quantile_cont(q, 0.25), 4) AS q1,
+        |  round(quantile_cont(q, 0.5), 4) AS med,
+        |  round(quantile_cont(q, 0.75), 4) AS q3,
+        |  round(round(quantile_cont(q, 0.75), 4) - round(quantile_cont(q, 0.25), 4), 4) AS iqr
+        |FROM c GROUP BY dim ORDER BY dim""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

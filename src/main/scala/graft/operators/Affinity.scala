@@ -160,6 +160,35 @@ object Affinity {
       .select(col("src"), col("dst"))
   }
 
+  /** Link prediction by common-neighbor count over the part
+    * co-purchase graph: the top candidate pairs that are NOT yet
+    * edges but share the most neighbors — the classic non-personalized
+    * recommender signal. Wedges are expanded map-side from per-node
+    * sorted neighbor sets; nodes with more than `centerCap` neighbors
+    * generate no wedges (a hub center contributes O(d²) wedges while
+    * saying little about any single pair — same philosophy as the
+    * LSH band cap, and mirrored in the oracle), bounding the
+    * expansion at cap² per node. Existing edges are removed with one
+    * anti-join against the canonical edge set. */
+  def linkPrediction(spark: SparkSession, dir: String, minSupport: Int = 2,
+                     centerCap: Int = 100, k: Int = 20): DataFrame = {
+    val und = coPurchaseEdges(spark, dir, minSupport).cache()
+    val adj = und.unionByName(
+      und.select(col("dst").as("src"), col("src").as("dst")))
+    val sets = adj.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+      .filter(size(col("ns")).between(2, centerCap))
+    val cn = sets.select(explode(expr(
+        "flatten(transform(ns, (x, i) -> transform(slice(ns, i + 2, size(ns)), y -> struct(x AS pa, y AS pb))))"
+      )).as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cn"))
+    cn.join(und.select(col("src").as("pa"), col("dst").as("pb")),
+        Seq("pa", "pb"), "left_anti")
+      .orderBy(col("cn").desc, col("pa"), col("pb"))
+      .limit(k)
+  }
+
   /** Triangle count over the part co-purchase graph, using the
     * DEGREE-ORDERED orientation (Schank & Wagner / Cohen's MapReduce
     * formulation): every edge points from its (degree, id)-smaller

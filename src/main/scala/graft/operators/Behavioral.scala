@@ -217,6 +217,37 @@ object Behavioral {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** A/B experiment readout: users are split by the deterministic
+    * hash-free assignment user_id % 2 (the harness's stand-in for an
+    * assignment table); exposure = having a `view`, conversion = a
+    * `purchase` strictly after the user's FIRST view (the funnel
+    * ordering rule, so pre-exposure purchases don't count). Returns
+    * per variant: exposed users, converted users, and the conversion
+    * rate in ppm (fixed-point, floor div — integer-exact).
+    *
+    * Scale posture: one min-aggregate keyed on user for first views,
+    * one semi-join-shaped distinct for converters, one two-row final
+    * aggregate. Nothing wider than the user key ever shuffles. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      .cache()
+    val converted = e.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts") > col("t0"))
+      .select(col("user_id")).distinct()
+      .withColumn("conv", lit(1L))
+    firstView
+      .join(converted, Seq("user_id"), "left")
+      .groupBy(when(col("user_id") % 2 === 0, "A").otherwise("B").as("variant"))
+      .agg(count(lit(1)).as("n_exposed"),
+        sum(coalesce(col("conv"), lit(0L))).as("n_converted"))
+      .select(col("variant"), col("n_exposed"), col("n_converted"),
+        expr("n_converted * 1000000 div n_exposed").as("cvr_ppm"))
+      .orderBy(col("variant"))
+  }
+
   /** Distribution drift per day: scaled-L2 distance between each
     * day's event-type mix and the corpus-wide mix — the data-quality
     * monitor a continuously-ingesting pipeline runs to catch a feed

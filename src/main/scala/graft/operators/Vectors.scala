@@ -110,6 +110,56 @@ object Vectors {
   def annIvfTrained(spark: SparkSession, dir: String): DataFrame =
     annIvfWith(spark, dir, trainCentroids(spark, dir))
 
+  /** Per-dimension robust-scaler statistics (median, quartiles, IQR)
+    * over the embedding corpus — the fit step of robust feature
+    * normalization. Components are quantized to integer micro-units
+    * (floor(x·10⁶): one deterministic double op each) and the R-7
+    * quantiles computed from the CUMULATIVE DISTRIBUTION, not an
+    * in-memory per-group array: (dim, value) counts → running rank
+    * window per dim → two rank lookups + dyadic interpolation. Every
+    * step is a bounded shuffle or a streaming window, so the operator
+    * survives a corpus whose per-dimension value list outgrows any
+    * single executor (the naive `percentile` aggregate materializes
+    * the whole group). Interpolation is exact: h = (n−1)·p has a
+    * 2-bit dyadic fraction and the values are integers, so every
+    * engine computes bit-identical doubles. */
+  def dimRobustStats(spark: SparkSession, dir: String): DataFrame = {
+    val comps = emb(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("CAST(floor(x * 1000000) AS BIGINT)").as("q"))
+    val counts = comps.groupBy(col("dim"), col("q")).agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("dim")).orderBy(col("q"))
+    val cum = counts
+      .withColumn("hi_rank", sum(col("c")).over(wcum))
+      .withColumn("lo_rank", col("hi_rank") - col("c") + 1)
+      .cache()
+    val n = cum.groupBy(col("dim")).agg(sum(col("c")).as("n"))
+    // rank targets per (dim, percentile): h 0-based -> 1-based bounds
+    val ps = Seq(0.25 -> "q1", 0.5 -> "med", 0.75 -> "q3")
+    val targets = n.select(col("dim") +: col("n") +: ps.flatMap { case (p, nm) =>
+      val h = (col("n") - 1) * lit(p)
+      Seq(floor(h).cast("long").as(s"lo_$nm"), ceil(h).cast("long").as(s"hi_$nm"),
+        (h - floor(h)).as(s"f_$nm"))
+    }: _*)
+    def valueAt(rank1: Column, nm: String): DataFrame =
+      targets.select(col("dim"), rank1.as("r"))
+        .join(cum, Seq("dim"))
+        .filter(col("lo_rank") <= col("r") && col("r") <= col("hi_rank"))
+        .select(col("dim"), col("q").as(nm))
+    val joined = ps.foldLeft(targets) { case (acc, (_, nm)) =>
+      acc.join(valueAt(col(s"lo_$nm") + 1, s"v_lo_$nm"), Seq("dim"))
+        .join(valueAt(col(s"hi_$nm") + 1, s"v_hi_$nm"), Seq("dim"))
+    }
+    val out = ps.foldLeft(joined) { case (acc, (_, nm)) =>
+      acc.withColumn(nm, round(col(s"v_lo_$nm") +
+        col(s"f_$nm") * (col(s"v_hi_$nm") - col(s"v_lo_$nm")), 4))
+    }
+    out.select(col("dim"), col("n"), col("q1"), col("med"), col("q3"),
+        round(col("q3") - col("q1"), 4).as("iqr"))
+      .orderBy(col("dim"))
+  }
+
   /** ANN quality evaluation IN the engine: recall@k of the IVF probe
     * search against the brute-force ground truth, per query — the
     * continuous check an embedding-dedup/retrieval pipeline runs

@@ -223,4 +223,17 @@ class Round6Spec extends SparkSpec {
       .map(r => r.getString(0) -> r.getAs[Long]("idx")).toMap
     assert(idx === Map("t3" -> 0L, "t2" -> 1L, "t1" -> 2L))
   }
+
+  test("link prediction: the open corner of a wedge is predicted; existing edges never are") {
+    val dir = Files.createTempDirectory("graft_lp").toString
+    // orders 1,2 buy {1,2}; orders 3,4 buy {1,3} -> edges (1,2),(1,3)
+    // (support 2 each); the open pair (2,3) shares neighbor 1
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+        (3L, 1L), (3L, 3L), (4L, 1L), (4L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Affinity.linkPrediction(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("cn")).toMap
+    assert(out === Map((2L, 3L) -> 1L))
+  }
 }
