@@ -1000,6 +1000,10 @@ object SparkEntry {
     "q151_ab_test"         -> ((s: SparkSession, d: String) => operators.Behavioral.abTest(s, d)),
     // per-dimension robust scaler fit via distributed exact quantiles
     "q152_robust_scaler"   -> ((s: SparkSession, d: String) => Vectors.dimRobustStats(s, d)),
+    // declarative expectation suite (Great-Expectations pattern)
+    "q153_expectations"    -> ((s: SparkSession, d: String) => operators.Profile.expectations(s, d)),
+    // deterministic synchronous label-propagation communities
+    "q154_label_prop"      -> ((s: SparkSession, d: String) => operators.Affinity.labelPropagation(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2819,6 +2823,53 @@ object SparkEntry {
         |  round(quantile_cont(q, 0.75), 4) AS q3,
         |  round(round(quantile_cont(q, 0.75), 4) - round(quantile_cont(q, 0.25), 4), 4) AS iqr
         |FROM c GROUP BY dim ORDER BY dim""".stripMargin,
+    "q153_expectations" ->
+      """WITH base AS (SELECT count(*) AS n_rows FROM orders)
+        |SELECT 'accepted_values:o_orderstatus' AS rule, base.n_rows,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders) AS n_violations,
+        |  (SELECT coalesce(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END), 0) FROM orders) = 0 AS passed
+        |FROM base
+        |UNION ALL SELECT 'fk:o_custkey->customer', base.n_rows,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+        |FROM base
+        |UNION ALL SELECT 'not_null:o_orderkey', base.n_rows,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders),
+        |  (SELECT coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) FROM orders) = 0
+        |FROM base
+        |UNION ALL SELECT 'range:o_totalprice>0', base.n_rows,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders),
+        |  (SELECT coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) FROM orders) = 0
+        |FROM base
+        |UNION ALL SELECT 'unique:o_orderkey', base.n_rows,
+        |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM
+        |     (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)),
+        |  (SELECT coalesce(sum(c), 0) FROM
+        |     (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) = 0
+        |FROM base
+        |ORDER BY rule""".stripMargin,
+    // two unrolled synchronous LPA rounds; plurality with min-label
+    // tie-break mirrors max_by(label, (c, -label))
+    "q154_label_prop" ->
+      """WITH e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |r1 AS (SELECT src, dst AS label, count(*) AS c FROM adj GROUP BY 1, 2),
+        |l1 AS (SELECT src AS id, label FROM (SELECT src, label,
+        |    row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rk FROM r1)
+        |  WHERE rk = 1),
+        |r2 AS (SELECT a.src, l1.label, count(*) AS c FROM adj a
+        |  JOIN l1 ON l1.id = a.dst GROUP BY 1, 2),
+        |l2 AS (SELECT src AS id, label FROM (SELECT src, label,
+        |    row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rk FROM r2)
+        |  WHERE rk = 1)
+        |SELECT label AS community, count(*) AS n_members FROM l2
+        |GROUP BY 1 ORDER BY n_members DESC, community LIMIT 30""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -229,6 +229,39 @@ object Affinity {
     closed.agg(count(lit(1)).as("n_triangles")).crossJoin(nWedges)
   }
 
+  /** Community detection by `rounds` synchronous label-propagation
+    * iterations over the part co-purchase graph: every node starts
+    * labeled with its own id; each round it adopts the PLURALITY
+    * label among its neighbors (ties → smallest label), making the
+    * algorithm fully deterministic and oracle-unrollable (async LPA
+    * is run-order-dependent — useless for a correctness gate).
+    * Returns community sizes, largest first.
+    *
+    * Scale posture: a round is one edge-keyed join against the
+    * node-sized label frame plus two aggregates ((node, label) vote
+    * counts, then the per-node argmax via max_by) — no per-node
+    * neighbor collection, no driver state; the fixed round count
+    * bounds cluster synchronization like [[kCore]]. */
+  def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 2,
+                       minSupport: Int = 2, k: Int = 30): DataFrame = {
+    val und = coPurchaseEdges(spark, dir, minSupport).cache()
+    val adj = und.unionByName(
+      und.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    var lbl = adj.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      lbl = adj.join(lbl.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("label"))
+        .select(col("src").as("id"), col("label"))
+    }
+    lbl.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(k)
+  }
+
   /** k-core decomposition by `rounds` peeling iterations over the part
     * co-purchase graph: each round drops every node whose degree in
     * the surviving subgraph is below `k`, then restricts the edges to

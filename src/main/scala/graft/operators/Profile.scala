@@ -48,4 +48,44 @@ object Profile {
 
   def ordersProfile(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.load(spark, dir, "orders"))
+
+  /** Declarative expectation suite over the orders table (the
+    * Great-Expectations pattern): each rule reports its violation
+    * count and a pass flag in ONE report frame — the contract a
+    * pipeline asserts before publishing a table. Row-local rules
+    * (not-null, accepted-values, range) fold into a single
+    * conditional-sum aggregate over one scan; uniqueness is one
+    * key-count aggregate; referential integrity one anti-join against
+    * the (broadcastable) parent keys. Nothing scans the table more
+    * than the three shapes require, however many rules are added. */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    def viol(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    val rowLocal = o.agg(
+      count(lit(1)).as("n_rows"),
+      viol(col("o_orderkey").isNull).as("v_notnull"),
+      viol(!col("o_orderstatus").isin("F", "O", "P")).as("v_accepted"),
+      viol(col("o_totalprice") <= 0).as("v_range"))
+    val dupRows = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(coalesce(sum(col("c")), lit(0L)).as("v"))
+      .select(col("v"))
+    val orphans = o.join(
+        Tables.load(spark, dir, "customer").select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    val rl = rowLocal.head()
+    val nRows = rl.getAs[Long]("n_rows")
+    def row(rule: String, v: Long): DataFrame = {
+      import spark.implicits._
+      Seq((rule, nRows, v, v == 0L)).toDF("rule", "n_rows", "n_violations", "passed")
+    }
+    // the two non-row-local counts are single scalars — collecting
+    // them is metadata, not data movement
+    row("not_null:o_orderkey", rl.getAs[Long]("v_notnull"))
+      .unionByName(row("accepted_values:o_orderstatus", rl.getAs[Long]("v_accepted")))
+      .unionByName(row("range:o_totalprice>0", rl.getAs[Long]("v_range")))
+      .unionByName(row("unique:o_orderkey", dupRows.head().getLong(0)))
+      .unionByName(row("fk:o_custkey->customer", orphans.head().getLong(0)))
+      .orderBy(col("rule"))
+  }
 }

@@ -272,4 +272,40 @@ class DedupSpec extends SparkSpec {
     assert(inc === full)
     assert(inc.contains((0L, 1L)) && inc((0L, 1L)) === 12L) // exact dup lands in delta
   }
+
+  test("incremental dedup pipeline: snapshot-persisted index survives two ingest batches") {
+    import graft.sources.Snapshots
+    val docs = spark.read.parquet(s"$corpusDir/documents.parquet")
+    val table = Files.createTempDirectory("graft_lshidx").toString + "/sig_index"
+    // bootstrap: index the initial corpus (docs 4..9)
+    val b0 = docs.filter(col("doc_id") >= 4L)
+    Snapshots.commitOverwrite(spark, table,
+      Dedup.minhashRawFrom(Dedup.shingleRowsOf(b0)))
+    // ingest batch 1 (docs 2,3 — near-dups of each other): query the
+    // PERSISTED index, then merge the new signatures in
+    val d1 = docs.filter(col("doc_id").isin(2L, 3L))
+    val p1 = Dedup.incrementalLshFrom(Snapshots.read(spark, table), d1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Snapshots.commitUpsert(spark, table,
+      Dedup.minhashRawFrom(Dedup.shingleRowsOf(d1)), "doc_id")
+    // ingest batch 2 (docs 0,1 — exact dups, near-dup cluster with 2,3)
+    val d2 = docs.filter(col("doc_id") < 2L)
+    val p2 = Dedup.incrementalLshFrom(Snapshots.read(spark, table), d2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Snapshots.commitUpsert(spark, table,
+      Dedup.minhashRawFrom(Dedup.shingleRowsOf(d2)), "doc_id")
+    // the maintained index equals the batch recompute over everything
+    val idx = Snapshots.read(spark, table).collect()
+      .map(r => r.getLong(0) -> (1 until 13).map(r.getString).toSeq).toMap
+    val batch = Dedup.minhashRawFrom(Dedup.shingleRowsOf(docs)).collect()
+      .map(r => r.getLong(0) -> (1 until 13).map(r.getString).toSeq).toMap
+    assert(idx === batch)
+    // each batch's pairs only involve that batch's docs on >= 1 side,
+    // and the union catches the planted cluster when its members meet
+    assert(p1.contains((2L, 3L)))
+    assert(p2.contains((0L, 1L)) && (p2.contains((0L, 2L)) || p2.contains((1L, 2L)) ||
+      p2.contains((0L, 3L)) || p2.contains((1L, 3L))))
+    assert(p1.forall { case (a, b) => Set(a, b).exists(Set(2L, 3L)) } &&
+      p2.forall { case (a, b) => Set(a, b).exists(Set(0L, 1L)) })
+  }
 }
