@@ -1004,6 +1004,12 @@ object SparkEntry {
     "q153_expectations"    -> ((s: SparkSession, d: String) => operators.Profile.expectations(s, d)),
     // deterministic synchronous label-propagation communities
     "q154_label_prop"      -> ((s: SparkSession, d: String) => operators.Affinity.labelPropagation(s, d)),
+    // first-order Markov transition matrix of per-user event streams
+    "q155_markov"          -> ((s: SparkSession, d: String) => operators.Behavioral.markovTransitions(s, d)),
+    // chi-square independence cells: customer nation x order status
+    "q156_chisq"           -> Relational.chiSquare _,
+    // Pearson correlation matrix over embedding dims, exact-integer stats
+    "q157_corr_matrix"     -> ((s: SparkSession, d: String) => Vectors.corrMatrix(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2870,6 +2876,45 @@ object SparkEntry {
         |  WHERE rk = 1)
         |SELECT label AS community, count(*) AS n_members FROM l2
         |GROUP BY 1 ORDER BY n_members DESC, community LIMIT 30""".stripMargin,
+    "q155_markov" ->
+      """WITH seq AS (SELECT user_id, event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |cells AS (SELECT cur, nxt, count(*) AS n FROM seq
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+        |FROM cells ORDER BY cur, nxt""".stripMargin,
+    "q156_chisq" ->
+      """WITH cells AS (SELECT c.c_nationkey AS nation, o.o_orderstatus AS status,
+        |    count(*) AS observed
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT nation, status, observed,
+        |    CAST(sum(observed) OVER (PARTITION BY nation) AS DOUBLE) *
+        |      CAST(sum(observed) OVER (PARTITION BY status) AS DOUBLE) /
+        |      CAST(sum(observed) OVER () AS DOUBLE) AS e
+        |  FROM cells)
+        |SELECT nation, status, observed, round(e, 6) AS expected,
+        |  round((CAST(observed AS DOUBLE) - e) * (CAST(observed AS DOUBLE) - e) / e, 6)
+        |    AS chi2_cell
+        |FROM t ORDER BY nation, status""".stripMargin,
+    "q157_corr_matrix" ->
+      """WITH q AS (SELECT [CAST(floor(x * 1000000) AS BIGINT)
+        |    FOR x IN CAST(embedding AS DOUBLE[])[1:8]] AS v FROM embeddings),
+        |p AS (SELECT ti.i AS i, tj.j AS j,
+        |    CAST(v[ti.i + 1] AS HUGEINT) AS x, CAST(v[tj.j + 1] AS HUGEINT) AS y
+        |  FROM q, unnest(generate_series(0, 6)) ti(i), unnest(generate_series(0, 7)) tj(j)
+        |  WHERE tj.j > ti.i),
+        |s AS (SELECT i, j, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT i, j, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+        |FROM s ORDER BY i, j""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

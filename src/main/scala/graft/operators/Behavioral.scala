@@ -328,6 +328,33 @@ object Behavioral {
       .orderBy(col("channel"))
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * stream: totally order every user's events by (ts, event_id),
+    * pair each with its successor via lag, count (cur → nxt)
+    * transitions, and report each row's transition probability as the
+    * single exact-integer division n/row_total (identical IEEE double
+    * on any engine, rounded at 6dp).
+    *
+    * Scale posture: one user_id-keyed window pass (the sessionizer
+    * shuffle) then an aggregation onto the |event_types|² cell grid —
+    * the row-total window runs on that tiny grid, not the events. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cells = e
+      .withColumn("nxt", lead(col("event_type"), 1).over(wSeq))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val wRow = Window.partitionBy(col("cur"))
+    cells
+      .withColumn("row_total", sum(col("n")).over(wRow))
+      .select(col("cur"), col("nxt"), col("n"),
+        round(col("n").cast("double") / col("row_total").cast("double"), 6).as("p"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
   /** Per-observation EWMA (α = 1/2) of the daily per-type cent
     * totals, windowed to the last 8 observations so the weights are
     * the exact dyadics 128,64,…,1 — numerator and denominator are

@@ -631,4 +631,44 @@ object Relational {
         max(col("c")).as("n_modal"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** Chi-square test of independence between customer nation and
+    * order status: the contingency table is one join + one count
+    * aggregate; expected counts and each cell's (O−E)²/E contribution
+    * are computed on the tiny |nations|×|statuses| cell grid via
+    * windows. Every input to the float math is an exact BIGINT count,
+    * the expected value is one multiply-divide and the contribution
+    * two more IEEE ops — identical doubles on any engine, rounded at
+    * 6dp per cell (a grand total would sum floats in engine-specific
+    * order; per-cell rows are the portable contract and strictly more
+    * informative).
+    *
+    * Scale posture: the only corpus-sized ops are the orders→customer
+    * equi-join and the cell count; windows touch ~75 rows. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("c_custkey"), col("o_orderstatus"))
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val cells = o.join(c, Seq("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("observed"))
+    import org.apache.spark.sql.expressions.Window
+    val wRow = Window.partitionBy(col("nation"))
+    val wCol = Window.partitionBy(col("status"))
+    val grand = cells.agg(sum(col("observed")).as("grand_total"))
+    cells
+      .withColumn("row_total", sum(col("observed")).over(wRow))
+      .withColumn("col_total", sum(col("observed")).over(wCol))
+      .crossJoin(broadcast(grand))
+      .withColumn("expected",
+        col("row_total").cast("double") * col("col_total").cast("double") /
+          col("grand_total").cast("double"))
+      .select(col("nation"), col("status"), col("observed"),
+        round(col("expected"), 6).as("expected"),
+        round((col("observed").cast("double") - col("expected")) *
+            (col("observed").cast("double") - col("expected")) / col("expected"), 6)
+          .as("chi2_cell"))
+      .orderBy(col("nation"), col("status"))
+  }
 }

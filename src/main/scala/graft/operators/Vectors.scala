@@ -654,4 +654,45 @@ object Vectors {
   /** Spark Round semantics for doubles (BigDecimal.valueOf → HALF_UP). */
   private def round4(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Pearson correlation matrix over the first `dims` embedding
+    * dimensions, as exact-integer sufficient statistics: components
+    * are quantized to BIGINT (floor(x·10⁶)), every (i<j) pair's
+    * products are expanded MAP-ONLY inside the row by nested
+    * higher-order `transform`s (no per-dimension self-join — the
+    * classic formulation shuffles the exploded components on vec_id
+    * and re-joins them, corpus-sized twice), then a single aggregation
+    * onto the dims²/2 cell grid accumulates Σx Σy Σxy Σx² Σy² n as
+    * DECIMAL(38,0) — exact at any corpus size where a BIGINT n·Σxy
+    * would overflow past ~10⁹ rows. The only float math is the final
+    * (n·Σxy−ΣxΣy)/√(n·Σx²−(Σx)²)/√(n·Σy²−(Σy)²), computed from
+    * exactly-representable decimals — identical IEEE doubles on any
+    * engine, rounded at 6dp. */
+  def corrMatrix(spark: SparkSession, dir: String, dims: Int = 8): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val pairs = emb(spark, dir)
+      .select(expr(s"transform(slice(embedding, 1, $dims), " +
+        "x -> CAST(floor(x * 1000000) AS BIGINT))").as("v"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${dims - 2}), i ->
+           |  transform(sequence(i + 1, ${dims - 1}), j ->
+           |    struct(i AS i, j AS j, v[i] AS x, v[j] AS y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.x").cast(d38).as("x"), col("p.y").cast(d38).as("y"))
+    pairs
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).cast(d38).as("sx"), sum(col("y")).cast(d38).as("sy"),
+        sum(col("x") * col("y")).cast(d38).as("sxy"),
+        sum(col("x") * col("x")).cast(d38).as("sxx"),
+        sum(col("y") * col("y")).cast(d38).as("syy"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n").cast("long").as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("corr"))
+      .orderBy(col("i"), col("j"))
+  }
 }
