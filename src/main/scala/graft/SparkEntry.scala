@@ -1010,6 +1010,14 @@ object SparkEntry {
     "q156_chisq"           -> Relational.chiSquare _,
     // Pearson correlation matrix over embedding dims, exact-integer stats
     "q157_corr_matrix"     -> ((s: SparkSession, d: String) => Vectors.corrMatrix(s, d)),
+    // CCNet-style LM fluency: mean add-one-smoothed bigram probability
+    "q158_bigram_fluency"  -> TextAnalysis.bigramFluency _,
+    // cluster-atomic split: near-dup groups never straddle train/test
+    "q159_leakage_split"   -> ((s: SparkSession, d: String) =>
+      operators.Sampling.leakageSafeSplit(s, d)),
+    // exact heavy hitters via per-partition Misra-Gries + recount
+    "q160_heavy_hitters"   -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabHeavyHitters(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2915,6 +2923,56 @@ object SparkEntry {
         |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
         |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
         |FROM s ORDER BY i, j""".stripMargin,
+    // bigram model: both engines compute q = floor(1e9 * (c12+1) / (c1+V))
+    // from exact integer counts with the same left-assoc double op
+    // order, so per-bigram quanta are bit-identical; the per-doc mean
+    // is an exact integer sum and one final division
+    "q158_bigram_fluency" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS w FROM documents),
+        |d2 AS (SELECT doc_id, w FROM d WHERE len(w) >= 2),
+        |b AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |  FROM d2, unnest(generate_series(1, len(w) - 1)) t(i)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS v
+        |  FROM (SELECT unnest(w) AS t FROM d2)),
+        |m AS (SELECT w1, w2,
+        |    CAST(floor(1000000000.0 * CAST(c12 + 1 AS DOUBLE)
+        |      / CAST(c1 + v AS DOUBLE)) AS BIGINT) AS q
+        |  FROM c12 JOIN c1 USING (w1), v),
+        |s AS (SELECT doc_id, count(*) AS n_bigrams, sum(q) AS sq
+        |  FROM b JOIN m USING (w1, w2) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  round(CAST(sq AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |    / 1000000000.0, 6) AS mean_p
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // q41's component CTEs give the group key; singletons fall back to
+    // their own doc_id; split rule is q94's md5 nibble on the GROUP key
+    "q159_leakage_split" ->
+      s"""$shingleCteRec,
+        |$minhashCappedCtes,
+        |$clusterCtes,
+        |memb AS (SELECT a AS doc_id, least(a, min(b)) AS gk0 FROM reach GROUP BY a),
+        |g AS (SELECT d.doc_id, d.lang, d.n_chars, coalesce(m.gk0, d.doc_id) AS gk
+        |  FROM documents d LEFT JOIN memb m ON m.doc_id = d.doc_id),
+        |bk AS (SELECT lang, n_chars, gk,
+        |    strpos('0123456789abcdef', substr(md5(CAST(gk AS VARCHAR)), 1, 1)) - 1 AS nib
+        |  FROM g)
+        |SELECT CASE WHEN nib = 0 THEN 'test' WHEN nib = 1 THEN 'val'
+        |       ELSE 'train' END AS split,
+        |  lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(count(DISTINCT gk) AS BIGINT) AS n_groups
+        |FROM bk GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    // Misra-Gries is a pass-1 pruning detail; the exact contract is
+    // the plain frequency threshold, which the oracle states directly
+    "q160_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest(string_split($normSqlDuck, ' ')) AS term FROM documents),
+        |t2 AS (SELECT term FROM t WHERE length(term) > 0),
+        |n AS (SELECT count(*) AS n FROM t2),
+        |c AS (SELECT term, count(*) AS c FROM t2 GROUP BY term)
+        |SELECT term, c, n,
+        |  round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac
+        |FROM c, n WHERE c * 40 > n ORDER BY term""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -57,6 +57,42 @@ object Sampling {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Leakage-safe train/val/test split: every near-duplicate CLUSTER
+    * is assigned to one split atomically, so a test document can never
+    * have a near-duplicate sitting in train — the benchmark-
+    * contamination leak a row-hash split like [[datasetSplit]] cannot
+    * prevent (near-dups hash independently and straddle the cut).
+    * Cluster membership is the q41 graph (capped-LSH verified pairs →
+    * min-label components); documents with no near-dup are singleton
+    * groups keyed by their own doc_id. The split decision applies
+    * [[datasetSplit]]'s md5-nibble rule (0 → test, 1 → val, else
+    * train) to the GROUP key, keeping proportions while moving whole
+    * clusters. Returns per (split, lang): docs, chars, distinct groups.
+    *
+    * Scale posture: the pair graph is the capped-LSH path (worst band
+    * key bounded by the cap); membership is far smaller than the
+    * corpus, so the extra cost over a plain split is one left join
+    * against it plus the group-by. Nothing driver-side. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val pairs = Dedup.minhashLshCapped(spark, dir).select(col("da"), col("db"))
+    val memb = Components.minLabel(pairs)
+      .select(col("id").as("doc_id"), col("label"))
+    val g = docs.join(memb, Seq("doc_id"), "left")
+      .withColumn("gk", coalesce(col("label"), col("doc_id")))
+    val b = hexBucket16(col("gk"))
+    g.select(
+        when(b === 0, lit("test")).when(b === 1, lit("val"))
+          .otherwise(lit("train")).as("split"),
+        col("lang"), col("n_chars"), col("gk"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("chars_sum"),
+        countDistinct(col("gk")).as("n_groups"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   def stratifiedDocSample(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.loadSpread(spark, dir, "documents")
     d.select(col("lang"),

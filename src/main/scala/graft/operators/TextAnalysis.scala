@@ -601,4 +601,106 @@ object TextAnalysis {
           .when(col("flesch") >= 50.0, lit("medium")).otherwise(lit("hard")))
       .orderBy(col("doc_id"))
   }
+
+  /** CCNet-style LM fluency scoring with the engine's portable
+    * stand-in for perplexity: train an add-one-smoothed bigram model
+    * on the corpus itself, then score each document by its MEAN
+    * smoothed bigram probability p(w2|w1) = (c12+1)/(c1+V) —
+    * rank-equivalent to filtering on perplexity for its purpose
+    * (flagging disfluent/boilerplate docs) while avoiding ln(), whose
+    * last-ulp behavior differs across math libraries (same argument
+    * as the exact rational idf at [[bm25TopTerms]]). Each bigram
+    * TYPE's probability is one multiply-divide-floor from exact
+    * integer counts, quantized to BIGINT at 1e-9; per-doc mean is an
+    * exact integer sum and a final division — bit-identical anywhere.
+    *
+    * Scale posture: bigrams are expanded MAP-ONLY inside the row
+    * (nested transform, no self-join); the model is bigram-type-sized
+    * (two aggregations); scoring is one equi-join of doc-bigrams
+    * against the model on the bigram key + a doc-grain aggregate.
+    * Vocabulary size is a broadcast scalar. Nothing driver-side. */
+  def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), words(normalizeText(col("text"))).as("w"))
+      .filter(size(col("w")) >= 2)
+    val bigrams = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .cache()
+    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = docs.select(explode(col("w")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val model = c12.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        floor(lit(1000000000.0) * (col("c12") + lit(1L)).cast("double") /
+          (col("c1") + col("v")).cast("double")).as("q"))
+    bigrams.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sq").cast("double") / col("n_bigrams").cast("double") /
+          lit(1000000000.0), 6).as("mean_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Misra-Gries summary of one partition's token stream, capacity
+    * `cap`: at most `cap` live counters; a token outside a full table
+    * decrements every counter (zeros evicted). Classic guarantee for
+    * ANY arrival order: every token with partition frequency
+    * > n_p/(cap+1) survives. Exposed for [[vocabHeavyHitters]] and
+    * its property spec. */
+  private[graft] def misraGries(it: Iterator[String], cap: Int): Iterator[String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      m.get(t) match {
+        case Some(c) => m.update(t, c + 1)
+        case None if m.size < cap => m.update(t, 1L)
+        case None =>
+          val dead = List.newBuilder[String]
+          m.foreach { case (k, c) => if (c == 1) dead += k else m.update(k, c - 1) }
+          dead.result().foreach(m.remove)
+      }
+    }
+    m.keysIterator
+  }
+
+  /** EXACT corpus heavy hitters — every vocabulary term with global
+    * frequency strictly above n/k — in two bounded-memory passes,
+    * never shuffling the full token stream on the term key:
+    *
+    * Pass 1 runs a per-partition Misra-Gries summary (capacity k).
+    * Pigeonhole: a term with global freq > n/k has freq > n_p/k in at
+    * least one partition, so the UNION of partition summaries is a
+    * deterministic superset of the answer regardless of row order or
+    * partitioning — the only shuffle is the distinct over ≤ k×P
+    * candidate terms. Pass 2 re-counts ONLY candidate rows exactly
+    * (broadcast semi-join on the candidate set) and keeps
+    * `c * k > n` — an integer comparison, no float threshold.
+    * The final counts are order-independent, so the output is exact
+    * and stable even though each MG summary is arrival-order
+    * dependent.
+    *
+    * Scale posture: the full-corpus term shuffle of a naive group-by
+    * (the dominant cost at 100 TB vocab scale) is replaced by k×P
+    * candidate keys; pass 2's group-by only carries rows matching the
+    * broadcast candidate set. */
+  def vocabHeavyHitters(spark: SparkSession, dir: String, k: Int = 40): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.loadSpread(spark, dir, "documents")
+      .select(explode(words(normalizeText(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val cands = toks.as[String]
+      .mapPartitions(it => misraGries(it, k))
+      .toDF("term").distinct()
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(total))
+      .filter(col("c") * lit(k.toLong) > col("n"))
+      .select(col("term"), col("c"), col("n"),
+        round(col("c").cast("double") / col("n").cast("double"), 6).as("frac"))
+      .orderBy(col("term"))
+  }
 }

@@ -236,4 +236,38 @@ class Round6Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("cn")).toMap
     assert(out === Map((2L, 3L) -> 1L))
   }
+
+  test("misra-gries: candidates are a superset of freq > n/(cap+1) items, " +
+      "for any arrival order") {
+    // skewed stream: a×50, b×20, c×10, plus 20 distinct singletons
+    val base = List.fill(50)("a") ++ List.fill(20)("b") ++
+      List.fill(10)("c") ++ (1 to 20).map(i => s"z$i")
+    val n = base.size // 100
+    for (seed <- 1 to 5) {
+      val stream = new scala.util.Random(seed).shuffle(base)
+      val cap = 4 // decrements guaranteed: 23 distinct terms > cap
+      val cands = TextAnalysis.misraGries(stream.iterator, cap).toSet
+      val exact = base.groupBy(identity).collect {
+        case (t, xs) if xs.size > n / (cap + 1) => t
+      }.toSet // {a, b} at threshold 20
+      assert(exact.subsetOf(cands), s"seed=$seed missing ${exact -- cands}")
+      assert(cands.size <= cap)
+    }
+  }
+
+  test("vocab heavy hitters: exact under a capacity that forces evictions") {
+    val dir = Files.createTempDirectory("graft_hh").toString
+    // hot×40, warm×12, and 30 distinct cold terms: n = 82
+    val text = (List.fill(40)("hot") ++ List.fill(12)("warm") ++
+      (1 to 30).map(i => s"cold$i")).mkString(" ")
+    // spread over several docs so multiple partitions see the stream
+    val docs = text.split(" ").grouped(7).zipWithIndex
+      .map { case (w, i) => (i.toLong, w.mkString(" ")) }.toSeq
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.vocabHeavyHitters(spark, dir, k = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact contract: freq*8 > 82 → hot (40×8=320) and warm (12×8=96)
+    assert(out === Map("hot" -> 40L, "warm" -> 12L))
+  }
 }
