@@ -1018,6 +1018,13 @@ object SparkEntry {
     // exact heavy hitters via per-partition Misra-Gries + recount
     "q160_heavy_hitters"   -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabHeavyHitters(s, d)),
+    // linear-interpolation gap fill (both-neighbor, exact-integer time)
+    "q161_interpolate"     -> ((s: SparkSession, d: String) =>
+      operators.TimeSeries.interpolateHourly(s, d)),
+    // decile lift table via compressed-bin distributed global rank
+    "q162_decile_lift"     -> Relational.decileLift _,
+    // MMR diversity re-rank: greedy over bounded candidate model state
+    "q163_mmr_rerank"      -> ((s: SparkSession, d: String) => Vectors.mmrRerank(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -2973,6 +2980,75 @@ object SparkEntry {
         |SELECT term, c, n,
         |  round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac
         |FROM c, n WHERE c * 40 > n ORDER BY term""".stripMargin,
+    // q49's grid + IGNORE NULLS carries from BOTH sides; the value math
+    // is three IEEE ops in the same association order as the Spark side
+    "q161_interpolate" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE user_id < 5),
+        |hourly AS (SELECT user_id, hour, CAST(sum(v) AS DECIMAL(18,2)) AS v FROM e GROUP BY 1, 2),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT user_id, min(hour) AS lo, max(hour) AS hi FROM e GROUP BY 1)),
+        |f AS (SELECT g.user_id, g.hour, h.v,
+        |    CAST(last_value(h.v IGNORE NULLS) OVER wp AS DOUBLE) AS pv,
+        |    last_value(CASE WHEN h.v IS NOT NULL THEN g.hour END IGNORE NULLS) OVER wp AS ph,
+        |    CAST(first_value(h.v IGNORE NULLS) OVER wn AS DOUBLE) AS nv,
+        |    first_value(CASE WHEN h.v IS NOT NULL THEN g.hour END IGNORE NULLS) OVER wn AS nh
+        |  FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hour = g.hour
+        |  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY g.user_id ORDER BY g.hour
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  v IS NOT NULL AS observed,
+        |  round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |    ELSE pv + (nv - pv) *
+        |      (CAST(epoch_us(hour) - epoch_us(ph) AS DOUBLE) /
+        |       CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE)) END, 6) AS v_interp
+        |FROM f ORDER BY user_id, hour""".stripMargin,
+    // the contract is the direct global rank; equality proves the
+    // compressed-bin two-level rank reconstructs it exactly
+    "q162_decile_lift" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS score,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |n AS (SELECT count(*) AS n FROM o),
+        |r AS (SELECT k, score, y,
+        |    row_number() OVER (ORDER BY score DESC, k) AS rank FROM o)
+        |SELECT ((rank - 1) * 10) // n + 1 AS decile,
+        |  count(*) AS n_rows, CAST(sum(y) AS BIGINT) AS conversions,
+        |  round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS rate,
+        |  min(score) AS score_lo, max(score) AS score_hi
+        |FROM r, n GROUP BY decile ORDER BY decile""".stripMargin,
+    // greedy MMR replayed as a recursive CTE: each step's LATERAL
+    // argmax mirrors the engine's (mmr DESC, vec_id) selection; mmr is
+    // deliberately UNROUNDED — both engines combine the same 4-dp
+    // cosines with the same two IEEE ops, so the raw doubles hash-match
+    "q163_mmr_rerank" ->
+      s"""WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |rel AS (SELECT vec_id, $cosSqlDuck AS rel
+        |  FROM e, q WHERE vec_id > 0),
+        |cand AS (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 20),
+        |cv AS (SELECT c.vec_id, c.rel, e.v FROM cand c JOIN e USING (vec_id)),
+        |sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+        |  FROM cv a JOIN cv b ON a.vec_id <> b.vec_id),
+        |sel AS (
+        |  SELECT 1 AS step, vec_id, rel, rel AS mmr, [vec_id] AS picked
+        |  FROM (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+        |  UNION ALL
+        |  SELECT sel.step + 1, n.vec_id, n.rel, n.mmr, list_append(sel.picked, n.vec_id)
+        |  FROM sel, LATERAL (
+        |    SELECT c.vec_id, c.rel,
+        |      0.5 * c.rel - 0.5 * (SELECT max(s.sim) FROM sims s
+        |        WHERE s.ia = c.vec_id AND list_contains(sel.picked, s.ib)) AS mmr
+        |    FROM cand c WHERE NOT list_contains(sel.picked, c.vec_id)
+        |    ORDER BY mmr DESC, c.vec_id LIMIT 1) n
+        |  WHERE sel.step < 5)
+        |SELECT CAST(step AS BIGINT) AS step, vec_id, rel, mmr
+        |FROM sel ORDER BY step""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

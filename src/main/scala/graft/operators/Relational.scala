@@ -671,4 +671,46 @@ object Relational {
           .as("chi2_cell"))
       .orderBy(col("nation"), col("status"))
   }
+
+  /** Decile lift / calibration table: rows ranked by score (high to
+    * low) are cut into 10 equal-probability buckets and each bucket
+    * reports its outcome rate — the standard readout for "does the
+    * score actually order the outcome". The global rank is computed
+    * WITHOUT a single-partition row sort: scores are binned to integer
+    * dollars, the cumulative-rank window runs over the compressed bins
+    * (bounded by the price RANGE, not the row count — the domain stays
+    * fixed as rows grow 100×), and ties within a bin get their local
+    * rank from a per-bin window keyed by order key. decile =
+    * ((rank−1)·10) div n + 1, all integer arithmetic.
+    *
+    * The oracle states the contract directly as
+    * `row_number() OVER (ORDER BY score DESC, k)` — equality proves
+    * the two-level decomposition reconstructs the exact global rank. */
+  def decileLift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice").cast(D182)).cast("long").as("score"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    val bins = o.groupBy(col("score")).agg(count(lit(1)).as("c"))
+    val wcum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = bins.withColumn("hi", sum(col("c")).over(wcum))
+      .select(col("score"), (col("hi") - col("c") + 1).as("lo"))
+    val nDf = o.agg(count(lit(1)).as("n"))
+    val wTie = Window.partitionBy(col("score")).orderBy(col("k"))
+    o.withColumn("tie_rk", row_number().over(wTie).cast("long"))
+      .join(ranks, Seq("score"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("rank", col("lo") + col("tie_rk") - 1)
+      .withColumn("decile", expr("((rank - 1) * 10) div n + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("y")).as("conversions"),
+        min(col("score")).as("score_lo"), max(col("score")).as("score_hi"))
+      .select(col("decile"), col("n_rows"), col("conversions"),
+        round(col("conversions").cast("double") / col("n_rows").cast("double"), 6)
+          .as("rate"),
+        col("score_lo"), col("score_hi"))
+      .orderBy(col("decile"))
+  }
 }

@@ -45,6 +45,52 @@ object TimeSeries {
       .orderBy(col("user_id"), col("hour"))
   }
 
+  /** Linear-interpolation gap fill — [[gapFillHourly]]'s forward-fill
+    * sibling for signals where holding the last value misstates the
+    * level (sensor/metric pipelines): every missing grid hour gets
+    * v_prev + (v_next − v_prev) · (t − t_prev)/(t_next − t_prev) from
+    * the nearest observed neighbors on both sides. The grid spans each
+    * user's [min, max] observed hour, so interior gaps always have
+    * both neighbors. The hour arithmetic is exact integer micros and
+    * the value math is three IEEE ops in a fixed association order —
+    * bit-identical in any engine.
+    *
+    * Scale posture: identical to [[gapFillHourly]] — per-user windows
+    * (two passes: carry-last and carry-next), grid exploded map-side;
+    * no global sort, nothing driver-side. */
+  def interpolateHourly(spark: SparkSession, dir: String, maxUsers: Int = 5): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+      .filter(col("user_id") < maxUsers)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
+        col("value").cast(D182).as("v"))
+    val hourly = e.groupBy(col("user_id"), col("hour"))
+      .agg(sum(col("v")).cast(D182).as("v"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsHour = when(col("v").isNotNull, col("hour"))
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"), col("v"),
+        last(col("v"), ignoreNulls = true).over(wPrev).cast("double").as("pv"),
+        last(obsHour, ignoreNulls = true).over(wPrev).as("ph"),
+        first(col("v"), ignoreNulls = true).over(wNext).cast("double").as("nv"),
+        first(obsHour, ignoreNulls = true).over(wNext).as("nh"))
+      .select(col("user_id"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("v").isNotNull.as("observed"),
+        round(when(col("v").isNotNull, col("v").cast("double"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((unix_micros(col("hour")) - unix_micros(col("ph"))).cast("double") /
+             (unix_micros(col("nh")) - unix_micros(col("ph"))).cast("double"))),
+          6).as("v_interp"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
   /** Gap-based sessionization in batch: a session breaks when the gap
     * to the previous event (per user, event-time order) exceeds
     * `gapMinutes`. Pure lag + running-sum windows — the classic SQL

@@ -695,4 +695,53 @@ object Vectors {
           .as("corr"))
       .orderBy(col("i"), col("j"))
   }
+
+  /** Maximal-marginal-relevance re-rank — the diversity-aware top-k a
+    * curation/retrieval pipeline uses when plain cosine top-k returns
+    * k near-copies of the same document: greedily select k of the
+    * nCand most relevant candidates, each step taking the argmax of
+    * 0.5·rel(c) − 0.5·max_{s∈selected} sim(c, s) (classic MMR, λ=½;
+    * Carbonell & Goldstein 1998). Ties break on vec_id; rel and all
+    * pairwise sims are the 4-dp-rounded portable cosine, and the MMR
+    * combination is two IEEE ops in a fixed order, so scores (and
+    * therefore every greedy choice) are bit-identical to the oracle's
+    * recursive-CTE replay.
+    *
+    * Scale posture: the corpus-sized work is one broadcast-query
+    * relevance scan + TakeOrdered top-nCand (no global sort); the
+    * greedy runs on nCand rel rows + nCand² pairwise sims — bounded
+    * model-state on the driver, the same contract as the IVF centroid
+    * table, never corpus-sized. */
+  def mmrRerank(spark: SparkSession, dir: String, nCand: Int = 20, k: Int = 5)
+      : DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+    val rel = e.filter(col("vec_id") > 0).crossJoin(q)
+      .select(col("vec_id"), col("embedding"),
+        round(cosine(col("qv"), col("embedding")), 4).as("rel"))
+    val cand = rel.orderBy(col("rel").desc, col("vec_id")).limit(nCand)
+      .select(col("vec_id"), col("rel"), col("embedding"))
+    val a = cand.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = cand.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val sims = a.crossJoin(broadcast(b)).filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"), round(cosine(col("va"), col("vb")), 4).as("sim"))
+    val relM = cand.select(col("vec_id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val simM = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    var picked = Vector.empty[Long]
+    val out = Seq.newBuilder[(Long, Long, Double, Double)]
+    for (step <- 1 to math.min(k, relM.size)) {
+      val scored = relM.keysIterator.filterNot(picked.contains).map { c =>
+        val s = if (picked.isEmpty) relM(c)
+          else 0.5 * relM(c) - 0.5 * picked.iterator.map(p => simM((c, p))).max
+        (c, s)
+      }
+      val (cBest, sBest) = scored.minBy { case (c, s) => (-s, c) }
+      picked :+= cBest
+      out += ((step.toLong, cBest, relM(cBest), sBest))
+    }
+    out.result().toDF("step", "vec_id", "rel", "mmr").orderBy(col("step"))
+  }
 }

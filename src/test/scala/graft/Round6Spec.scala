@@ -270,4 +270,66 @@ class Round6Spec extends SparkSpec {
     // exact contract: freq*8 > 82 → hot (40×8=320) and warm (12×8=96)
     assert(out === Map("hot" -> 40L, "warm" -> 12L))
   }
+
+  test("linear interpolation fills interior gaps from both neighbors") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft_interp").toString
+    def t(h: Int, m: Int = 0) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // user 1: hours 0,1,3 observed (hour 1 from two events summing to
+    // 20), hour 2 missing -> (2-1)/(3-1)=0.5 between 20 and 40 = 30
+    Seq((1L, t(0, 10), 10.0), (1L, t(1, 5), 8.0), (1L, t(1, 40), 12.0),
+        (1L, t(3, 59), 40.0))
+      .toDF("user_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.TimeSeries.interpolateHourly(spark, dir).collect()
+      .map(r => r.getString(1).substring(11, 13).toInt ->
+        ((r.getBoolean(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      0 -> ((true, 10.0)), 1 -> ((true, 20.0)),
+      2 -> ((false, 30.0)), 3 -> ((true, 40.0))))
+  }
+
+  test("decile lift: two-level compressed rank equals the direct global rank") {
+    val dir = Files.createTempDirectory("graft_lift").toString
+    // 25 orders; a 5-way tie at score 80 straddles a decile boundary,
+    // so the per-bin tie ranks must land in DIFFERENT deciles
+    val rows = (1L to 25L).map { k =>
+      val price = if (k <= 5) 80.5 else (200 - k * 3).toDouble
+      (k, price, if (k % 3 == 0) "F" else "O")
+    }
+    rows.toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.decileLift(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // direct oracle: rank rows by (floor(price) desc, key), decile =
+    // ((rank-1)*10) div 25 + 1
+    val ranked = rows.map { case (k, p, st) => (k, p.toLong, st == "F") }
+      .sortBy { case (k, s, _) => (-s, k) }.zipWithIndex
+    val want = ranked.groupBy { case (_, i) => (i * 10) / 25 + 1 }
+      .map { case (d, xs) =>
+        d.toLong -> ((xs.size.toLong, xs.count(_._1._3).toLong)) }
+    assert(got === want)
+    // the straddling tie really does straddle: deciles 9 and 10 both
+    // contain score-80 rows
+    val lows = Relational.decileLift(spark, dir).collect()
+      .filter(r => r.getLong(4) == 80L).map(_.getLong(0)).toSet
+    assert(lows.size > 1)
+  }
+
+  test("mmr re-rank: step 2 prefers the diverse candidate over a " +
+      "higher-relevance near-copy of the first pick") {
+    val dir = Files.createTempDirectory("graft_mmr").toString
+    Seq(
+      (0L, Array(1.0f, 0.0f)),     // query
+      (1L, Array(0.99f, 0.14f)),   // most relevant -> step 1
+      (2L, Array(1.98f, 0.28f)),   // same direction as 1 (sim = 1.0),
+                                   //   rel ties 1 and beats id 3's
+      (3L, Array(0.70f, -0.70f)))  // diverse: sim to 1 ~ 0.60
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.Vectors.mmrRerank(spark, dir, nCand = 3, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1L)
+    assert(out(2L) === 3L) // plain top-2 would have taken the near-copy 2
+  }
 }
