@@ -1025,6 +1025,9 @@ object SparkEntry {
     "q162_decile_lift"     -> Relational.decileLift _,
     // MMR diversity re-rank: greedy over bounded candidate model state
     "q163_mmr_rerank"      -> ((s: SparkSession, d: String) => Vectors.mmrRerank(s, d)),
+    // native codegen'd simhash64 expression: zero-shuffle signatures
+    "q164_simhash64"       -> ((s: SparkSession, d: String) =>
+      Dedup.simhash64Signatures(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3049,6 +3052,24 @@ object SparkEntry {
         |  WHERE sel.step < 5)
         |SELECT CAST(step AS BIGINT) AS step, vec_id, rel, mmr
         |FROM sel ORDER BY step""".stripMargin,
+    // bit b of md5(token) = bit (b%4) of hex nibble (b/4); majority
+    // vote per bit, ties→0; signature = 16 little-endian-nibble hex
+    // chars — the exact convention of plans.SimHash64.compute
+    "q164_simhash64" ->
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS tok FROM w),
+        |h AS (SELECT doc_id, md5(tok) AS h FROM t),
+        |bits AS (SELECT doc_id, b.b AS b,
+        |    CASE WHEN ((strpos('0123456789abcdef', substr(h, (b.b // 4) + 1, 1)) - 1)
+        |      >> (b.b % 4)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        |  FROM h, unnest(generate_series(0, 63)) b(b)),
+        |v AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY 1, 2),
+        |nib AS (SELECT doc_id, b // 4 AS nidx,
+        |    sum(CASE WHEN v > 0 THEN (1 << (b % 4)) ELSE 0 END) AS nv
+        |  FROM v GROUP BY 1, 2)
+        |SELECT doc_id, string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+        |    '' ORDER BY nidx) AS simhash64
+        |FROM nib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

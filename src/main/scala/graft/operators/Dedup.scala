@@ -224,6 +224,21 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Map-only 64-bit SimHash signatures via the native codegen'd
+    * [[graft.plans.SimHash64]] expression — the zero-shuffle
+    * replacement for [[simhashSignatures]]'s sum-aggregate shape: the
+    * whole signature is computed inside the scan's codegen stage, so
+    * the token rows never materialize, never shuffle, and the plan is
+    * a bare project over the parquet scan. Same bit convention as the
+    * 32-bit form (its signature is this one's first 8 hex chars),
+    * asserted by Round6Spec. */
+  def simhash64Signatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"),
+        call_function("simhash64", array_distinct(words(col("text"))))
+          .as("simhash64"))
+      .orderBy(col("doc_id"))
+
   /** SimHash: 32-bit signature — bit b is the majority vote of bit b
     * of md5(token) across the document's distinct tokens. Computed as
     * 32 sum-aggregates over token rows (one shuffle). Near-dup pairs:

@@ -107,6 +107,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"), CosineSimilarity.info,
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"), SimHash64.info,
+      (children: Seq[Expression]) => SimHash64(children.head)))
     // the reference's SQL UDF surface (norm_body / to_bool_safe /
     // norm_date) as composed catalyst trees — see functions.SqlFunctions
     graft.functions.SqlFunctions.all.foreach(ext.injectFunction)

@@ -332,4 +332,29 @@ class Round6Spec extends SparkSpec {
     assert(out(1L) === 1L)
     assert(out(2L) === 3L) // plain top-2 would have taken the near-copy 2
   }
+
+  test("simhash64 expression: first 8 hex chars equal the 32-bit " +
+      "aggregate signature; the plan is shuffle-free") {
+    val dir = "/root/testdata/sf0.001"
+    val sig64 = graft.operators.Dedup.simhash64Signatures(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sig32 = graft.operators.Dedup.simhashSignatures(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig64.keySet === sig32.keySet)
+    sig32.foreach { case (doc, s32) =>
+      val expect = (0 until 8)
+        .map(i => "0123456789abcdef"(((s32 >> (4 * i)) & 0xF).toInt)).mkString
+      assert(sig64(doc).take(8) === expect, s"doc $doc")
+      assert(sig64(doc).length === 16)
+    }
+    // zero-shuffle contract: signature computation is pre-orderBy
+    // map-only (project over the scan — no Exchange in between)
+    val plan = graft.sources.Tables.loadSpread(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.call_function("simhash64",
+        org.apache.spark.sql.functions.array_distinct(
+          org.apache.spark.sql.functions.split(col("text"), " ", -1))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected aggregation shuffle in:\n$plan")
+  }
 }
