@@ -242,4 +242,54 @@ class DegenerateInputSpec extends SparkSpec {
       .kAnonymityViolations(Seq.empty[(Long, String)].toDF("id", "g"), Seq("g"), 10)
       .count() === 0L)
   }
+
+  test("q158-q164 family: empty inputs return zero rows, no errors") {
+    val dir = corpus(Seq.empty)
+    assert(TextAnalysis.bigramFluency(spark, dir).count() === 0L)
+    assert(TextAnalysis.vocabHeavyHitters(spark, dir).count() === 0L)
+    assert(graft.operators.Sampling.leakageSafeSplit(spark, dir).count() === 0L)
+    val edir = Files.createTempDirectory("graft_degen_e").toString
+    Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$edir/events.parquet")
+    assert(graft.operators.TimeSeries.interpolateHourly(spark, edir).count() === 0L)
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$edir/embeddings.parquet")
+    assert(graft.operators.Vectors.mmrRerank(spark, edir).count() === 0L)
+    assert(graft.operators.Dedup.simhash64Signatures(spark, dir).count() === 0L)
+  }
+
+  test("one-token docs cast no bigram vote; single-doc corpus scores itself") {
+    // doc 0 has one token (no bigram -> excluded); doc 1's two bigrams
+    // are each unique: c12=1, c1=1, V=3 over the SURVIVING docs only
+    // (doc 0's token is excluded from V because the model trains on
+    // bigram-bearing docs) -> p = 2/(1+3) = 0.5 per bigram
+    val dir = corpus(Seq(
+      (0L, "solo", "en", "src0", 4L),
+      (1L, "a b c", "en", "src0", 5L)))
+    val out = TextAnalysis.bigramFluency(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out === Map(1L -> 0.5))
+  }
+
+  test("misra-gries capacity larger than vocabulary: plain exact counts") {
+    // vocab 2 < cap 40: no eviction ever happens, and with n=31 the
+    // n/40 threshold is < 1, so EVERY term (even the singleton) is a
+    // heavy hitter — the exact contract, not an artifact
+    val dir = corpus(Seq((0L, Seq.fill(30)("x").mkString(" ") + " y", "en", "s", 1L)))
+    val out = TextAnalysis.vocabHeavyHitters(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("x" -> 30L, "y" -> 1L))
+  }
+
+  test("decile lift with fewer rows than deciles: each row its own tile") {
+    val dir = Files.createTempDirectory("graft_degen_o").toString
+    Seq((1L, 100.0, "F"), (2L, 50.0, "O"), (3L, 25.0, "F"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.operators.Relational.decileLift(spark, dir).collect()
+    // ranks 1,2,3 of n=3 -> deciles ((r-1)*10) div 3 + 1 = 1, 4, 7
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 4L, 7L))
+    assert(out.map(_.getLong(1)).sum === 3L)
+  }
 }
