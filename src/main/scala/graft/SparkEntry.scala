@@ -1028,6 +1028,9 @@ object SparkEntry {
     // native codegen'd simhash64 expression: zero-shuffle signatures
     "q164_simhash64"       -> ((s: SparkSession, d: String) =>
       Dedup.simhash64Signatures(s, d)),
+    // MATCH_RECOGNIZE-lite: regex motifs over sessionized event strings
+    "q165_sequence_motif"  -> ((s: SparkSession, d: String) =>
+      operators.Behavioral.sequenceMotif(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3070,6 +3073,27 @@ object SparkEntry {
         |SELECT doc_id, string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1),
         |    '' ORDER BY nidx) AS simhash64
         |FROM nib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q50's sessionization + ordered string_agg; both engines count
+    // non-overlapping leftmost regex matches
+    "q165_sequence_motif" ->
+      """WITH e AS (SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS ch FROM events),
+        |w AS (SELECT user_id, ts, event_id, ch,
+        |    CASE WHEN lag(ts) OVER win IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER win) > 1800000000 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id, ch,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM w),
+        |q AS (SELECT user_id, session_id, string_agg(ch, '' ORDER BY ts, event_id) AS seq
+        |  FROM s GROUP BY 1, 2),
+        |m AS (SELECT user_id, session_id,
+        |    len(regexp_extract_all(seq, 'vc{1,3}p')) AS k FROM q)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(count(CASE WHEN k > 0 THEN 1 END) AS BIGINT) AS n_motif_sessions,
+        |  CAST(sum(k) AS BIGINT) AS n_motifs
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -407,4 +407,43 @@ object Behavioral {
         col("cents"), col("ewma_cents"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** MATCH_RECOGNIZE-lite sequence motif detection: each 30-min-gap
+    * session's ordered event types become a compact string (one char
+    * per event — the five types have distinct initials) and the motif
+    * is a plain regex over it ("view, 1-3 clicks, purchase, nothing in
+    * between" = `vc{1,3}p`), counted non-overlapping left-to-right —
+    * the semantics regex engines share, so the DuckDB oracle's
+    * regexp_extract_all agrees exactly. Per user: sessions, sessions
+    * containing the motif, total motif occurrences.
+    *
+    * Scale posture: sessionization is the q50 lag+running-sum shape
+    * (per-user windows); the session string is an in-group sort of a
+    * GAP-BOUNDED session (collect_list never sees more than one
+    * session), and the regex is map-only over session rows. */
+  def sequenceMotif(spark: SparkSession, dir: String,
+      pattern: String = "vc{1,3}p", gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val e = Tables.loadEvents(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ch"))
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(wSeq)
+    val s = e.withColumn("brk",
+        when(prev.isNull || unix_micros(col("ts")) - unix_micros(prev) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val seqs = s.groupBy(col("user_id"), col("session_id"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("ch")))),
+        x => x.getField("ch"))).as("seq"))
+    seqs.select(col("user_id"),
+        regexp_count(col("seq"), lit(pattern)).cast("long").as("k"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("k") > 0, 1)).as("n_motif_sessions"),
+        sum(col("k")).as("n_motifs"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -357,4 +357,35 @@ class Round6Spec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"unexpected aggregation shuffle in:\n$plan")
   }
+
+  test("sequence motif: session gap splits a would-be match; greedy " +
+      "counts are non-overlapping") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft_motif").toString
+    def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:${0}%02d:00").toInstant
+      .plusSeconds(min * 60L)
+    def ts(min: Int) = Timestamp.from(t(min))
+    // user 1 session A: v c p v c c p  -> 2 motifs, 1 session with motif
+    // user 1 session B (after >30min): v c | gap inside? no: v then c
+    //   then p but the p arrives 31 min after c -> new session "p"
+    //   alone: motif broken by the session boundary
+    val rows = Seq(
+      (1L, ts(0), 1L, "view"), (1L, ts(1), 2L, "click"), (1L, ts(2), 3L, "purchase"),
+      (1L, ts(3), 4L, "view"), (1L, ts(4), 5L, "click"), (1L, ts(5), 6L, "click"),
+      (1L, ts(6), 7L, "purchase"),
+      (1L, ts(60), 8L, "view"), (1L, ts(61), 9L, "click"),
+      (1L, ts(95), 10L, "purchase"),
+      // user 2: c c c p (no leading v) -> zero motifs
+      (2L, ts(0), 11L, "click"), (2L, ts(1), 12L, "click"),
+      (2L, ts(2), 13L, "click"), (2L, ts(3), 14L, "purchase"))
+    rows.map { case (u, time, id, et) => (u, time, id, et, 1.0) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Behavioral.sequenceMotif(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // user 1: 3 sessions (vcpvccp, vc, p); motifs only in the first
+    assert(out(1L) === ((3L, 1L, 2L)))
+    assert(out(2L) === ((1L, 0L, 0L)))
+  }
 }
