@@ -1031,6 +1031,9 @@ object SparkEntry {
     // MATCH_RECOGNIZE-lite: regex motifs over sessionized event strings
     "q165_sequence_motif"  -> ((s: SparkSession, d: String) =>
       operators.Behavioral.sequenceMotif(s, d)),
+    // contrastive negative sampling: md5 pool minus true neighbors
+    "q166_negative_sample" -> ((s: SparkSession, d: String) =>
+      Vectors.negativeSample(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3094,6 +3097,30 @@ object SparkEntry {
         |  CAST(count(CASE WHEN k > 0 THEN 1 END) AS BIGINT) AS n_motif_sessions,
         |  CAST(sum(k) AS BIGINT) AS n_motifs
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q22's top-5 = the positives to exclude; pool and per-anchor
+    // ranking both keyed on md5 (rand()-free, engine-identical)
+    "q166_negative_sample" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (SELECT qid, vec_id, $cosSqlDuck AS cos
+        |  FROM e, q WHERE vec_id <> qid),
+        |r AS (SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS prk
+        |  FROM scored),
+        |pos AS (SELECT qid, vec_id FROM r WHERE prk <= 5),
+        |pool AS (SELECT vec_id FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+        |cand AS (SELECT qa.qid, p.vec_id,
+        |    md5(CAST(qa.qid AS VARCHAR) || '|' || CAST(p.vec_id AS VARCHAR)) AS key
+        |  FROM (SELECT DISTINCT qid FROM q) qa, pool p
+        |  WHERE p.vec_id <> qa.qid
+        |    AND NOT EXISTS (SELECT 1 FROM pos
+        |      WHERE pos.qid = qa.qid AND pos.vec_id = p.vec_id)),
+        |rk AS (SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY key, vec_id) AS rk
+        |  FROM cand)
+        |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id
+        |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -696,6 +696,41 @@ object Vectors {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Deterministic negative sampling for contrastive training: every
+    * anchor (the NumQueries query vectors) gets k negatives drawn from
+    * a fixed md5-minimal candidate pool, excluding the anchor itself
+    * and its true top-k neighbors (the [[annBruteForce]] positives) —
+    * the standard "random negatives, but never accidental positives"
+    * construction, made rerun- and engine-stable by ranking on
+    * md5(anchor | candidate) instead of rand().
+    *
+    * Scale posture: the pool is one TakeOrdered over the corpus
+    * (poolSize rows, broadcast); anchors × pool is a bounded cross
+    * join; the positive exclusion is a left-anti against the top-k
+    * pairs; the final rank windows over ≤ poolSize rows per anchor. */
+  def negativeSample(spark: SparkSession, dir: String,
+      poolSize: Int = 64, k: Int = 5): DataFrame = {
+    val e = emb(spark, dir)
+    val pool = e.select(col("vec_id"),
+        md5(col("vec_id").cast("string")).as("pk"))
+      .orderBy(col("pk"), col("vec_id")).limit(poolSize)
+      .select(col("vec_id"))
+    val positives = annBruteForce(spark, dir).select(col("qid"), col("vec_id"))
+    val anchors = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"))
+    val cand = anchors.crossJoin(broadcast(pool))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(positives, Seq("qid", "vec_id"), "left_anti")
+      .select(col("qid"), col("vec_id"),
+        md5(concat(col("qid").cast("string"), lit("|"),
+          col("vec_id").cast("string"))).as("key"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("key"), col("vec_id"))
+    cand.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Maximal-marginal-relevance re-rank — the diversity-aware top-k a
     * curation/retrieval pipeline uses when plain cosine top-k returns
     * k near-copies of the same document: greedily select k of the
