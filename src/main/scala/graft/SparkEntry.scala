@@ -1034,6 +1034,21 @@ object SparkEntry {
     // contrastive negative sampling: md5 pool minus true neighbors
     "q166_negative_sample" -> ((s: SparkSession, d: String) =>
       Vectors.negativeSample(s, d)),
+    // CCNet-style chunk-frequency boilerplate removal card
+    "q167_boilerplate"     -> ((s: SparkSession, d: String) =>
+      TextAnalysis.boilerplateChunks(s, d)),
+    // top-k collocations by exact-rational PMI argument
+    "q168_pmi_collocations" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.pmiCollocations(s, d)),
+    // source-pair shingle contamination matrix (capped self-join)
+    "q169_source_overlap"  -> ((s: SparkSession, d: String) =>
+      TextAnalysis.sourceOverlap(s, d)),
+    // integer-exact best-split changepoint on daily revenue
+    "q170_changepoint"     -> ((s: SparkSession, d: String) =>
+      operators.TimeSeries.bestSplitDays(s, d)),
+    // native TypedImperativeAggregate HLL: integer-exact registers
+    "q171_hll_registers"   -> ((s: SparkSession, d: String) =>
+      operators.Sketches.hllDistinctUsers(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3121,6 +3136,126 @@ object SparkEntry {
         |  FROM cand)
         |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id
         |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // positional 3-token chunks; a chunk repeated across >= 5 distinct
+    // docs is boilerplate; per-doc retention card
+    "q167_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |t AS (SELECT doc_id, g.i AS i, toks[g.i + 1] AS tok
+        |  FROM w, unnest(generate_series(0, len(toks) - 1)) g(i)),
+        |c AS (SELECT doc_id, i // 3 AS ci,
+        |    string_agg(tok, ' ' ORDER BY i) AS chunk, count(*) AS n_toks
+        |  FROM t GROUP BY 1, 2),
+        |f AS (SELECT chunk, count(DISTINCT doc_id) AS chunk_docs FROM c GROUP BY 1)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        |  CAST(count(CASE WHEN f.chunk_docs >= 5 THEN 1 END) AS BIGINT) AS n_boiler,
+        |  CAST(sum(c.n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN f.chunk_docs < 5 THEN c.n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM c JOIN f USING (chunk)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // PMI rank via the exact rational argument c12*N_uni^2/(N_bi*cx*cy)
+    // — one double division of integer-exact products, same op tree
+    "q168_pmi_collocations" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |t AS (SELECT doc_id, g.i AS i, toks[g.i + 1] AS tok
+        |  FROM w, unnest(generate_series(0, len(toks) - 1)) g(i)),
+        |u AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+        |nu AS (SELECT count(*) AS n_uni FROM t),
+        |b AS (SELECT toks[g.i + 1] AS w1, toks[g.i + 2] AS w2
+        |  FROM w, unnest(generate_series(0, len(toks) - 2)) g(i)
+        |  WHERE len(toks) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |nb AS (SELECT count(*) AS n_bi FROM b),
+        |s AS (SELECT c12.w1, c12.w2, c12.c12, u1.c AS cx, u2.c AS cy,
+        |    (CAST(c12.c12 AS DOUBLE) * nu.n_uni * nu.n_uni) /
+        |      (CAST(nb.n_bi AS DOUBLE) * u1.c * u2.c) AS ratio
+        |  FROM c12
+        |  JOIN u u1 ON u1.tok = c12.w1
+        |  JOIN u u2 ON u2.tok = c12.w2
+        |  CROSS JOIN nu CROSS JOIN nb
+        |  WHERE c12.c12 >= 5),
+        |r AS (SELECT *, row_number() OVER (ORDER BY ratio DESC, w1, w2) AS rk FROM s)
+        |SELECT CAST(rk AS BIGINT) AS rk, w1, w2, c12, cx, cy,
+        |  round(ratio, 6) AS pmi_ratio
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    // distinct 3-shingles per source; shingles in > 32 sources dropped
+    // (mirrors the operator's hot cap); pairwise intersection + Jaccard
+    "q169_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT source,
+        |    array_to_string(toks[g.i + 1:g.i + 3], ' ') AS sh
+        |  FROM w, unnest(generate_series(0, len(toks) - 3)) g(i)
+        |  WHERE len(toks) >= 3),
+        |cool AS (SELECT * FROM sh WHERE sh IN
+        |  (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT source) <= 32)),
+        |sizes AS (SELECT source, count(*) AS sz FROM cool GROUP BY 1),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        |  FROM cool a JOIN cool b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  round(CAST(p.inter AS DOUBLE) /
+        |    CAST(sa.sz + sb.sz - p.inter AS DOUBLE), 6) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON sa.source = p.src_a
+        |JOIN sizes sb ON sb.source = p.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
+    // argmax split of daily revenue by cross-multiplied mean gap —
+    // integer cents, no division anywhere near the comparison
+    "q170_changepoint" ->
+      """WITH daily AS (SELECT o_orderdate AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS day_cents,
+        |    count(*) AS day_orders
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(day_cents) AS BIGINT) AS t_cents,
+        |    count(*) AS t_days FROM daily),
+        |pre AS (SELECT d,
+        |    CAST(sum(day_cents) OVER win AS BIGINT) AS l_cents,
+        |    CAST(count(*) OVER win AS BIGINT) AS l_days
+        |  FROM daily WINDOW win AS (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT d, l_days, t.t_days - l_days AS r_days,
+        |    l_cents, t.t_cents - l_cents AS r_cents,
+        |    abs(l_cents * (t.t_days - l_days) - (t.t_cents - l_cents) * l_days) AS objective
+        |  FROM pre CROSS JOIN t WHERE l_days < t.t_days),
+        |r AS (SELECT *, row_number() OVER (ORDER BY objective DESC, d) AS rk FROM s)
+        |SELECT CAST(rk AS BIGINT) AS rk, strftime(d, '%Y-%m-%d') AS split_date,
+        |  l_days, r_days, l_cents, r_cents, objective
+        |FROM r WHERE rk <= 3 ORDER BY rk""".stripMargin,
+    // HLL p=8 over md5(user): bucket = first hex byte, rank = leading
+    // zeros of the next 56 bits + 1 (all-zero -> 57), register = max
+    // rank per bucket; empty buckets emitted as 0 — the exact
+    // convention of plans.HllRegisters.update
+    "q171_hll_registers" ->
+      """WITH u AS (SELECT DISTINCT event_type,
+        |    md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |n AS (SELECT event_type, h, g.i AS i,
+        |    strpos('0123456789abcdef', substr(h, g.i + 1, 1)) - 1 AS nib
+        |  FROM u, unnest(generate_series(0, 15)) g(i)),
+        |bk AS (SELECT event_type, h,
+        |    max(CASE WHEN i = 0 THEN nib * 16 END) +
+        |    max(CASE WHEN i = 1 THEN nib END) AS bucket
+        |  FROM n WHERE i < 2 GROUP BY 1, 2),
+        |fz AS (SELECT event_type, h,
+        |    min(CASE WHEN i >= 2 AND nib > 0 THEN i END) AS j
+        |  FROM n GROUP BY 1, 2),
+        |rk AS (SELECT f.event_type, f.h,
+        |    CASE WHEN f.j IS NULL THEN 57
+        |         ELSE (f.j - 2) * 4 + 1 +
+        |           CASE WHEN nj.nib >= 8 THEN 0 WHEN nj.nib >= 4 THEN 1
+        |                WHEN nj.nib >= 2 THEN 2 ELSE 3 END
+        |    END AS rank
+        |  FROM fz f LEFT JOIN n nj
+        |    ON nj.event_type = f.event_type AND nj.h = f.h AND nj.i = f.j),
+        |reg AS (SELECT b.event_type, b.bucket, max(r.rank) AS register
+        |  FROM bk b JOIN rk r ON r.event_type = b.event_type AND r.h = b.h
+        |  GROUP BY 1, 2),
+        |et AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT event_type, g.b AS bucket
+        |  FROM et, unnest(generate_series(0, 255)) g(b))
+        |SELECT grid.event_type, CAST(grid.bucket AS INT) AS bucket,
+        |  CAST(COALESCE(reg.register, 0) AS INT) AS register
+        |FROM grid LEFT JOIN reg
+        |  ON reg.event_type = grid.event_type AND reg.bucket = grid.bucket
+        |ORDER BY grid.event_type, grid.bucket""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

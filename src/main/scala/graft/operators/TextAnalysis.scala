@@ -703,4 +703,124 @@ object TextAnalysis {
         round(col("c").cast("double") / col("n").cast("double"), 6).as("frac"))
       .orderBy(col("term"))
   }
+
+  /** CCNet-style boilerplate removal at chunk granularity: the corpus
+    * is cut into positional token chunks (the "paragraph/line" unit —
+    * these documents carry no newlines, so the unit is a fixed token
+    * window), each chunk's corpus-wide document frequency is counted,
+    * and chunks repeated across >= docThreshold distinct documents are
+    * flagged as boilerplate (headers, nav bars, license blurbs in a
+    * web corpus). Output is the per-document retention card: chunk
+    * count, boilerplate count, and token counts before/after the cut.
+    *
+    * Scale posture: one explode to (doc, chunk), one chunk-keyed
+    * shuffle for document frequencies, one join back. The chunk key
+    * space is ~corpus_tokens/chunkTokens — strictly smaller than the
+    * token stream a vocabulary count shuffles, and the per-doc
+    * aggregate re-shuffles only (doc_id, flags). No driver state. */
+  def boilerplateChunks(spark: SparkSession, dir: String,
+                        chunkTokens: Int = 3, docThreshold: Int = 5): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val chunks = d.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, cast(ceil(size(w) / $chunkTokens.0) AS INT) - 1),
+           |  i -> struct(
+           |    concat_ws(' ', slice(w, i * $chunkTokens + 1, $chunkTokens)) AS chunk,
+           |    size(slice(w, i * $chunkTokens + 1, $chunkTokens)) AS n_toks))"""
+          .stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.chunk").as("chunk"), col("c.n_toks").as("n_toks"))
+    val freq = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("chunk_docs"))
+    chunks.join(freq, Seq("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("chunk_docs") >= docThreshold, lit(1))).as("n_boiler"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("chunk_docs") < docThreshold, col("n_toks"))
+          .otherwise(lit(0L))).as("kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Collocation mining: top-K adjacent-token bigrams by pointwise
+    * mutual information. PMI = log of c12·N_uni² / (N_bi·cx·cy); the
+    * log is monotone, so ranking on the exact rational argument (one
+    * double division of two integer-exact products, the same fixed
+    * IEEE op tree in the oracle) gives the identical order with no
+    * libm dependence. minCount floors the bigram support — the
+    * classic guard against PMI's low-count explosion.
+    *
+    * Shuffles: one bigram group-by, one unigram group-by; the
+    * unigram table joins back on the token key and the two corpus
+    * scalars broadcast. Final top-K is a single unpartitioned
+    * row_number over only the >= minCount survivors (bounded by the
+    * collocation candidate set, not the corpus). */
+  def pmiCollocations(spark: SparkSession, dir: String,
+                      minCount: Int = 5, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val docs = d.select(col("doc_id"), words(col("text")).as("w"))
+    val toks = docs.select(explode(col("w")).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nUni = toks.agg(count(lit(1)).as("n_uni"))
+    val bi = docs.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val nBi = bi.agg(count(lit(1)).as("n_bi"))
+    val ratio = (col("c12").cast("double") * col("n_uni") * col("n_uni")) /
+      (col("n_bi").cast("double") * col("cx") * col("cy"))
+    c12.filter(col("c12") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c").as("cx")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("cy")), Seq("w2"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .withColumn("ratio", ratio)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("ratio").desc, col("w1"), col("w2"))))
+      .filter(col("rk") <= topK)
+      .select(col("rk").cast("long").as("rk"), col("w1"), col("w2"),
+        col("c12"), col("cx"), col("cy"), round(col("ratio"), 6).as("pmi_ratio"))
+      .orderBy(col("rk"))
+  }
+
+  /** Cross-source contamination matrix: for every source pair, the
+    * exact overlap of their distinct 3-token shingle sets plus the
+    * Jaccard ratio — the corpus-level diagnostic behind "is subcorpus
+    * A quietly a copy of subcorpus B" (dataset provenance, crawl
+    * dedup planning). Doc-level containment is q142; this aggregates
+    * identity at the *source* level where curation decisions happen.
+    *
+    * Scale posture: shingles are deduped to (source, shingle) first,
+    * and shingles present in more than `maxSources` sources are
+    * dropped before the self-join (they carry no discriminative
+    * signal; the cap bounds per-shingle pair fan-out at cap² exactly
+    * like q17/q70's hot-shingle caps). Pair keys then shuffle on the
+    * (src_a, src_b) key — #sources² rows, trivial at any corpus
+    * size. */
+  def sourceOverlap(spark: SparkSession, dir: String,
+                    maxSources: Int = 32): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val sh = d.select(col("source"), explode(
+        graft.functions.TextFunctions.shingles(words(col("text")), 3)).as("sh"))
+      .distinct()
+    val hot = sh.groupBy(col("sh"))
+      .agg(countDistinct(col("source")).as("n_src"))
+      .filter(col("n_src") > maxSources)
+      .select(col("sh"))
+    val cool = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sizes = cool.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val pairs = cool.select(col("sh"), col("source").as("src_a"))
+      .join(cool.select(col("sh"), col("source").as("src_b")), Seq("sh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("source").as("src_a"), col("sz").as("sz_a")), Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("sz").as("sz_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"), col("sz_a"), col("sz_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

@@ -152,4 +152,48 @@ object TimeSeries {
         col("o_custkey"))
       .limit(k)
   }
+
+  /** Single best-split changepoint over the daily order-revenue
+    * series: the split day maximizing |mean(left) − mean(right)|,
+    * compared WITHOUT division — the objective is the cross-
+    * multiplied |l_cents·r_days − r_cents·l_days|, integer-exact in
+    * cents, so the argmax is engine-portable (ties break on earlier
+    * date). The amortized form of CUSUM/segmented-regression drift
+    * detection a pipeline runs on daily volume before trusting a
+    * day's data.
+    *
+    * Scale posture: the order stream collapses to day grain in one
+    * shuffle (date-keyed, map-side combined); the prefix-sum window
+    * and argmax then run over #days rows — thousands, not billions —
+    * so the unpartitioned window is over the DAY series, never the
+    * fact table. Top-k splits reported for context. */
+  def bestSplitDays(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(col("o_totalprice").cast(D182)).as("day_sum"),
+        count(lit(1)).as("day_orders"))
+      .select(col("d"), (col("day_sum") * lit(100)).cast("long").as("day_cents"),
+        col("day_orders"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = daily.agg(sum(col("day_cents")).as("t_cents"),
+      count(lit(1)).as("t_days"))
+    val pre = daily
+      .withColumn("l_cents", sum(col("day_cents")).over(w))
+      .withColumn("l_days", count(lit(1)).over(w))
+      .crossJoin(broadcast(totals))
+      .filter(col("l_days") < col("t_days"))
+      .select(col("d"), col("l_days"), (col("t_days") - col("l_days")).as("r_days"),
+        col("l_cents"), (col("t_cents") - col("l_cents")).as("r_cents"))
+      .withColumn("objective",
+        abs(col("l_cents") * col("r_days") - col("r_cents") * col("l_days")))
+    pre.withColumn("rk", row_number().over(
+        Window.orderBy(col("objective").desc, col("d"))))
+      .filter(col("rk") <= k)
+      .select(col("rk").cast("long").as("rk"),
+        date_format(col("d"), "yyyy-MM-dd").as("split_date"),
+        col("l_days"), col("r_days"), col("l_cents"), col("r_cents"),
+        col("objective"))
+      .orderBy(col("rk"))
+  }
 }

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextAnalysis, TimeSeries}
+
+/** Semantic tests for the round-7 corpus-diagnostics operators on
+  * planted data with hand-computed ground truth. */
+class Round7Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    val dir = Files.createTempDirectory("graft_r7docs").toString
+    rows.map { case (id, src, text) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("boilerplate chunks: shared chunk flagged, unique tail kept, partial chunk counted") {
+    // six docs share the leading chunk "a b c" (>= threshold 5);
+    // each tail chunk is unique to its doc
+    val rows = (1 to 6).map(i => (i.toLong, "s0", s"a b c u$i v$i w$i")) :+
+      (7L, "s0", "x y z q") // 4 tokens → chunks "x y z" + partial "q"
+    val out = TextAnalysis.boilerplateChunks(spark, docsDir(rows))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    (1 to 6).foreach { i =>
+      assert(out(i.toLong) === ((2L, 1L, 6L, 3L)),
+        s"doc $i: shared head chunk is boilerplate, unique tail kept")
+    }
+    assert(out(7L) === ((2L, 0L, 4L, 4L)), "partial trailing chunk keeps its 1 token")
+  }
+
+  test("pmi collocations: exclusive pair outranks the diluted one, counts exact") {
+    // "a b" always adjacent and exclusive; "c" pads unigram mass so
+    // (c,c) has high support but low PMI
+    val rows = Seq(
+      (1L, "s0", Seq.fill(5)("a b").mkString(" ")),
+      (2L, "s0", Seq.fill(20)("c").mkString(" ")))
+    val out = TextAnalysis.pmiCollocations(spark, docsDir(rows), minCount = 5, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // doc1 tokens: a b a b a b a b a b → c(a)=5, c(b)=5, c12(a,b)=5
+    assert(out.head === ((1L, "a", "b", 5L, 5L, 5L)), "exclusive pair ranks first")
+    val pairs = out.map(t => (t._2, t._3))
+    assert(pairs.contains(("c", "c")), "high-support diluted pair still listed")
+    assert(pairs.indexOf(("c", "c")) > 0, "but ranked below the exclusive pair")
+  }
+
+  test("source overlap: exact intersection and jaccard; hot cap empties the matrix") {
+    val rows = Seq(
+      (1L, "sA", "p q r s"), // shingles {p q r, q r s}
+      (2L, "sB", "p q r x"), // shingles {p q r, q r x}
+      (3L, "sC", "m n o t")) // disjoint
+    val dir = docsDir(rows)
+    val out = TextAnalysis.sourceOverlap(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.keySet === Set(("sA", "sB")), "only overlapping pairs appear")
+    assert(out(("sA", "sB")) === ((1L, 2L, 2L, 0.333333)))
+    // cap = 1: any shingle present in 2 sources is dropped pre-join
+    assert(TextAnalysis.sourceOverlap(spark, dir, maxSources = 1).count() === 0L)
+  }
+
+  test("hll registers: partitioning-invariant, duplicate-insensitive, 5% accurate") {
+    import org.apache.spark.sql.DataFrame
+    val keys = (1 to 5000).map(i => s"user_$i")
+    def regs(df: DataFrame): Seq[Int] = {
+      val arr = df.agg(call_function("hll_registers", col("k"))).collect()
+        .head.getSeq[Int](0)
+      assert(arr.length === 256)
+      arr
+    }
+    val one = regs(keys.toDF("k").repartition(1))
+    val many = regs(keys.toDF("k").repartition(16))
+    assert(one === many, "merge path (16 partials) must equal the single-partition pass")
+    val dups = regs((keys ++ keys ++ keys.take(100)).toDF("k").repartition(8))
+    assert(one === dups, "registers are max-idempotent under duplicates")
+    val est = graft.plans.HllRegisters.estimate(one)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.05,
+      s"estimate $est outside 5% of 5000")
+    // sketches of disjoint halves max-merge to the one-shot registers
+    // (the day × shard rollup contract: aggregate slices, merge later)
+    val halves = keys.zipWithIndex.map { case (k, i) => (i % 2, k) }
+      .toDF("half", "k")
+      .groupBy(col("half")).agg(call_function("hll_registers", col("k")).as("r"))
+      .collect().map(_.getSeq[Int](1))
+    assert(halves.length === 2)
+    val merged = halves(0).zip(halves(1)).map { case (a, b) => math.max(a, b) }
+    assert(merged === one, "disjoint-slice sketches merge to the full sketch")
+    val nulls = regs(((null: String) +: keys).toDF("k"))
+    assert(nulls === one, "NULL keys cast no vote")
+  }
+
+  test("best-split changepoint: level shift found at the exact boundary") {
+    val dir = Files.createTempDirectory("graft_r7orders").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // 3 days at 100.00 then 3 days at 200.00 — split belongs after day 3
+    val days = Seq("2024-01-01" -> 100.0, "2024-01-02" -> 100.0,
+      "2024-01-03" -> 100.0, "2024-01-04" -> 200.0,
+      "2024-01-05" -> 200.0, "2024-01-06" -> 200.0)
+    days.zipWithIndex.map { case ((dt, v), i) => (i.toLong, d(dt), v) }
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val top = TimeSeries.bestSplitDays(spark, dir, k = 1).collect().head
+    assert(top.getString(1) === "2024-01-03")
+    assert((top.getLong(2), top.getLong(3)) === ((3L, 3L)))
+    assert((top.getLong(4), top.getLong(5)) === ((30000L, 60000L)))
+    // |30000*3 − 60000*3| cents
+    assert(top.getLong(6) === 90000L)
+  }
+}
