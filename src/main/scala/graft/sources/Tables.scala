@@ -33,16 +33,29 @@ object Tables {
   def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
     load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 
-  /** events.parquet stores TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` the column arrives as long
-    * nanos — convert to a proper TimestampType (micros) here so every
-    * consumer sees an event-time timestamp. */
+  /** Normalize `events.ts` to a proper `TimestampType` regardless of
+    * the fixture's physical layout. The harness has shipped three over
+    * time, and every event-time consumer (`unix_micros`, windowing,
+    * range joins) requires `TimestampType`:
+    *
+    *   - TIMESTAMP(NANOS): with `spark.sql.legacy.parquet.nanosAsLong`
+    *     the column arrives as long nanos → `timestamp_micros(ns/1000)`.
+    *   - timestamp[us] without the UTC flag: Spark reads TIMESTAMP_NTZ
+    *     → cast to TimestampType. The session TZ is pinned to UTC
+    *     (GraftSession), so the wall-clock reinterpretation is exact.
+    *   - timestamp[us] UTC: already TimestampType → pass through.
+    *
+    * Absorbing source-format drift at the scan (one choke point) rather
+    * than in every consumer mirrors the reference's stage-then-cast
+    * typing discipline (`stage_csv_dims_to_pg.py:79-98`). */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val e = load(spark, dir, "events")
-    if (e.schema("ts").dataType == LongType)
-      e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else e
+    e.schema("ts").dataType match {
+      case LongType         => e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => e.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => e
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` queries match
