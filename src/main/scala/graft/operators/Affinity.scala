@@ -16,10 +16,32 @@ import graft.sources.Tables
   * pair expansion happens map-side over that bounded array, so the
   * expensive part is a single fact-table-sized aggregation however
   * large the corpus. PageRank iterations are plain equi-joins keyed
-  * on the edge endpoints; on a real cluster the score frame should be
-  * checkpointed every few iterations to truncate lineage.
+  * on the edge endpoints; every iterative operator here truncates its
+  * lineage with an eager `localCheckpoint` every [[CheckpointEvery]]
+  * rounds (see [[truncateLineage]]), so plan depth stays bounded
+  * however many rounds run.
   */
 object Affinity {
+
+  /** Checkpoint cadence for the iterative operators below. */
+  private val CheckpointEvery = 2
+
+  /** Truncate iterative lineage every [[CheckpointEvery]] rounds,
+    * skipping the final round (the last frame is consumed exactly once
+    * downstream — truncating it would only add a job).
+    *
+    * `localCheckpoint` (eager) materializes the frame to
+    * executor-local storage and replaces its logical plan with a scan
+    * of the checkpointed RDD, so plan depth — and with it analyzer/
+    * optimizer time, task-binary size, and recomputation-on-failure
+    * cost — stays O(CheckpointEvery) instead of growing linearly with
+    * the round count. Caching alone does NOT do this: an
+    * InMemoryRelation still nests the full upstream plan. On a real
+    * cluster running many rounds, swap in reliable `checkpoint()` to a
+    * durable dir for executor-loss tolerance; the call site is this
+    * one choke point. */
+  private def truncateLineage(df: DataFrame, round: Int, rounds: Int): DataFrame =
+    if (round % CheckpointEvery == 0 && round < rounds) df.localCheckpoint() else df
 
   /** Brand pairs bought together: distinct (order, brand) pairs,
     * per-order sorted brand sets, map-side pair expansion, global
@@ -82,7 +104,7 @@ object Affinity {
     val nodes = Tables.load(spark, dir, "supplier")
       .select(col("s_suppkey").as("id"))
     var score = nodes.select(col("id"), lit(1000000L).as("score"))
-    for (_ <- 1 to iters) {
+    for (t <- 1 to iters) {
       // per-edge contribution of each source: node-sized → broadcast
       // (for node sets beyond broadcast range, drop the hint and this
       // becomes a shuffle join on src — the edge frame still only
@@ -91,10 +113,11 @@ object Affinity {
         .select(col("id").as("src"), expr("score div d").as("c"))
       val contrib = edges.join(broadcast(per), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
-      score = nodes
+      score = truncateLineage(nodes
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
-          (lit(150000L) + expr("coalesce(in_c, 0L) * 85 div 100")).as("score"))
+          (lit(150000L) + expr("coalesce(in_c, 0L) * 85 div 100")).as("score")),
+        t, iters)
     }
     score.orderBy(col("score").desc, col("id"))
       .limit(k)
@@ -249,12 +272,14 @@ object Affinity {
       und.select(col("dst").as("src"), col("src").as("dst"))).cache()
     var lbl = adj.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-    for (_ <- 1 to rounds) {
-      lbl = adj.join(lbl.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
-        .groupBy(col("src"))
-        .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("label"))
-        .select(col("src").as("id"), col("label"))
+    for (r <- 1 to rounds) {
+      lbl = truncateLineage(
+        adj.join(lbl.withColumnRenamed("id", "dst"), Seq("dst"))
+          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("label"))
+          .select(col("src").as("id"), col("label")),
+        r, rounds)
     }
     lbl.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_members"))
@@ -281,19 +306,21 @@ object Affinity {
     def degrees(e: DataFrame): DataFrame =
       e.select(explode(array(col("src"), col("dst"))).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("d"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       // the survivor set is node-sized → broadcast semi-joins keep
       // every round map-only over the edge frame (drop the hint for
       // graphs whose NODE set outgrows broadcast range); each round's
-      // edge frame is materialized and the previous one released, so
-      // round r never re-executes rounds 1..r-1 (unbounded lineage
-      // growth is the classic iterative-DataFrame trap)
+      // edge frame is materialized (cache+count) so round r never
+      // re-executes rounds 1..r-1, and every CheckpointEvery rounds
+      // it is ALSO lineage-truncated — cache alone keeps the full
+      // nested plan (the classic iterative-DataFrame trap)
       val keep = degrees(edges).filter(col("d") >= k).select(col("id"))
-      val next = edges
+      val joined = edges
         .join(broadcast(keep.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
         .join(broadcast(keep.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
-        .cache()
-      next.count()
+      val next =
+        if (r % CheckpointEvery == 0 && r < rounds) joined.localCheckpoint()
+        else { val c = joined.cache(); c.count(); c }
       edges.unpersist()
       edges = next
     }
@@ -328,9 +355,10 @@ object Affinity {
     // force-materialized: within the single final action the two
     // references per round (anti-join + union) compute once and
     // cache; blocking per-round counts measured ~20% slower at sf0.1
-    // (3 extra job round-trips) for identical results. On a real
-    // cluster with many rounds, checkpoint every few rounds to
-    // truncate lineage.
+    // (3 extra job round-trips) for identical results. Every
+    // CheckpointEvery rounds the distance frame is lineage-truncated
+    // (one eager job) so plan depth stays bounded however many hops
+    // run.
     var dist = seeds.select(col("id"), lit(0L).as("dist")).cache()
     var frontier = dist.select(col("id"))
     for (h <- 1 to maxHops) {
@@ -339,7 +367,11 @@ object Affinity {
         .select(col("dst").as("id")).distinct()
       val fresh = reached.join(dist, Seq("id"), "left_anti")
         .select(col("id"), lit(h.toLong).as("dist"))
-      dist = dist.unionByName(fresh).cache()
+      // checkpoint rounds need no separate cache — the eager
+      // localCheckpoint already materializes to executor storage
+      val grown = dist.unionByName(fresh)
+      dist = if (h % CheckpointEvery == 0 && h < maxHops) grown.localCheckpoint()
+             else grown.cache()
       frontier = dist.filter(col("dist") === h).select(col("id"))
     }
     dist.select(col("id").as("s_suppkey"), col("dist"))
