@@ -49,7 +49,10 @@ case class HllRegisters(
   override def update(buf: Array[Byte], input: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val d = java.security.MessageDigest.getInstance("MD5")
+      // digest() resets the engine after each call, so one instance per
+      // thread serves every row — `getInstance` + provider lookup per
+      // row was the hot-path allocation flagged in round 6
+      val d = HllRegisters.digest.get()
         .digest(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
       val bucket = d(0) & 0xFF
       var suffix = 0L
@@ -89,6 +92,12 @@ case class HllRegisters(
 object HllRegisters {
   /** Register count (p = 8). */
   val M = 256
+
+  /** One MD5 engine per task thread — MessageDigest is not
+    * thread-safe, and expression instances can be shared within a JVM
+    * in local mode. */
+  private[plans] val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /** Classic HLL estimate with the small-range (linear counting)
     * correction — float math lives HERE, outside the gated query. */
