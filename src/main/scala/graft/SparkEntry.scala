@@ -1049,6 +1049,9 @@ object SparkEntry {
     // native TypedImperativeAggregate HLL: integer-exact registers
     "q171_hll_registers"   -> ((s: SparkSession, d: String) =>
       operators.Sketches.hllDistinctUsers(s, d)),
+    // real RIFF/AVI + MP4 box-structure parsing (container metadata)
+    "q172_video_probe"     -> ((s: SparkSession, d: String) =>
+      operators.Multimodal.videoProbe(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3256,6 +3259,23 @@ object SparkEntry {
         |FROM grid LEFT JOIN reg
         |  ON reg.event_type = grid.event_type AND reg.bucket = grid.bucket
         |ORDER BY grid.event_type, grid.bucket""".stripMargin,
+    // the parse recovers exactly the metadata the deterministic
+    // encoder wrote into the container structure: even ids AVI (hdrl/
+    // avih + strl count), odd ids MP4 (mvhd timescale 1000 + trak
+    // count + 16.16 tkhd dims) — the oracle states the same pure
+    // functions of the id
+    "q172_video_probe" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avi' ELSE 'mp4' END AS container,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 160 + (doc_id % 16) * 8
+        |            ELSE 320 + (doc_id % 32) * 4 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 120 + (doc_id % 9) * 8
+        |            ELSE 240 + (doc_id % 18) * 4 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |            THEN (20000 + (doc_id % 30) * 1000) * (100 + doc_id % 400) // 1000
+        |            ELSE 5000 + doc_id % 9999 END AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

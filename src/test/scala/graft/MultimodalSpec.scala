@@ -68,4 +68,59 @@ class MultimodalSpec extends SparkSpec {
       assert((r, g, b) === (id % 256, (id * 7) % 256, (id * 13) % 256))
     }
   }
+
+  test("AVI container round trip: parse walks the RIFF tree, counts strl tracks") {
+    Seq(0L, 2L, 4L, 30L, 88L, 1000L).foreach { id =>
+      val out = Multimodal.parseAvi(id, Multimodal.encodeAvi(id))
+      assert(out.container === "avi")
+      assert(out.n_tracks === 1 + id % 3)
+      assert(out.width === 160 + (id % 16) * 8)
+      assert(out.height === 120 + (id % 9) * 8)
+      assert(out.duration_ms === (20000 + (id % 30) * 1000) * (100 + id % 400) / 1000)
+    }
+  }
+
+  test("MP4 container round trip: parse walks the box tree, recovers 16.16 dims") {
+    Seq(1L, 3L, 5L, 17L, 999L, 10001L).foreach { id =>
+      val out = Multimodal.parseMp4(id, Multimodal.encodeMp4(id))
+      assert(out.container === "mp4")
+      assert(out.n_tracks === 1 + id % 3)
+      assert(out.width === 320 + (id % 32) * 4)
+      assert(out.height === 240 + (id % 18) * 4)
+      assert(out.duration_ms === 5000 + id % 9999)
+    }
+  }
+
+  test("container parsers reject non-container bytes instead of fabricating metadata") {
+    intercept[IllegalArgumentException] {
+      Multimodal.parseAvi(1L, "not a riff container at all".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseMp4(2L, Array.fill[Byte](64)(0x41))
+    }
+  }
+
+  test("videoProbe query: even ids AVI, odd ids MP4, metadata from the structure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_videodocs").toString
+    val ids = Seq(0L, 1L, 2L, 3L, 100L, 101L)
+    ids.map(id => (id, s"doc $id", "en", "src", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.videoProbe(spark, dir)
+      .select(col("media_id"), col("container"), col("n_tracks"),
+        col("width"), col("height"), col("duration_ms"))
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(rows.length === ids.length)
+    rows.foreach { case (id, container, n, w, h, d) =>
+      assert(container === (if (id % 2 == 0) "avi" else "mp4"))
+      assert(n === 1 + id % 3)
+      if (id % 2 == 0) {
+        assert((w, h) === (160 + (id % 16) * 8, 120 + (id % 9) * 8))
+        assert(d === (20000 + (id % 30) * 1000) * (100 + id % 400) / 1000)
+      } else {
+        assert((w, h) === (320 + (id % 32) * 4, 240 + (id % 18) * 4))
+        assert(d === 5000 + id % 9999)
+      }
+    }
+  }
 }
