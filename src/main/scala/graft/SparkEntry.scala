@@ -1052,6 +1052,9 @@ object SparkEntry {
     // real RIFF/AVI + MP4 box-structure parsing (container metadata)
     "q172_video_probe"     -> ((s: SparkSession, d: String) =>
       operators.Multimodal.videoProbe(s, d)),
+    // native Count-Min sketch aggregate: top talkers, est vs truth
+    "q173_cms_topk"        -> ((s: SparkSession, d: String) =>
+      operators.Sketches.cmsTopTalkers(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3276,6 +3279,29 @@ object SparkEntry {
         |            THEN (20000 + (doc_id % 30) * 1000) * (100 + doc_id % 400) // 1000
         |            ELSE 5000 + doc_id % 9999 END AS BIGINT) AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
+    // CMS d=4 w=256 over md5(user): row j's bucket = hex byte j; the
+    // counter is the occurrence-weighted sum over colliding users;
+    // point estimate = min over the 4 rows — exactly
+    // plans.CmsRegisters.update / Sketches.cmsTopTalkers
+    "q173_cms_topk" ->
+      """WITH e AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events),
+        |h AS (SELECT event_type, u, md5(u) AS h, count(*) AS n
+        |  FROM e GROUP BY 1, 2, 3),
+        |b AS (SELECT event_type, u, n, j.j AS j,
+        |    (strpos('0123456789abcdef', substr(h, j.j * 2 + 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(h, j.j * 2 + 2, 1)) - 1) AS bucket
+        |  FROM h, unnest(generate_series(0, 3)) j(j)),
+        |cnt AS (SELECT event_type, j, bucket, SUM(n) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |est AS (SELECT b.event_type, b.u, b.n, MIN(c.c) AS cms_n
+        |  FROM b JOIN cnt c
+        |    ON c.event_type = b.event_type AND c.j = b.j AND c.bucket = b.bucket
+        |  GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY n DESC, u) AS rk FROM est)
+        |SELECT event_type, CAST(rk AS BIGINT) AS rk, u AS user_id,
+        |  CAST(n AS BIGINT) AS true_n, CAST(cms_n AS BIGINT) AS cms_n
+        |FROM rk WHERE rk <= 10 ORDER BY event_type, rk""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -30,4 +30,41 @@ object Sketches {
       .select(col("event_type"), posexplode(col("regs")).as(Seq("bucket", "register")))
       .orderBy(col("event_type"), col("bucket"))
   }
+
+  /** Count-Min top-talker readout: per event type, sketch every user
+    * occurrence with the native [[graft.plans.CmsRegisters]] aggregate
+    * (d=4 × w=256, md5-byte rows), then report the top `k` users by
+    * TRUE frequency alongside their CMS point estimate (min over the
+    * d counters — ≥ truth by construction, integer-exact and
+    * oracle-reproducible).
+    *
+    * Scale posture: the sketch aggregation ships 8 KB per (event_type
+    * × map partition) regardless of user cardinality; the truth side
+    * exists here only because the gate must PROVE the estimates, and
+    * at production scale the whole point is to skip it. The per-user
+    * lookup joins the k×types winners against the one-row-per-type
+    * sketch frame via broadcast. */
+  def cmsTopTalkers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.loadEvents(spark, dir)
+      .select(col("event_type"), col("user_id").cast("string").as("u"))
+    val sk = e.groupBy(col("event_type"))
+      .agg(call_function("cms_registers", col("u")).as("regs"))
+    val top = e.groupBy(col("event_type"), col("u"))
+      .agg(count(lit(1)).as("true_n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("true_n").desc, col("u"))))
+      .filter(col("rk") <= k)
+    val h = md5(col("u"))
+    val est = (0 until graft.plans.CmsRegisters.D).map { j =>
+      element_at(col("regs"),
+        conv(substring(h, j * 2 + 1, 2), 16, 10).cast("int")
+          + lit(j * graft.plans.CmsRegisters.W + 1))
+    }.reduce(least(_, _))
+    top.join(broadcast(sk), Seq("event_type"))
+      .select(col("event_type"), col("rk").cast("long").as("rk"),
+        col("u").as("user_id"), col("true_n"), est.as("cms_n"))
+      .orderBy(col("event_type"), col("rk"))
+  }
 }

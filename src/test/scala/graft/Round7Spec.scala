@@ -95,6 +95,42 @@ class Round7Spec extends SparkSpec {
     assert(nulls === one, "NULL keys cast no vote")
   }
 
+  test("cms registers: partitioning-invariant, additive, estimates bound truth") {
+    import org.apache.spark.sql.DataFrame
+    // zipf-ish frequencies: item i appears (5001 - i) / 50 times
+    val items = (1 to 500).flatMap(i => Seq.fill(1 + (500 - i) / 50)(s"item_$i"))
+    def regs(df: DataFrame): Seq[Long] = {
+      val arr = df.agg(call_function("cms_registers", col("k"))).collect()
+        .head.getSeq[Long](0)
+      assert(arr.length === 1024)
+      arr
+    }
+    val one = regs(items.toDF("k").repartition(1))
+    val many = regs(items.toDF("k").repartition(16))
+    assert(one === many, "merge path (16 partials) must equal the single-partition pass")
+    // disjoint-slice sketches ADD to the full sketch (day × shard rollup)
+    val halves = items.zipWithIndex.map { case (k, i) => (i % 2, k) }
+      .toDF("half", "k")
+      .groupBy(col("half")).agg(call_function("cms_registers", col("k")).as("r"))
+      .collect().map(_.getSeq[Long](1))
+    val merged = halves(0).zip(halves(1)).map { case (a, b) => a + b }
+    assert(merged === one, "disjoint-slice sketches sum to the full sketch")
+    // every row's total mass equals the input count; point estimates
+    // are upper bounds on the true frequency
+    (0 until 4).foreach { j =>
+      assert(one.slice(j * 256, (j + 1) * 256).sum === items.length.toLong)
+    }
+    val truth = items.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    truth.foreach { case (item, n) =>
+      val h = md.digest(item.getBytes("UTF-8"))
+      val est = (0 until 4).map(j => one(j * 256 + (h(j) & 0xff))).min
+      assert(est >= n, s"$item: estimate $est under-counts truth $n")
+    }
+    val nulls = regs(((null: String) +: items).toDF("k"))
+    assert(nulls === one, "NULL items cast no vote")
+  }
+
   test("best-split changepoint: level shift found at the exact boundary") {
     val dir = Files.createTempDirectory("graft_r7orders").toString
     def d(s: String) = java.sql.Date.valueOf(s)
