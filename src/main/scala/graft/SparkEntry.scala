@@ -1055,6 +1055,33 @@ object SparkEntry {
     // native Count-Min sketch aggregate: top talkers, est vs truth
     "q173_cms_topk"        -> ((s: SparkSession, d: String) =>
       operators.Sketches.cmsTopTalkers(s, d)),
+    // day-of-week seasonality index in exact basis points
+    "q174_dow_seasonality" -> ((s: SparkSession, d: String) =>
+      operators.TimeSeries.dowSeasonality(s, d)),
+    // char-class Gini impurity per doc: exact-rational diversity score
+    "q175_char_gini"       -> ((s: SparkSession, d: String) =>
+      operators.TextAnalysis.charClassGini(s, d)),
+    // COUNT(*) per partition from the manifest alone, after a DELETE:
+    // O(manifest) driver read, zero data files opened (the audit-count
+    // query at lakehouse scale; DV-free precondition enforced)
+    "q176_metadata_count"  -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val table = fixture("snapmeta", s, d, "orders") { path =>
+        wipe(s, path)
+        graft.sources.Snapshots.commitOverwritePartitioned(s, path, o,
+          "o_orderstatus", statsCols = Seq(graft.sources.Snapshots.RowCountCol))
+        ()
+      }
+      // partition O rewritten with fresh counts; F and P carry their
+      // stat lines byte-identically. Idempotent: a rerun matches
+      // nothing and publishes no version
+      graft.sources.Snapshots.commitDelete(s, table,
+        col("o_orderstatus") === "O" && col("o_orderkey") % 5 === 0)
+      val v = graft.sources.Snapshots.currentVersion(s, table).get
+      graft.sources.Snapshots.metadataRowCounts(s, table, v)
+    }),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3302,6 +3329,53 @@ object SparkEntry {
         |SELECT event_type, CAST(rk AS BIGINT) AS rk, u AS user_id,
         |  CAST(n AS BIGINT) AS true_n, CAST(cms_n AS BIGINT) AS cms_n
         |FROM rk WHERE rk <= 10 ORDER BY event_type, rk""".stripMargin,
+    // DuckDB dayofweek: Sunday=0 → +1 aligns with Spark's 1=Sunday
+    "q174_dow_seasonality" ->
+      """WITH daily AS (SELECT o_orderdate AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS day_cents,
+        |    count(*) AS day_orders
+        |  FROM orders GROUP BY 1),
+        |dow AS (SELECT dayofweek(d) + 1 AS dow, count(*) AS n_days,
+        |    sum(day_orders) AS n_orders, sum(day_cents) AS dow_cents
+        |  FROM daily GROUP BY 1),
+        |t AS (SELECT sum(n_days) AS t_days, sum(dow_cents) AS t_cents FROM dow)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(dow_cents AS BIGINT) AS dow_cents,
+        |  CAST(dow_cents // n_days AS BIGINT) AS avg_day_cents,
+        |  CAST((CAST(dow_cents AS HUGEINT) * t_days * 10000)
+        |       // (CAST(n_days AS HUGEINT) * t_cents) AS BIGINT) AS index_bp
+        |FROM dow CROSS JOIN t ORDER BY dow""".stripMargin,
+    // same class regexes; DuckDB regexp_replace needs the 'g' flag for
+    // the global semantics Spark applies by default
+    "q175_char_gini" ->
+      """WITH c AS (SELECT doc_id, length(text) AS n,
+        |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS c_lower,
+        |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS c_upper,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS c_digit,
+        |    length(regexp_replace(text, '[^ ]', '', 'g')) AS c_space
+        |  FROM documents),
+        |o AS (SELECT doc_id, n, c_lower, c_upper, c_digit, c_space,
+        |    n - c_lower - c_upper - c_digit - c_space AS c_other FROM c)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n,
+        |  CAST(c_lower AS BIGINT) AS c_lower, CAST(c_upper AS BIGINT) AS c_upper,
+        |  CAST(c_digit AS BIGINT) AS c_digit, CAST(c_space AS BIGINT) AS c_space,
+        |  CAST(c_other AS BIGINT) AS c_other,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE
+        |    (CAST(n AS HUGEINT) * n
+        |     - (CAST(c_lower AS HUGEINT) * c_lower
+        |        + CAST(c_upper AS HUGEINT) * c_upper
+        |        + CAST(c_digit AS HUGEINT) * c_digit
+        |        + CAST(c_space AS HUGEINT) * c_space
+        |        + CAST(c_other AS HUGEINT) * c_other)) * 10000
+        |    // (CAST(n AS HUGEINT) * n) END AS BIGINT) AS gini_bp
+        |FROM o ORDER BY doc_id""".stripMargin,
+    // the manifest's _rows stat lines must equal a real count over the
+    // surviving rows — carried partitions and the rewritten one alike
+    "q176_metadata_count" ->
+      """SELECT o_orderstatus AS partition, count(*) AS n_rows
+        |FROM orders WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 5 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -823,4 +823,39 @@ object TextAnalysis {
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6).as("jaccard"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** Character-class Gini diversity score per document: counts by
+    * class (lowercase, uppercase, digit, space, other) and the Gini
+    * impurity of that distribution in basis points,
+    *   gini_bp = (n² − Σ c_k²) · 10000 div n²
+    * — an exact rational (no log, unlike entropy), 0 for a
+    * single-class string, → 8000 for a uniform 5-class mix. The
+    * degenerate tails are the quality signal: near-0 means
+    * one-character-class junk (base64 blobs, digit dumps, aaaa…),
+    * useful alongside q19's ratio heuristics and q67's repetition
+    * filter. Products run in DECIMAL(38,0) so n² · 10⁴ can't overflow
+    * BIGINT at any document length.
+    *
+    * Scale posture: map-only over the corpus — five codegen'd
+    * regexp_replace/length evaluations per row, no shuffle, no UDF. */
+  def charClassGini(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    def cnt(re: String) = length(regexp_replace(t, re, "")).cast("long")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), length(t).cast("long").as("n"),
+        cnt("[^a-z]").as("c_lower"), cnt("[^A-Z]").as("c_upper"),
+        cnt("[^0-9]").as("c_digit"), cnt("[^ ]").as("c_space"))
+      .withColumn("c_other",
+        col("n") - col("c_lower") - col("c_upper") - col("c_digit") - col("c_space"))
+      .withColumn("gini_bp", expr(
+        """CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST((CAST(n AS DECIMAL(38,0)) * n
+          |  - (CAST(c_lower AS DECIMAL(38,0)) * c_lower
+          |     + CAST(c_upper AS DECIMAL(38,0)) * c_upper
+          |     + CAST(c_digit AS DECIMAL(38,0)) * c_digit
+          |     + CAST(c_space AS DECIMAL(38,0)) * c_space
+          |     + CAST(c_other AS DECIMAL(38,0)) * c_other)) * 10000
+          |  div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) END""".stripMargin))
+      .orderBy(col("doc_id"))
+  }
 }

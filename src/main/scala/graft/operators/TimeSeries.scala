@@ -196,4 +196,39 @@ object TimeSeries {
         col("objective"))
       .orderBy(col("rk"))
   }
+
+  /** Day-of-week seasonality profile over order revenue: per weekday,
+    * the active-day count, order count, revenue cents, floor average
+    * cents per active day, and the seasonal index in basis points —
+    *   index_bp = (dow_cents · t_days · 10000) div (n_days · t_cents)
+    * (10000 = an average weekday). The multiplications run in
+    * DECIMAL(38,0) so the cross-product can't overflow BIGINT at any
+    * scale factor; the floor quotient lands back in BIGINT, exact on
+    * every engine.
+    *
+    * Scale posture: one date-keyed aggregation collapses the fact
+    * table to day grain (map-side combined), then everything runs on
+    * ≤ 7 rows against a broadcast one-row total — the unbounded part
+    * is a single shuffle at day cardinality. */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(col("o_totalprice").cast(D182)).as("day_sum"),
+        count(lit(1)).as("day_orders"))
+      .select(col("d"), (col("day_sum") * lit(100)).cast("long").as("day_cents"),
+        col("day_orders"))
+    val dow = daily
+      .withColumn("dow", dayofweek(col("d")).cast("long"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("day_orders")).as("n_orders"),
+        sum(col("day_cents")).as("dow_cents"))
+    val totals = dow.agg(sum(col("n_days")).as("t_days"),
+      sum(col("dow_cents")).as("t_cents"))
+    dow.crossJoin(broadcast(totals))
+      .select(col("dow"), col("n_days"), col("n_orders"), col("dow_cents"),
+        expr("dow_cents div n_days").as("avg_day_cents"),
+        expr("""(CAST(dow_cents AS DECIMAL(38,0)) * t_days * 10000)
+                div (CAST(n_days AS DECIMAL(38,0)) * t_cents)""").as("index_bp"))
+      .orderBy(col("dow"))
+  }
 }

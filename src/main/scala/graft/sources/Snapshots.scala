@@ -109,6 +109,14 @@ object Snapshots {
   private val StatColRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
   private val ChecksFile = "_checks"
 
+  /** Virtual stats-column name: when included in a commit's
+    * `statsCols`, every data file's ROW COUNT is recorded as a stat
+    * line (min = max = count) — Delta-style add-file counts. Carried
+    * forward and recomputed by exactly the same rules as the min/max
+    * skipping index, and read back by [[metadataRowCounts]] without
+    * touching any data file. */
+  val RowCountCol = "_rows"
+
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -1409,15 +1417,21 @@ object Snapshots {
                                statsCols: Seq[String]): Seq[FileStat] = {
     if (statsCols.isEmpty) return Nil
     val df = spark.read.parquet(new Path(tableDir, dd).toString)
-    statsCols.foreach { c =>
+    // RowCountCol is VIRTUAL: it names the per-file row count, not a
+    // data column — Delta-style add-file row counts riding the same
+    // stat-line machinery (and the same carry-forward rules) as the
+    // min/max skipping index
+    val (virtual, real) = statsCols.partition(_ == RowCountCol)
+    real.foreach { c =>
       require(StatColRe.findFirstIn(c).isDefined,
         s"Snapshots: stats column '$c' is not a plain identifier")
       require(df.schema.fields.exists(f => f.name == c &&
           f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]),
         s"Snapshots: stats column '$c' must be a numeric data column")
     }
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c")))
+    val aggs = real.flatMap(c =>
+      Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c"))) ++
+      (if (virtual.nonEmpty) Seq(count(lit(1)).as("_n_rows")) else Nil)
     df.groupBy(input_file_name().as("_file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.flatMap { r =>
@@ -1427,7 +1441,7 @@ object Snapshots {
         val at = file.indexOf("/" + dd + "/")
         require(at >= 0, s"Snapshots: file $file not under data dir $dd")
         val rel = file.substring(at + 1)
-        statsCols.zipWithIndex.flatMap { case (c, i) =>
+        real.zipWithIndex.flatMap { case (c, i) =>
           val lo = r.get(1 + 2 * i)
           val hi = r.get(2 + 2 * i)
           // NaN/Infinity (float columns) are not orderable decimals —
@@ -1438,7 +1452,10 @@ object Snapshots {
             case (Some(_), Some(_)) => Some(FileStat(c, lo.toString, hi.toString, rel))
             case _ => None
           }
-        }
+        } ++ (if (virtual.nonEmpty) {
+          val n = r.getLong(1 + 2 * real.length).toString
+          Seq(FileStat(RowCountCol, n, n, rel))
+        } else Nil)
       }
   }
 
@@ -1565,6 +1582,53 @@ object Snapshots {
       case None => readFilesByOwner(spark, root, m, selected)
     }
     manifestSchema(m).map(alignTo(raw, _)).getOrElse(raw).filter(predicate)
+  }
+
+  /** COUNT(*) per partition from the MANIFEST alone — zero data files
+    * opened. Requires the table to track [[RowCountCol]] stats and to
+    * have no pending deletion vectors (DV rows are physically present
+    * in the counted files; counting them would overcount — compact
+    * first). Whole-table layouts report one row with partition "".
+    *
+    * Why this matters at 100 TB: a COUNT(*) / per-partition row-count
+    * audit over a petabyte table becomes an O(manifest) driver read —
+    * the same query as a scan costs a full pass over every file's
+    * pages. This is the audit-count query (SURVEY §2 #8) at lakehouse
+    * scale: the nightly "did every partition land" check runs in
+    * milliseconds however large the table grows. */
+  def metadataRowCounts(spark: SparkSession, tableDir: String,
+                        version: String): DataFrame = {
+    import spark.implicits._
+    val m = readManifest(spark, tableDir, version)
+    require(m.dvs.isEmpty,
+      "Snapshots.metadataRowCounts: pending deletion vectors would make " +
+        "file counts overcount; compact (or read the data path) first")
+    val rows = m.stats.filter(_.col == RowCountCol)
+    require(rows.nonEmpty,
+      s"Snapshots.metadataRowCounts: version $version tracks no $RowCountCol " +
+        "stats — commit with statsCols including Snapshots.RowCountCol")
+    m.dataDir match {
+      case Some(_) =>
+        Seq(("", rows.map(s => s.min.toLong).sum)).toDF("partition", "n_rows")
+      case None =>
+        // attribute each file to its (dir, partition) exactly like
+        // carriedStats: dir prefix + the partition subdir segment
+        val owned = m.partitions
+        val perPart = owned.map { case (value, dd) =>
+          val n = rows.filter { st =>
+            st.relPath.startsWith(dd + "/") && {
+              val rest = st.relPath.substring(dd.length + 1).split("/")
+              rest.length == 2 && {
+                val eq = rest(0).lastIndexOf('=')
+                eq > 0 && org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .unescapePathName(rest(0).substring(eq + 1)) == value
+              }
+            }
+          }.map(_.min.toLong).sum
+          (value, n)
+        }
+        perPart.toDF("partition", "n_rows").orderBy(col("partition"))
+    }
   }
 
   /** Incremental view maintenance for a grouped (count, sum)

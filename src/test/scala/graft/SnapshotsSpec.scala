@@ -1201,4 +1201,67 @@ class SnapshotsSpec extends SparkSpec {
     // unchanged keys emit nothing
     assert(cdf.filter(col("k").isin(1L, 3L)).count() === 0)
   }
+
+  test("metadataRowCounts answers per-partition COUNT(*) from the manifest, surviving DML") {
+    val dir = freshDir()
+    val base = Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "B", 3.0),
+      (4L, "B", 4.0), (5L, "B", 5.0), (6L, "C", 6.0)).toDF("k", "p", "v")
+    Snapshots.commitOverwritePartitioned(spark, dir, base, "p",
+      statsCols = Seq(Snapshots.RowCountCol, "v"))
+    val v1 = Snapshots.currentVersion(spark, dir).get
+    assert(counts(dir, v1) === Map("A" -> 2L, "B" -> 3L, "C" -> 1L))
+    // DELETE rewrites B with fresh counts; A and C carry stat lines
+    Snapshots.commitDelete(spark, dir, col("p") === "B" && col("k") === 4L)
+    val v2 = Snapshots.currentVersion(spark, dir).get
+    assert(counts(dir, v2) === Map("A" -> 2L, "B" -> 2L, "C" -> 1L))
+    // the old version's counts remain pinned (time travel)
+    assert(counts(dir, v1) === Map("A" -> 2L, "B" -> 3L, "C" -> 1L))
+  }
+
+  test("metadataRowCounts opens ZERO data files: still answers after they are physically gone") {
+    val dir = freshDir()
+    val base = Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "B", 3.0)).toDF("k", "p", "v")
+    Snapshots.commitOverwritePartitioned(spark, dir, base, "p",
+      statsCols = Seq(Snapshots.RowCountCol))
+    val v1 = Snapshots.currentVersion(spark, dir).get
+    // vaporize every parquet data file; only the commit log remains
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    var removed = 0
+    val toDelete = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) toDelete += st.getPath
+    }
+    toDelete.foreach { p => fs.delete(p, false); removed += 1 }
+    assert(removed > 0, "fixture should have had data files")
+    assert(counts(dir, v1) === Map("A" -> 2L, "B" -> 1L),
+      "counts must come from the manifest, not the (now gone) data")
+  }
+
+  test("metadataRowCounts refuses tables without _rows stats or with pending DVs") {
+    val noStats = freshDir()
+    Snapshots.commitOverwritePartitioned(spark, noStats,
+      Seq((1L, "A", 1.0)).toDF("k", "p", "v"), "p")
+    val v = Snapshots.currentVersion(spark, noStats).get
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshots.metadataRowCounts(spark, noStats, v)
+    }
+    assert(e1.getMessage.contains(Snapshots.RowCountCol))
+    val dv = freshDir()
+    Snapshots.commitOverwritePartitioned(spark, dv,
+      Seq((1L, "A", 1.0), (2L, "A", 2.0)).toDF("k", "p", "v"), "p",
+      statsCols = Seq(Snapshots.RowCountCol))
+    Snapshots.commitDeleteVector(spark, dv, Seq(1L).toDF("k"), "k")
+    val vdv = Snapshots.currentVersion(spark, dv).get
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.metadataRowCounts(spark, dv, vdv)
+    }
+    assert(e2.getMessage.contains("deletion vectors"))
+  }
+
+  private def counts(dir: String, v: String): Map[String, Long] =
+    Snapshots.metadataRowCounts(spark, dir, v).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
 }
