@@ -1082,6 +1082,40 @@ object SparkEntry {
       val v = graft.sources.Snapshots.currentVersion(s, table).get
       graft.sources.Snapshots.metadataRowCounts(s, table, v)
     }),
+    // write-audit-publish: a poisoned batch is staged, audited, and
+    // abandoned WITHOUT readers ever seeing it; the clean batch is
+    // staged, audited, and published atomically (zero copy — readers
+    // get the audited bytes). Idempotent per rerun: overwrite
+    // semantics republish identical content
+    "q177_snapshot_wap"    -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      import graft.sources.Snapshots
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val table = fixture("snapwap", s, d, "orders") { path =>
+        wipe(s, path)
+        Snapshots.commitOverwrite(s, path, o.filter(col("o_orderkey") % 3 === 1))
+        ()
+      }
+      def auditAndLand(batch: org.apache.spark.sql.DataFrame): Unit = {
+        val staged = Snapshots.stageOverwrite(s, table, batch)
+        // the audit reads the STAGED bytes — the very files a publish
+        // would serve — not the input frame
+        val poison = Snapshots.readStaged(s, table, staged)
+          .filter(col("o_orderkey").isNull || col("price") <= 0).count()
+        if (poison == 0) Snapshots.publishStaged(s, table, staged)
+        else Snapshots.abandonStaged(s, table, staged)
+      }
+      auditAndLand(o.withColumn("o_orderkey", // poisoned: NULL keys
+        when(col("o_orderkey") % 97 === 0, lit(null)).otherwise(col("o_orderkey"))))
+      auditAndLand(o.filter(col("o_orderkey") % 3 === 0)) // clean
+      Snapshots.read(s, table)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3376,6 +3410,14 @@ object SparkEntry {
       """SELECT o_orderstatus AS partition, count(*) AS n_rows
         |FROM orders WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 5 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the poisoned batch (NULL keys at %97) fails its audit and never
+    // publishes; the live table is the LAST published batch — the
+    // clean %3=0 overwrite
+    "q177_snapshot_wap" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

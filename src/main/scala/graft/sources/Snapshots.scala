@@ -1584,6 +1584,73 @@ object Snapshots {
     manifestSchema(m).map(alignTo(raw, _)).getOrElse(raw).filter(predicate)
   }
 
+  // ------------------------------------------------ write-audit-publish
+
+  /** Stage `df` as an UNPUBLISHED data dir: bytes land on storage but
+    * no manifest references them, so every reader — live, time-travel,
+    * CDF — is oblivious. The write-audit-publish branch primitive:
+    * audit the staged bytes with [[readStaged]] (expectations, row
+    * counts, referential checks — the exact files that will serve
+    * reads, not a copy), then either [[publishStaged]] (atomic CAS,
+    * zero data movement) or [[abandonStaged]]. A stage that crashes
+    * mid-audit is the already-handled orphan-dir case: invisible
+    * forever, swept by [[vacuum]] after the grace window — so finish
+    * (or abandon) an audit within `orphanGraceMs`, or raise it. */
+  def stageOverwrite(spark: SparkSession, tableDir: String, df: DataFrame): String = {
+    val dir = new Path(tableDir)
+    fsOf(spark, dir).mkdirs(dir)
+    val dd = newDataDirName()
+    df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, dd).toString)
+    dd
+  }
+
+  /** Read a staged (unpublished) data dir for auditing. */
+  def readStaged(spark: SparkSession, tableDir: String, staged: String): DataFrame = {
+    require(staged.startsWith("d-"),
+      s"Snapshots.readStaged: '$staged' is not a staged data dir name")
+    spark.read.parquet(new Path(new Path(tableDir), staged).toString)
+  }
+
+  /** Publish a staged dir as the next table version — the commit half
+    * of write-audit-publish. Metadata-only: the manifest re-references
+    * the audited files byte-identically (what was audited IS what
+    * readers get). Installed CHECK constraints still gate the claim
+    * ([[tryClaim]] → validateChecks), so a stale audit can't sneak a
+    * violating batch in. Overwrite semantics are base-independent, so
+    * a concurrent commit landing between stage and publish just bumps
+    * the claimed number. */
+  def publishStaged(spark: SparkSession, tableDir: String, staged: String,
+                    statsCols: Seq[String] = Nil): String = {
+    val dir = new Path(tableDir)
+    val fs = fsOf(spark, dir)
+    require(fs.exists(new Path(dir, staged)),
+      s"Snapshots.publishStaged: staged dir $staged is gone (abandoned or vacuumed)")
+    val df = readStaged(spark, tableDir, staged)
+    val prevCols = currentVersion(spark, tableDir)
+      .map(v => readManifest(spark, tableDir, v)).map(effectiveStatsCols(statsCols, _))
+      .getOrElse(statsCols)
+    val stats = computeFileStats(spark, dir, staged, prevCols)
+    val m = Manifest(Some(staged), "", Nil, Some(df.schema.json), stats)
+    var n = listVersions(spark, tableDir).lastOption.map(versionNumber).getOrElse(0) + 1
+    while (!tryClaim(spark, tableDir, n, m)) n += 1
+    versionName(n)
+  }
+
+  /** Drop a staged dir that failed its audit. Refuses to touch a dir
+    * any retained manifest references (i.e. one that was published —
+    * that is [[vacuum]]'s job, governed by retention). */
+  def abandonStaged(spark: SparkSession, tableDir: String, staged: String): Unit = {
+    require(staged.startsWith("d-"),
+      s"Snapshots.abandonStaged: '$staged' is not a staged data dir name")
+    val referenced = listVersions(spark, tableDir).flatMap { v =>
+      val m = readManifest(spark, tableDir, v)
+      m.dataDir.toSeq ++ m.partitions.map(_._2) ++ m.dvs.map(_._1)
+    }.toSet
+    require(!referenced.contains(staged),
+      s"Snapshots.abandonStaged: $staged is referenced by a published version")
+    fsOf(spark, new Path(tableDir)).delete(new Path(new Path(tableDir), staged), true)
+  }
+
   /** COUNT(*) per partition from the MANIFEST alone — zero data files
     * opened. Requires the table to track [[RowCountCol]] stats and to
     * have no pending deletion vectors (DV rows are physically present

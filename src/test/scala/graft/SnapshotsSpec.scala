@@ -1264,4 +1264,62 @@ class SnapshotsSpec extends SparkSpec {
   private def counts(dir: String, v: String): Map[String, Long] =
     Snapshots.metadataRowCounts(spark, dir, v).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("WAP: staged data is invisible to every reader until published") {
+    val dir = freshDir()
+    Snapshots.commitOverwrite(spark, dir, Seq((1L, "a")).toDF("k", "s"))
+    val v1 = Snapshots.currentVersion(spark, dir).get
+    val staged = Snapshots.stageOverwrite(spark, dir,
+      Seq((2L, "b"), (3L, "c")).toDF("k", "s"))
+    // live read, version list, and the staged read itself
+    assert(Snapshots.read(spark, dir).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(Snapshots.currentVersion(spark, dir).get === v1)
+    assert(Snapshots.readStaged(spark, dir, staged).count() === 2L)
+    val v2 = Snapshots.publishStaged(spark, dir, staged)
+    assert(v2 !== v1)
+    assert(Snapshots.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    // pinned reader still sees v1 (the audited publish copied nothing)
+    assert(Snapshots.readVersion(spark, dir, v1).collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("WAP: abandon removes the staged dir; abandoning a published dir is refused") {
+    val dir = freshDir()
+    Snapshots.commitOverwrite(spark, dir, Seq((1L, "a")).toDF("k", "s"))
+    val bad = Snapshots.stageOverwrite(spark, dir, Seq((9L, "z")).toDF("k", "s"))
+    Snapshots.abandonStaged(spark, dir, bad)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, bad)))
+    intercept[IllegalArgumentException] {
+      Snapshots.publishStaged(spark, dir, bad) // gone → loud
+    }
+    val good = Snapshots.stageOverwrite(spark, dir, Seq((2L, "b")).toDF("k", "s"))
+    Snapshots.publishStaged(spark, dir, good)
+    intercept[IllegalArgumentException] {
+      Snapshots.abandonStaged(spark, dir, good) // published → refused
+    }
+  }
+
+  test("WAP: publish rides the CAS — a concurrent commit between stage and publish is safe") {
+    val dir = freshDir()
+    Snapshots.commitOverwrite(spark, dir, Seq((1L, "a")).toDF("k", "s"))
+    val staged = Snapshots.stageOverwrite(spark, dir, Seq((2L, "b")).toDF("k", "s"))
+    // another writer lands while our audit runs
+    Snapshots.commitOverwrite(spark, dir, Seq((7L, "x")).toDF("k", "s"))
+    val v = Snapshots.publishStaged(spark, dir, staged)
+    assert(Snapshots.currentVersion(spark, dir).get === v)
+    assert(Snapshots.read(spark, dir).collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("WAP: installed CHECK constraints still gate a staged publish") {
+    val dir = freshDir()
+    Snapshots.commitOverwrite(spark, dir, Seq((1L, 10.0)).toDF("k", "v"))
+    Snapshots.setCheck(spark, dir, "v_positive", "v > 0")
+    val staged = Snapshots.stageOverwrite(spark, dir, Seq((2L, -5.0)).toDF("k", "v"))
+    intercept[Exception] { // CheckViolation at the claim
+      Snapshots.publishStaged(spark, dir, staged)
+    }
+    // the failed publish did not advance the table
+    assert(Snapshots.read(spark, dir).collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
 }
