@@ -1116,6 +1116,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("price_sum"))
         .orderBy(col("o_orderstatus"))
     }),
+    // incremental sketch maintenance: CMS counters are LINEAR, so the
+    // v1 sketch plus SIGNED change-feed deltas (delete/update_preimage
+    // subtract, insert/update_postimage add) equals a from-scratch
+    // recompute exactly — the oracle recomputes over the post-DML
+    // state and must hash-match the maintained registers. At scale
+    // this refreshes a corpus-wide frequency sketch by reading one
+    // commit's delta, never the table
+    "q178_cms_ivm"         -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.Snapshots
+      val e = graft.sources.Tables.loadEvents(s, d)
+        .select(col("event_id"), col("event_type"),
+          col("user_id").cast("string").as("u"))
+      val table = fixture("snapcmsivm", s, d, "events") { path =>
+        wipe(s, path)
+        Snapshots.commitOverwrite(s, path, e)
+        ()
+      }
+      // both DMLs are per-rerun idempotent (second run matches nothing)
+      Snapshots.commitDelete(s, table, col("event_id") % 7 === 0)
+      Snapshots.commitUpdate(s, table,
+        col("event_id") % 11 === 0 && col("event_id") % 7 =!= 0,
+        Seq("u" -> concat(col("u"), lit("_r"))))
+      val v1 = "v00000001"
+      val v2 = Snapshots.currentVersion(s, table).get
+      val base = Snapshots.readVersion(s, table, v1)
+        .groupBy(col("event_type"))
+        .agg(call_function("cms_registers", col("u")).as("base"))
+      val cdf = Snapshots.changeFeed(s, table, v1, v2, "event_id")
+      def side(types: Seq[String], name: String) =
+        cdf.filter(col("_change_type").isin(types: _*))
+          .groupBy(col("event_type"))
+          .agg(call_function("cms_registers", col("u")).as(name))
+      val zeros = array_repeat(lit(0L), 4 * 256)
+      base
+        .join(side(Seq("delete", "update_preimage"), "minus"), Seq("event_type"), "left")
+        .join(side(Seq("insert", "update_postimage"), "plus"), Seq("event_type"), "left")
+        .select(col("event_type"),
+          zip_with(
+            zip_with(col("base"), coalesce(col("minus"), zeros), (b, m) => b - m),
+            coalesce(col("plus"), zeros), (bm, p) => bm + p).as("regs"))
+        .select(col("event_type"), posexplode(col("regs")).as(Seq("bucket", "register")))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3418,6 +3462,31 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
         |FROM orders WHERE o_orderkey % 3 = 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // from-scratch CMS over the post-DML state (deletes at %7, user
+    // rename at %11 among survivors) — must equal the maintained
+    // registers byte-for-byte; flat index = j*256 + hex-byte-j bucket
+    "q178_cms_ivm" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN event_id % 11 = 0
+        |         THEN CAST(user_id AS VARCHAR) || '_r'
+        |         ELSE CAST(user_id AS VARCHAR) END AS u
+        |  FROM events WHERE NOT (event_id % 7 = 0)),
+        |h AS (SELECT event_type, u, md5(u) AS h, count(*) AS n
+        |  FROM e GROUP BY 1, 2, 3),
+        |b AS (SELECT event_type, n, j.j AS j,
+        |    (strpos('0123456789abcdef', substr(h, j.j * 2 + 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(h, j.j * 2 + 2, 1)) - 1) AS bucket
+        |  FROM h, unnest(generate_series(0, 3)) j(j)),
+        |cnt AS (SELECT event_type, j * 256 + bucket AS idx, SUM(n) AS c
+        |  FROM b GROUP BY 1, 2),
+        |et AS (SELECT DISTINCT event_type FROM e),
+        |grid AS (SELECT event_type, g.i AS idx
+        |  FROM et, unnest(generate_series(0, 1023)) g(i))
+        |SELECT grid.event_type, CAST(grid.idx AS INT) AS bucket,
+        |  CAST(COALESCE(cnt.c, 0) AS BIGINT) AS register
+        |FROM grid LEFT JOIN cnt
+        |  ON cnt.event_type = grid.event_type AND cnt.idx = grid.idx
+        |ORDER BY grid.event_type, grid.idx""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition
