@@ -1160,6 +1160,10 @@ object SparkEntry {
         .select(col("event_type"), posexplode(col("regs")).as(Seq("bucket", "register")))
         .orderBy(col("event_type"), col("bucket"))
     }),
+    // IVF-PQ: trained coarse probes restrict candidates BEFORE the
+    // product-code ADC scores them; exact re-rank on the shortlist
+    "q179_ann_ivfpq"       -> ((s: SparkSession, d: String) =>
+      Vectors.annIvfPq(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3487,6 +3491,7 @@ object SparkEntry {
         |FROM grid LEFT JOIN cnt
         |  ON cnt.event_type = grid.event_type AND cnt.idx = grid.idx
         |ORDER BY grid.event_type, grid.idx""".stripMargin,
+    "q179_ann_ivfpq" -> ivfPqSqlDuck,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition
@@ -3717,9 +3722,14 @@ object SparkEntry {
     * encode, query lookup tables weighted by the query subvector
     * norm, the fixed ((v0+v1)+v2)+v3 ADC tree, shortlist-50, exact
     * cosine re-rank. */
-  private val pqSqlDuck: String = {
+  /** PQ codebook training + corpus encode + per-query lookup tables,
+    * referencing CTEs `e` (double vectors) and `q` (integer-quantized)
+    * — shared by the flat-PQ (q101) and IVF-PQ (q179) oracles. Ends
+    * with `codes(vec_id, c0..c3)` and `t0..t3` defined, trailing
+    * comma included. */
+  private val pqPreludeDuck: String = {
     val (nSub, k, iters, subLen) = (4, 16, 2, 16)
-    val per = (0 until nSub).map { sp =>
+    (0 until nSub).map { sp =>
       val lo = sp * subLen + 1; val hi = sp * subLen + subLen
       val steps = (0 until iters).map { t =>
         s"""pasg${sp}_$t AS (SELECT vec_id, cid FROM (
@@ -3741,12 +3751,27 @@ object SparkEntry {
          |t$sp AS MATERIALIZED (SELECT qq.vec_id AS qid, c.cid,
          |    ${cosDuck("c.cv", "qq.v")} * sqrt(list_dot_product(qq.v, qq.v)) AS v$sp
          |  FROM es$sp qq, pc${sp}_$iters c WHERE qq.vec_id < 10),""".stripMargin
-    }.mkString("\n")
+    }.mkString("\n") +
+    s"""
+       |codes AS (SELECT e0.vec_id, e0.c0, e1.c1, e2.c2, e3.c3
+       |  FROM enc0 e0 JOIN enc1 e1 USING (vec_id) JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),""".stripMargin
+  }
+
+  /** The shared ADC→shortlist→exact-rerank tail over an `approxs`
+    * CTE (qid, vec_id, approx). */
+  private val pqTailDuck: String =
+    s"""short AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS ark FROM approxs)
+       |  WHERE ark <= 50),
+       |rer AS (SELECT s.qid, s.vec_id, ${cosDuck("eq.v", "ev.v")} AS cos
+       |  FROM short s JOIN e ev ON ev.vec_id = s.vec_id JOIN e eq ON eq.vec_id = s.qid),
+       |r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM rer)
+       |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  private val pqSqlDuck: String =
     s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |q AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS qv FROM e),
-       |$per
-       |codes AS (SELECT e0.vec_id, e0.c0, e1.c1, e2.c2, e3.c3
-       |  FROM enc0 e0 JOIN enc1 e1 USING (vec_id) JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
+       |$pqPreludeDuck
        |approxs AS (SELECT t0.qid, cd.vec_id, ((t0.v0 + t1.v1) + t2.v2) + t3.v3 AS approx
        |  FROM codes cd
        |  JOIN t0 ON t0.cid = cd.c0
@@ -3754,14 +3779,29 @@ object SparkEntry {
        |  JOIN t2 ON t2.qid = t0.qid AND t2.cid = cd.c2
        |  JOIN t3 ON t3.qid = t0.qid AND t3.cid = cd.c3
        |  WHERE cd.vec_id <> t0.qid),
-       |short AS (SELECT qid, vec_id FROM (
-       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS ark FROM approxs)
-       |  WHERE ark <= 50),
-       |rer AS (SELECT s.qid, s.vec_id, ${cosDuck("eq.v", "ev.v")} AS cos
-       |  FROM short s JOIN e ev ON ev.vec_id = s.vec_id JOIN e eq ON eq.vec_id = s.qid),
-       |r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM rer)
-       |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
-  }
+       |$pqTailDuck""".stripMargin
+
+  /** q179: IVF-PQ — the q43 coarse layer (trained centroids, 4-probe
+    * lists) restricts the candidate pairs BEFORE the q101 fine layer
+    * scores them; tail identical to q101. */
+  private val ivfPqSqlDuck: String =
+    s"""$ivfTrainPreludeDuck,
+       |$pqPreludeDuck
+       |qq AS (SELECT vec_id AS qid, v AS qv2 FROM e WHERE vec_id < 10),
+       |probes AS (SELECT qid, cid FROM (
+       |    SELECT qid, c.cid, row_number() OVER (PARTITION BY qid ORDER BY ${cosDuck("c.cv", "qv2")} DESC, c.cid) AS prk
+       |    FROM qq, c3 c)
+       |  WHERE prk <= 4),
+       |cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN fasg a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.qid),
+       |approxs AS (SELECT cd.qid, cd.vec_id, ((t0.v0 + t1.v1) + t2.v2) + t3.v3 AS approx
+       |  FROM (SELECT ca.qid, ca.vec_id, c.c0, c.c1, c.c2, c.c3
+       |        FROM cand ca JOIN codes c USING (vec_id)) cd
+       |  JOIN t0 ON t0.qid = cd.qid AND t0.cid = cd.c0
+       |  JOIN t1 ON t1.qid = cd.qid AND t1.cid = cd.c1
+       |  JOIN t2 ON t2.qid = cd.qid AND t2.cid = cd.c2
+       |  JOIN t3 ON t3.qid = cd.qid AND t3.cid = cd.c3),
+       |$pqTailDuck""".stripMargin
 
   /** q92 prelude: the trained clustering, then within-cluster
     * pairwise cosine with greedy keep-lowest-id removal, ending in

@@ -386,6 +386,50 @@ object Vectors {
   def annPq(spark: SparkSession, dir: String, topK: Int = TopK,
             shortlistK: Int = 50): DataFrame = {
     val e = emb(spark, dir)
+    // flat PQ: every (query, corpus) pair is an ADC candidate
+    val qids = broadcast(e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid")))
+    val pairs = e.select(col("vec_id")).crossJoin(qids)
+      .filter(col("vec_id") =!= col("qid"))
+    pqSearch(spark, e, pairs, topK, shortlistK)
+  }
+
+  /** IVF-PQ two-level ANN — the composition of the coarse quantizer
+    * (q43's trained Lloyd centroids: each query probes only its
+    * IvfProbes nearest inverted lists) with the fine quantizer (q101's
+    * product codes: ADC scoring by table lookup) and the exact
+    * re-rank. The standard billion-scale index layout (IVFADC, Jégou
+    * et al.): at 100 TB the ADC pass touches only the probed lists'
+    * codes (corpus/nlist × nprobe rows per query, 4 bytes each), the
+    * exact pass only the shortlist — the corpus is never scanned.
+    * Candidate restriction happens BEFORE scoring: the probe-list join
+    * produces (qid, vec_id) pairs and only those are ADC-scored. */
+  def annIvfPq(spark: SparkSession, dir: String, topK: Int = TopK,
+               shortlistK: Int = 50): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = trainCentroids(spark, dir)
+    val assigned = ivfAssignmentWith(e, cents)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("cv"), col("qv")), 4).as("pcos"))
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= IvfProbes)
+      .select(col("qid"), col("cid"))
+    val pairs = broadcast(probes).join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    pqSearch(spark, e, pairs, topK, shortlistK)
+  }
+
+  /** PQ ADC search over an explicit candidate-pair frame
+    * (qid, vec_id): train subspace codebooks, encode the corpus,
+    * build per-query lookup tables, score ONLY the given pairs,
+    * shortlist, exact re-rank. */
+  private def pqSearch(spark: SparkSession, e: DataFrame, pairsIn: DataFrame,
+                       topK: Int, shortlistK: Int): DataFrame = {
     val dim = e.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
     require(dim % PqSubspaces == 0, s"dim $dim not divisible by $PqSubspaces")
     val subLen = dim / PqSubspaces
@@ -427,14 +471,12 @@ object Vectors {
         .select(col("qid"), col("cid").as(s"tc$s"),
           (round(cosine(col("cv"), col("qv")), 4) * l2norm(col("qv"))).as(s"v$s")))
     }
-    // expand each encoded vector by the nq query ids, then stitch the
+    // attach codes to the candidate pairs, then stitch the
     // per-subspace table values in; the table qids are RENAMED before
     // joining — joining a frame against a projection of itself would
     // silently resolve both qid sides to one attribute (a trivially
     // true predicate) and mispair values across queries
-    val qids = broadcast(e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid")))
-    val joined = (0 until PqSubspaces).foldLeft(encoded.crossJoin(qids)) {
+    val joined = (0 until PqSubspaces).foldLeft(pairsIn.join(encoded, Seq("vec_id"))) {
       (acc, s) =>
         val t = tables(s).withColumnRenamed("qid", s"tq$s")
         acc.join(t, col("qid") === col(s"tq$s") && col(s"c$s") === col(s"tc$s"))
