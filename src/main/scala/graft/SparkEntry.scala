@@ -1164,6 +1164,28 @@ object SparkEntry {
     // product-code ADC scores them; exact re-rank on the shortlist
     "q179_ann_ivfpq"       -> ((s: SparkSession, d: String) =>
       Vectors.annIvfPq(s, d)),
+    // partition-level drift between versions from the two manifests
+    // alone: row counts, delta, and touched/untouched status in
+    // O(manifest) — the pre-flight audit before reading a real delta
+    "q180_metadata_drift"  -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.Snapshots
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val table = fixture("snapdrift", s, d, "orders") { path =>
+        wipe(s, path)
+        Snapshots.commitOverwritePartitioned(s, path, o,
+          "o_orderstatus", statsCols = Seq(Snapshots.RowCountCol))
+        ()
+      }
+      Snapshots.commitDelete(s, table,
+        col("o_orderstatus") === "O" && col("o_orderkey") % 5 === 0)
+      Snapshots.metadataPartitionDrift(s, table, "v00000001",
+        Snapshots.currentVersion(s, table).get)
+    }),
+    // Heaps'-law vocabulary growth curve at doc-rank deciles
+    "q181_vocab_growth"    -> ((s: SparkSession, d: String) =>
+      operators.TextAnalysis.vocabGrowth(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3492,6 +3514,37 @@ object SparkEntry {
         |  ON cnt.event_type = grid.event_type AND cnt.idx = grid.idx
         |ORDER BY grid.event_type, grid.idx""".stripMargin,
     "q179_ann_ivfpq" -> ivfPqSqlDuck,
+    // only partition O contains deletes → rewritten; F and P keep
+    // their immutable dirs → unchanged; counts mirror the DML
+    "q180_metadata_drift" ->
+      """WITH base AS (SELECT o_orderstatus AS p, count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |aft AS (SELECT o_orderstatus AS p, count(*) AS n FROM orders
+        |  WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 5 = 0) GROUP BY 1)
+        |SELECT b.p AS partition, b.n AS old_rows, a.n AS new_rows,
+        |  a.n - b.n AS delta,
+        |  CASE WHEN b.p = 'O' THEN 'rewritten' ELSE 'unchanged' END AS status
+        |FROM base b JOIN aft a USING (p) ORDER BY partition""".stripMargin,
+    // same normalize + single-space split as the Spark side; distinct
+    // vocab via FIRST-occurrence docs, never distinct-over-prefix
+    "q181_vocab_growth" ->
+      s"""WITH tk AS (SELECT doc_id, t.tok FROM documents,
+        |    unnest(string_split($normSqlDuck, ' ')) t(tok)
+        |  WHERE length(t.tok) > 0),
+        |perdoc AS (SELECT doc_id, count(*) AS n_toks FROM tk GROUP BY 1),
+        |firsts AS (SELECT tok, min(doc_id) AS first_doc FROM tk GROUP BY 1),
+        |ranked AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |cps AS (SELECT k.k AS k, r.doc_id AS cp_doc, r.rn AS n_docs
+        |  FROM ranked r, tot, unnest(generate_series(1, 10)) k(k)
+        |  WHERE r.rn = (tot.n * k.k) // 10)
+        |SELECT CAST(cp.k AS BIGINT) AS k, cp.cp_doc,
+        |  CAST(cp.n_docs AS BIGINT) AS n_docs,
+        |  (SELECT CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM perdoc
+        |    WHERE doc_id <= cp.cp_doc) AS total_tokens,
+        |  (SELECT count(*) FROM firsts WHERE first_doc <= cp.cp_doc) AS distinct_tokens
+        |FROM cps cp ORDER BY k""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

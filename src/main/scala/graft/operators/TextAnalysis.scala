@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -857,5 +858,56 @@ object TextAnalysis {
           |     + CAST(c_other AS DECIMAL(38,0)) * c_other)) * 10000
           |  div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) END""".stripMargin))
       .orderBy(col("doc_id"))
+  }
+
+  /** Vocabulary growth curve (Heaps'-law points): at each of `buckets`
+    * corpus checkpoints (doc-rank deciles by doc_id order), the
+    * cumulative token mass and the cumulative DISTINCT vocabulary —
+    * the curve a corpus diagnostician reads to spot saturation (more
+    * data, no new vocabulary → heavy duplication or narrow domain)
+    * and tokenizer blowup (vocabulary growing linearly → OCR junk or
+    * unnormalized unicode).
+    *
+    * Scale posture: "distinct vocabulary so far" is NOT computed as a
+    * distinct-over-prefix per checkpoint (that re-shuffles the corpus
+    * × buckets). Each token type contributes at its FIRST-occurrence
+    * doc (one vocab-sized aggregation), each doc's token mass at its
+    * own doc — both bucketed to the smallest covering checkpoint via
+    * a broadcast join, then one cumulative window over `buckets`
+    * rows. The only unbounded work is two token-keyed aggregations.
+    * The doc-rank window runs over the doc_id column alone. */
+  def vocabGrowth(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    import graft.functions.TextFunctions
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val tk = d.select(col("doc_id"), explode(
+        TextFunctions.words(TextFunctions.normalizeText(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .cache()
+    val perDoc = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+    val firsts = tk.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val ranked = d.select(col("doc_id"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+    val total = d.agg(count(lit(1)).as("n"))
+    val cps = ranked.crossJoin(broadcast(total))
+      .select(col("doc_id").as("cp_doc"), col("rn"),
+        explode(sequence(lit(1), lit(buckets))).as("k"))
+      .filter(col("rn") === expr(s"n * k div $buckets"))
+      .select(col("k").cast("long").as("k"), col("cp_doc"),
+        col("rn").cast("long").as("n_docs"))
+    val newTok = firsts.crossJoin(broadcast(cps))
+      .filter(col("cp_doc") >= col("first_doc"))
+      .groupBy(col("tok")).agg(min(col("k")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("new_types"))
+    val mass = perDoc.crossJoin(broadcast(cps))
+      .filter(col("cp_doc") >= col("doc_id"))
+      .groupBy(col("doc_id"), col("n_toks")).agg(min(col("k")).as("k"))
+      .groupBy(col("k")).agg(sum(col("n_toks")).as("new_mass"))
+    val w = Window.orderBy(col("k")) // `buckets` rows
+    cps.join(newTok, Seq("k"), "left").join(mass, Seq("k"), "left")
+      .withColumn("total_tokens", sum(coalesce(col("new_mass"), lit(0L))).over(w))
+      .withColumn("distinct_tokens", sum(coalesce(col("new_types"), lit(0L))).over(w))
+      .select(col("k"), col("cp_doc"), col("n_docs"),
+        col("total_tokens"), col("distinct_tokens"))
+      .orderBy(col("k"))
   }
 }

@@ -1678,24 +1678,75 @@ object Snapshots {
       case Some(_) =>
         Seq(("", rows.map(s => s.min.toLong).sum)).toDF("partition", "n_rows")
       case None =>
-        // attribute each file to its (dir, partition) exactly like
-        // carriedStats: dir prefix + the partition subdir segment
-        val owned = m.partitions
-        val perPart = owned.map { case (value, dd) =>
-          val n = rows.filter { st =>
-            st.relPath.startsWith(dd + "/") && {
-              val rest = st.relPath.substring(dd.length + 1).split("/")
-              rest.length == 2 && {
-                val eq = rest(0).lastIndexOf('=')
-                eq > 0 && org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                  .unescapePathName(rest(0).substring(eq + 1)) == value
-              }
-            }
-          }.map(_.min.toLong).sum
-          (value, n)
-        }
-        perPart.toDF("partition", "n_rows").orderBy(col("partition"))
+        partitionRowCounts(m, rows).toDF("partition", "n_rows")
+          .orderBy(col("partition"))
     }
+  }
+
+  /** Per-partition sums of `_rows` stat lines: each file attributed to
+    * its (dir, partition) exactly like [[carriedStats]] — dir prefix +
+    * the partition subdir segment. */
+  private def partitionRowCounts(m: Manifest,
+                                 rows: Seq[FileStat]): Seq[(String, Long)] =
+    m.partitions.map { case (value, dd) =>
+      val n = rows.filter { st =>
+        st.relPath.startsWith(dd + "/") && {
+          val rest = st.relPath.substring(dd.length + 1).split("/")
+          rest.length == 2 && {
+            val eq = rest(0).lastIndexOf('=')
+            eq > 0 && org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(rest(0).substring(eq + 1)) == value
+          }
+        }
+      }.map(_.min.toLong).sum
+      (value, n)
+    }
+
+  /** Partition-level drift between two retained versions, computed
+    * from the two MANIFESTS alone (requires [[RowCountCol]] tracking
+    * and no pending DVs on either side): per partition, the row counts
+    * on each side, the delta, and the status — `added` / `removed` /
+    * `rewritten` (owning dir changed) / `unchanged` (same immutable
+    * dir, byte-identical files).
+    *
+    * The O(manifest) answer to "what did that commit touch, and how
+    * big was it" — the pre-flight audit an incremental consumer (IVM
+    * refresh, CDC poller, downstream retrain trigger) runs to decide
+    * whether reading the actual delta is worth it. On a 100 TB table
+    * this reads two manifest files; the data-path equivalent
+    * ([[diffVersions]]) reads both versions end to end. */
+  def metadataPartitionDrift(spark: SparkSession, tableDir: String,
+                             vOld: String, vNew: String): DataFrame = {
+    import spark.implicits._
+    val mo = readManifest(spark, tableDir, vOld)
+    val mn = readManifest(spark, tableDir, vNew)
+    require(mo.dataDir.isEmpty && mn.dataDir.isEmpty && mo.partCol == mn.partCol,
+      "Snapshots.metadataPartitionDrift: both versions must be partitioned " +
+        "layouts over the same partition column")
+    require(mo.dvs.isEmpty && mn.dvs.isEmpty,
+      "Snapshots.metadataPartitionDrift: pending deletion vectors would make " +
+        "file counts overcount; compact first")
+    def rowsOf(m: Manifest): Seq[FileStat] = {
+      val r = m.stats.filter(_.col == RowCountCol)
+      require(r.nonEmpty,
+        s"Snapshots.metadataPartitionDrift: no $RowCountCol stats tracked")
+      r
+    }
+    val co = partitionRowCounts(mo, rowsOf(mo)).toMap
+    val cn = partitionRowCounts(mn, rowsOf(mn)).toMap
+    val dirO = mo.partitions.toMap
+    val dirN = mn.partitions.toMap
+    (co.keySet ++ cn.keySet).toSeq.sorted.map { p =>
+      val status = (dirO.get(p), dirN.get(p)) match {
+        case (None, Some(_))                  => "added"
+        case (Some(_), None)                  => "removed"
+        case (Some(a), Some(b)) if a == b     => "unchanged"
+        case _                                => "rewritten"
+      }
+      (p, co.getOrElse(p, 0L), cn.getOrElse(p, 0L),
+        cn.getOrElse(p, 0L) - co.getOrElse(p, 0L), status)
+    }.toDF("partition", "old_rows", "new_rows", "delta", "status")
+      .orderBy(col("partition"))
   }
 
   /** Incremental view maintenance for a grouped (count, sum)
