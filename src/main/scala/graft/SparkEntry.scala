@@ -1186,6 +1186,14 @@ object SparkEntry {
     // Heaps'-law vocabulary growth curve at doc-rank deciles
     "q181_vocab_growth"    -> ((s: SparkSession, d: String) =>
       operators.TextAnalysis.vocabGrowth(s, d)),
+    // blocked fuzzy entity match: blocking equi-join + levenshtein
+    // scoring on the bounded candidate set, never a cross join
+    "q182_entity_match"    -> ((s: SparkSession, d: String) =>
+      operators.Linkage.entityMatch(s, d)),
+    // exact-rational Mann-Whitney AUC with midrank ties over
+    // compressed score bins
+    "q183_auc_eval"        -> ((s: SparkSession, d: String) =>
+      Relational.aucEval(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3545,6 +3553,61 @@ object SparkEntry {
         |    WHERE doc_id <= cp.cp_doc) AS total_tokens,
         |  (SELECT count(*) FROM firsts WHERE first_doc <= cp.cp_doc) AS distinct_tokens
         |FROM cps cp ORDER BY k""".stripMargin,
+    // deterministic dirty feed (3rd name char dropped at %3, last
+    // phone digit bumped at %2), blocked on (nation, phone prefix 6),
+    // levenshtein-thresholded, best candidate by fewest edits
+    "q182_entity_match" ->
+      """WITH cm AS (SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |    CAST(c_nationkey + 10 AS VARCHAR) || '-' ||
+        |    lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0') AS c_phone
+        |  FROM customer),
+        |feed AS (SELECT c_custkey + 1000000 AS src_id, c_custkey AS true_key,
+        |    CASE WHEN c_custkey % 3 = 0
+        |         THEN substr(c_name, 1, 2) || substr(c_name, 4) ELSE c_name END AS name,
+        |    CASE WHEN c_custkey % 2 = 0
+        |         THEN substr(c_phone, 1, length(c_phone) - 1) ||
+        |              CAST((CAST(substr(c_phone, length(c_phone), 1) AS INT) + 1) % 10 AS VARCHAR)
+        |         ELSE c_phone END AS phone,
+        |    c_nationkey AS nation FROM cm),
+        |m AS (SELECT c_custkey, c_name, c_phone, c_nationkey AS nation,
+        |    substr(c_phone, 1, 6) AS block FROM cm),
+        |sc AS (SELECT f.src_id, mm.c_custkey,
+        |    levenshtein(f.name, mm.c_name) AS name_dist,
+        |    levenshtein(f.phone, mm.c_phone) AS phone_dist
+        |  FROM feed f JOIN m mm
+        |    ON mm.nation = f.nation AND mm.block = substr(f.phone, 1, 6)
+        |  WHERE levenshtein(f.name, mm.c_name) <= 1
+        |    AND levenshtein(f.phone, mm.c_phone) <= 1),
+        |best AS (SELECT src_id, c_custkey, name_dist, phone_dist,
+        |    row_number() OVER (PARTITION BY src_id
+        |      ORDER BY name_dist + phone_dist, c_custkey) AS rk FROM sc)
+        |SELECT f.src_id, f.true_key, b.c_custkey AS matched_key,
+        |  CAST(b.name_dist AS BIGINT) AS name_dist,
+        |  CAST(b.phone_dist AS BIGINT) AS phone_dist,
+        |  CAST(CASE WHEN b.c_custkey IS NULL THEN NULL
+        |            WHEN b.c_custkey = f.true_key THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM feed f LEFT JOIN best b ON b.src_id = f.src_id AND b.rk = 1
+        |ORDER BY f.src_id""".stripMargin,
+    // doubled midranks over score bins keep everything integral;
+    // HUGEINT products mirror the DECIMAL(38) Spark side
+    "q183_auc_eval" ->
+      """WITH d AS (SELECT length(text) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+        |bins AS (SELECT score, count(*) AS n, sum(pos) AS np FROM d GROUP BY 1),
+        |ranked AS (SELECT score, n, np,
+        |    sum(n) OVER (ORDER BY score) AS hi,
+        |    sum(n) OVER (ORDER BY score) - n + 1 AS lo FROM bins),
+        |agg AS (SELECT CAST(sum(np) AS BIGINT) AS npos,
+        |    CAST(sum(n) - sum(np) AS BIGINT) AS nneg,
+        |    CAST(sum(np * (lo + hi)) AS BIGINT) AS sum2r FROM ranked)
+        |SELECT npos, nneg,
+        |  CAST(sum2r - npos * (npos + 1) AS BIGINT) AS u2,
+        |  CAST(CASE WHEN npos = 0 OR nneg = 0 THEN NULL
+        |       ELSE (CAST(sum2r - npos * (npos + 1) AS HUGEINT) * 10000)
+        |            // (CAST(npos AS HUGEINT) * nneg * 2) END AS BIGINT) AS auc_bp
+        |FROM agg""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -713,4 +713,44 @@ object Relational {
         col("score_lo"), col("score_hi"))
       .orderBy(col("decile"))
   }
+
+  /** Exact-rational AUC (Mann–Whitney with midrank ties) of a score
+    * against a binary label — the ranking-quality readout for any
+    * in-engine scorer (weak labels q145, quality score q19, target
+    * encoding q148). Here: does document length rank English docs
+    * above the rest.
+    *
+    * All integer arithmetic: ranks come from CUMULATIVE COUNTS over
+    * score BINS (the q162 decomposition — never a per-row global
+    * sort), doubled so midranks stay integral:
+    *   2·Σ ranks(pos) = Σ_bins pos_b · (lo_b + hi_b)
+    *   U·2           = 2·Σ ranks(pos) − npos·(npos+1)
+    *   auc_bp        = U·2 · 10000 div (2·npos·nneg)
+    * DECIMAL(38) products, so no corpus size overflows. The window
+    * runs over distinct score values only (documented single-pass
+    * compressed-bin shape). */
+  def aucEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(spark, dir, "documents")
+      .select(length(col("text")).cast("long").as("score"),
+        (col("lang") === "en").cast("long").as("pos"))
+    val bins = d.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = bins
+      .withColumn("hi", sum(col("n")).over(w))
+      .withColumn("lo", col("hi") - col("n") + 1)
+    ranked.agg(
+        sum(col("np")).as("npos"),
+        (sum(col("n")) - sum(col("np"))).as("nneg"),
+        sum(col("np") * (col("lo") + col("hi"))).as("sum2r"))
+      .select(col("npos"), col("nneg"),
+        (col("sum2r") - col("npos") * (col("npos") + 1)).as("u2"))
+      .select(col("npos"), col("nneg"), col("u2"),
+        expr("""CASE WHEN npos = 0 OR nneg = 0 THEN CAST(NULL AS BIGINT)
+               |ELSE CAST(CAST(u2 AS DECIMAL(38,0)) * 10000
+               |  div (CAST(npos AS DECIMAL(38,0)) * nneg * 2) AS BIGINT)
+               |END""".stripMargin).as("auc_bp"))
+  }
 }
