@@ -1194,6 +1194,28 @@ object SparkEntry {
     // compressed score bins
     "q183_auc_eval"        -> ((s: SparkSession, d: String) =>
       Relational.aucEval(s, d)),
+    // Benford first-digit audit: integer-ppm deviation, no floats
+    "q184_benford"         -> ((s: SparkSession, d: String) =>
+      Relational.benfordAudit(s, d)),
+    // schema drift between two versions from the manifests alone
+    "q185_schema_drift"    -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.Snapshots
+      val o = graft.sources.Tables.load(s, d, "orders")
+      val table = fixture("snapschema", s, d, "orders") { path =>
+        wipe(s, path)
+        // v1: three columns; v2: one dropped, one added, one widened
+        Snapshots.commitOverwrite(s, path, o.select(
+          col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("price")))
+        Snapshots.commitOverwrite(s, path, o.select(
+          col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"),
+          col("o_orderpriority")))
+        ()
+      }
+      Snapshots.metadataSchemaDrift(s, table, "v00000001", "v00000002")
+    }),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3608,6 +3630,35 @@ object SparkEntry {
         |       ELSE (CAST(sum2r - npos * (npos + 1) AS HUGEINT) * 10000)
         |            // (CAST(npos AS HUGEINT) * nneg * 2) END AS BIGINT) AS auc_bp
         |FROM agg""".stripMargin,
+    // floor (not CAST — DuckDB's double->int cast rounds) before the
+    // first-digit substring; expectation ppm pinned as constants
+    "q184_benford" ->
+      """WITH expect(digit, expected_ppm) AS (VALUES
+        |  (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+        |  (6, 66946), (7, 57991), (8, 51152), (9, 45757)),
+        |obs AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    count(*) AS observed
+        |  FROM orders GROUP BY 1),
+        |o2 AS (SELECT * FROM obs WHERE digit BETWEEN 1 AND 9),
+        |t AS (SELECT sum(observed) AS n FROM o2)
+        |SELECT CAST(e.digit AS BIGINT) AS digit,
+        |  CAST(coalesce(o.observed, 0) AS BIGINT) AS observed,
+        |  CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        |  CAST(t.n AS BIGINT) AS n,
+        |  CAST(abs(coalesce(o.observed, 0) * 1000000 - e.expected_ppm * t.n) AS BIGINT) AS deviation
+        |FROM expect e LEFT JOIN o2 o ON o.digit = e.digit CROSS JOIN t
+        |ORDER BY digit""".stripMargin,
+    // the fixture's evolution is fixed, so the drift report is a
+    // constant contract: priority added, price widened, key/status
+    // unchanged
+    "q185_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('o_orderkey', 'bigint', 'bigint', 'unchanged'),
+        |  ('o_orderpriority', NULL, 'string', 'added'),
+        |  ('o_orderstatus', 'string', 'string', 'unchanged'),
+        |  ('price', 'double', 'decimal(18,2)', 'type_changed'))
+        |  AS t("column", old_type, new_type, status)
+        |ORDER BY "column"""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

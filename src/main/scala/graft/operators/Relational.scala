@@ -753,4 +753,34 @@ object Relational {
                |  div (CAST(npos AS DECIMAL(38,0)) * nneg * 2) AS BIGINT)
                |END""".stripMargin).as("auc_bp"))
   }
+
+  /** Benford first-digit audit over order amounts — the classic
+    * fabricated-data / unit-mixup screen: naturally-occurring amounts
+    * follow P(d) = log10(1+1/d); per-digit observed counts are
+    * compared against that expectation via the integer deviation
+    * |observed·10⁶ − expected_ppm·n| (expected_ppm pinned as integer
+    * constants, so the statistic is engine-exact; no floats anywhere).
+    * One map-side-combined aggregation over the fact table, then 9
+    * rows of arithmetic. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    // floor(log10(1+1/d)·1e6): the canonical Benford expectation in ppm
+    val ppm = Seq(1L -> 301029L, 2L -> 176091L, 3L -> 124938L, 4L -> 96910L,
+      5L -> 79181L, 6L -> 66946L, 7L -> 57991L, 8L -> 51152L, 9L -> 45757L)
+    import spark.implicits._
+    val expect = broadcast(ppm.toDF("digit", "expected_ppm"))
+    val obs = Tables.load(spark, dir, "orders")
+      // floor, not cast: double→integer CAST truncates here but ROUNDS
+      // in DuckDB — floor is the one spelling both engines agree on
+      .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+    val total = obs.agg(sum(col("observed")).as("n"))
+    expect.join(obs, Seq("digit"), "left").crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("observed"), lit(0L)).as("observed"),
+        col("expected_ppm"), col("n"),
+        abs(coalesce(col("observed"), lit(0L)) * lit(1000000L)
+          - col("expected_ppm") * col("n")).as("deviation"))
+      .orderBy(col("digit"))
+  }
 }

@@ -1749,6 +1749,37 @@ object Snapshots {
       .orderBy(col("partition"))
   }
 
+  /** Schema drift between two retained versions from the MANIFESTS
+    * alone: per column, `added` / `removed` / `type_changed` /
+    * `unchanged` with both declared types. The companion audit to
+    * [[metadataPartitionDrift]] — a downstream consumer checks its
+    * read contract against the new version in O(manifest) before
+    * touching data (manifests have carried the declared schema since
+    * the add-column evolution work; versions predating schema
+    * tracking are refused loudly). */
+  def metadataSchemaDrift(spark: SparkSession, tableDir: String,
+                          vOld: String, vNew: String): DataFrame = {
+    import spark.implicits._
+    def schemaOf(v: String): org.apache.spark.sql.types.StructType =
+      manifestSchema(readManifest(spark, tableDir, v)).getOrElse(
+        throw new IOException(
+          s"Snapshots.metadataSchemaDrift: version $v carries no schema"))
+    val so = schemaOf(vOld)
+    val sn = schemaOf(vNew)
+    val om = so.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val nm = sn.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    (om.keySet ++ nm.keySet).toSeq.sorted.map { c =>
+      val status = (om.get(c), nm.get(c)) match {
+        case (None, Some(_))              => "added"
+        case (Some(_), None)              => "removed"
+        case (Some(a), Some(b)) if a == b => "unchanged"
+        case _                            => "type_changed"
+      }
+      (c, om.getOrElse(c, null), nm.getOrElse(c, null), status)
+    }.toDF("column", "old_type", "new_type", "status")
+      .orderBy(col("column"))
+  }
+
   /** Incremental view maintenance for a grouped (count, sum)
     * aggregate: apply the vOld→vNew change feed as SIGNED deltas to a
     * previously materialized aggregate instead of rescanning the
