@@ -1216,6 +1216,30 @@ object SparkEntry {
       }
       Snapshots.metadataSchemaDrift(s, table, "v00000001", "v00000002")
     }),
+    // partition evolution: v1 laid out by status, v2 by priority —
+    // each version's manifest owns its partition column, so old
+    // readers stay pinned to the old layout while new reads prune on
+    // the new one (Iceberg-style evolution with zero rewrite of v1)
+    "q186_partition_evolution" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.Snapshots
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val table = fixture("snapevo", s, d, "orders") { path =>
+        wipe(s, path)
+        Snapshots.commitOverwritePartitioned(s, path, o, "o_orderstatus")
+        Snapshots.commitOverwritePartitioned(s, path, o, "o_orderpriority")
+        ()
+      }
+      Snapshots.read(s, table)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+    // linear-counting membership bitmap (3rd native sketch): exact
+    // set-bucket lists per event type + the OR-merged _ALL rollup
+    "q187_bitmap_distinct" -> ((s: SparkSession, d: String) =>
+      operators.Sketches.bitmapDistinctUsers(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3659,6 +3683,24 @@ object SparkEntry {
         |  ('price', 'double', 'decimal(18,2)', 'type_changed'))
         |  AS t("column", old_type, new_type, status)
         |ORDER BY "column"""".stripMargin,
+    // the live (v2) layout holds the same rows re-partitioned, so the
+    // oracle is the plain two-column aggregation
+    "q186_partition_evolution" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // set bucket = first 3 md5 hex nibbles (12 bits); _ALL is the
+    // union — DISTINCT buckets reproduce the OR-merged bitmap exactly
+    "q187_bitmap_distinct" ->
+      """WITH u AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+        |  UNION ALL
+        |  SELECT '_ALL' AS event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |b AS (SELECT DISTINCT event_type,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256 +
+        |    (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) AS bucket
+        |  FROM u)
+        |SELECT event_type, CAST(bucket AS INT) AS bucket
+        |FROM b ORDER BY event_type, bucket""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -67,4 +67,22 @@ object Sketches {
         col("u").as("user_id"), col("true_n"), est.as("cms_n"))
       .orderBy(col("event_type"), col("rk"))
   }
+
+  /** Distinct-user membership bitmaps per event type PLUS the merged
+    * `_ALL` rollup — the [[graft.plans.BitmapRegisters]] linear-
+    * counting sketch, emitted as the exact sorted set-bucket list so
+    * the oracle reproduces every bit. The `_ALL` row is the OR-merge
+    * demonstration: slice sketches union without re-reading anything
+    * (day × shard rollups), which is the whole point of a mergeable
+    * 512-byte state versus a distinct-pair shuffle. */
+  def bitmapDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+      .select(col("event_type"), col("user_id").cast("string").as("u"))
+    val tagged = e.unionByName(
+      e.select(lit("_ALL").as("event_type"), col("u")))
+    tagged.groupBy(col("event_type"))
+      .agg(call_function("bitmap_registers", col("u")).as("bs"))
+      .select(col("event_type"), explode(col("bs")).as("bucket"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
 }

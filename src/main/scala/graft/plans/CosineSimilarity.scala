@@ -116,6 +116,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cms_registers"), CmsRegisters.info,
       (children: Seq[Expression]) => CmsRegisters(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_registers"), BitmapRegisters.info,
+      (children: Seq[Expression]) => BitmapRegisters(children.head)))
     // the reference's SQL UDF surface (norm_body / to_bool_safe /
     // norm_date) as composed catalyst trees — see functions.SqlFunctions
     graft.functions.SqlFunctions.all.foreach(ext.injectFunction)

@@ -131,6 +131,32 @@ class Round7Spec extends SparkSpec {
     assert(nulls === one, "NULL items cast no vote")
   }
 
+  test("bitmap registers: partitioning-invariant, OR-mergeable, linear-counting accurate") {
+    import org.apache.spark.sql.DataFrame
+    val keys = (1 to 800).map(i => s"user_$i")
+    def bits(df: DataFrame): Seq[Int] = {
+      val arr = df.agg(call_function("bitmap_registers", col("k"))).collect()
+        .head.getSeq[Int](0)
+      assert(arr == arr.sorted && arr.forall(b => b >= 0 && b < 4096))
+      arr
+    }
+    val one = bits(keys.toDF("k").repartition(1))
+    val many = bits(keys.toDF("k").repartition(16))
+    assert(one === many, "merge path (16 partials) must equal the single-partition pass")
+    val dups = bits((keys ++ keys).toDF("k").repartition(8))
+    assert(one === dups, "bitmap is OR-idempotent under duplicates")
+    // disjoint halves OR-merge (set union) to the full bitmap
+    val halves = keys.zipWithIndex.map { case (k, i) => (i % 2, k) }
+      .toDF("half", "k")
+      .groupBy(col("half")).agg(call_function("bitmap_registers", col("k")).as("r"))
+      .collect().map(_.getSeq[Int](1))
+    assert((halves(0).toSet ++ halves(1).toSet).toSeq.sorted === one)
+    val est = graft.plans.BitmapRegisters.estimate(one.length)
+    assert(math.abs(est - 800.0) / 800.0 < 0.05, s"estimate $est outside 5% of 800")
+    val nulls = bits(((null: String) +: keys).toDF("k"))
+    assert(nulls === one, "NULL keys cast no vote")
+  }
+
   test("best-split changepoint: level shift found at the exact boundary") {
     val dir = Files.createTempDirectory("graft_r7orders").toString
     def d(s: String) = java.sql.Date.valueOf(s)

@@ -1265,6 +1265,27 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.metadataRowCounts(spark, dir, v).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  test("partition evolution: each version owns its layout; pinned readers keep the old one") {
+    val dir = freshDir()
+    val rows = Seq((1L, "A", "x"), (2L, "A", "y"), (3L, "B", "x")).toDF("k", "p1", "p2")
+    Snapshots.commitOverwritePartitioned(spark, dir, rows, "p1",
+      statsCols = Seq(Snapshots.RowCountCol))
+    Snapshots.commitOverwritePartitioned(spark, dir, rows, "p2",
+      statsCols = Seq(Snapshots.RowCountCol))
+    // both layouts read the same logical rows
+    assert(Snapshots.readVersion(spark, dir, "v00000001")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(Snapshots.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // manifest-only counts follow each version's own partition column
+    assert(counts(dir, "v00000001") === Map("A" -> 2L, "B" -> 1L))
+    assert(counts(dir, "v00000002") === Map("x" -> 2L, "y" -> 1L))
+    // cross-layout drift is refused loudly, not silently mis-joined
+    intercept[IllegalArgumentException] {
+      Snapshots.metadataPartitionDrift(spark, dir, "v00000001", "v00000002")
+    }
+  }
+
   test("WAP: staged data is invisible to every reader until published") {
     val dir = freshDir()
     Snapshots.commitOverwrite(spark, dir, Seq((1L, "a")).toDF("k", "s"))
