@@ -1240,6 +1240,12 @@ object SparkEntry {
     // set-bucket lists per event type + the OR-merged _ALL rollup
     "q187_bitmap_distinct" -> ((s: SparkSession, d: String) =>
       operators.Sketches.bitmapDistinctUsers(s, d)),
+    // join-size upper bound from CMS inner products vs the true size
+    "q188_join_cardinality" -> ((s: SparkSession, d: String) =>
+      operators.Sketches.cmsJoinCardinality(s, d)),
+    // MRR of IVF-PQ against brute-force top-1, exact basis points
+    "q189_mrr_eval"        -> ((s: SparkSession, d: String) =>
+      Vectors.mrrEval(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3701,6 +3707,37 @@ object SparkEntry {
         |  FROM u)
         |SELECT event_type, CAST(bucket AS INT) AS bucket
         |FROM b ORDER BY event_type, bucket""".stripMargin,
+    // per-pair: true join size Σ f_a(u)·f_b(u) vs min over CMS rows of
+    // the register inner product (collisions only ever add, so the
+    // estimate upper-bounds truth; identical md5-byte rows as q173)
+    "q188_join_cardinality" ->
+      """WITH e AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events),
+        |h AS (SELECT event_type, u, md5(u) AS h, count(*) AS n
+        |  FROM e GROUP BY 1, 2, 3),
+        |b AS (SELECT event_type, n, j.j AS j,
+        |    (strpos('0123456789abcdef', substr(h, j.j * 2 + 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(h, j.j * 2 + 2, 1)) - 1) AS bucket
+        |  FROM h, unnest(generate_series(0, 3)) j(j)),
+        |cnt AS (SELECT event_type, j, bucket, SUM(n) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |dots AS (SELECT a.event_type AS type_a, bb.event_type AS type_b, a.j,
+        |    SUM(a.c * bb.c) AS dot
+        |  FROM cnt a JOIN cnt bb
+        |    ON a.j = bb.j AND a.bucket = bb.bucket AND a.event_type < bb.event_type
+        |  GROUP BY 1, 2, 3),
+        |est AS (SELECT type_a, type_b, MIN(dot) AS est_size FROM dots GROUP BY 1, 2),
+        |uc AS (SELECT event_type, u, count(*) AS c FROM e GROUP BY 1, 2),
+        |tru AS (SELECT a.event_type AS type_a, bb.event_type AS type_b,
+        |    SUM(a.c * bb.c) AS true_size
+        |  FROM uc a JOIN uc bb ON a.u = bb.u AND a.event_type < bb.event_type
+        |  GROUP BY 1, 2)
+        |SELECT e2.type_a, e2.type_b,
+        |  CAST(coalesce(t.true_size, 0) AS BIGINT) AS true_size,
+        |  CAST(e2.est_size AS BIGINT) AS est_size
+        |FROM est e2 LEFT JOIN tru t
+        |  ON t.type_a = e2.type_a AND t.type_b = e2.type_b
+        |ORDER BY e2.type_a, e2.type_b""".stripMargin,
+    "q189_mrr_eval" -> mrrSqlDuck,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition
@@ -3966,15 +4003,18 @@ object SparkEntry {
        |  FROM enc0 e0 JOIN enc1 e1 USING (vec_id) JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),""".stripMargin
   }
 
-  /** The shared ADC→shortlist→exact-rerank tail over an `approxs`
-    * CTE (qid, vec_id, approx). */
-  private val pqTailDuck: String =
+  /** The shared ADC→shortlist→exact-rerank CTEs over an `approxs`
+    * CTE (qid, vec_id, approx), ending with `r` defined. */
+  private val pqTailCtesDuck: String =
     s"""short AS (SELECT qid, vec_id FROM (
        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS ark FROM approxs)
        |  WHERE ark <= 50),
        |rer AS (SELECT s.qid, s.vec_id, ${cosDuck("eq.v", "ev.v")} AS cos
        |  FROM short s JOIN e ev ON ev.vec_id = s.vec_id JOIN e eq ON eq.vec_id = s.qid),
-       |r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM rer)
+       |r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM rer)""".stripMargin
+
+  private val pqTailDuck: String =
+    s"""$pqTailCtesDuck
        |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
   private val pqSqlDuck: String =
@@ -3992,8 +4032,8 @@ object SparkEntry {
 
   /** q179: IVF-PQ — the q43 coarse layer (trained centroids, 4-probe
     * lists) restricts the candidate pairs BEFORE the q101 fine layer
-    * scores them; tail identical to q101. */
-  private val ivfPqSqlDuck: String =
+    * scores them; tail identical to q101. Ends with `r` defined. */
+  private val ivfPqCtesDuck: String =
     s"""$ivfTrainPreludeDuck,
        |$pqPreludeDuck
        |qq AS (SELECT vec_id AS qid, v AS qv2 FROM e WHERE vec_id < 10),
@@ -4010,7 +4050,29 @@ object SparkEntry {
        |  JOIN t1 ON t1.qid = cd.qid AND t1.cid = cd.c1
        |  JOIN t2 ON t2.qid = cd.qid AND t2.cid = cd.c2
        |  JOIN t3 ON t3.qid = cd.qid AND t3.cid = cd.c3),
-       |$pqTailDuck""".stripMargin
+       |$pqTailCtesDuck""".stripMargin
+
+  private val ivfPqSqlDuck: String =
+    s"""$ivfPqCtesDuck
+       |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  /** q189: MRR of the IVF-PQ system list against the brute-force
+    * top-1 — rank arithmetic shared with q179's `r` CTE. */
+  private val mrrSqlDuck: String =
+    s"""$ivfPqCtesDuck,
+       |bfsc AS (SELECT q.vec_id AS qid, e2.vec_id, ${cosDuck("q.v", "e2.v")} AS cos
+       |  FROM e q, e e2 WHERE q.vec_id < 10 AND e2.vec_id <> q.vec_id),
+       |bfr AS (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |  FROM bfsc),
+       |truth1 AS (SELECT qid, vec_id AS true_top FROM bfr WHERE rk = 1),
+       |syslist AS (SELECT qid, vec_id, rk FROM r WHERE rk <= 5)
+       |SELECT tt.qid, tt.true_top,
+       |  CAST(coalesce(s.rk, 0) AS BIGINT) AS found_rank,
+       |  CAST(CASE WHEN s.rk IS NULL THEN 0 ELSE 10000 // s.rk END AS BIGINT) AS rr_bp
+       |FROM truth1 tt LEFT JOIN syslist s
+       |  ON s.qid = tt.qid AND s.vec_id = tt.true_top
+       |ORDER BY tt.qid""".stripMargin
 
   /** q92 prelude: the trained clustering, then within-cluster
     * pairwise cosine with greedy keep-lowest-id removal, ending in

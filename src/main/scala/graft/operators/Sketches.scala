@@ -85,4 +85,46 @@ object Sketches {
       .select(col("event_type"), explode(col("bs")).as("bucket"))
       .orderBy(col("event_type"), col("bucket"))
   }
+
+  /** Join-size estimation from CMS inner products — the pre-flight
+    * "will this join explode" a planner wants BEFORE shuffling
+    * anything: for each event-type pair (a, b),
+    * |a ⋈_user b| = Σ_u f_a(u)·f_b(u), and the CMS row inner product
+    * Σ_bucket A_j[x]·B_j[x] upper-bounds it (collisions only ever
+    * add); min over the d rows is the classic AMS/CMS estimate. The
+    * gate emits the exact-integer estimate next to the true join size
+    * — truth requires the real (user-keyed) shuffle the estimate
+    * exists to avoid; at production scale only the 8 KB sketches are
+    * read. */
+  def cmsJoinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+      .select(col("event_type"), col("user_id").cast("string").as("u"))
+    val sk = e.groupBy(col("event_type"))
+      .agg(call_function("cms_registers", col("u")).as("regs"))
+    val pairs = sk.select(col("event_type").as("type_a"), col("regs").as("ra"))
+      .join(sk.select(col("event_type").as("type_b"), col("regs").as("rb")),
+        col("type_a") < col("type_b"))
+    val d = graft.plans.CmsRegisters.D
+    val w = graft.plans.CmsRegisters.W
+    // row-j inner product over the flat register arrays
+    val rowDot = (0 until d).map { j =>
+      expr(s"""aggregate(sequence(${j * w + 1}, ${j * w + w}),
+              |CAST(0 AS BIGINT), (acc, i) -> acc + ra[i - 1] * rb[i - 1])"""
+        .stripMargin)
+    }
+    val est = rowDot.reduce(least(_, _))
+    val truth = e.groupBy(col("event_type"), col("u"))
+      .agg(count(lit(1)).as("c"))
+    val trueJoin = truth.select(col("event_type").as("type_a"), col("u"), col("c").as("ca"))
+      .join(truth.select(col("event_type").as("type_b"), col("u"), col("c").as("cb")),
+        Seq("u"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(col("ca") * col("cb")).as("true_size"))
+    pairs.select(col("type_a"), col("type_b"), est.as("est_size"))
+      .join(trueJoin, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("true_size"), lit(0L)).as("true_size"), col("est_size"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

@@ -424,6 +424,28 @@ object Vectors {
     pqSearch(spark, e, pairs, topK, shortlistK)
   }
 
+  /** Mean-reciprocal-rank evaluation of the IVF-PQ system against the
+    * brute-force ground truth: for each query, where does the TRUE
+    * nearest neighbor land in the system's top-k (0 = missed)?
+    * Reciprocal ranks in exact basis points (10000 div rank). The
+    * retrieval-quality counterpart to recall@k (q146): recall counts
+    * set overlap, MRR penalizes the system for burying the right
+    * answer at rank 5. Both searches are the proven bounded plans;
+    * the comparison joins two k×queries frames. */
+  def mrrEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = annBruteForce(spark, dir).filter(col("rk") === 1)
+      .select(col("qid"), col("vec_id").as("true_top"))
+    val sys = annIvfPq(spark, dir)
+      .select(col("qid").as("sqid"), col("vec_id").as("svec"), col("rk").as("srk"))
+    truth.join(sys,
+        col("qid") === col("sqid") && col("true_top") === col("svec"), "left")
+      .select(col("qid"), col("true_top"),
+        coalesce(col("srk"), lit(0L)).as("found_rank"),
+        when(col("srk").isNull, lit(0L))
+          .otherwise(expr("10000 div srk")).as("rr_bp"))
+      .orderBy(col("qid"))
+  }
+
   /** PQ ADC search over an explicit candidate-pair frame
     * (qid, vec_id): train subspace codebooks, encode the corpus,
     * build per-query lookup tables, score ONLY the given pairs,
