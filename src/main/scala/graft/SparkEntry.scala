@@ -1246,6 +1246,13 @@ object SparkEntry {
     // MRR of IVF-PQ against brute-force top-1, exact basis points
     "q189_mrr_eval"        -> ((s: SparkSession, d: String) =>
       Vectors.mrrEval(s, d)),
+    // KMV/theta bottom-k signatures (4th native sketch): exact
+    // (rank, hash) state rows per event type
+    "q190_kmv_sketch"      -> ((s: SparkSession, d: String) =>
+      operators.Sketches.kmvSignatures(s, d)),
+    // calibration curve: observed positive rate per score bin
+    "q191_calibration"     -> ((s: SparkSession, d: String) =>
+      Relational.calibrationCurve(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3738,6 +3745,26 @@ object SparkEntry {
         |  ON t.type_a = e2.type_a AND t.type_b = e2.type_b
         |ORDER BY e2.type_a, e2.type_b""".stripMargin,
     "q189_mrr_eval" -> mrrSqlDuck,
+    // the KMV signature is exactly the k smallest DISTINCT md5 values
+    "q190_kmv_sketch" ->
+      """WITH u AS (SELECT DISTINCT event_type,
+        |    md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |r AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM u)
+        |SELECT event_type, CAST(rk AS BIGINT) AS rank, h AS hash
+        |FROM r WHERE rk <= 64 ORDER BY event_type, rank""".stripMargin,
+    // fixed-width bins over [min, max]; all-integer rate arithmetic
+    "q191_calibration" ->
+      """WITH d AS (SELECT length(text) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+        |mm AS (SELECT min(score) AS mn, max(score) AS mx FROM d),
+        |b AS (SELECT (d.score - mm.mn) * 10 // (mm.mx - mm.mn + 1) AS bin,
+        |    d.score, d.pos FROM d CROSS JOIN mm)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(pos) * 10000 // count(*) AS BIGINT) AS pos_rate_bp,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -783,4 +783,27 @@ object Relational {
           - col("expected_ppm") * col("n")).as("deviation"))
       .orderBy(col("digit"))
   }
+
+  /** Calibration curve (reliability diagram) of a score against a
+    * binary label: fixed-width score bins, each with its support, its
+    * positive count, the observed positive rate in basis points, and
+    * the score mass — the companion to [[aucEval]] (AUC says the
+    * ranking is good; calibration says whether the score VALUES mean
+    * what they claim). All integer arithmetic; the only unbounded
+    * work is one map-side-combined aggregation. */
+  def calibrationCurve(spark: SparkSession, dir: String, bins: Int = 10): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(length(col("text")).cast("long").as("score"),
+        (col("lang") === "en").cast("long").as("pos"))
+    val mm = d.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+    d.crossJoin(broadcast(mm))
+      .select(expr(s"(score - mn) * $bins div (mx - mn + 1)").as("bin"),
+        col("score"), col("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("score")).as("sum_score"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 10000 div n").as("pos_rate_bp"), col("sum_score"))
+      .orderBy(col("bin"))
+  }
 }

@@ -86,6 +86,22 @@ object Sketches {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Per-event-type KMV (bottom-k / theta) signatures, emitted as the
+    * exact (rank, hash) rows — the [[graft.plans.KmvRegisters]] state
+    * the oracle recomputes as the k smallest DISTINCT md5 values.
+    * Signatures support the set algebra HLL cannot (union = pooled
+    * min-k, intersection/Jaccard by membership in the pooled min-k —
+    * see KmvRegisters.jaccard + its spec). */
+  def kmvSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+      .select(col("event_type"), col("user_id").cast("string").as("u"))
+    e.groupBy(col("event_type"))
+      .agg(call_function("kmv_registers", col("u")).as("sig"))
+      .select(col("event_type"), posexplode(col("sig")).as(Seq("pos", "hash")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"), col("hash"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   /** Join-size estimation from CMS inner products — the pre-flight
     * "will this join explode" a planner wants BEFORE shuffling
     * anything: for each event-type pair (a, b),

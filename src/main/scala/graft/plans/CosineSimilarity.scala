@@ -119,6 +119,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("bitmap_registers"), BitmapRegisters.info,
       (children: Seq[Expression]) => BitmapRegisters(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_registers"), KmvRegisters.info,
+      (children: Seq[Expression]) => KmvRegisters(children.head)))
     // the reference's SQL UDF surface (norm_body / to_bool_safe /
     // norm_date) as composed catalyst trees — see functions.SqlFunctions
     graft.functions.SqlFunctions.all.foreach(ext.injectFunction)

@@ -157,6 +157,34 @@ class Round7Spec extends SparkSpec {
     assert(nulls === one, "NULL keys cast no vote")
   }
 
+  test("kmv registers: partitioning-invariant, set-algebra estimates within tolerance") {
+    import org.apache.spark.sql.DataFrame
+    val keysA = (1 to 3000).map(i => s"a_$i")
+    val keysB = (1 to 3000).map(i => if (i <= 1500) s"a_$i" else s"b_$i") // 1500 shared
+    def sig(df: DataFrame): Seq[String] = {
+      val arr = df.agg(call_function("kmv_registers", col("k"))).collect()
+        .head.getSeq[String](0)
+      assert(arr == arr.sorted && arr.length <= 64)
+      arr
+    }
+    val a1 = sig(keysA.toDF("k").repartition(1))
+    val a16 = sig(keysA.toDF("k").repartition(16))
+    assert(a1 === a16, "merge path (16 partials) must equal the single-partition pass")
+    assert(sig((keysA ++ keysA).toDF("k")) === a1, "duplicate-insensitive (distinct hashes)")
+    val b = sig(keysB.toDF("k"))
+    val estA = graft.plans.KmvRegisters.estimate(a1)
+    assert(math.abs(estA - 3000.0) / 3000.0 < 0.30,
+      s"KMV k=64 estimate $estA outside 30% of 3000")
+    // Jaccard(A, B): |A∩B| = 1500, |A∪B| = 4500 → 1/3
+    val j = graft.plans.KmvRegisters.jaccard(a1, b)
+    assert(math.abs(j - 1.0 / 3.0) < 0.15, s"KMV Jaccard $j far from 1/3")
+    // fewer than K distincts: the signature IS the exact distinct set
+    val tiny = (1 to 10).map(i => s"t_$i")
+    val ts = sig(tiny.toDF("k").repartition(4))
+    assert(ts.length === 10)
+    assert(graft.plans.KmvRegisters.estimate(ts) === 10.0)
+  }
+
   test("best-split changepoint: level shift found at the exact boundary") {
     val dir = Files.createTempDirectory("graft_r7orders").toString
     def d(s: String) = java.sql.Date.valueOf(s)
