@@ -130,4 +130,23 @@ class PlanShapeSpec extends SparkSpec {
     val bfs = finalPlan(graft.operators.Affinity.bfsHops(spark, sf))
     assert(bfs.contains("BroadcastHashJoin"), bfs)
   }
+
+  test("q171/q173/q187/q190: native sketch aggregates get map-side PARTIAL aggregation") {
+    // the sketches' whole scale claim is "fixed bytes per key per map
+    // partition, merged shuffle-side" — which requires Spark to plan
+    // them as partial ObjectHashAggregate + final merge, not a
+    // single-stage aggregation shuffling raw rows. Pin that shape.
+    for (fn <- Seq("hll_registers", "cms_registers",
+                   "bitmap_registers", "kmv_registers")) {
+      val df = graft.sources.Tables.loadEvents(spark, sf)
+        .select(org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("user_id").cast("string").as("u"))
+        .groupBy("event_type")
+        .agg(org.apache.spark.sql.functions.call_function(fn,
+          org.apache.spark.sql.functions.col("u")))
+      val plan = finalPlan(df)
+      assert(plan.contains("ObjectHashAggregate"), s"$fn:\n$plan")
+      assert(plan.contains(s"partial_$fn"), s"$fn missing partial stage:\n$plan")
+    }
+  }
 }
