@@ -775,7 +775,8 @@ object Relational {
         .cast("long").as("digit"))
       .filter(col("digit").between(1, 9))
       .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
-    val total = obs.agg(sum(col("observed")).as("n"))
+    // coalesce: an empty fact table must yield 9 zero rows, not NULLs
+    val total = obs.agg(coalesce(sum(col("observed")), lit(0L)).as("n"))
     expect.join(obs, Seq("digit"), "left").crossJoin(broadcast(total))
       .select(col("digit"), coalesce(col("observed"), lit(0L)).as("observed"),
         col("expected_ppm"), col("n"),
