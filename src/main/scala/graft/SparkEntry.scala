@@ -1253,6 +1253,9 @@ object SparkEntry {
     // calibration curve: observed positive rate per score bin
     "q191_calibration"     -> ((s: SparkSession, d: String) =>
       Relational.calibrationCurve(s, d)),
+    // discrete inter-order hazard table, exact basis points
+    "q192_hazard_table"    -> ((s: SparkSession, d: String) =>
+      operators.TimeSeries.interOrderHazard(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3765,6 +3768,26 @@ object SparkEntry {
         |  CAST(sum(pos) * 10000 // count(*) AS BIGINT) AS pos_rate_bp,
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    // same lag-built gaps; n_at_risk = Σ events over gaps ≥ g (the
+    // descending cumulative window at gap grain); top-30 by frequency
+    "q192_hazard_table" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
+        |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |gaps AS (SELECT date_diff('day', prev, o_orderdate) AS g
+        |  FROM o WHERE prev IS NOT NULL),
+        |byg AS (SELECT g, count(*) AS events FROM gaps GROUP BY 1),
+        |cum AS (SELECT g, events,
+        |    sum(events) OVER (ORDER BY g DESC) AS n_at_risk FROM byg),
+        |top AS (SELECT CAST(g AS BIGINT) AS g,
+        |    CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |    CAST(events AS BIGINT) AS events,
+        |    CAST(events * 10000 // n_at_risk AS BIGINT) AS hazard_bp,
+        |    row_number() OVER (ORDER BY events DESC, g) AS rk
+        |  FROM cum)
+        |SELECT g, n_at_risk, events, hazard_bp
+        |FROM top WHERE rk <= 30 ORDER BY g""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -231,4 +231,37 @@ object TimeSeries {
                 div (CAST(n_days AS DECIMAL(38,0)) * t_cents)""").as("index_bp"))
       .orderBy(col("dow"))
   }
+
+  /** Discrete inter-order hazard table — the duration-based survival
+    * readout beside q113's calendar-cohort retention: every
+    * consecutive order pair per customer contributes one observed
+    * "returned after g days" event, and the discrete hazard at gap g
+    * is
+    *   h(g) = events(g) / n_at_risk(g),  n_at_risk(g) = #gaps ≥ g,
+    * emitted in exact basis points. n_at_risk comes from one
+    * cumulative window over the GAP-VALUE grain (thousands of rows,
+    * not the fact table), the classic compressed-domain trick used by
+    * q162/q183.
+    *
+    * Scale posture: one customer-keyed window pass (lag) over orders
+    * builds the gaps; everything after is gap-grain. Top `k` gaps by
+    * frequency keep the report bounded. */
+  def interOrderHazard(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(datediff(col("o_orderdate"), col("prev")).cast("long").as("g"))
+    val byGap = gaps.groupBy(col("g")).agg(count(lit(1)).as("events"))
+    val wcum = Window.orderBy(col("g").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byGap
+      .withColumn("n_at_risk", sum(col("events")).over(wcum))
+      .select(col("g"), col("n_at_risk"), col("events"),
+        expr("events * 10000 div n_at_risk").as("hazard_bp"))
+      .orderBy(col("events").desc, col("g"))
+      .limit(k)
+      .orderBy(col("g"))
+  }
 }
