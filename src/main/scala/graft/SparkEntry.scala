@@ -1134,10 +1134,16 @@ object SparkEntry {
         Snapshots.commitOverwrite(s, path, e)
         ()
       }
-      // both DMLs are per-rerun idempotent (second run matches nothing)
+      // both DMLs are SELF-idempotent (second run matches nothing):
+      // the delete predicate finds its rows already gone, and the
+      // update predicate excludes already-suffixed rows — without the
+      // endsWith guard a bench rep in the same JVM (cached fixture)
+      // would re-append "_r" and publish a fresh version every run,
+      // drifting from the fixed single-suffix oracle
       Snapshots.commitDelete(s, table, col("event_id") % 7 === 0)
       Snapshots.commitUpdate(s, table,
-        col("event_id") % 11 === 0 && col("event_id") % 7 =!= 0,
+        col("event_id") % 11 === 0 && col("event_id") % 7 =!= 0 &&
+          !col("u").endsWith("_r"),
         Seq("u" -> concat(col("u"), lit("_r"))))
       val v1 = "v00000001"
       val v2 = Snapshots.currentVersion(s, table).get
@@ -1552,15 +1558,35 @@ object SparkEntry {
         |  FROM cand c JOIN e a ON a.vec_id = c.batch_id JOIN e b ON b.vec_id = c.corpus_id)
         |SELECT batch_id, corpus_id, cos FROM scored WHERE cos >= 0.45
         |ORDER BY batch_id, corpus_id""".stripMargin,
+    // every value below is the arithmetic contract of a REAL
+    // encode→decode round trip: image dims from encodePng's geometry,
+    // audio rate/frames from encodeWav's, video geometry/track count
+    // from the container structure; first8_hex pins the actual magic
+    // bytes (PNG signature; RIFF size = 36 + 2·frames for WAV, fits
+    // one LE byte; AVI body = 92 + 76·3 = 320 = LE 40 01 00 00 since
+    // video rows have id%3 = 2 → 3 tracks; MP4 ftyp box is 24 bytes).
+    // A decoder that does not parse the real bytes cannot match.
     "q25_multimodal_decode" ->
-      """WITH m AS (SELECT doc_id AS media_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  text, octet_length(encode(text)) AS len FROM documents)
-        |SELECT media_id, kind, len AS byte_len,
-        |  64 + (len * 7 % 577) AS width,
-        |  48 + (len * 13 % 433) AS height,
-        |  1 + len % 7 AS n_frames,
-        |  lower(substr(hex(encode(text)), 1, 16)) AS first_frame_hex
+      """WITH m AS (SELECT doc_id AS id, CAST(doc_id % 3 AS INT) AS k FROM documents)
+        |SELECT id AS media_id,
+        |  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |         ELSE CASE WHEN id % 2 = 0 THEN 'avi' ELSE 'mp4' END END AS container,
+        |  CAST(CASE k WHEN 0 THEN 16 + id % 32
+        |       WHEN 1 THEN 8000 + (id % 4) * 4000
+        |       ELSE CASE WHEN id % 2 = 0 THEN 160 + (id % 16) * 8
+        |                 ELSE 320 + (id % 32) * 4 END END AS BIGINT) AS dim_a,
+        |  CAST(CASE k WHEN 0 THEN 12 + id % 23
+        |       WHEN 1 THEN 1
+        |       ELSE CASE WHEN id % 2 = 0 THEN 120 + (id % 9) * 8
+        |                 ELSE 240 + (id % 18) * 4 END END AS BIGINT) AS dim_b,
+        |  CAST(CASE k WHEN 0 THEN 1
+        |       WHEN 1 THEN 32 + id % 64
+        |       ELSE 1 + id % 3 END AS BIGINT) AS n_units,
+        |  CASE k WHEN 0 THEN '89504e470d0a1a0a'
+        |       WHEN 1 THEN '52494646' || printf('%02x', 100 + 2 * (id % 64)) || '000000'
+        |       ELSE CASE WHEN id % 2 = 0 THEN '5249464640010000'
+        |                 ELSE '0000001866747970' END END AS first8_hex
         |FROM m ORDER BY media_id""".stripMargin,
     "q26_rollup" ->
       """SELECT r_name, n_name, count(*) AS n,
@@ -2029,15 +2055,31 @@ object SparkEntry {
         |  CAST((f - 1) * 64 + 1 AS BIGINT) AS "offset"
         |FROM m, unnest(generate_series(1, greatest(byte_len // 64, 1))) t(f)
         |ORDER BY media_id, frame_no""".stripMargin,
+    // features are arithmetic consequences of DECODED content: image
+    // rows are solid-fill PNGs (mean R/G/B = the fill channels, exact
+    // under integer div; f3 = pixel count), audio rows a PCM ramp
+    // (first sample id%127, LAST sample forces a full-stream scan),
+    // video rows the container geometry/track/duration round trip
     "q58_media_features" ->
-      s"""WITH m AS (SELECT doc_id AS media_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  lower(hex(encode(text))) AS hx FROM documents)
-        |SELECT media_id, kind, byte_len,
-        |  ${(0 until 4).map(s =>
-            s"CAST(strpos('0123456789abcdef', substr(md5(substr(hx, ${s * 512 + 1}, 512)), 1, 1)) - 1 AS BIGINT) AS f$s")
-            .mkString(",\n  ")}
+      """WITH m AS (SELECT doc_id AS id, CAST(doc_id % 3 AS INT) AS k FROM documents)
+        |SELECT id AS media_id,
+        |  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(CASE k WHEN 0 THEN id % 256
+        |       WHEN 1 THEN 8000 + (id % 4) * 4000
+        |       ELSE CASE WHEN id % 2 = 0 THEN 160 + (id % 16) * 8
+        |                 ELSE 320 + (id % 32) * 4 END END AS BIGINT) AS f0,
+        |  CAST(CASE k WHEN 0 THEN (id * 7) % 256
+        |       WHEN 1 THEN 32 + id % 64
+        |       ELSE CASE WHEN id % 2 = 0 THEN 120 + (id % 9) * 8
+        |                 ELSE 240 + (id % 18) * 4 END END AS BIGINT) AS f1,
+        |  CAST(CASE k WHEN 0 THEN (id * 13) % 256
+        |       WHEN 1 THEN id % 127
+        |       ELSE 1 + id % 3 END AS BIGINT) AS f2,
+        |  CAST(CASE k WHEN 0 THEN (16 + id % 32) * (12 + id % 23)
+        |       WHEN 1 THEN (id + 31 + id % 64) % 127
+        |       ELSE CASE WHEN id % 2 = 0
+        |                 THEN (20000 + (id % 30) * 1000) * (100 + id % 400) // 1000
+        |                 ELSE 5000 + id % 9999 END END AS BIGINT) AS f3
         |FROM m ORDER BY media_id""".stripMargin,
     "q61_decontamination" ->
       s"""$shingleCte,
@@ -2467,11 +2509,17 @@ object SparkEntry {
         |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
         |  CAST(week_offset AS BIGINT) AS week_offset, count(DISTINCT user_id) AS users
         |FROM a GROUP BY cohort, week_offset ORDER BY 1, 2""".stripMargin,
+    // rank <= 64 mirrors the Spark side's BasketCap slice of the
+    // per-order SORTED brand set (inert on TPC-H's <= 7-line baskets;
+    // pinned here so both engines cap identically)
     "q114_brand_pairs" ->
       """WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |capped AS (SELECT okey, brand FROM (
+        |    SELECT okey, brand, row_number() OVER (PARTITION BY okey
+        |      ORDER BY brand) AS rk FROM ob) WHERE rk <= 64),
         |pr AS (SELECT a.brand AS b1, b.brand AS b2
-        |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand)
+        |  FROM capped a JOIN capped b ON a.okey = b.okey AND a.brand < b.brand)
         |SELECT b1, b2, count(*) AS n_orders FROM pr GROUP BY 1, 2
         |ORDER BY n_orders DESC, b1, b2 LIMIT 30""".stripMargin,
     // duplicated-span coverage: positional 8-gram hashes; islands
@@ -2924,12 +2972,17 @@ object SparkEntry {
         |FROM inter x JOIN cnt c ON c.doc_id = x.da
         |WHERE x.i * 10 >= c.na * 8 AND c.na >= 5
         |ORDER BY x.da, x.db""".stripMargin,
-    // cosine surrogate co^2 * 1e8 div (deg_a * deg_b) — integer-exact
+    // cosine surrogate co^2 * 1e8 div (deg_a * deg_b) — integer-exact;
+    // rank <= 64 mirrors the Spark side's BasketCap slice of the
+    // per-order sorted part set (degrees stay UNCAPPED, same as Spark)
     "q143_item_cf" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |deg AS (SELECT l_partkey, count(*) AS d FROM op GROUP BY 1),
+        |capped AS (SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey, row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_partkey) AS rk FROM op) WHERE rk <= 64),
         |pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS co
-        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  FROM capped a JOIN capped b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT pa, pb, co, da.d AS n_a, db.d AS n_b,
         |  co * co * 100000000 // (da.d * db.d) AS score
@@ -3680,7 +3733,10 @@ object SparkEntry {
         |    count(*) AS observed
         |  FROM orders GROUP BY 1),
         |o2 AS (SELECT * FROM obs WHERE digit BETWEEN 1 AND 9),
-        |t AS (SELECT sum(observed) AS n FROM o2)
+        |-- coalesce mirrors the Spark side's empty-input contract
+        |-- (Relational.benfordAudit): an empty orders table must yield
+        |-- 9 zero rows, not NULL n/deviation
+        |t AS (SELECT coalesce(sum(observed), 0) AS n FROM o2)
         |SELECT CAST(e.digit AS BIGINT) AS digit,
         |  CAST(coalesce(o.observed, 0) AS BIGINT) AS observed,
         |  CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
@@ -3730,11 +3786,24 @@ object SparkEntry {
         |  FROM h, unnest(generate_series(0, 3)) j(j)),
         |cnt AS (SELECT event_type, j, bucket, SUM(n) AS c
         |  FROM b GROUP BY 1, 2, 3),
-        |dots AS (SELECT a.event_type AS type_a, bb.event_type AS type_b, a.j,
+        |-- build every (pair, j) cell and LEFT JOIN the collision dot
+        |-- sums coalesced to 0, so a sketch row with NO colliding
+        |-- buckets still contributes dot = 0 (the Spark aggregate()
+        |-- computes exactly that inner product) instead of vanishing
+        |-- from the MIN — an inner join here only matches the current
+        |-- fixture by accident of every pair colliding in every row
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |grid AS (SELECT a.event_type AS type_a, bb.event_type AS type_b, j.j AS j
+        |  FROM types a JOIN types bb ON a.event_type < bb.event_type,
+        |       unnest(generate_series(0, 3)) j(j)),
+        |dotsum AS (SELECT a.event_type AS type_a, bb.event_type AS type_b, a.j,
         |    SUM(a.c * bb.c) AS dot
         |  FROM cnt a JOIN cnt bb
         |    ON a.j = bb.j AND a.bucket = bb.bucket AND a.event_type < bb.event_type
         |  GROUP BY 1, 2, 3),
+        |dots AS (SELECT g.type_a, g.type_b, g.j, coalesce(d.dot, 0) AS dot
+        |  FROM grid g LEFT JOIN dotsum d
+        |    ON d.type_a = g.type_a AND d.type_b = g.type_b AND d.j = g.j),
         |est AS (SELECT type_a, type_b, MIN(dot) AS est_size FROM dots GROUP BY 1, 2),
         |uc AS (SELECT event_type, u, count(*) AS c FROM e GROUP BY 1, 2),
         |tru AS (SELECT a.event_type AS type_a, bb.event_type AS type_b,

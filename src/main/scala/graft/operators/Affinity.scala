@@ -17,35 +17,62 @@ import graft.sources.Tables
   * expensive part is a single fact-table-sized aggregation however
   * large the corpus. PageRank iterations are plain equi-joins keyed
   * on the edge endpoints; every iterative operator here truncates its
-  * lineage with an eager `localCheckpoint` every [[CheckpointEvery]]
-  * rounds (see [[truncateLineage]]), so plan depth stays bounded
-  * however many rounds run.
+  * lineage every [[CheckpointEvery]] rounds through [[truncateNow]] —
+  * reliable `checkpoint()` when the session has a checkpoint dir
+  * (cluster posture, survives executor loss), eager `localCheckpoint()`
+  * otherwise — so plan depth stays bounded however many rounds run.
   */
 object Affinity {
 
   /** Checkpoint cadence for the iterative operators below. */
   private val CheckpointEvery = 2
 
+  /** Eager lineage truncation — the one choke point every iterative
+    * operator here funnels through. Mode is selected by the session's
+    * checkpoint dir:
+    *
+    *  - checkpoint dir SET (`sparkContext.setCheckpointDir(...)` —
+    *    cluster posture): RELIABLE eager `checkpoint()`. The frame is
+    *    written to the durable dir and the plan replaced with a scan
+    *    of the checkpointed files, so a 100-round job survives
+    *    executor loss — executor-local checkpoint blocks die with
+    *    their executor and are then unrecomputable (the lineage was
+    *    truncated away).
+    *  - no checkpoint dir (local iteration / tests): eager
+    *    `localCheckpoint()` — same plan truncation, executor-local
+    *    storage, no durable-dir requirement.
+    *
+    * Either way, plan depth — and with it analyzer/optimizer time,
+    * task-binary size, and recomputation-on-failure cost — stays
+    * O(CheckpointEvery) instead of growing linearly with the round
+    * count. Caching alone does NOT do this: an InMemoryRelation still
+    * nests the full upstream plan. */
+  private def truncateNow(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Truncate iterative lineage every [[CheckpointEvery]] rounds,
     * skipping the final round (the last frame is consumed exactly once
-    * downstream — truncating it would only add a job).
-    *
-    * `localCheckpoint` (eager) materializes the frame to
-    * executor-local storage and replaces its logical plan with a scan
-    * of the checkpointed RDD, so plan depth — and with it analyzer/
-    * optimizer time, task-binary size, and recomputation-on-failure
-    * cost — stays O(CheckpointEvery) instead of growing linearly with
-    * the round count. Caching alone does NOT do this: an
-    * InMemoryRelation still nests the full upstream plan. On a real
-    * cluster running many rounds, swap in reliable `checkpoint()` to a
-    * durable dir for executor-loss tolerance; the call site is this
-    * one choke point. */
+    * downstream — truncating it would only add a job). */
   private def truncateLineage(df: DataFrame, round: Int, rounds: Int): DataFrame =
-    if (round % CheckpointEvery == 0 && round < rounds) df.localCheckpoint() else df
+    if (round % CheckpointEvery == 0 && round < rounds) truncateNow(df) else df
+
+  /** Per-basket member cap for the map-side pair expansions below:
+    * an m-item basket expands into m²/2 pairs in ONE task, so a
+    * single pathological 10k-item basket would emit 50M rows from one
+    * map call while every normal basket emits ≤ ~25. Baskets are
+    * truncated to their [[BasketCap]] SORTED-smallest members first
+    * (deterministic, oracle-mirrorable as a rank filter — the same
+    * philosophy as the LSH band cap and [[linkPrediction]]'s
+    * centerCap), bounding any task's expansion at cap²/2. TPC-H
+    * baskets are ≤ 7 lines, so at the gated scale factors the cap is
+    * provably inert — it exists for the 100 TB corpus whose dirtiest
+    * basket nobody audited. */
+  val BasketCap = 64
 
   /** Brand pairs bought together: distinct (order, brand) pairs,
-    * per-order sorted brand sets, map-side pair expansion, global
-    * pair count; top `k` by support. */
+    * per-order sorted brand sets capped at [[BasketCap]], map-side
+    * pair expansion, global pair count; top `k` by support. */
   def brandPairs(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
@@ -53,7 +80,7 @@ object Affinity {
       .select(col("p_partkey"), col("p_brand"))
     val sets = li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      .agg(slice(sort_array(collect_set(col("p_brand"))), 1, BasketCap).as("bs"))
       .filter(size(col("bs")) >= 2)
     // (bs[i], bs[j]) for i < j — sorted input ⇒ b1 < b2 canonically
     val pairs = sets.select(explode(expr(
@@ -134,16 +161,18 @@ object Affinity {
     * and the sparsity bound (see [[coPurchaseEdges]]).
     *
     * Scale posture: the pair expansion is map-side over per-order
-    * sorted member sets (order size is bounded), so the expensive
-    * step is one fact-sized aggregation; degrees are a second
-    * distinct-pair aggregation; the final join keys on part ids. */
+    * sorted member sets capped at [[BasketCap]] (one degenerate giant
+    * basket cannot blow up its task), so the expensive step is one
+    * fact-sized aggregation; degrees are a second distinct-pair
+    * aggregation over the UNCAPPED occurrences (a part's popularity
+    * is exact either way); the final join keys on part ids. */
   def itemSimilarity(spark: SparkSession, dir: String,
                      minSupport: Int = 2, k: Int = 25): DataFrame = {
     val op = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct().cache()
     val deg = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("d"))
     val sets = op.groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, BasketCap).as("ps"))
       .filter(size(col("ps")) >= 2)
     val co = sets.select(explode(expr(
         "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
@@ -319,7 +348,7 @@ object Affinity {
         .join(broadcast(keep.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
         .join(broadcast(keep.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
       val next =
-        if (r % CheckpointEvery == 0 && r < rounds) joined.localCheckpoint()
+        if (r % CheckpointEvery == 0 && r < rounds) truncateNow(joined)
         else { val c = joined.cache(); c.count(); c }
       edges.unpersist()
       edges = next
@@ -370,7 +399,7 @@ object Affinity {
       // checkpoint rounds need no separate cache — the eager
       // localCheckpoint already materializes to executor storage
       val grown = dist.unionByName(fresh)
-      dist = if (h % CheckpointEvery == 0 && h < maxHops) grown.localCheckpoint()
+      dist = if (h % CheckpointEvery == 0 && h < maxHops) truncateNow(grown)
              else grown.cache()
       frontier = dist.filter(col("dist") === h).select(col("id"))
     }

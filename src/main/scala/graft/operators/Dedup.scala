@@ -442,11 +442,18 @@ object Dedup {
     * (doc_id, n_toks, dup_tokens, dup_frac).
     *
     * Scale posture: the only corpus-sized shuffles are the n-gram
-    * count (keyed on the 128-bit hash — uniform) and the semi-join
-    * back; the island window partitions per document. A suffix-array
-    * formulation would find arbitrary-length duplicates but cannot
-    * shard by hash; fixed-n windows are the standard distributed
-    * approximation (coverage is exact for spans ≥ n). */
+    * count (keyed on the 128-bit hash — uniform for distinct
+    * n-grams, and partial aggregation absorbs repeats of a hot one)
+    * and the semi-join back, which is SALTED across
+    * [[SpanJoinSalts]] sub-keys so a corpus-wide boilerplate n-gram
+    * cannot concentrate its occurrences in one reduce task; the
+    * island window partitions per document (bounded by doc length).
+    * A suffix-array formulation would find arbitrary-length
+    * duplicates but cannot shard by hash; fixed-n windows are the
+    * standard distributed approximation (coverage is exact for spans
+    * ≥ n). */
+  val SpanJoinSalts = 16
+
   def duplicatedSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val d = Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"), words(normalizeText(col("text"))).as("w"))
@@ -462,7 +469,23 @@ object Dedup {
       .cache()
     val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("h"))
-    val covered = sh.join(dup, Seq("h"), "left_semi")
+    // SALTED semi-join back: the n-gram COUNT above is skew-immune
+    // (partial aggregation folds a hot hash to one row per map
+    // partition), but a plain semi-join on h would route every
+    // occurrence of a boilerplate n-gram ("lorem ipsum …" repeated
+    // 10^5 times corpus-wide) into ONE reduce task. Salting the fat
+    // side by a hash of its own (doc, pos) identity and replicating
+    // the one-row-per-hash dup side across all SpanJoinSalts splits
+    // the hot key evenly; output rows are identical (each sh row
+    // meets exactly its own (h, salt) replica), so the oracle needs
+    // no mirror.
+    val dupS = dup.withColumn("salt",
+      explode(sequence(lit(0), lit(SpanJoinSalts - 1))))
+    val covered = sh
+      .withColumn("salt", pmod(xxhash64(col("doc_id"), col("pos")),
+        lit(SpanJoinSalts.toLong)).cast("int"))
+      .join(dupS, Seq("h", "salt"), "left_semi")
+      .drop("salt")
     // island merge: a new island starts where this span's start lies
     // beyond every previous span's end (all spans have length n, so
     // prev max end = prev max pos + n-1)

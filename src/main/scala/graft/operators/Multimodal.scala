@@ -7,17 +7,18 @@ import graft.sources.Tables
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads plus typed metadata, flowing through Spark as first-class
-  * columns. IMAGE payloads (PNG/JPEG, magic-byte detected) decode for
-  * REAL via the JDK's `javax.imageio`, WAV AUDIO via the JDK's
-  * `javax.sound.sampled` ([[audioDecode]]), and MULTI-FRAME animated
-  * GIF via the indexed ImageIO reader ([[gifFrames]] — genuine
-  * per-frame extraction, the closest a JDK-only environment gets to
-  * video decode); only true video containers (and non-WAV audio)
-  * remain a clearly-marked deterministic STUB (`decodeStub` — those
-  * codecs are not in this container). The Spark-side machinery is identical for both: binary
-  * schema, per-partition batch decode via mapPartitions over a typed
-  * Dataset (the Scala analog of mapInPandas batches), frame sampling
-  * via binary slicing, and metadata projection.
+  * columns. EVERY payload kind in the decode path decodes for REAL
+  * with JDK-only machinery: PNG/JPEG via `javax.imageio`, WAV via
+  * `javax.sound.sampled`, multi-frame animated GIF via the indexed
+  * ImageIO reader ([[gifFrames]]), and AVI/MP4 via genuine RIFF
+  * chunk-walk / ISO-BMFF box-tree parsing ([[parseAvi]]/[[parseMp4]]
+  * — the same structural work ffprobe does for these fields;
+  * codec-level video FRAME decode stays environmentally out of scope,
+  * there are no codec libraries in this container). The Spark-side
+  * machinery is uniform: binary schema, per-partition batch decode
+  * via mapPartitions over a typed Dataset (the Scala analog of
+  * mapInPandas batches), frame sampling via binary slicing, and
+  * metadata projection.
   *
   * At scale: payloads dominate bytes — keep them in their own column
   * so column pruning skips them unless a decode stage needs them;
@@ -27,9 +28,16 @@ import graft.sources.Tables
 object Multimodal {
 
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
-  // all counts Long so the output schema matches the oracle's BIGINTs
-  case class DecodedRow(media_id: Long, kind: String, byte_len: Long,
-                        width: Long, height: Long, n_frames: Long, first_frame_hex: String)
+  /** One uniform probe row per media payload; the dimension slots
+    * carry each format's natural axes (all Long so the output schema
+    * matches the oracle's BIGINTs):
+    *  - image: dim_a × dim_b = pixel width × height, n_units = 1
+    *  - audio: dim_a = sample rate, dim_b = channels, n_units = frames
+    *  - video: dim_a × dim_b = track width × height, n_units = tracks
+    * `first8_hex` is the payload's first 8 bytes — the magic the
+    * dispatch keyed on, visible for audit. */
+  case class DecodedRow(media_id: Long, kind: String, container: String,
+                        dim_a: Long, dim_b: Long, n_units: Long, first8_hex: String)
   case class ImgRow(media_id: Long, payload: Array[Byte])
   case class ImgDecoded(media_id: Long, width: Long, height: Long,
                         r: Long, g: Long, b: Long)
@@ -40,9 +48,22 @@ object Multimodal {
   private def isJpeg(p: Array[Byte]): Boolean =
     p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff
 
-  /** Synthesize a deterministic media table from `documents` (text
-    * bytes as the opaque payload) — the container has no real media
-    * files; the schema/flow is what matters. */
+  private def fourcc(p: Array[Byte], at: Int): String =
+    if (p.length >= at + 4) new String(p, at, 4, "US-ASCII") else ""
+
+  private def isWav(p: Array[Byte]): Boolean =
+    fourcc(p, 0) == "RIFF" && fourcc(p, 8) == "WAVE"
+
+  private def isAvi(p: Array[Byte]): Boolean =
+    fourcc(p, 0) == "RIFF" && fourcc(p, 8) == "AVI "
+
+  private def isMp4(p: Array[Byte]): Boolean = fourcc(p, 4) == "ftyp"
+
+  /** Synthesize a deterministic OPAQUE media table from `documents`
+    * (text bytes as the payload): the fixture for the plumbing-only
+    * operators — [[frameSample]]'s binary slicing — where the payload
+    * is deliberately uninterpreted and only the (pruned-late) binary
+    * column flow matters. The decode path uses [[realMediaTable]]. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents").select(
       col("doc_id").as("media_id"),
@@ -50,17 +71,24 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("payload"))
 
-  /** STUB decode: a real implementation would call an image/audio
-    * codec here (per-partition, batched). Deterministic fake keeps the
-    * pipeline testable and oracle-checkable. */
-  def decodeStub(r: MediaRow): DecodedRow = {
-    val len = r.payload.length.toLong
-    val hex = r.payload.take(8).map(b => f"${b & 0xff}%02x").mkString
-    DecodedRow(r.media_id, r.kind, len,
-      width = 64 + (len * 7 % 577),
-      height = 48 + (len * 13 % 433),
-      n_frames = 1 + len % 7,
-      first_frame_hex = hex)
+  /** Deterministic REAL media table: every row carries a structurally
+    * valid payload of its kind — PNG images, PCM WAV audio, AVI/MP4
+    * video containers — encoded executor-side as a pure function of
+    * the id (the container ships no media files; the encoders below
+    * are the fixture generators). Everything downstream of this frame
+    * is the real pipeline: magic-byte dispatch, format decode, typed
+    * metadata. */
+  def realMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id % 3) match {
+          case 0 => MediaRow(id, "image", encodePng(id))
+          case 1 => MediaRow(id, "audio", encodeWav(id))
+          case _ => MediaRow(id, "video",
+            if (id % 2 == 0) encodeAvi(id) else encodeMp4(id))
+        }
+      })
   }
 
   /** Real image decode for one row: JDK `javax.imageio` reads the
@@ -69,20 +97,47 @@ object Multimodal {
   private def decodeImageRow(r: MediaRow): DecodedRow = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
     require(img != null, s"media_id=${r.media_id}: payload is not a decodable image")
-    val hex = r.payload.take(8).map(b => f"${b & 0xff}%02x").mkString
-    DecodedRow(r.media_id, r.kind, r.payload.length.toLong,
-      img.getWidth.toLong, img.getHeight.toLong, n_frames = 1L, first_frame_hex = hex)
+    DecodedRow(r.media_id, r.kind, if (isPng(r.payload)) "png" else "jpeg",
+      img.getWidth.toLong, img.getHeight.toLong, n_units = 1L,
+      first8_hex = first8(r.payload))
   }
 
+  /** Real WAV decode for one row: JDK `javax.sound.sampled` parses
+    * the RIFF/fmt chunks — actual rate/channels/frame count. */
+  private def decodeWavRow(r: MediaRow): DecodedRow = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    val fmt = ais.getFormat
+    DecodedRow(r.media_id, r.kind, "wav", fmt.getSampleRate.toLong,
+      fmt.getChannels.toLong, ais.getFrameLength, first8(r.payload))
+  }
+
+  private def first8(p: Array[Byte]): String =
+    p.take(8).map(b => f"${b & 0xff}%02x").mkString
+
   /** The mapInPandas-shaped decode stage: typed Dataset in, batched
-    * per-partition transform, typed Dataset out. Rows whose payload
-    * carries a PNG/JPEG magic number take the REAL `javax.imageio`
-    * path; anything else (audio/video, opaque text-bytes) falls back
-    * to the deterministic stub. */
+    * per-partition transform, typed Dataset out. Dispatch is by MAGIC
+    * BYTES, never by the kind column, and every branch is a real
+    * parser: PNG/JPEG → `javax.imageio`, WAV → `javax.sound`,
+    * AVI/MP4 → the container chunk/box walkers. Unrecognized payloads
+    * are REJECTED (loud `require`) instead of fabricated — at ingest
+    * scale a quarantine filter belongs UPSTREAM of decode, and a
+    * decoder that invents metadata poisons every downstream filter. */
   def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map { r =>
-      if (isPng(r.payload) || isJpeg(r.payload)) decodeImageRow(r) else decodeStub(r)
+      if (isPng(r.payload) || isJpeg(r.payload)) decodeImageRow(r)
+      else if (isWav(r.payload)) decodeWavRow(r)
+      else if (isAvi(r.payload)) {
+        val v = parseAvi(r.media_id, r.payload)
+        DecodedRow(r.media_id, r.kind, v.container, v.width, v.height,
+          v.n_tracks, first8(r.payload))
+      } else if (isMp4(r.payload)) {
+        val v = parseMp4(r.media_id, r.payload)
+        DecodedRow(r.media_id, r.kind, v.container, v.width, v.height,
+          v.n_tracks, first8(r.payload))
+      } else sys.error(
+        s"media_id=${r.media_id}: unrecognized payload magic ${first8(r.payload)}")
     })
   }
 
@@ -244,10 +299,14 @@ object Multimodal {
       .toDF().orderBy(col("media_id"))
   }
 
-  /** End-to-end decode query (oracle-checkable because the stub is a
-    * pure function of the payload bytes). */
+  /** End-to-end decode query over the real media table: every row is
+    * encoded then REALLY decoded (image dims from pixel data, audio
+    * format from the RIFF fmt chunk, video geometry from the
+    * container structure). Oracle-checkable because each encoder is a
+    * pure function of the id — only a genuine round trip reproduces
+    * the stated dims/rates/track counts AND the magic bytes. */
   def decodeQuery(spark: SparkSession, dir: String): DataFrame =
-    decode(spark, mediaTable(spark, dir)).toDF().orderBy(col("media_id"))
+    decode(spark, realMediaTable(spark, dir).toDF()).toDF().orderBy(col("media_id"))
 
   /** Frame sampling via binary slicing — every `stride` bytes take an
     * 8-byte "frame" window; pure column expressions, no decode. */
@@ -438,22 +497,62 @@ object Multimodal {
       .toDF().orderBy(col("media_id"))
   }
 
-  /** STUB feature extraction with real plumbing: the payload is
-    * sliced into four windows (via its hex encoding — byte-exact on
-    * both engines, unlike string slicing of multibyte text) and each
-    * window hashed to a small deterministic "feature". A real
-    * implementation would run an embedding model per window here —
-    * the schema (fixed-width feature columns per media row), the
-    * map-only shape, and the pruned payload column are the part that
-    * carries to 100 TB. */
+  case class FeatRow(media_id: Long, kind: String,
+                     f0: Long, f1: Long, f2: Long, f3: Long)
+
+  /** REAL feature extraction over the real media table: a fixed-width
+    * numeric feature vector per media row, computed from the DECODED
+    * content (not from payload bytes or hashes):
+    *  - image: mean R, mean G, mean B over every decoded pixel
+    *    (integer div — exact for the solid-fill fixtures), pixel count
+    *  - audio: sample rate, frame count, first and LAST 16-bit sample
+    *    (the last sample forces a scan through the whole PCM stream)
+    *  - video: container width, height, track count, duration ms
+    * A production pipeline would run an embedding model in this same
+    * map slot; the part that carries to 100 TB — per-partition
+    * batched decode, map-only shape, fixed-width feature schema, the
+    * payload column pruned everywhere else — is identical. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val hexp = lower(hex(col("payload")))
-    def feat(s: Int) =
-      conv(substring(md5(substring(hexp, s * 512 + 1, 512)), 1, 1), 16, 10)
-        .cast("long").as(s"f$s")
-    mediaTable(spark, dir)
-      .select(Seq(col("media_id"), col("kind"),
-        length(col("payload")).cast("long").as("byte_len")) ++ (0 until 4).map(feat): _*)
-      .orderBy(col("media_id"))
+    import spark.implicits._
+    realMediaTable(spark, dir).mapPartitions(_.map { r =>
+      if (isPng(r.payload) || isJpeg(r.payload)) {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"media_id=${r.media_id}: undecodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (rs, gs, bs) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val px = img.getRGB(x, y)
+            rs += (px >> 16) & 0xff; gs += (px >> 8) & 0xff; bs += px & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val npx = w.toLong * h
+        FeatRow(r.media_id, r.kind, rs / npx, gs / npx, bs / npx, npx)
+      } else if (isWav(r.payload)) {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val buf = new Array[Byte](2)
+        var first = 0L
+        var last = 0L
+        var i = 0L
+        while (i < frames && ais.read(buf) == 2) {
+          val s = ((buf(1) << 8) | (buf(0) & 0xff)).toLong
+          if (i == 0) first = s
+          last = s
+          i += 1
+        }
+        FeatRow(r.media_id, r.kind, fmt.getSampleRate.toLong, frames, first, last)
+      } else {
+        val v = if (isAvi(r.payload)) parseAvi(r.media_id, r.payload)
+                else parseMp4(r.media_id, r.payload)
+        FeatRow(r.media_id, r.kind, v.width, v.height, v.n_tracks, v.duration_ms)
+      }
+    }).toDF().orderBy(col("media_id"))
   }
 }

@@ -879,10 +879,15 @@ object TextAnalysis {
   def vocabGrowth(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
     import graft.functions.TextFunctions
     val d = Tables.loadSpread(spark, dir, "documents")
+    // NOT cached: the exploded token frame is corpus-sized and the
+    // query is one-shot — a cache here outlives the query (nothing
+    // can unpersist it before the final frame materializes) and every
+    // bench rep would stack another corpus of storage pressure.
+    // Recomputing the tokenize for the two aggregations below costs
+    // one extra scan, bounded and private to this job.
     val tk = d.select(col("doc_id"), explode(
         TextFunctions.words(TextFunctions.normalizeText(col("text")))).as("tok"))
       .filter(length(col("tok")) > 0)
-      .cache()
     val perDoc = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
     val firsts = tk.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
     val ranked = d.select(col("doc_id"))

@@ -10,10 +10,14 @@ import graft.operators.Affinity
   * (VERDICT r06 item #4): plan depth must stay BOUNDED as the round
   * count grows, or optimizer time / task-binary size / recompute-on-
   * failure cost all grow linearly with iterations at cluster scale.
-  * `localCheckpoint` every [[Affinity.CheckpointEvery]] rounds replaces
-  * the logical plan with a scan of the checkpointed RDD; these tests
-  * pin that the node count of the final plan no longer grows with the
-  * iteration count, and that checkpointing leaves results unchanged.
+  * Eager checkpointing every CheckpointEvery rounds replaces the
+  * logical plan with a scan of the checkpointed RDD — reliable
+  * `checkpoint()` when the session has a checkpoint dir (cluster
+  * posture: survives executor loss), `localCheckpoint()` otherwise.
+  * These tests pin that the node count of the final plan no longer
+  * grows with the iteration count, that checkpointing leaves results
+  * unchanged, and that reliable mode really writes durable files that
+  * answer after every persisted block is dropped.
   */
 class AffinitySpec extends SparkSpec {
   import spark.implicits._
@@ -69,6 +73,38 @@ class AffinitySpec extends SparkSpec {
     val comms = Affinity.labelPropagation(spark, dir, rounds = 8).collect()
       .map(r => r.getAs[Long]("community") -> r.getAs[Long]("n_members")).toMap
     assert(comms === Map(101L -> 1L, 102L -> 1L, 201L -> 1L, 202L -> 1L))
+  }
+
+  test("reliable checkpoint mode: with a checkpoint dir set, iterative results survive total cache loss") {
+    val sc = spark.sparkContext
+    val ckDir = Files.createTempDirectory("graft_reliable_ck").toString
+    try {
+      sc.setCheckpointDir(ckDir)
+      // run across ≥2 checkpoint rounds in reliable mode
+      val pr = Affinity.pageRankCoSupply(spark, prDir, iters = 5)
+      val expected = pr.collect()
+        .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("score")).toMap
+      // the truncation really went through checkpoint(): files landed
+      // in the durable dir (localCheckpoint writes nothing there)
+      val ckFiles = new java.io.File(ckDir).listFiles()
+      assert(ckFiles != null && ckFiles.nonEmpty,
+        "no reliable checkpoint data written under the checkpoint dir")
+      // simulate losing every executor's storage: blow away ALL
+      // persisted RDD blocks, then re-evaluate the SAME frame. With
+      // localCheckpoint the truncated lineage would be unrecomputable
+      // (blocks died with the "executors"); reliable mode re-reads
+      // the checkpoint files and must reproduce identical scores
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val again = pr.collect()
+        .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("score")).toMap
+      assert(again === expected)
+      // and mode selection changes nothing semantically: the default
+      // local mode computes the same scores
+      sc.setCheckpointDir(null)
+      val localMode = Affinity.pageRankCoSupply(spark, prDir, iters = 5).collect()
+        .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("score")).toMap
+      assert(localMode === expected)
+    } finally sc.setCheckpointDir(null)
   }
 
   test("bfs plan depth is bounded across hops, distances exact") {

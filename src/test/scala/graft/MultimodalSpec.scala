@@ -4,34 +4,60 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
 
-/** Image decode: the REAL `javax.imageio` path for PNG/JPEG payloads
-  * and the deterministic stub fallback for everything else, dispatched
-  * by magic bytes inside one decode stage. */
+/** The magic-byte-dispatched decode stage: every branch is a REAL
+  * JDK parser (imageio for PNG/JPEG, javax.sound for WAV, the RIFF /
+  * ISO-BMFF walkers for AVI/MP4); unrecognized payloads are rejected,
+  * never fabricated. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("decode takes the real imageio path for PNG payloads — true dims, not the stub's") {
-    val png = Multimodal.encodePng(5L) // 21x17, fill rgb(5,35,65)
-    val media = Seq((5L, "image", png)).toDF("media_id", "kind", "payload")
-    val out = Multimodal.decode(spark, media).collect().head
-    assert((out.width, out.height) === (21L, 17L))
-    assert(out.n_frames === 1L)
-    // the stub would have derived dims from byte length — prove the
-    // real decoder disagrees with it on this payload
-    val stubbed = Multimodal.decodeStub(
-      Multimodal.MediaRow(5L, "image", png))
-    assert((stubbed.width, stubbed.height) !== (out.width, out.height))
-    // PNG signature visible in the first-frame hex
-    assert(out.first_frame_hex.startsWith("89504e47"))
+  test("decode dispatches each payload kind by magic to its real parser") {
+    val media = Seq(
+      (5L, "image", Multimodal.encodePng(5L)),  // 21x17
+      (7L, "audio", Multimodal.encodeWav(7L)),  // 20 kHz, 39 frames
+      (4L, "video", Multimodal.encodeAvi(4L)),
+      (9L, "video", Multimodal.encodeMp4(9L))
+    ).toDF("media_id", "kind", "payload")
+    val out = Multimodal.decode(spark, media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert((out(5L).container, out(5L).dim_a, out(5L).dim_b, out(5L).n_units) ===
+      (("png", 21L, 17L, 1L)))
+    assert(out(5L).first8_hex === "89504e470d0a1a0a")
+    assert((out(7L).container, out(7L).dim_a, out(7L).dim_b, out(7L).n_units) ===
+      (("wav", 20000L, 1L, 39L)))
+    assert((out(4L).container, out(4L).dim_a, out(4L).dim_b, out(4L).n_units) ===
+      (("avi", 192L, 152L, 2L)))
+    assert((out(9L).container, out(9L).dim_a, out(9L).dim_b, out(9L).n_units) ===
+      (("mp4", 356L, 276L, 1L)))
   }
 
-  test("decode falls back to the stub for non-image payloads in the same stage") {
-    val media = Seq((7L, "audio", "not an image".getBytes("UTF-8")))
+  test("decode rejects unrecognized payloads loudly instead of fabricating metadata") {
+    val media = Seq((7L, "audio", "not any known container".getBytes("UTF-8")))
       .toDF("media_id", "kind", "payload")
-    val out = Multimodal.decode(spark, media).collect().head
-    val expected = Multimodal.decodeStub(
-      Multimodal.MediaRow(7L, "audio", "not an image".getBytes("UTF-8")))
-    assert(out === expected)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decode(spark, media).collect()
+    }
+    assert(e.getMessage.contains("unrecognized payload magic") ||
+      Option(e.getCause).exists(_.getMessage.contains("unrecognized payload magic")))
+  }
+
+  test("mediaFeatures computes features from decoded content (pixel means, last PCM sample, container probe)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_featdocs").toString
+    // one id per kind branch: 6->image, 7->audio, 8->avi, 11->mp4
+    Seq(6L, 7L, 8L, 11L).map(id => (id, s"doc $id", "en", "src", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.mediaFeatures(spark, dir).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("f0"), r.getAs[Long]("f1"), r.getAs[Long]("f2"), r.getAs[Long]("f3"))).toMap
+    // image 6: solid fill rgb(6, 42, 78); 22x18 px
+    assert(out(6L) === ((6L, 42L, 78L, 22L * 18L)))
+    // audio 7: 20 kHz, 39 frames, ramp first (7%127), last (7+38)%127
+    assert(out(7L) === ((20000L, 39L, 7L, 45L)))
+    // avi 8: 160+0, 120+64? no: 8%16=8 -> 224; 8%9=8 -> 184; tracks 3; dur
+    assert(out(8L) === ((224L, 184L, 3L, (20000L + 8 * 1000) * (100 + 8) / 1000)))
+    // mp4 11: 320+(11%32)*4=364; 240+(11%18)*4=284; tracks 3; dur 5011
+    assert(out(11L) === ((364L, 284L, 3L, 5011L)))
   }
 
   test("audioDecode round trip matches the arithmetic contract (real javax.sound WAV decode)") {
