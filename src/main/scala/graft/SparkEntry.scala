@@ -1262,6 +1262,10 @@ object SparkEntry {
     // discrete inter-order hazard table, exact basis points
     "q192_hazard_table"    -> ((s: SparkSession, d: String) =>
       operators.TimeSeries.interOrderHazard(s, d)),
+    // KMV set algebra on the signatures alone: pooled min-K union,
+    // membership intersection, Jaccard in exact basis points
+    "q193_kmv_algebra"     -> ((s: SparkSession, d: String) =>
+      operators.Sketches.kmvSetAlgebra(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3857,6 +3861,45 @@ object SparkEntry {
         |  FROM cum)
         |SELECT g, n_at_risk, events, hazard_bp
         |FROM top WHERE rk <= 30 ORDER BY g""".stripMargin,
+    // the KMV algebra replayed from the same bottom-64 definition:
+    // per-type signature = 64 smallest distinct md5; pooled min-64 of
+    // each pair = union sketch (its max = theta); intersection =
+    // pooled members present in BOTH signatures; floor-div bp
+    "q193_kmv_algebra" ->
+      """WITH u AS (SELECT DISTINCT event_type,
+        |    md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |r AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM u),
+        |sig AS (SELECT event_type, h FROM r WHERE rk <= 64),
+        |n AS (SELECT event_type, count(*) AS n FROM sig GROUP BY 1),
+        |types AS (SELECT DISTINCT event_type FROM u),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM types a JOIN types b ON a.event_type < b.event_type),
+        |pool AS (SELECT p.type_a, p.type_b, s.h
+        |  FROM pairs p JOIN sig s ON s.event_type IN (p.type_a, p.type_b)
+        |  GROUP BY 1, 2, 3),
+        |pr AS (SELECT type_a, type_b, h, row_number() OVER (
+        |    PARTITION BY type_a, type_b ORDER BY h) AS rk FROM pool),
+        |pk AS (SELECT type_a, type_b, h FROM pr WHERE rk <= 64),
+        |ku AS (SELECT type_a, type_b, count(*) AS k_union, max(h) AS theta_hash
+        |  FROM pk GROUP BY 1, 2),
+        |i AS (SELECT pk.type_a, pk.type_b, count(*) AS n_inter
+        |  FROM pk
+        |  JOIN sig a ON a.event_type = pk.type_a AND a.h = pk.h
+        |  JOIN sig b ON b.event_type = pk.type_b AND b.h = pk.h
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+        |  CAST(ku.k_union AS BIGINT) AS k_union,
+        |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+        |  ku.theta_hash,
+        |  CAST(coalesce(i.n_inter, 0) * 10000 // ku.k_union AS BIGINT) AS jaccard_bp
+        |FROM pairs p
+        |JOIN n na ON na.event_type = p.type_a
+        |JOIN n nb ON nb.event_type = p.type_b
+        |JOIN ku ON ku.type_a = p.type_a AND ku.type_b = p.type_b
+        |LEFT JOIN i ON i.type_a = p.type_a AND i.type_b = p.type_b
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -143,4 +143,52 @@ object Sketches {
         coalesce(col("true_size"), lit(0L)).as("true_size"), col("est_size"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** KMV (theta) SET ALGEBRA between event-type pairs, end-to-end on
+    * the signatures alone — the operation HLL registers cannot
+    * express and the reason [[graft.plans.KmvRegisters]] exists:
+    *
+    *  - union sketch = the pooled min-K of the two signatures
+    *    (`k_union` entries; `theta_hash` is its K-th smallest — the
+    *    threshold every KMV estimate divides by);
+    *  - intersection = pooled-min-K members present in BOTH
+    *    signatures (`n_inter`);
+    *  - `jaccard_bp` = n_inter · 10⁴ div k_union, the
+    *    [[graft.plans.KmvRegisters.jaccard]] estimator in exact basis
+    *    points.
+    *
+    * Everything emitted is integer- or string-exact (counts, the
+    * pooled K-th hash, floor-div basis points), so the DuckDB oracle
+    * reproduces the full algebra from the same md5 bottom-k
+    * definition — this gate makes the set algebra itself
+    * oracle-checked, not just spec-checked.
+    *
+    * Scale posture: after the one sketch aggregation (bounded ~2 KB
+    * state per type per partition), the algebra runs on S×S signature
+    * ROWS — array expressions over ≤ K-element arrays, no second look
+    * at the events table. That is the production shape: overlap
+    * matrices across sources/days from stored sketches, zero event
+    * re-reads. */
+  def kmvSetAlgebra(spark: SparkSession, dir: String): DataFrame = {
+    val k = graft.plans.KmvRegisters.K
+    val e = Tables.loadEvents(spark, dir)
+      .select(col("event_type"), col("user_id").cast("string").as("u"))
+    val sk = e.groupBy(col("event_type"))
+      .agg(call_function("kmv_registers", col("u")).as("sig"))
+    sk.select(col("event_type").as("type_a"), col("sig").as("sa"))
+      .join(sk.select(col("event_type").as("type_b"), col("sig").as("sb")),
+        col("type_a") < col("type_b"))
+      .withColumn("pk",
+        expr(s"slice(array_sort(array_distinct(concat(sa, sb))), 1, $k)"))
+      .withColumn("n_inter", expr(
+        "CAST(size(filter(pk, h -> array_contains(sa, h) AND array_contains(sb, h))) AS BIGINT)"))
+      .select(col("type_a"), col("type_b"),
+        size(col("sa")).cast("long").as("n_a"),
+        size(col("sb")).cast("long").as("n_b"),
+        size(col("pk")).cast("long").as("k_union"),
+        col("n_inter"),
+        element_at(col("pk"), -1).as("theta_hash"),
+        expr("CAST(n_inter * 10000 div size(pk) AS BIGINT)").as("jaccard_bp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

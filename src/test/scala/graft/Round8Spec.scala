@@ -43,6 +43,26 @@ class Round8Spec extends SparkSpec {
     assert(KmvRegisters.estimate(empty) === 0.0)
   }
 
+  test("kmv set algebra: disjoint types estimate Jaccard 0, identical types 10000 bp") {
+    val dir = Files.createTempDirectory("graft_kmv_alg").toString
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-03-01 10:00:00")
+    // 'a' and 'b' share every user (identical sets); 'c' is disjoint
+    val rows =
+      (1L to 40L).flatMap(u => Seq(("a", u), ("b", u))) ++
+      (1001L to 1040L).map(u => ("c", u))
+    rows.zipWithIndex.map { case ((et, u), i) => (i.toLong, t0, u, et, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Sketches.kmvSetAlgebra(spark, dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        (r.getAs[Long]("k_union"), r.getAs[Long]("n_inter"), r.getAs[Long]("jaccard_bp"))).toMap
+    // below capacity the signatures ARE the sets: algebra is exact
+    assert(out(("a", "b")) === ((40L, 40L, 10000L)))
+    assert(out(("a", "c")) === ((64L, 0L, 0L)))
+    assert(out(("b", "c")) === ((64L, 0L, 0L)))
+  }
+
   // ---------------------------------------------------------------
   // q178 self-idempotency (ADVICE r07): the fixture is cached
   // per-JVM but the DMLs run on every invocation (bench warmup +
