@@ -1266,6 +1266,9 @@ object SparkEntry {
     // membership intersection, Jaccard in exact basis points
     "q193_kmv_algebra"     -> ((s: SparkSession, d: String) =>
       operators.Sketches.kmvSetAlgebra(s, d)),
+    // log-linear quantile histogram readout vs the exact rank walk
+    "q194_log_quantiles"   -> ((s: SparkSession, d: String) =>
+      operators.Sketches.logQuantiles(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3900,6 +3903,43 @@ object SparkEntry {
         |JOIN ku ON ku.type_a = p.type_a AND ku.type_b = p.type_b
         |LEFT JOIN i ON i.type_a = p.type_a AND i.type_b = p.type_b
         |ORDER BY p.type_a, p.type_b""".stripMargin,
+    // identical log-linear bucketing: (bit length, leading 5 bits);
+    // est = upper bound of the first bucket reaching rank ceil(q·n),
+    // true = exact type-1 quantile by the same rank walk over values
+    "q194_log_quantiles" ->
+      """WITH o AS (SELECT o_orderstatus AS status,
+        |    CAST(floor(o_totalprice) AS BIGINT) AS v
+        |  FROM orders WHERE floor(o_totalprice) >= 1),
+        |bk AS (SELECT status, v, length(printf('%b', v)) AS blen FROM o),
+        |bp AS (SELECT status, blen,
+        |    CASE WHEN blen >= 5 THEN v >> (blen - 5) ELSE v END AS p
+        |  FROM bk),
+        |buckets AS (SELECT status, blen, p, count(*) AS c,
+        |    CASE WHEN blen >= 5 THEN ((p + 1) << (blen - 5)) - 1 ELSE p END AS upper
+        |  FROM bp GROUP BY 1, 2, 3),
+        |tot AS (SELECT status, count(*) AS n FROM o GROUP BY 1),
+        |ranks AS (SELECT t.status, t.n, q.q, (q.q * t.n + 99) // 100 AS rank
+        |  FROM tot t, (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
+        |                      (CAST(99 AS BIGINT))) q(q)),
+        |cum AS (SELECT status, blen, p, upper,
+        |    sum(c) OVER (PARTITION BY status ORDER BY blen, p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM buckets),
+        |est AS (SELECT r.status, r.q, r.n, min(cu.upper) AS est_v
+        |  FROM ranks r JOIN cum cu ON cu.status = r.status AND cu.cum >= r.rank
+        |  GROUP BY 1, 2, 3),
+        |vc AS (SELECT status, v, count(*) AS c FROM o GROUP BY 1, 2),
+        |vcum AS (SELECT status, v, sum(c) OVER (PARTITION BY status ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc),
+        |tru AS (SELECT r.status, r.q, min(vu.v) AS true_v
+        |  FROM ranks r JOIN vcum vu ON vu.status = r.status AND vu.cum >= r.rank
+        |  GROUP BY 1, 2)
+        |SELECT e.status, e.q, CAST(e.n AS BIGINT) AS n,
+        |  CAST(t.true_v AS BIGINT) AS true_v,
+        |  CAST(e.est_v AS BIGINT) AS est_v,
+        |  CAST((e.est_v - t.true_v) * 10000 // t.true_v AS BIGINT) AS err_bp
+        |FROM est e JOIN tru t ON t.status = e.status AND t.q = e.q
+        |ORDER BY e.status, e.q""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

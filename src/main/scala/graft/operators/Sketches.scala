@@ -191,4 +191,68 @@ object Sketches {
         expr("CAST(n_inter * 10000 div size(pk) AS BIGINT)").as("jaccard_bp"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** Log-linear quantile HISTOGRAM (the DDSketch / HDR-histogram
+    * family) with a bounded-relative-error readout, audited against
+    * the exact rank walk:
+    *
+    * Every positive value lands in the bucket keyed by its bit length
+    * and its leading 5 bits — (blen, v >> (blen−5)) — so there are at
+    * most 16 log-linear buckets per octave and any value in a bucket
+    * is within 2⁻⁴ (≈ 6.25%) of the bucket's upper bound. Bucket
+    * counts are plain integers: the sketch state is ADDITIVE
+    * (mergeable across partitions, days, shards by summing counts),
+    * bounded (≲ 16·64 buckets covers the whole Long range), and the
+    * readout for quantile q is the upper bound of the first bucket
+    * whose cumulative count reaches rank ⌈q·n⌉ — a guaranteed
+    * OVER-estimate within the relative error bound.
+    *
+    * The gate emits est next to the exact type-1 quantile (smallest v
+    * with cumulative count ≥ rank — the same compressed-bin rank walk
+    * as q162, never a global row sort) and the signed error in basis
+    * points, all integer-exact.
+    *
+    * Scale posture: two shuffles on compressed keys (bucket counts ≈
+    * hundreds of rows per group; exact side compresses to distinct
+    * values first); the at-scale path stores ONLY the bucket counts —
+    * the exact side exists because the gate must prove the error
+    * bound. */
+  def logQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = Seq(50, 90, 99)
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderstatus").as("status"),
+        floor(col("o_totalprice")).cast("long").as("v"))
+      .filter(col("v") >= 1)
+    // log-linear bucket: key (blen, p), upper bound from the key alone
+    val bk = o.withColumn("blen", length(bin(col("v"))).cast("int"))
+      .withColumn("p", expr("CASE WHEN blen >= 5 THEN shiftright(v, blen - 5) ELSE v END"))
+    val buckets = bk.groupBy(col("status"), col("blen"), col("p"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("upper", expr(
+        "CASE WHEN blen >= 5 THEN shiftleft(p + 1, blen - 5) - 1 ELSE p END"))
+    val tot = o.groupBy(col("status")).agg(count(lit(1)).as("n"))
+    val ranks = tot
+      .withColumn("q", explode(array(qs.map(q => lit(q.toLong)): _*)))
+      .withColumn("rank", expr("(q * n + 99) div 100")) // ⌈q·n/100⌉, all-integer
+    val wb = Window.partitionBy(col("status")).orderBy(col("blen"), col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val est = buckets.withColumn("cum", sum(col("c")).over(wb))
+      .join(ranks, Seq("status"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("status"), col("q"), col("n"))
+      .agg(min(col("upper")).as("est_v"))
+    val wv = Window.partitionBy(col("status")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = o.groupBy(col("status"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wv))
+      .join(ranks, Seq("status"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("status"), col("q"))
+      .agg(min(col("v")).as("true_v"))
+    est.join(exact, Seq("status", "q"))
+      .select(col("status"), col("q"), col("n"), col("true_v"), col("est_v"),
+        expr("CAST((est_v - true_v) * 10000 div true_v AS BIGINT)").as("err_bp"))
+      .orderBy(col("status"), col("q"))
+  }
 }

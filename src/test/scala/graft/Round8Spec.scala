@@ -63,6 +63,17 @@ class Round8Spec extends SparkSpec {
     assert(out(("b", "c")) === ((64L, 0L, 0L)))
   }
 
+  test("log-linear quantile readout always over-estimates within the 2^-4 relative bound") {
+    val out = graft.operators.Sketches.logQuantiles(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 9) // 3 statuses x q in {50, 90, 99}
+    out.foreach { r =>
+      val (tru, est, err) = (r.getAs[Long]("true_v"), r.getAs[Long]("est_v"),
+        r.getAs[Long]("err_bp"))
+      assert(est >= tru, s"readout must over-estimate: $r")
+      assert(err >= 0L && err <= 625L, s"relative error beyond 2^-4 bound: $r")
+    }
+  }
+
   // ---------------------------------------------------------------
   // q178 self-idempotency (ADVICE r07): the fixture is cached
   // per-JVM but the DMLs run on every invocation (bench warmup +
