@@ -35,6 +35,26 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_sum"))
 
+  /** Watermarked windowed DISTINCT-USER sketching: the native
+    * [[graft.plans.HllRegisters]] aggregate running INSIDE a
+    * Structured Streaming window aggregation. A streaming
+    * COUNT(DISTINCT) is either unsupported or needs per-user dedup
+    * state proportional to cardinality; the HLL registers are a
+    * 256-byte max-mergeable buffer per (window × event_type), so the
+    * streaming state is bounded by the number of LIVE WINDOWS, never
+    * by user cardinality — and because the merge is the same
+    * associative register-max the batch path uses, a window's final
+    * registers are bit-identical to a batch recompute over the same
+    * rows (pinned by StreamingSpec). The emitted registers feed
+    * [[graft.plans.HllRegisters.estimate]] or union with other
+    * slices' sketches downstream. */
+  def hourlyDistinctSketch(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(call_function("hll_registers", col("user_id").cast("string")).as("regs"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("regs"))
+
   /** Watermarked SLIDING event-time windows (length > slide → each
     * event lands in length/slide windows): the trend-detection shape.
     * Same bounded-state story as [[hourlyCounts]] — the watermark

@@ -33,6 +33,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed HLL sketch in a stream equals the batch registers over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String, Long)]
+    val events = source.toDF().toDF("ts", "event_type", "user_id")
+    val q = EventStreams.hourlyDistinctSketch(events).writeStream
+      .format("memory").queryName("hll_stream").outputMode("complete").start()
+    try {
+      // two micro-batches; duplicate users within and ACROSS batches
+      // must collapse in the register merge, not in any per-user state
+      source.addData((ts(0), "click", 1L), (ts(5), "click", 2L), (ts(10), "click", 1L),
+        (ts(70), "view", 9L))
+      q.processAllAvailable()
+      source.addData((ts(20), "click", 2L), (ts(25), "click", 3L), (ts(75), "view", 9L))
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream")
+        .select(date_format(col("window_start"), "HH:mm").as("h"),
+          col("event_type"), col("regs"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getSeq[Int](2)).toMap
+      // batch recompute over the identical rows
+      val batch = Seq(
+        ("22:00", "click", Seq(1L, 2L, 1L, 2L, 3L)),
+        ("23:00", "view", Seq(9L, 9L)))
+      batch.foreach { case (h, et, users) =>
+        val regs = users.toDF("u")
+          .agg(call_function("hll_registers", col("u").cast("string")))
+          .collect().head.getSeq[Int](0)
+        assert(streamed((h, et)) === regs,
+          s"stream/batch register mismatch for ($h, $et)")
+      }
+      // distinct estimates come out of the streamed registers directly
+      val est = graft.plans.HllRegisters.estimate(streamed(("22:00", "click")))
+      assert(math.abs(est - 3.0) < 1.5, s"estimate off for 3 distincts: $est")
+    } finally q.stop()
+  }
+
   test("gap sessionization with keyed state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Evt]
