@@ -136,28 +136,34 @@ class Round8Spec extends SparkSpec {
   // plan routes the semi-join through the salted key.
   // ---------------------------------------------------------------
 
-  test("duplicatedSpans: corpus-wide boilerplate 8-gram is salted across sub-keys, coverage exact") {
+  test("duplicatedSpans: a 10^5-repeat boilerplate 8-gram is salted across sub-keys, coverage exact") {
     val dir = Files.createTempDirectory("graft_boiler").toString
-    val nDocs = 300
-    (0 until nDocs).map { i =>
-      // 8 shared boilerplate tokens + 2 unique: windows at pos 1 and 2
-      // cross into the unique tail (unduplicated), so exactly tokens
-      // 0..7 are covered → dup_tokens = 8 of n_toks = 10
-      val text = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
-        s"unique$i tail$i"
-      (i.toLong, text, "en", "src", text.length.toLong)
-    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // 100k documents all sharing ONE boilerplate 8-gram — without the
+    // salt every one of these rows would hash to a single reduce task
+    // in the semi-join back; with SpanJoinSalts sub-keys no task sees
+    // more than ~1/16 of them
+    val nDocs = 100000
+    spark.range(nDocs.toLong).selectExpr(
+        "id AS doc_id",
+        // 8 shared boilerplate tokens + 2 unique: windows at pos 1
+        // and 2 cross into the unique tail (unduplicated), so exactly
+        // tokens 0..7 are covered → dup_tokens = 8 of n_toks = 10
+        "concat('lorem ipsum dolor sit amet consectetur adipiscing elit ', " +
+          "'unique', id, ' tail', id) AS text",
+        "'en' AS lang", "'src' AS source", "CAST(60 AS BIGINT) AS n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val df = graft.operators.Dedup.duplicatedSpans(spark, dir)
     // the salted semi-join is in the plan (doc/pos-hashed sub-key)
     assert(df.queryExecution.optimizedPlan.toString.contains("xxhash64"),
       "expected the salted (h, salt) semi-join in the plan")
-    val rows = df.collect()
-    assert(rows.length === nDocs)
-    rows.foreach { r =>
-      assert(r.getAs[Long]("n_toks") === 10L)
-      assert(r.getAs[Long]("dup_tokens") === 8L)
-      assert(r.getAs[Double]("dup_frac") === 0.8)
-    }
+    // aggregate-side assertions: every doc reports exactly the
+    // boilerplate coverage (one distinct shape across all 100k rows)
+    val shape = df.groupBy(col("n_toks"), col("dup_tokens"), col("dup_frac"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(shape.length === 1)
+    assert(shape.head.getAs[Long]("n_toks") === 10L)
+    assert(shape.head.getAs[Long]("dup_tokens") === 8L)
+    assert(shape.head.getAs[Double]("dup_frac") === 0.8)
+    assert(shape.head.getAs[Long]("n") === nDocs.toLong)
   }
 }
