@@ -81,6 +81,12 @@ object Multimodal {
   def realMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+      // the per-row encode AND the decode stage downstream are
+      // CPU-heavy codec loops, and the single-file id scan is ONE
+      // split — spread the (tiny) id column across all cores first,
+      // same tradeoff as gifFrames (measured q58 1.2 s → ~0.4 s at
+      // sf0.1; the shuffle moves 8 bytes/row)
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         (id % 3) match {
           case 0 => MediaRow(id, "image", encodePng(id))
