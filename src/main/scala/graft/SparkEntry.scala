@@ -1269,6 +1269,36 @@ object SparkEntry {
     // log-linear quantile histogram readout vs the exact rank walk
     "q194_log_quantiles"   -> ((s: SparkSession, d: String) =>
       operators.Sketches.logQuantiles(s, d)),
+    // bounded bigram LM trained on the English slice (count-pruned
+    // model + context totals + successor vocab), top-k readout
+    "q195_lm_train"        -> ((s: SparkSession, d: String) =>
+      operators.LanguageModel.bigramLmTrain(s, d)),
+    // CCNet-style perplexity filter: integer-exact whole-bit
+    // surprisal per bigram, bits/token + keep flag per document
+    "q196_lm_bits_filter"  -> ((s: SparkSession, d: String) =>
+      operators.LanguageModel.bitsPerToken(s, d)),
+    // DSIR importance-resampling weights: hashed-bigram bucket
+    // distributions, log2(p_target/p_raw) in exact integer bits
+    "q197_dsir_weights"    -> ((s: SparkSession, d: String) =>
+      operators.LanguageModel.dsirWeights(s, d)),
+    // PPJoin prefix-filtered exact set-similarity self-join; the
+    // oracle is the UNfiltered all-pairs join (losslessness proof)
+    "q198_setsim_prefix"   -> ((s: SparkSession, d: String) =>
+      operators.SetSimJoin.prefixJoin(s, d)),
+    // T5-style temperature (α=1/2) source mixture with
+    // largest-remainder integer quota allocation
+    "q199_temp_mixture"    -> ((s: SparkSession, d: String) =>
+      operators.Sampling.temperatureMixture(s, d)),
+    // tokenizer fertility by language under the corpus-trained BPE
+    "q200_bpe_fertility"   -> ((s: SparkSession, d: String) =>
+      operators.TextAnalysis.bpeFertility(s, d)),
+    // winnowing (MOSS) fingerprints → shared-fingerprint pairs,
+    // hot-capped in both engines
+    "q201_winnow_pairs"    -> ((s: SparkSession, d: String) =>
+      operators.Winnowing.sharedFingerprintPairs(s, d)),
+    // per-language top-half quality pruning, integer rank predicate
+    "q202_percentile_prune" -> ((s: SparkSession, d: String) =>
+      operators.Sampling.percentilePrune(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -3940,6 +3970,151 @@ object SparkEntry {
         |  CAST((e.est_v - t.true_v) * 10000 // t.true_v AS BIGINT) AS err_bp
         |FROM est e JOIN tru t ON t.status = e.status AND t.q = e.q
         |ORDER BY e.status, e.q""".stripMargin,
+    // identical bigram extraction + add-one model; count-pruned at
+    // MinCount=2; whole-bit surprisal = length(bin(b // a)) - 1
+    "q195_lm_train" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split($normSqlDuck, ' ') AS w FROM documents),
+        |bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+        |  FROM w, unnest(generate_series(1, greatest(len(w) - 1, 0))) t(i)
+        |  WHERE lang = 'en'),
+        |m AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ctx AS (SELECT w1, count(*) AS ctx_total FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2) AS v FROM bg),
+        |r AS (SELECT m.w1, m.w2, m.c, ctx.ctx_total, v.v,
+        |    row_number() OVER (ORDER BY m.c DESC, m.w1, m.w2) AS rk
+        |  FROM m JOIN ctx USING (w1), v)
+        |SELECT w1, w2, CAST(c AS BIGINT) AS c, CAST(ctx_total AS BIGINT) AS ctx_total,
+        |  CAST(v AS BIGINT) AS v, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 50 ORDER BY rk""".stripMargin,
+    "q196_lm_bits_filter" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split($normSqlDuck, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+        |  FROM w, unnest(generate_series(1, greatest(len(w) - 1, 0))) t(i)),
+        |tbg AS (SELECT w1, w2 FROM bg WHERE lang = 'en'),
+        |m AS (SELECT w1, w2, count(*) AS c FROM tbg GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ctx AS (SELECT w1, count(*) AS ctx_total FROM tbg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2) AS v FROM tbg),
+        |sc AS (SELECT bg.doc_id, bg.lang,
+        |    length(printf('%b',
+        |      (coalesce(ctx.ctx_total, 0) + v.v) // (coalesce(m.c, 0) + 1))) - 1 AS bits
+        |  FROM bg LEFT JOIN m ON m.w1 = bg.w1 AND m.w2 = bg.w2
+        |    LEFT JOIN ctx ON ctx.w1 = bg.w1, v),
+        |agg AS (SELECT doc_id, lang, count(*) AS n_bigrams, sum(bits) AS bits_total
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(bits_total AS BIGINT) AS bits_total,
+        |  CAST(bits_total AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS bpt,
+        |  CAST(CASE WHEN CAST(bits_total AS DOUBLE) / CAST(n_bigrams AS DOUBLE) <= 7.0
+        |    THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // identical md5 two-hex-digit feature hash (256 buckets); weight
+    // = Σ (raw surprisal bits − target surprisal bits)
+    "q197_dsir_weights" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split($normSqlDuck, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS g
+        |  FROM w, unnest(generate_series(1, greatest(len(w) - 1, 0))) t(i)),
+        |f AS (SELECT doc_id, lang,
+        |    CAST(strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1 AS BIGINT) * 16
+        |      + CAST(strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1 AS BIGINT) AS f
+        |  FROM bg),
+        |tgt AS (SELECT f, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY 1),
+        |nt AS (SELECT count(*) AS n_t FROM f WHERE lang = 'en'),
+        |raw AS (SELECT f, count(*) AS cr FROM f GROUP BY 1),
+        |nr AS (SELECT count(*) AS n_r FROM f),
+        |bits AS (SELECT raw.f,
+        |    (length(printf('%b', (n_r + 256) // (cr + 1))) - 1)
+        |      - (length(printf('%b', (n_t + 256) // (coalesce(ct, 0) + 1))) - 1) AS dbits
+        |  FROM raw LEFT JOIN tgt USING (f), nt, nr),
+        |d AS (SELECT doc_id, lang, count(*) AS n_feats, sum(dbits) AS weight_bits
+        |  FROM f JOIN bits USING (f) GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (ORDER BY weight_bits DESC, doc_id) AS rk FROM d)
+        |SELECT doc_id, lang, CAST(n_feats AS BIGINT) AS n_feats,
+        |  CAST(weight_bits AS BIGINT) AS weight_bits, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 100 ORDER BY rk""".stripMargin,
+    // NO prefix filter here: the exact all-pairs join is the oracle,
+    // so a hash-match is an end-to-end losslessness proof for the
+    // Spark side's prefix-filtered candidate generation
+    "q198_setsim_prefix" ->
+      s"""$shingleCte,
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT x.da, x.db, CAST(ca.n AS BIGINT) AS na, CAST(cb.n AS BIGINT) AS nb,
+        |  CAST(x.i AS BIGINT) AS i,
+        |  round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) AS jaccard
+        |FROM inter x JOIN cnt ca ON ca.doc_id = x.da JOIN cnt cb ON cb.doc_id = x.db
+        |WHERE x.i * 2 >= (ca.n + cb.n - x.i) * 1
+        |ORDER BY x.da, x.db""".stripMargin,
+    // identical α=1/2 temperature mixture; Σw via list_reduce over
+    // the source-ordered list (explicit left fold — matches Spark's
+    // aggregate() fold; windowed SUM association is engine-internal)
+    "q199_temp_mixture" ->
+      """WITH t AS (SELECT source, len(string_split(text, ' ')) AS toks FROM documents),
+        |s AS (SELECT source, sum(toks) AS n_tokens FROM t GROUP BY 1),
+        |tot AS (SELECT sum(n_tokens) AS total_tokens FROM s),
+        |w AS (SELECT source, n_tokens,
+        |    sqrt(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS w
+        |  FROM s, tot),
+        |nrm AS (SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS norm FROM w),
+        |q AS (SELECT source, n_tokens, w / norm AS share,
+        |    CAST(floor(100000.0 * (w / norm)) AS BIGINT) AS quota_base,
+        |    100000.0 * (w / norm) - floor(100000.0 * (w / norm)) AS rem
+        |  FROM w, nrm),
+        |l AS (SELECT *, 100000 - sum(quota_base) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, share,
+        |  CAST(quota_base AS BIGINT) AS quota_base, CAST(rk AS BIGINT) AS rk,
+        |  CAST(quota_base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM l ORDER BY source""".stripMargin,
+    // q98's type-table tokenization rolled up by language
+    "q200_bpe_fertility" -> bpeFertilitySqlDuck,
+    // identical winnowing: k=8 char-gram md5s, window-of-4 min,
+    // truncated-tail suppression with the short-doc guarantee, hot
+    // cap 50, relative containment shared·4 ≥ min(fpa, fpb)
+    "q201_winnow_pairs" ->
+      s"""WITH n AS (SELECT doc_id, $normSqlDuck AS norm FROM documents),
+        |g AS (SELECT doc_id, i AS p, md5(substr(norm, i, 8)) AS h,
+        |    length(norm) - 7 AS nk
+        |  FROM n, unnest(generate_series(1, length(norm) - 7)) t(i)
+        |  WHERE length(norm) >= 8),
+        |fp0 AS (SELECT doc_id, p, nk,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM g),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM fp0 WHERE p <= greatest(nk - 3, 1)),
+        |cnt AS (SELECT doc_id, count(*) AS nfp FROM fps GROUP BY 1),
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+        |k AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp)),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+        |  FROM k a JOIN k b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT p.da, p.db, CAST(ca.nfp AS BIGINT) AS fpa, CAST(cb.nfp AS BIGINT) AS fpb,
+        |  CAST(p.shared AS BIGINT) AS shared,
+        |  round(p.shared * 1.0 / least(ca.nfp, cb.nfp), 4) AS containment
+        |FROM pairs p JOIN cnt ca ON ca.doc_id = p.da JOIN cnt cb ON cb.doc_id = p.db
+        |WHERE p.shared * 4 >= least(ca.nfp, cb.nfp)
+        |ORDER BY p.da, p.db""".stripMargin,
+    // q19's quality formula + per-language rank; keep iff 2·rk ≤ n
+    "q202_percentile_prune" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    length(text) AS n_chars,
+        |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','of','and','is','to','in'))) AS n_stopwords
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |    least((n_chars - (n_words - 1)) * 1.0 / n_words / 8.0, 1.0) * 0.4
+        |      + (1.0 - n_punct * 1.0 / n_chars) * 0.3
+        |      + least(n_stopwords * 1.0 / n_words * 4.0, 1.0) * 0.3 AS q
+        |  FROM q),
+        |r AS (SELECT doc_id, lang, q,
+        |    row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM s)
+        |SELECT doc_id, lang, q, CAST(rk AS BIGINT) AS rk,
+        |  CAST(n_lang AS BIGINT) AS n_lang,
+        |  CAST(CASE WHEN rk * 2 <= n_lang THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition
@@ -4163,6 +4338,28 @@ object SparkEntry {
        |  CAST(sum(len(ty$BpeMerges.syms)) AS BIGINT) AS bpe_tokens
        |FROM t2 JOIN ty$BpeMerges USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** q200: q98's per-doc token counts rolled up by language. */
+  private val bpeFertilitySqlDuck: String = {
+    val steps = (0 until BpeMerges).map(t =>
+      bpeApplyStepSql(s"y$t", s"ty$t", s"ty${t + 1}", s"top$t", ""))
+      .mkString("\n").stripSuffix(",")
+    s"""$bpeTrainPreludeDuck
+       |t2 AS MATERIALIZED (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+       |ty0 AS MATERIALIZED (SELECT word,
+       |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
+       |  FROM (SELECT DISTINCT word FROM t2)),
+       |$steps,
+       |per AS (SELECT doc_id, count(*) AS ws, CAST(sum(len(ty$BpeMerges.syms)) AS BIGINT) AS bpe
+       |  FROM t2 JOIN ty$BpeMerges USING (word) GROUP BY doc_id),
+       |dl AS (SELECT doc_id, lang FROM documents)
+       |SELECT dl.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(per.ws) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(per.bpe) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(per.bpe) AS DOUBLE) / CAST(sum(per.ws) AS DOUBLE) AS fertility
+       |FROM per JOIN dl USING (doc_id)
+       |GROUP BY dl.lang ORDER BY dl.lang""".stripMargin
   }
 
   /** q101: product-quantization ANN unrolled — per subspace a sliced

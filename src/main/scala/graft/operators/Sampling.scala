@@ -182,4 +182,81 @@ object Sampling {
       .orderBy(col("skey").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Token budget the temperature mixture allocates. */
+  val MixtureBudget = 100000L
+
+  /** Temperature-smoothed source mixture (the multilingual-T5 /
+    * XLM-R α-sampling scheme, α = 1/2): sampling weight per source is
+    * p^α — sqrt flattens the source-size distribution so giant
+    * sources stop drowning the tail — then the token budget is
+    * apportioned by largest-remainder rounding, which hands out
+    * integer quotas that sum EXACTLY to the budget.
+    *
+    * Determinism discipline (this result is float-bearing and still
+    * hash-gated): p is one exact division of longs; sqrt is
+    * correctly-rounded by IEEE-754 in every engine; and the weight
+    * normalizer Σw is an EXPLICIT left fold over the weights sorted
+    * by source — `aggregate(array_sort(collect_list(...)))` here,
+    * `list_reduce(list(w ORDER BY source))` in the oracle — because a
+    * plain SUM's float accumulation order is engine-internal (DuckDB
+    * window sums use segment trees; Spark partial aggregates combine
+    * in partition order). The source dimension is bounded (a mixture
+    * has tens of entries, not millions), so the fold array and the
+    * one ranking window hold a handful of post-aggregate rows. */
+  def temperatureMixture(spark: SparkSession, dir: String,
+                         budget: Long = MixtureBudget): DataFrame = {
+    import graft.functions.TextFunctions.words
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.loadSpread(spark, dir, "documents")
+      .select(col("source"), size(words(col("text"))).cast("long").as("toks"))
+      .groupBy(col("source")).agg(sum(col("toks")).as("n_tokens"))
+    val tot = s.agg(sum(col("n_tokens")).as("total_tokens"))
+    val wdf = s.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("w", sqrt(col("p")))
+    val norm = wdf.agg(
+      aggregate(
+        transform(array_sort(collect_list(struct(col("source"), col("w")))),
+          x => x("w")),
+        lit(0.0), (acc, x) => acc + x).as("norm"))
+    wdf.crossJoin(broadcast(norm))
+      .withColumn("share", col("w") / col("norm"))
+      .withColumn("quota_base", floor(lit(budget.toDouble) * col("share")).cast("long"))
+      .withColumn("rem", lit(budget.toDouble) * col("share") - col("quota_base").cast("double"))
+      .withColumn("leftover",
+        lit(budget) - sum(col("quota_base")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rk", row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn("quota", col("quota_base") +
+        when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("share"),
+        col("quota_base"), col("rk").cast("long").as("rk"), col("quota"))
+      .orderBy(col("source"))
+  }
+
+  /** Stratified percentile pruning (the FineWeb-Edu / classifier-
+    * threshold pattern, with the corpus's own quality score standing
+    * in for the classifier): WITHIN each language, keep the top half
+    * by quality. Per-stratum percentile — not a global cut — so
+    * low-resource languages aren't wiped out by the dominant one's
+    * score distribution. The keep decision is the integer predicate
+    * `2·rk ≤ n` over a per-language rank (quality desc, doc_id) —
+    * no float percentile boundary. Windows are partitioned by lang:
+    * each stratum ranks independently, in parallel. */
+  def percentilePrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityExpr
+    import org.apache.spark.sql.expressions.Window
+    val perLang = Window.partitionBy(col("lang"))
+    val rankW = Window.partitionBy(col("lang"))
+      .orderBy(col("q").desc, col("doc_id"))
+    Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), qualityExpr(col("text")).as("q"))
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(perLang))
+      .withColumn("kept", (col("rk") * 2 <= col("n_lang")).cast("int"))
+      .select(col("doc_id"), col("lang"), col("q"), col("rk"),
+        col("n_lang"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
 }

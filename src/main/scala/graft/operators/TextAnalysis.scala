@@ -915,4 +915,25 @@ object TextAnalysis {
         col("total_tokens"), col("distinct_tokens"))
       .orderBy(col("k"))
   }
+
+  /** Tokenizer fertility by language: BPE pieces per whitespace word
+    * under the corpus-trained merges ([[bpeApplyCounts]]'s per-doc
+    * counts rolled up by lang). THE sanity metric before committing
+    * to a tokenizer — a language with fertility ≫ the corpus mean is
+    * being shattered into characters (under-represented in the merge
+    * table), inflating its effective sequence length and training
+    * cost. Exact integer sums; one final division per language. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val per = bpeApplyCounts(spark, dir)
+    val langs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    per.join(langs, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("ws_tokens"),
+        sum(col("bpe_tokens")).as("bpe_tokens"))
+      .withColumn("fertility",
+        col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+      .orderBy(col("lang"))
+  }
 }

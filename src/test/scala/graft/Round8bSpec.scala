@@ -1,0 +1,231 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LanguageModel, Sampling, SetSimJoin}
+
+/** Round-8 additions: the n-gram LM family (q195–q197), the
+  * prefix-filtered exact set-similarity join (q198), and the
+  * temperature mixture allocator (q199) — each pinned on planted
+  * corpora where the exact answer is arithmetic. */
+class Round8bSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plant a documents.parquet fixture; rows = (doc_id, text, lang). */
+  private def docsDir(rows: Seq[(Long, String, String)], source: Long => String = _ => "src0"): String = {
+    val dir = Files.createTempDirectory("graft_r8b").toString
+    rows.map { case (id, text, lang) => (id, text, lang, source(id), text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---------------------------------------------------------------
+  // q195/q196: bounded bigram LM + whole-bit surprisal scoring
+  // ---------------------------------------------------------------
+
+  test("lm: whole-bit surprisal is exactly floor(log2(b/a)) across the integer sweep") {
+    // the length(bin(b div a)) - 1 identity the oracle relies on
+    val rows = for (b <- 1L to 400L; a <- 1L to b) yield (b, a)
+    val out = rows.toDF("b_", "a_")
+      .withColumn("bits", (length(bin(expr("b_ div a_"))) - 1).cast("long"))
+      .collect()
+    out.foreach { r =>
+      val (b, a, bits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expected = math.floor(math.log(b.toDouble / a) / math.log(2.0)).toLong
+      assert(bits === expected, s"b=$b a=$a")
+    }
+  }
+
+  test("lm train: counts, context totals and vocab are exact on a planted corpus") {
+    // en training text: "a b a b a c" → bigrams: (a,b)x2, (b,a)x2, (a,c)x1
+    // MinCount=2 prunes (a,c); ctx(a)=3, ctx(b)=2; successor vocab {b,a,c}=3
+    val dir = docsDir(Seq(
+      (1L, "a b a b a c", "en"),
+      (2L, "x y z", "fr"))) // non-en never trains
+    val m = LanguageModel.bigramLmTrain(spark, dir).collect()
+    assert(m.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ===
+      Set(("a", "b", 2L), ("b", "a", 2L)))
+    assert(m.forall(_.getAs[Long]("v") === 3L))
+    assert(m.filter(_.getString(0) == "a").forall(_.getAs[Long]("ctx_total") === 3L))
+    assert(m.filter(_.getString(0) == "b").forall(_.getAs[Long]("ctx_total") === 2L))
+  }
+
+  test("lm bits filter: in-model docs score low, out-of-vocab docs score the uniform fallback") {
+    // training: heavy "a b" repetition → (a,b) well-modeled.
+    // ctx(a)=25 (a always followed by b), c(a,b)=25, v=2:
+    // seen bigram bits = floor(log2((25+2)/26)) = 0 bits.
+    // OOV doc: ctx unseen → bits = floor(log2(v)) = 1 per bigram.
+    val train = (1 to 25).map(_ => "a b").mkString(" ") // "a b a b ..." 50 tokens
+    val dir = docsDir(Seq(
+      (1L, train, "en"),
+      (2L, "a b a b a b", "de"),   // all bigrams in-model or cheap
+      (3L, "qq ww qq ww qq", "de"))) // fully OOV
+    val out = LanguageModel.bitsPerToken(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val oov = out(3L)
+    assert(oov.getAs[Long]("n_bigrams") === 4L)
+    assert(oov.getAs[Long]("bits_total") === 4L, "OOV bigram = floor(log2(v)) = 1 bit each")
+    assert(out(2L).getAs[Double]("bpt") < oov.getAs[Double]("bpt"))
+    assert(out(2L).getAs[Int]("kept") === 1 && oov.getAs[Int]("kept") === 1)
+  }
+
+  // ---------------------------------------------------------------
+  // q197: DSIR importance weights
+  // ---------------------------------------------------------------
+
+  test("dsir: a target-distributed doc outranks an off-distribution doc") {
+    // target (en) = "alpha beta" bigrams; doc 10 mirrors the target
+    // exactly, doc 11 is pure off-distribution junk
+    val target = (1 to 30).map(_ => "alpha beta").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, target, "en"),
+      (10L, "alpha beta alpha beta alpha beta", "de"),
+      (11L, "junk1 junk2 junk3 junk4 junk5 junk6", "de")))
+    val out = LanguageModel.dsirWeights(spark, dir).collect()
+    val rkOf = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rk")).toMap
+    assert(rkOf(10L) < rkOf(11L),
+      s"target-like doc must outrank junk: $rkOf")
+    val wOf = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_bits")).toMap
+    assert(wOf(10L) > wOf(11L))
+  }
+
+  // ---------------------------------------------------------------
+  // q198: PPJoin prefix filter — lossless vs brute force, and the
+  // candidate space actually shrinks
+  // ---------------------------------------------------------------
+
+  private def bruteForcePairs(dir: String): Set[(Long, Long)] = {
+    val sh = graft.operators.Dedup.shingleRowsOf(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val sets = sh.collect().groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[String]("s")).toSet).toMap
+    (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = (sets(a) & sets(b)).size
+      u = (sets(a) ++ sets(b)).size
+      if u > 0 && i * SetSimJoin.TauDen >= u * SetSimJoin.TauNum
+    } yield (a, b)).toSet
+  }
+
+  test("ppjoin: prefix-filtered result equals brute-force all-pairs on an adversarial corpus") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val dir = docsDir(Seq(
+      (1L, base, "en"),
+      (2L, base, "en"),                                   // identical → J=1
+      (3L, base + " with a small appended suffix here", "en"), // high-J near-dup
+      (4L, "completely different words entirely unrelated content body", "en"), // disjoint
+      (5L, "the quick brown fox jumps over", "en"),       // containment, low J
+      (6L, "zz yy xx ww vv uu tt ss", "en")))             // disjoint
+    val got = SetSimJoin.prefixJoin(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(got === bruteForcePairs(dir))
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("ppjoin: hot boilerplate shingles stay out of prefixes (candidate space bounded)") {
+    // 40 docs share one boilerplate head; each has a unique tail.
+    // Under a full inverted index the boilerplate shingles alone pair
+    // all 40 docs (780 candidates); the rare-first prefix order keeps
+    // each doc's UNIQUE tail shingles in the prefix instead, so no
+    // true near-dups and (by losslessness) no output pairs.
+    val rows = (1L to 40L).map(i =>
+      (i, s"shared boilerplate header text common to every document body unique$i tail$i extra$i more$i", "en"))
+    val dir = docsDir(rows)
+    val out = SetSimJoin.prefixJoin(spark, dir).collect()
+    assert(out.isEmpty, "below-threshold boilerplate family must produce no pairs")
+    assert(bruteForcePairs(dir).isEmpty)
+  }
+
+  // ---------------------------------------------------------------
+  // q199: temperature mixture quotas
+  // ---------------------------------------------------------------
+
+  test("temperature mixture: quotas are non-negative and sum exactly to the budget") {
+    val out = Sampling.temperatureMixture(spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getAs[Long]("quota")).sum === Sampling.MixtureBudget)
+    assert(out.forall(_.getAs[Long]("quota") >= 0L))
+    // α = 1/2 flattens: every share must sit between the raw token
+    // share of the smallest source and that of the largest
+    val shares = out.map(_.getAs[Double]("share"))
+    assert(shares.forall(s => s > 0.0 && s < 1.0))
+  }
+
+  test("temperature mixture: two equal sources split the budget exactly in half") {
+    val dir = docsDir(
+      Seq((1L, "one two three four", "en"), (2L, "uno dos tres cuatro", "es")),
+      source = id => if (id == 1L) "sA" else "sB")
+    val out = Sampling.temperatureMixture(spark, dir).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getAs[Long]("quota") === Sampling.MixtureBudget / 2))
+  }
+
+  // ---------------------------------------------------------------
+  // q201: winnowing fingerprints
+  // ---------------------------------------------------------------
+
+  test("winnowing: a quoted passage guarantees a shared fingerprint; disjoint docs never pair") {
+    import graft.operators.Winnowing
+    // doc 2 quotes doc 1's full text and appends a long unique tail;
+    // doc 3 is disjoint. Shared substring length >> K + W - 1 = 11,
+    // so the SWA guarantee forces >= 1 shared fingerprint — and since
+    // doc 1 is entirely quoted, nearly ALL of doc 1's fingerprints
+    // recur in doc 2 → containment clears the 1/4 threshold.
+    val quoted = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val dir = docsDir(Seq(
+      (1L, quoted, "en"),
+      (2L, quoted + " kilo lima mike november oscar papa quebec", "en"),
+      (3L, "zulu yankee xray whiskey victor uniform tango sierra", "en")))
+    val pairs = Winnowing.sharedFingerprintPairs(spark, dir).collect()
+    val keys = pairs.map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(keys.contains((1L, 2L)), s"quoted passage must pair: $keys")
+    assert(!keys.exists { case (a, b) => a == 3L || b == 3L })
+    val r12 = pairs.find(r => r.getAs[Long]("da") == 1L && r.getAs[Long]("db") == 2L).get
+    assert(r12.getAs[Double]("containment") >= 0.25)
+  }
+
+  test("winnowing: short docs (< W k-grams) still emit exactly one fingerprint") {
+    import graft.operators.Winnowing
+    // normalized text "abcdefgh j" → 3 k-grams < W=4 windows → the
+    // single truncated window at p=1 survives (min over all hashes)
+    val dir = docsDir(Seq((1L, "Abcdefgh j", "en")))
+    val fps = Winnowing.fingerprints(spark, dir).collect()
+    assert(fps.length === 1)
+  }
+
+  // ---------------------------------------------------------------
+  // q200/q202: fertility + percentile pruning
+  // ---------------------------------------------------------------
+
+  test("bpe fertility: every language's fertility is >= 1 and sums are consistent") {
+    val out = graft.operators.TextAnalysis.bpeFertility(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens"),
+        "a BPE piece count can never be below the word count")
+      assert(r.getAs[Double]("fertility") >= 1.0)
+    }
+  }
+
+  test("percentile prune keeps exactly floor(n/2) per language, the top-quality half") {
+    val dir = docsDir(Seq(
+      (1L, "the of and is to in a the of and is to in", "en"), // stopword-rich: high quality
+      (2L, "qqq www eee rrr ttt yyy", "en"),
+      (3L, "!!! ### $$$ %%% ^^^ &&&", "en"),                    // punct-heavy: low quality
+      (4L, "the a of workaday prose with the usual words", "en"),
+      (5L, "lone french doc", "fr")))
+    val out = Sampling.percentilePrune(spark, dir).collect()
+    val en = out.filter(_.getAs[String]("lang") == "en")
+    assert(en.count(_.getAs[Int]("kept") == 1) === 2) // floor(4/2)
+    // the kept set is the top-2 by quality
+    val keptIds = en.filter(_.getAs[Int]("kept") == 1).map(_.getAs[Long]("doc_id")).toSet
+    val top2 = en.sortBy(r => (-r.getAs[Double]("q"), r.getAs[Long]("doc_id")))
+      .take(2).map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds === top2)
+    assert(out.filter(_.getAs[String]("lang") == "fr")
+      .forall(_.getAs[Int]("kept") === 0)) // floor(1/2) = 0
+  }
+}
