@@ -1299,6 +1299,29 @@ object SparkEntry {
     // per-language top-half quality pruning, integer rank predicate
     "q202_percentile_prune" -> ((s: SparkSession, d: String) =>
       operators.Sampling.percentilePrune(s, d)),
+    // snapshot point lookup through the per-file membership-bitmap
+    // index (bloom-filter-index analogue): hash-distributed layout,
+    // bitmap-selected files only, result equals the plain filter
+    "q203_bitmap_skip_lookup" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val table = fixture("snapbm", s, d, "orders") { path =>
+        wipe(s, path)
+        // hash layout: min/max ranges overlap across every file, so
+        // ONLY the membership bitmap can skip here
+        graft.sources.Snapshots.commitOverwrite(s, path,
+          o.repartition(8, col("o_orderkey")),
+          statsCols = Seq(graft.sources.Snapshots.BitmapStatPrefix + "o_orderkey"))
+        ()
+      }
+      val v = graft.sources.Snapshots.currentVersion(s, table).get
+      val keys: Seq[Any] = o.filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq ++
+        Seq(-1L, -2L) // absent keys: bitmap may false-positive, rows never
+      graft.sources.Snapshots.readVersionKeyPruned(s, table, v, "o_orderkey", keys)
+        .orderBy(col("o_orderkey"))
+    }),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4115,6 +4138,12 @@ object SparkEntry {
         |  CAST(n_lang AS BIGINT) AS n_lang,
         |  CAST(CASE WHEN rk * 2 <= n_lang THEN 1 ELSE 0 END AS INT) AS kept
         |FROM r ORDER BY doc_id""".stripMargin,
+    // the bitmap index only changes WHICH FILES are opened, never the
+    // rows: the oracle is the plain key filter over the base table
+    "q203_bitmap_skip_lookup" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 997 = 0
+        |ORDER BY o_orderkey""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

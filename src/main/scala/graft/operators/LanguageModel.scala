@@ -37,11 +37,18 @@ object LanguageModel {
     when(size(w) >= 2, grams).otherwise(array().cast("array<struct<w1:string,w2:string>>"))
   }
 
-  /** (doc_id, lang, w1, w2) bigram occurrences over normalized text. */
+  /** (doc_id, lang, w1, w2) bigram occurrences over normalized text.
+    * The words array is materialized as its OWN projection before the
+    * bigram lambda — higher-order functions re-evaluate free (non
+    * lambda-bound) subexpressions per element_at call, so inlining
+    * the normalize+split chain would re-run its regexes ~2× per word
+    * per row (the Dedup.shingleRowsOf lesson; measured 26 s → ~2 s at
+    * sf0.1 for q196 from exactly this hoist). */
   private def bigramRows(spark: SparkSession, dir: String): DataFrame =
     Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        explode(bigramPairs(words(normalizeText(col("text"))))).as("bg"))
+        words(normalizeText(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"), explode(bigramPairs(col("w"))).as("bg"))
       .select(col("doc_id"), col("lang"), col("bg.w1"), col("bg.w2"))
 
   /** Bigrams with count < MinCount are pruned from the model (scored

@@ -117,6 +117,41 @@ object Snapshots {
     * touching any data file. */
   val RowCountCol = "_rows"
 
+  /** Virtual stats-column PREFIX: `bitmap:<col>` in a commit's
+    * `statsCols` records a per-file 4096-bit MEMBERSHIP BITMAP of
+    * `<col>` (the native [[graft.plans.BitmapRegisters]] aggregate,
+    * bucket = first 12 md5 bits of the value's string form) as a stat
+    * line — the Delta-bloom-filter-index analogue. min/max skipping
+    * needs the key CLUSTERED per file; the bitmap skips point lookups
+    * under ANY layout (hash-distributed included): a file whose
+    * bitmap bit for the probed key's bucket is 0 provably lacks the
+    * key (no false negatives), so [[readVersionKeyPruned]] opens only
+    * bit-hit files. ~1 KB of manifest per file per indexed column;
+    * false-positive rate = bitmap fill ratio (n_keys/file vs 4096) —
+    * size files accordingly, exactly like sizing a real bloom. */
+  val BitmapStatPrefix = "bitmap:"
+
+  /** The aggregate's bucket for a key: first 12 bits of md5 over the
+    * UTF-8 string form — MUST mirror BitmapRegisters.update. */
+  private[graft] def bitmapBucketOf(key: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xff) << 4) | ((d(1) & 0xff) >>> 4)
+  }
+
+  /** 4096-bit bitmap → 1024 hex chars; nibble b>>2 holds bit b&3. */
+  private def bitmapHexOf(buckets: Seq[Int]): String = {
+    val nibbles = new Array[Int](1024)
+    buckets.foreach(b => nibbles(b >> 2) |= 1 << (b & 3))
+    nibbles.map("0123456789abcdef".charAt).mkString
+  }
+
+  private def bitmapHas(hex: String, bucket: Int): Boolean = {
+    val nib = bucket >> 2
+    nib < hex.length &&
+      (Character.digit(hex.charAt(nib), 16) & (1 << (bucket & 3))) != 0
+  }
+
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -328,7 +363,11 @@ object Snapshots {
     // so '|' is a safe separator; relPath (which may contain anything
     // printable except newline) goes LAST and absorbs the remainder
     val statLines = m.stats.sortBy(s => (s.relPath, s.col)).map { s =>
-      require(StatColRe.findFirstIn(s.col).isDefined,
+      // plain identifier, or a virtual bitmap:<identifier> stat
+      val ident =
+        if (s.col.startsWith(BitmapStatPrefix)) s.col.stripPrefix(BitmapStatPrefix)
+        else s.col
+      require(StatColRe.findFirstIn(ident).isDefined,
         s"Snapshots: stats column name '${s.col}' is not a plain identifier")
       s"$StatLine${s.col}|${s.min}|${s.max}|${s.relPath}"
     }
@@ -1417,11 +1456,12 @@ object Snapshots {
                                statsCols: Seq[String]): Seq[FileStat] = {
     if (statsCols.isEmpty) return Nil
     val df = spark.read.parquet(new Path(tableDir, dd).toString)
-    // RowCountCol is VIRTUAL: it names the per-file row count, not a
-    // data column — Delta-style add-file row counts riding the same
-    // stat-line machinery (and the same carry-forward rules) as the
-    // min/max skipping index
-    val (virtual, real) = statsCols.partition(_ == RowCountCol)
+    // RowCountCol and bitmap:<col> are VIRTUAL: per-file row counts
+    // and membership bitmaps riding the same stat-line machinery
+    // (and the same carry-forward rules) as the min/max skipping index
+    val (virtual, rest) = statsCols.partition(_ == RowCountCol)
+    val (bitmapTagged, real) = rest.partition(_.startsWith(BitmapStatPrefix))
+    val bitmapCols = bitmapTagged.map(_.stripPrefix(BitmapStatPrefix))
     real.foreach { c =>
       require(StatColRe.findFirstIn(c).isDefined,
         s"Snapshots: stats column '$c' is not a plain identifier")
@@ -1429,8 +1469,16 @@ object Snapshots {
           f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]),
         s"Snapshots: stats column '$c' must be a numeric data column")
     }
+    bitmapCols.foreach { c =>
+      require(StatColRe.findFirstIn(c).isDefined,
+        s"Snapshots: bitmap column '$c' is not a plain identifier")
+      require(df.schema.fields.exists(_.name == c),
+        s"Snapshots: bitmap column '$c' must be a data column")
+    }
     val aggs = real.flatMap(c =>
       Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c"))) ++
+      bitmapCols.map(c =>
+        call_function("bitmap_registers", col(c).cast("string")).as(s"_bm_$c")) ++
       (if (virtual.nonEmpty) Seq(count(lit(1)).as("_n_rows")) else Nil)
     df.groupBy(input_file_name().as("_file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1452,8 +1500,16 @@ object Snapshots {
             case (Some(_), Some(_)) => Some(FileStat(c, lo.toString, hi.toString, rel))
             case _ => None
           }
+        } ++ bitmapCols.zipWithIndex.map { case (c, j) =>
+          val buckets = r.getSeq[Int](1 + 2 * real.length + j)
+          // min = the hex bitmap, max = set-bucket count (diagnostic;
+          // the BigDecimal range parse on `min` fails OPEN in
+          // filterByStats, so a bitmap line can never break range
+          // pruning on a like-named data column)
+          FileStat(BitmapStatPrefix + c, bitmapHexOf(buckets),
+            buckets.length.toString, rel)
         } ++ (if (virtual.nonEmpty) {
-          val n = r.getLong(1 + 2 * real.length).toString
+          val n = r.getLong(1 + 2 * real.length + bitmapCols.length).toString
           Seq(FileStat(RowCountCol, n, n, rel))
         } else Nil)
       }
@@ -1573,6 +1629,53 @@ object Snapshots {
         val colStats = m.stats.filter(_.col == c).map(s => s.relPath -> s).toMap
         filterByStats(colStats, files, lo, hi)
     }
+    if (selected.isEmpty)
+      return readVersion(spark, tableDir, version).filter(lit(false)).filter(predicate)
+    val root = new Path(tableDir)
+    val raw = m.dataDir match {
+      case Some(dd) => applyDv(spark, root, m, dd,
+        spark.read.parquet(selected.map(new Path(root, _).toString): _*))
+      case None => readFilesByOwner(spark, root, m, selected)
+    }
+    manifestSchema(m).map(alignTo(raw, _)).getOrElse(raw).filter(predicate)
+  }
+
+  /** The files of `m` a key-set lookup must open: those whose
+    * membership bitmap for `keyCol` has ANY probed key's bucket bit
+    * set, plus files with no bitmap line (conservative — always
+    * read). Package-private so specs can assert the skip count. */
+  private[graft] def bitmapSelectedFiles(m: Manifest, files: Seq[String],
+                                         keyCol: String,
+                                         keys: Seq[String]): Seq[String] = {
+    val bm = m.stats.filter(_.col == BitmapStatPrefix + keyCol)
+      .map(s => s.relPath -> s.min).toMap
+    val buckets = keys.map(bitmapBucketOf).distinct
+    files.filter { rel =>
+      bm.get(rel) match {
+        case Some(hex) =>
+          // a hand-mangled bitmap line fails OPEN (read the file)
+          scala.util.Try(buckets.exists(b => bitmapHas(hex, b))).getOrElse(true)
+        case None => true
+      }
+    }
+  }
+
+  /** Point/key-set lookup with bitmap file skipping: rows of
+    * `version` where `keyCol` ∈ `keys`, opening ONLY the files whose
+    * per-file membership bitmap ([[BitmapStatPrefix]] stat) hits a
+    * probed bucket. Unlike [[readVersionPruned]]'s min/max ranges,
+    * this skips under ANY physical layout — hash-distributed keys
+    * included — because membership, not ordering, is what's indexed.
+    * The row filter still applies inside survivors, so the result
+    * equals `readVersion(...).filter(keyCol.isin(keys))` exactly;
+    * bitmap false positives only cost IO, never correctness. */
+  def readVersionKeyPruned(spark: SparkSession, tableDir: String, version: String,
+                           keyCol: String, keys: Seq[Any]): DataFrame = {
+    require(keys.nonEmpty, "readVersionKeyPruned: no keys")
+    val m = readManifest(spark, tableDir, version)
+    val predicate = col(keyCol).isin(keys: _*)
+    val selected = bitmapSelectedFiles(m, versionFiles(spark, tableDir, m),
+      keyCol, keys.map(String.valueOf))
     if (selected.isEmpty)
       return readVersion(spark, tableDir, version).filter(lit(false)).filter(predicate)
     val root = new Path(tableDir)

@@ -228,4 +228,62 @@ class Round8bSpec extends SparkSpec {
     assert(out.filter(_.getAs[String]("lang") == "fr")
       .forall(_.getAs[Int]("kept") === 0)) // floor(1/2) = 0
   }
+
+  // ---------------------------------------------------------------
+  // q203: per-file membership-bitmap file skipping
+  // ---------------------------------------------------------------
+
+  test("bitmap skipping: point lookups open fewer files, results equal the plain filter") {
+    import graft.sources.Snapshots
+    val dir = Files.createTempDirectory("graft_bm").toString + "/t"
+    // 4000 keys hash-distributed over 8 files: every file's [min,max]
+    // spans ~the whole key range, so range stats CANNOT skip — only
+    // membership can
+    val df = spark.range(4000L).selectExpr("id AS k", "id * 3 AS v")
+      .repartition(8, col("k"))
+    Snapshots.commitOverwrite(spark, dir, df,
+      statsCols = Seq(Snapshots.BitmapStatPrefix + "k"))
+    val v = Snapshots.currentVersion(spark, dir).get
+    val m = Snapshots.readManifest(spark, dir, v)
+    assert(m.stats.count(_.col == "bitmap:k") === 8, "one bitmap line per file")
+
+    val allFiles = m.stats.map(_.relPath).distinct
+    // single present key: its owning file MUST be selected; with 500
+    // keys per file the bitmap fill is ~11%, so most others skip
+    val sel = Snapshots.bitmapSelectedFiles(m, allFiles, "k", Seq("1234"))
+    assert(sel.nonEmpty && sel.size < allFiles.size,
+      s"expected file skipping, selected ${sel.size}/${allFiles.size}")
+
+    val keys: Seq[Any] = Seq(0L, 1234L, 3999L, 99999L) // last is absent
+    val pruned = Snapshots.readVersionKeyPruned(spark, dir, v, "k", keys)
+      .orderBy(col("k")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pruned.toSeq === Seq((0L, 0L), (1234L, 3702L), (3999L, 11997L)))
+  }
+
+  test("bitmap stat lines carry forward through stats-silent commits and compaction") {
+    import graft.sources.Snapshots
+    val dir = Files.createTempDirectory("graft_bmc").toString + "/t"
+    val df = spark.range(100L).selectExpr("id AS k", "id AS v").repartition(2, col("k"))
+    Snapshots.commitOverwrite(spark, dir, df,
+      statsCols = Seq(Snapshots.BitmapStatPrefix + "k"))
+    // a follow-up commit that doesn't mention stats keeps the index
+    Snapshots.commitOverwrite(spark, dir,
+      spark.range(100L, 200L).selectExpr("id AS k", "id AS v").repartition(2, col("k")))
+    val v2 = Snapshots.currentVersion(spark, dir).get
+    val m2 = Snapshots.readManifest(spark, dir, v2)
+    assert(m2.stats.exists(_.col === "bitmap:k"),
+      "effectiveStatsCols must carry the bitmap column forward")
+    // lookups against the carried index stay exact
+    val got = Snapshots.readVersionKeyPruned(spark, dir, v2, "k", Seq(150L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(150L))
+    // compaction recomputes (not copies) the bitmap for the new file
+    Snapshots.compact(spark, dir)
+    val v3 = Snapshots.currentVersion(spark, dir).get
+    val m3 = Snapshots.readManifest(spark, dir, v3)
+    assert(m3.stats.exists(_.col === "bitmap:k"))
+    val afterCompact = Snapshots.readVersionKeyPruned(spark, dir, v3, "k", Seq(150L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterCompact === Seq(150L))
+  }
 }
