@@ -1322,6 +1322,10 @@ object SparkEntry {
       graft.sources.Snapshots.readVersionKeyPruned(s, table, v, "o_orderkey", keys)
         .orderBy(col("o_orderkey"))
     }),
+    // the q31 pipeline's first-fail drop funnel: reasons partition
+    // the corpus exactly ("where did my 100 TB go")
+    "q204_drop_funnel"     -> ((s: SparkSession, d: String) =>
+      operators.CorpusPipeline.dropFunnel(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4144,6 +4148,40 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 997 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    // q31's stage chain, classified first-fail instead of filtered
+    "q204_drop_funnel" ->
+      s"""$shingleCteRec,
+        |$minhashCtes,
+        |$clusterCtes,
+        |dups AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a),
+        |stats AS (SELECT doc_id, md5($normSqlDuck) AS fp,
+        |  (SELECT CASE
+        |    WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+        |    WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |    WHEN s_es >= greatest(s_en, s_de, s_fr, s_zh) THEN 'es'
+        |    WHEN s_fr >= greatest(s_en, s_de, s_es, s_zh) THEN 'fr'
+        |    ELSE 'zh' END FROM (SELECT
+        |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','of','and','is','to','in'))) AS s_en,
+        |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','das','und','ist','ein'))) AS s_de,
+        |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','de','y','es','un'))) AS s_es,
+        |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','les','et','est','un'))) AS s_fr,
+        |      len(list_filter(string_split(lower(text), ' '), x -> x IN ('的','是','了','在','和'))) AS s_zh)) AS lang,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  least((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')) / 8.0, 1.0) * 0.4
+        |    + (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text)) * 0.3
+        |    + least(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is','to','in'))) * 1.0 / len(string_split(text, ' ')) * 4.0, 1.0) * 0.3 AS quality
+        |  FROM documents),
+        |canonical AS (SELECT fp, min(doc_id) AS keep_id FROM stats GROUP BY fp),
+        |labeled AS (SELECT s.doc_id, s.ws_tokens,
+        |    CASE WHEN s.doc_id != c.keep_id THEN '1_exact_dup'
+        |      WHEN s.doc_id IN (SELECT doc_id FROM dups) THEN '2_near_dup'
+        |      WHEN s.quality < 0.5 THEN '3_low_quality'
+        |      WHEN s.lang NOT IN ('en','de','es','fr','zh') THEN '4_bad_lang'
+        |      ELSE '0_kept' END AS reason
+        |  FROM stats s JOIN canonical c ON c.fp = s.fp)
+        |SELECT reason, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ws_tokens) AS BIGINT) AS tokens
+        |FROM labeled GROUP BY reason ORDER BY reason""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

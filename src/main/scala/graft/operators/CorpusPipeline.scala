@@ -67,6 +67,48 @@ object CorpusPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** The pipeline's AUDIT view: classify every document by the FIRST
+    * stage that would drop it — in [[clean]]'s stage order — and roll
+    * up doc/token counts per reason. This is the funnel every
+    * production corpus pipeline publishes next to the cleaned output
+    * ("where did my 100 TB go"); because reasons are first-fail, the
+    * counts partition the corpus exactly: Σ n_docs = |documents|, and
+    * the `kept` row equals [[clean]]'s output cardinality by
+    * construction. Same stage computations as [[clean]] (stats
+    * projection, fingerprint canonical, LSH components), one extra
+    * reason classification + a tiny reason-keyed aggregate. */
+  def dropFunnel(spark: SparkSession, dir: String,
+                 config: Config = Config()): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents").cache()
+    val norm = normalizeText(col("text"))
+    val w = words(col("text"))
+    val stats = d.select(Seq(
+        col("doc_id"),
+        md5(norm).as("fp"),
+        size(w).cast("long").as("ws_tokens"),
+        qualityExpr(col("text")).as("quality")) ++
+        langScores(words(lower(col("text")))): _*)
+      .select(col("doc_id"), col("fp"), detectLangFromScores.as("lang"),
+        col("ws_tokens"), col("quality"))
+    val canonical = stats.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      .withColumnRenamed("fp", "cfp")
+    val dupIds = Components.dropIds(
+        Dedup.minhashLshFrom(Dedup.shingleRowsOf(d)).select(col("da"), col("db")))
+      .select(col("id").as("doc_id"), lit(1).as("is_near_dup"))
+    val reason = when(col("doc_id") =!= col("keep_id"), "1_exact_dup")
+      .when(col("is_near_dup") === 1, "2_near_dup")
+      .when(col("quality") < config.minQuality, "3_low_quality")
+      .when(!col("lang").isin(config.langs: _*), "4_bad_lang")
+      .otherwise("0_kept")
+    stats
+      .join(canonical, stats("fp") === col("cfp"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws_tokens"), reason.as("reason"))
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("tokens"))
+      .orderBy(col("reason"))
+  }
+
   /** The round-6 curation composition — the multimodal verdict a
     * pretraining data pipeline renders per document: structural
     * quality floor (q19's score), bigram-LM rarity cap (q99's

@@ -149,4 +149,34 @@ class PlanShapeSpec extends SparkSpec {
       assert(plan.contains(s"partial_$fn"), s"$fn missing partial stage:\n$plan")
     }
   }
+
+  test("q196: the LM model and context tables join as broadcasts (bounded model state)") {
+    val plan = finalPlan(graft.operators.LanguageModel.bitsPerToken(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the corpus side must never shuffle-join against the model
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q198: the prefix-filtered set-sim join plans with zero cartesian products") {
+    val plan = finalPlan(graft.operators.SetSimJoin.prefixJoin(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q197: both DSIR distribution tables broadcast (256-row bounded state)") {
+    val plan = finalPlan(graft.operators.LanguageModel.dsirWeights(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q201: winnowing windows are partitioned per doc — no global window warning shape") {
+    val df = graft.operators.Winnowing.fingerprints(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // every Window operator must carry the doc_id partition spec
+    optimized.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("doc_id"), s"unpartitioned window in:\n$l")
+    }
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

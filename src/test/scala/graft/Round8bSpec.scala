@@ -286,4 +286,20 @@ class Round8bSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(afterCompact === Seq(150L))
   }
+
+  // ---------------------------------------------------------------
+  // q204: first-fail drop funnel
+  // ---------------------------------------------------------------
+
+  test("drop funnel partitions the corpus exactly; kept row equals clean()'s cardinality") {
+    import graft.operators.CorpusPipeline
+    val sf = "/root/testdata/sf0.001"
+    val funnel = CorpusPipeline.dropFunnel(spark, sf).collect()
+      .map(r => r.getAs[String]("reason") -> r.getAs[Long]("n_docs")).toMap
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(funnel.values.sum === total, s"reasons must partition the corpus: $funnel")
+    val kept = CorpusPipeline.clean(spark, sf).count()
+    assert(funnel.getOrElse("0_kept", 0L) === kept,
+      s"kept row must equal clean() output: $funnel vs $kept")
+  }
 }
