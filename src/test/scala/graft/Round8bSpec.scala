@@ -291,6 +291,72 @@ class Round8bSpec extends SparkSpec {
   // q204: first-fail drop funnel
   // ---------------------------------------------------------------
 
+  test("bitmap index is maintained through a partitioned merge commit") {
+    import graft.sources.Snapshots
+    val dir = Files.createTempDirectory("graft_bmm").toString + "/t"
+    val base = spark.range(200L)
+      .selectExpr("id AS k", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS part", "id AS v")
+    Snapshots.commitOverwritePartitioned(spark, dir, base, "part",
+      statsCols = Seq(Snapshots.BitmapStatPrefix + "k"))
+    // merge a delta into one partition; the rewritten partition's
+    // files must get FRESH bitmap lines (same rules as min/max carry)
+    val delta = spark.range(200L, 210L)
+      .selectExpr("id AS k", "'a' AS part", "id * 10 AS v")
+    Snapshots.commitMergePartitioned(spark, dir, delta, "k", "part")
+    val v2 = Snapshots.currentVersion(spark, dir).get
+    val m2 = Snapshots.readManifest(spark, dir, v2)
+    assert(m2.stats.exists(_.col === "bitmap:k"), "bitmap lines must survive the merge")
+    // a merged-in key is findable through the maintained index
+    val got = Snapshots.readVersionKeyPruned(spark, dir, v2, "k", Seq(205L))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"))).toSeq
+    assert(got === Seq((205L, 2050L)))
+    // and an updated partition's bitmap reflects the NEW file set:
+    // every pre-merge key still resolves
+    val old = Snapshots.readVersionKeyPruned(spark, dir, v2, "k", Seq(42L))
+      .collect().map(_.getAs[Long]("k")).toSeq
+    assert(old === Seq(42L))
+  }
+
+  // ---------------------------------------------------------------
+  // Degenerate inputs for the round's operators
+  // ---------------------------------------------------------------
+
+  test("degenerate: LM scoring survives an empty training slice (no 'en' docs)") {
+    val dir = docsDir(Seq((1L, "salut le monde", "fr"), (2L, "hola el mundo", "es")))
+    // v = 0, no contexts: surprisal = floor(log2((0+0)/(0+1))) from
+    // bin(0) = "0" → 0 bits; nothing crashes, every doc scores
+    val out = LanguageModel.bitsPerToken(spark, dir).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getAs[Long]("bits_total") === 0L))
+    assert(LanguageModel.bigramLmTrain(spark, dir).collect().isEmpty)
+  }
+
+  test("degenerate: single-source mixture takes the whole budget; empty-ish docs tokenize") {
+    val dir = docsDir(Seq((1L, "just one source here", "en")))
+    val out = Sampling.temperatureMixture(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("quota") === Sampling.MixtureBudget)
+  }
+
+  test("degenerate: winnowing ignores docs shorter than one k-gram") {
+    import graft.operators.Winnowing
+    val dir = docsDir(Seq((1L, "tiny", "en"), (2L, "abcdefghij klmnop", "en")))
+    val fps = graft.operators.Winnowing.fingerprints(spark, dir).collect()
+    assert(fps.forall(_.getAs[Long]("doc_id") === 2L),
+      "sub-K docs must emit no fingerprints")
+    assert(Winnowing.sharedFingerprintPairs(spark, dir).collect().isEmpty)
+  }
+
+  test("degenerate: ppjoin on single-doc and all-identical corpora") {
+    val one = docsDir(Seq((1L, "alpha beta gamma delta epsilon", "en")))
+    assert(SetSimJoin.prefixJoin(spark, one).collect().isEmpty)
+    val same = "the very same words in every doc here today"
+    val all = docsDir((1L to 4L).map(i => (i, same, "en")))
+    val pairs = SetSimJoin.prefixJoin(spark, all).collect()
+    assert(pairs.length === 6, "4 identical docs → C(4,2) pairs")
+    assert(pairs.forall(_.getAs[Double]("jaccard") === 1.0))
+  }
+
   test("drop funnel partitions the corpus exactly; kept row equals clean()'s cardinality") {
     import graft.operators.CorpusPipeline
     val sf = "/root/testdata/sf0.001"
