@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.{Components, Dedup}
+import graft.sources.Snapshots
+
+/** Streaming document-ingest surface: the near-dup-dedup gate a
+  * continuously-fed pretraining corpus runs at the door, as a
+  * Structured Streaming sink over the batch operators it composes —
+  * [[Dedup.incrementalLshFrom]] (index-vs-delta candidate pairs
+  * without re-shingling the indexed corpus), [[Components.dropIds]]
+  * (within-batch keep-min-per-cluster), and [[Snapshots.commitUpsert]]
+  * (the signature index as a reader-atomic CAS table).
+  *
+  * Exactly-once across restarts for free: foreachBatch may replay a
+  * micro-batch, but the dedup decision is deterministic and the index
+  * commit is an UPSERT keyed on doc_id — replaying batch N rewrites
+  * the identical signature rows, so the index converges rather than
+  * duplicating (the same idempotent-sink discipline as
+  * [[EventStreams.mergeSink]]).
+  *
+  * Scale shape per micro-batch: shingling/signing touches ONLY the
+  * batch; the index contributes one narrow scan of its 12-column
+  * signature table (no text is ever stored or re-read); the band
+  * join fans out only from batch band rows with the hot-bucket cap
+  * bounding the worst key. Index growth = novel docs only.
+  */
+object DocStreams {
+
+  /** Ingest one micro-batch of documents (doc_id, text, …): drop
+    * near-dups of the index or of a smaller-id batch doc, upsert the
+    * survivors' signatures, and return the survivors. Factored out of
+    * the sink so batch callers (backfills) and specs share the exact
+    * code path the stream runs. */
+  private[graft] def ingestBatch(batch: DataFrame, indexTableDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val sigSchema = "doc_id BIGINT, " +
+      (0 until Dedup.NumHashes).map(i => s"h$i STRING").mkString(", ")
+    val index = Snapshots.currentVersion(spark, indexTableDir) match {
+      case Some(_) => Snapshots.read(spark, indexTableDir)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType.fromDDL(sigSchema))
+    }
+    val indexIds = index.select(col("doc_id").as("iid"))
+    val pairs = Dedup.incrementalLshFrom(index, batch)
+      .select(col("da"), col("db")).cache()
+    // dropped: any batch doc paired with an ALREADY-INDEXED doc
+    // (earlier ingest wins regardless of id order)…
+    val vsIndexA = pairs.join(indexIds, pairs("da") === col("iid"))
+      .select(col("db").as("doc_id"))
+    val vsIndexB = pairs.join(indexIds, pairs("db") === col("iid"))
+      .select(col("da").as("doc_id"))
+    // …plus within-batch clusters resolved keep-min (transitive,
+    // exactly the batch pipeline's rule)
+    val batchPairs = pairs
+      .join(indexIds, pairs("da") === col("iid"), "left_anti")
+      .join(indexIds, pairs("db") === col("iid"), "left_anti")
+    val withinBatch = Components.dropIds(batchPairs)
+      .select(col("id").as("doc_id"))
+    val dropIds = vsIndexA.unionByName(vsIndexB).unionByName(withinBatch).distinct()
+    val novel = batch.join(dropIds, Seq("doc_id"), "left_anti")
+    val novelSigs = Dedup.minhashRawFrom(Dedup.shingleRowsOf(novel))
+    if (!novelSigs.isEmpty)
+      Snapshots.commitUpsert(spark, indexTableDir, novelSigs, "doc_id")
+    novel
+  }
+
+  /** The streaming sink: wire a docs stream through [[ingestBatch]].
+    * Start with `.option("checkpointLocation", …)` like any sink. */
+  def lshDedupIngest(docs: DataFrame, indexTableDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, indexTableDir)
+        ()
+      }
+}

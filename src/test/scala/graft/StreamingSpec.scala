@@ -592,4 +592,43 @@ class StreamingSpec extends SparkSpec {
       assert(all === batch)
     } finally q.stop()
   }
+
+  test("streaming LSH dedup ingest: near-dups of earlier batches are dropped, index converges") {
+    import graft.streaming.DocStreams
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_lshstream").toString + "/idx"
+    val cp = java.nio.file.Files.createTempDirectory("graft_lshstream_cp").toString
+    val a = "the quick brown fox jumps over the lazy dog near the river today"
+    val b = "completely different second document with its own distinct words entirely"
+    val c = "a third body of text unrelated to either of the previous ones"
+    val source = MemoryStream[(Long, String)]
+    val docs = source.toDF().toDF("doc_id", "text")
+    val q = DocStreams.lshDedupIngest(docs, indexDir)
+      .option("checkpointLocation", cp).start()
+    try {
+      source.addData((1L, a), (2L, b))
+      q.processAllAvailable()
+      val ids1 = graft.sources.Snapshots.read(spark, indexDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids1 === Set(1L, 2L))
+      // batch 2: 11 = near-dup of indexed 1 (dropped: earlier ingest
+      // wins); 12 = novel; 13 = exact dup of 12 WITHIN the batch
+      // (keep-min drops 13)
+      source.addData((11L, a + " tail"), (12L, c), (13L, c))
+      q.processAllAvailable()
+      val ids2 = graft.sources.Snapshots.read(spark, indexDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids2 === Set(1L, 2L, 12L), s"got $ids2")
+    } finally q.stop()
+    // replaying a batch (crash-recovery path) must not change the
+    // index: dedup is deterministic and the commit is a keyed upsert
+    import spark.implicits._
+    val replay = Seq((11L, a + " tail"), (12L, c), (13L, c)).toDF("doc_id", "text")
+    val survivors = DocStreams.ingestBatch(replay, indexDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(12L), "replay: only the already-indexed novel doc survives")
+    val ids3 = graft.sources.Snapshots.read(spark, indexDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids3 === Set(1L, 2L, 12L))
+  }
 }
