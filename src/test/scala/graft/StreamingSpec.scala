@@ -631,4 +631,27 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids3 === Set(1L, 2L, 12L))
   }
+
+  test("forgetting a doc from the dedup index stops it suppressing future near-dups") {
+    import graft.streaming.DocStreams
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_lshforget").toString + "/idx"
+    val a = "some original content that was later subject to an erasure request entirely"
+    DocStreams.ingestBatch(Seq((1L, a)).toDF("doc_id", "text"), indexDir)
+    // near-dup of the indexed doc is suppressed…
+    val before = DocStreams.ingestBatch(Seq((21L, a + " x")).toDF("doc_id", "text"), indexDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(before.isEmpty, "near-dup must be dropped while the original is indexed")
+    // …then the original is forgotten (signature physically erased)…
+    Snapshots.forget(spark, indexDir, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(Snapshots.read(spark, indexDir).count() === 0L)
+    // …and the SAME near-dup now ingests: the forgotten doc's
+    // influence is gone, not just its row (GDPR semantics end-to-end)
+    val after = DocStreams.ingestBatch(Seq((21L, a + " x")).toDF("doc_id", "text"), indexDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after === Set(21L))
+    assert(Snapshots.read(spark, indexDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(21L))
+  }
 }
