@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{ScalaUDF, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Sort, Window}
+
+/** Static scale linter over a query's OPTIMIZED logical plan — the
+  * anti-pattern checklist this engine's PlanShapeSpec enforces by
+  * hand, packaged as a library call so a pipeline author can gate
+  * their own queries (`assert(PlanLint.lint(df).isEmpty)`) before
+  * pointing them at 100 TB.
+  *
+  * Rules (each is a plan shape that works at test scale and falls
+  * over at cluster scale):
+  *
+  *  - `cartesian-join`: a join with no join condition multiplies its
+  *    inputs; at any real cardinality that's the job that never ends.
+  *    Broadcast-able literal/tiny crosses (model constants, single-row
+  *    totals — this engine's own idiom) are fine IF one side is a
+  *    one-row aggregate; the rule flags only condition-less joins
+  *    where neither side is provably single-row.
+  *  - `unpartitioned-window`: a window function with an empty
+  *    PARTITION BY moves every row to ONE task (Spark itself warns at
+  *    runtime; this catches it before running). Bounded post-aggregate
+  *    frames are legitimate — the caller decides; the linter reports.
+  *  - `scala-udf`: a ScalaUDF in the plan breaks whole-stage codegen
+  *    and Catalyst optimization through that expression; this
+  *    engine's discipline is columns/native expressions everywhere.
+  *  - `non-root-global-sort`: a global Sort that is NOT the plan root
+  *    (and not feeding a Limit, which Spark turns into a distributed
+  *    top-k) re-sorts the whole dataset mid-pipeline for nothing —
+  *    downstream exchanges destroy the order anyway.
+  */
+object PlanLint {
+
+  /** One lint finding: the rule, the offending node's head line, and
+    * a short explanation. */
+  case class Finding(rule: String, node: String, detail: String)
+
+  def lint(df: DataFrame): Seq[Finding] = lintPlan(df.queryExecution.optimizedPlan)
+
+  private def headLine(p: LogicalPlan): String =
+    p.simpleString(maxFields = 8).linesIterator.next().take(160)
+
+  /** A plan subtree that provably produces at most one row (a global
+    * aggregate or an explicit one-row limit) — the legal cross-join
+    * side for the "multiply by a scalar frame" idiom. */
+  private def maxOneRow(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= 1L)
+
+  private[plans] def lintPlan(root: LogicalPlan): Seq[Finding] = {
+    val out = Seq.newBuilder[Finding]
+
+    root.foreach {
+      case j @ Join(left, right, _, None, _) =>
+        if (!maxOneRow(left) && !maxOneRow(right))
+          out += Finding("cartesian-join", headLine(j),
+            "condition-less join where neither side is provably single-row: " +
+              "|L|x|R| rows materialize")
+      case w: Window if w.partitionSpec.isEmpty =>
+        out += Finding("unpartitioned-window", headLine(w),
+          "empty PARTITION BY moves every row to one task; partition the " +
+            "window or bound its input first")
+      case s: Sort if s.global && !(root eq s) =>
+        // a global sort feeding a Limit becomes TakeOrdered (fine);
+        // anything else mid-plan is wasted work at scale
+        val feedsLimit = root.collect {
+          case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit
+            if l.exists(_ eq s) => l
+        }.nonEmpty
+        if (!feedsLimit)
+          out += Finding("non-root-global-sort", headLine(s),
+            "mid-plan global sort: downstream exchanges destroy the order")
+      case _ => ()
+    }
+
+    // expression-level rules (walk every node's expressions once)
+    root.foreach { node =>
+      node.expressions.foreach { e =>
+        e.foreach {
+          case _: ScalaUDF =>
+            out += Finding("scala-udf", headLine(node),
+              "ScalaUDF blocks whole-stage codegen and Catalyst " +
+                "optimization; prefer column expressions or a native Expression")
+          case we: WindowExpression
+            if we.windowSpec.partitionSpec.isEmpty =>
+            out += Finding("unpartitioned-window", headLine(node),
+              "window expression with empty PARTITION BY")
+          case _ => ()
+        }
+      }
+    }
+    out.result().distinct
+  }
+}
