@@ -1326,6 +1326,19 @@ object SparkEntry {
     // the corpus exactly ("where did my 100 TB go")
     "q204_drop_funnel"     -> ((s: SparkSession, d: String) =>
       operators.CorpusPipeline.dropFunnel(s, d)),
+    // stupid-backoff LM scoring: unigram backoff + integer penalty
+    "q205_lm_backoff"      -> ((s: SparkSession, d: String) =>
+      operators.LanguageModel.backoffBits(s, d)),
+    // matryoshka truncation eval: recall@5 of prefix-dim retrieval
+    "q206_matryoshka_eval" -> ((s: SparkSession, d: String) =>
+      operators.Vectors.matryoshkaEval(s, d)),
+    // max surprisal over any 8 consecutive bigrams (garbled-segment
+    // detection a whole-doc mean averages away)
+    "q207_surprisal_burst" -> ((s: SparkSession, d: String) =>
+      operators.LanguageModel.surprisalBursts(s, d)),
+    // Luhn-validated credit-card PII detection + scrub
+    "q208_luhn_cc_scrub"   -> ((s: SparkSession, d: String) =>
+      operators.Privacy.luhnCcScrub(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4182,6 +4195,101 @@ object SparkEntry {
         |SELECT reason, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(ws_tokens) AS BIGINT) AS tokens
         |FROM labeled GROUP BY reason ORDER BY reason""".stripMargin,
+    // stupid backoff: bigram surprisal when modeled, else the
+    // successor's unigram surprisal + 2 penalty bits
+    "q205_lm_backoff" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split($normSqlDuck, ' ') AS w FROM documents),
+        |tk AS (SELECT unnest(w.w) AS t FROM w WHERE lang = 'en'),
+        |tk2 AS (SELECT t FROM tk WHERE length(t) > 0),
+        |uni AS (SELECT t AS w2, count(*) AS cu FROM tk2 GROUP BY 1),
+        |tot AS (SELECT count(*) AS u_total, count(DISTINCT t) AS v2 FROM tk2),
+        |bg AS (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+        |  FROM w, unnest(generate_series(1, greatest(len(w) - 1, 0))) t(i)),
+        |tbg AS (SELECT w1, w2 FROM bg WHERE lang = 'en'),
+        |m AS (SELECT w1, w2, count(*) AS c FROM tbg GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ctx AS (SELECT w1, count(*) AS ctx_total FROM tbg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2) AS v FROM tbg),
+        |sc AS (SELECT bg.doc_id, bg.lang,
+        |    CASE WHEN m.c IS NOT NULL THEN
+        |      length(printf('%b', (coalesce(ctx.ctx_total, 0) + v.v) // (m.c + 1))) - 1
+        |    ELSE
+        |      length(printf('%b', (tot.u_total + tot.v2) // (coalesce(uni.cu, 0) + 1))) - 1 + 2
+        |    END AS bits
+        |  FROM bg LEFT JOIN m ON m.w1 = bg.w1 AND m.w2 = bg.w2
+        |    LEFT JOIN ctx ON ctx.w1 = bg.w1
+        |    LEFT JOIN uni ON uni.w2 = bg.w2, v, tot),
+        |agg AS (SELECT doc_id, lang, count(*) AS n_bigrams, sum(bits) AS bits_total
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(bits_total AS BIGINT) AS bits_total,
+        |  CAST(bits_total AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS bpt
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // identical prefix-slice scoring per dim; truth = full 64 dims
+    "q206_matryoshka_eval" -> {
+      val dims = operators.Vectors.MatryoshkaDims
+      def topk(tag: String, d: Int): String =
+        s"""s$tag AS (SELECT qid, vec_id,
+           |    round(list_dot_product(qv[1:$d], v[1:$d])
+           |      / (sqrt(list_dot_product(qv[1:$d], qv[1:$d]))
+           |         * sqrt(list_dot_product(v[1:$d], v[1:$d]))), 4) AS cos
+           |  FROM e, q WHERE vec_id <> qid),
+           |t$tag AS (SELECT qid, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+           |    FROM s$tag) WHERE rk <= 5)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |${dims.map(d => topk(d.toString, d)).mkString(",\n")},
+        |truth AS (SELECT * FROM t${dims.max})
+        |${dims.map(d =>
+          s"""SELECT CAST($d AS BIGINT) AS d, CAST(10 AS BIGINT) AS n_queries,
+             |  CAST(count(*) AS BIGINT) AS hits,
+             |  CAST(count(*) * 10000 // 50 AS BIGINT) AS recall_bp
+             |FROM t$d JOIN truth USING (qid, vec_id)""".stripMargin)
+         .mkString("\nUNION ALL\n")}
+        |ORDER BY d""".stripMargin
+    },
+    // identical whole-bit surprisal sequence + window-of-8 burst max
+    "q207_surprisal_burst" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split($normSqlDuck, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, lang, i AS p, w[i] AS w1, w[i+1] AS w2
+        |  FROM w, unnest(generate_series(1, greatest(len(w) - 1, 0))) t(i)),
+        |tbg AS (SELECT w1, w2 FROM bg WHERE lang = 'en'),
+        |m AS (SELECT w1, w2, count(*) AS c FROM tbg GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ctx AS (SELECT w1, count(*) AS ctx_total FROM tbg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2) AS v FROM tbg),
+        |sc AS (SELECT bg.doc_id, bg.lang, bg.p,
+        |    length(printf('%b',
+        |      (coalesce(ctx.ctx_total, 0) + v.v) // (coalesce(m.c, 0) + 1))) - 1 AS bits
+        |  FROM bg LEFT JOIN m ON m.w1 = bg.w1 AND m.w2 = bg.w2
+        |    LEFT JOIN ctx ON ctx.w1 = bg.w1, v),
+        |bursts AS (SELECT doc_id, lang, p,
+        |    count(*) OVER (PARTITION BY doc_id) AS n,
+        |    sum(bits) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS burst
+        |  FROM sc),
+        |kept AS (SELECT * FROM bursts WHERE p <= greatest(n - 7, 1)),
+        |mx AS (SELECT *, max(burst) OVER (PARTITION BY doc_id) AS doc_max FROM kept)
+        |SELECT doc_id, lang, CAST(n AS BIGINT) AS n_bigrams,
+        |  CAST(max(burst) AS BIGINT) AS max_burst_bits,
+        |  CAST(min(CASE WHEN burst = doc_max THEN p END) AS BIGINT) AS burst_pos
+        |FROM mx GROUP BY doc_id, lang, n ORDER BY doc_id""".stripMargin,
+    // the same generated Luhn arithmetic, verbatim
+    "q208_luhn_cc_scrub" ->
+      s"""WITH a AS (SELECT doc_id, text,
+        |    lpad(CAST(doc_id * 7919 % 1000000000000000 AS VARCHAR), 15, '0') AS cc15
+        |  FROM documents),
+        |b AS (SELECT *, ${operators.Privacy.luhnPayloadSumSql("cc15")} AS s15 FROM a),
+        |c AS (SELECT *, (10 - s15 % 10) % 10 AS check_ FROM b),
+        |d AS (SELECT *, CASE WHEN doc_id % 2 = 0 THEN check_ ELSE (check_ + 5) % 10 END AS digit FROM c),
+        |e AS (SELECT doc_id, text, cc15 || CAST(digit AS VARCHAR) AS cc16 FROM d),
+        |f AS (SELECT doc_id, cc16, text || ' card ' || cc16 AS aug,
+        |    ${operators.Privacy.luhnSumSql("cc16", 16)} AS luhn_total
+        |  FROM e)
+        |SELECT doc_id, cc16, CAST(luhn_total AS BIGINT) AS luhn_total,
+        |  CAST(CASE WHEN luhn_total % 10 = 0 THEN 1 ELSE 0 END AS INT) AS is_valid,
+        |  md5(CASE WHEN luhn_total % 10 = 0 THEN replace(aug, cc16, '<CC>') ELSE aug END)
+        |    AS scrub_hash
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

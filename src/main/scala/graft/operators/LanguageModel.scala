@@ -128,6 +128,96 @@ object LanguageModel {
       .orderBy(col("doc_id"))
   }
 
+  /** Backoff penalty in whole bits (≈ −log2 of stupid backoff's
+    * α = 0.4 ≈ 1.32 bits, kept integer at 2). */
+  val BackoffPenaltyBits = 2L
+
+  /** Stupid-backoff scoring (Brants et al. 2007 — the smoothing
+    * scheme DESIGNED for distributed LMs: no normalization pass, no
+    * discount bookkeeping, just "back off and pay α"): a bigram in
+    * the pruned model scores its bigram surprisal; anything else
+    * scores the SUCCESSOR's unigram surprisal plus
+    * [[BackoffPenaltyBits]]. Strictly better-calibrated than q196's
+    * uniform OOV fallback — a rare-but-real word costs its true
+    * unigram bits, not log2(V) — while staying integer-exact and
+    * keeping the same bounded broadcast model (pruned bigrams +
+    * unigram counts, both count tables). */
+  def backoffBits(spark: SparkSession, dir: String): DataFrame = {
+    val train = Tables.loadSpread(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(explode(words(normalizeText(col("text")))).as("w"))
+      .filter(length(col("w")) > 0)
+      .cache()
+    val uni = train.groupBy(col("w").as("w2")).agg(count(lit(1)).as("cu"))
+    val totals = train.agg(count(lit(1)).as("u_total"),
+      countDistinct(col("w")).as("v"))
+    val bg = trainBigrams(spark, dir)
+    val scored = bigramRows(spark, dir)
+      .join(broadcast(prunedModel(bg)), Seq("w1", "w2"), "left")
+      .join(broadcast(contextTotals(bg).withColumnRenamed("ctx_total", "ctx")),
+        Seq("w1"), "left")
+      .join(broadcast(uni), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("bg_b", coalesce(col("ctx"), lit(0L)) + col("v"))
+      .withColumn("bg_a", col("c") + lit(1L)) // only read when c is present
+      .withColumn("un_b", col("u_total") + col("v"))
+      .withColumn("un_a", coalesce(col("cu"), lit(0L)) + lit(1L))
+      .withColumn("bits",
+        when(col("c").isNotNull,
+          (length(bin(expr("bg_b div bg_a"))) - 1).cast("long"))
+          .otherwise((length(bin(expr("un_b div un_a"))) - 1).cast("long") +
+            lit(BackoffPenaltyBits)))
+    scored.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("bits_total"))
+      .withColumn("bpt",
+        col("bits_total").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sliding-burst window length (consecutive bigrams). */
+  val BurstWindow = 8
+
+  /** Surprisal-burst detection: the max sum of surprisal bits over
+    * any [[BurstWindow]] consecutive bigrams — the signal that finds
+    * a garbled/spam SEGMENT inside an otherwise-clean document, which
+    * a whole-document mean (q196) averages away. Per-doc windows
+    * (partitioned by doc — embarrassingly parallel), full windows
+    * only; docs with fewer than [[BurstWindow]] bigrams report their
+    * total as the single truncated burst. */
+  def surprisalBursts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = trainBigrams(spark, dir).cache()
+    val positioned = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        words(normalizeText(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"),
+        posexplode(bigramPairs(col("w"))).as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("lang"), (col("pos") + 1).as("p"),
+        col("bg.w1"), col("bg.w2"))
+    val scored = positioned
+      .join(broadcast(prunedModel(bg)), Seq("w1", "w2"), "left")
+      .join(broadcast(contextTotals(bg)), Seq("w1"), "left")
+      .crossJoin(broadcast(successorVocab(bg)))
+      .withColumn("b_", coalesce(col("ctx_total"), lit(0L)) + col("v"))
+      .withColumn("a_", coalesce(col("c"), lit(0L)) + lit(1L))
+      .withColumn("bits", (length(bin(expr("b_ div a_"))) - 1).cast("long"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, BurstWindow - 1)
+    val bursts = scored
+      .withColumn("n", count(lit(1)).over(perDoc))
+      .withColumn("burst", sum(col("bits")).over(frame))
+      .filter(col("p") <= greatest(col("n") - (BurstWindow - 1), lit(1)))
+    bursts
+      .withColumn("doc_max", max(col("burst")).over(perDoc))
+      .groupBy(col("doc_id"), col("lang"), col("n"))
+      .agg(max(col("burst")).as("max_burst_bits"),
+        min(when(col("burst") === col("doc_max"), col("p"))).as("burst_pos"))
+      .select(col("doc_id"), col("lang"), col("n").as("n_bigrams"),
+        col("max_burst_bits"), col("burst_pos").cast("long").as("burst_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Feature-hash buckets for DSIR (the paper hashes n-grams into a
     * fixed bucket space; 256 here). Portable md5 two-hex-digit
     * arithmetic — identical in the DuckDB oracle. */

@@ -843,4 +843,41 @@ object Vectors {
     }
     out.result().toDF("step", "vec_id", "rel", "mmr").orderBy(col("step"))
   }
+
+  /** Matryoshka truncation dims evaluated against the full-dim truth. */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Matryoshka-representation evaluation (Kusupati et al. 2022):
+    * recall@[[TopK]] of brute-force retrieval over PREFIX slices of
+    * the embedding vs the full-dimension truth — the measurement that
+    * tells you how many dims you can drop (4-8× less ANN memory and
+    * bandwidth) before retrieval quality falls off. One scored
+    * cross-join per dim over the broadcast query set; recall in exact
+    * basis points (integer hit counts, one `div`). */
+  def matryoshkaEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).cache()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    def topkAt(d: Int): DataFrame = {
+      val queries = broadcast(
+        e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), slice(col("embedding"), 1, d).as("qv")))
+      e.select(col("vec_id"), slice(col("embedding"), 1, d).as("v"))
+        .crossJoin(queries)
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("qv"), col("v")), 4).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TopK)
+        .select(col("qid"), col("vec_id"))
+    }
+    val truth = topkAt(MatryoshkaDims.max).cache()
+    MatryoshkaDims.map { d =>
+      topkAt(d).join(truth, Seq("qid", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d.toLong).as("d"),
+          lit(NumQueries.toLong).as("n_queries"),
+          col("hits"),
+          expr(s"hits * 10000 div ${NumQueries * TopK}").as("recall_bp"))
+    }.reduce(_.unionByName(_)).orderBy(col("d"))
+  }
 }

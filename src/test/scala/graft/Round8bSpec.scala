@@ -357,6 +357,66 @@ class Round8bSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Double]("jaccard") === 1.0))
   }
 
+  // ---------------------------------------------------------------
+  // q205-q208: backoff LM, matryoshka eval, bursts, Luhn PII
+  // ---------------------------------------------------------------
+
+  test("stupid backoff: modeled bigram, known-successor backoff, unknown-successor backoff") {
+    // train (en): "a b" x25 → unigrams a:25 b:25 (U=50, V=2);
+    // bigrams (a,b)x25 (b,a)x24 both survive pruning; ctx(a)=25; v=2
+    val train = (1 to 25).map(_ => "a b").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, train, "en"),
+      (2L, "a b", "de"),    // modeled bigram: floor(log2(27/26)) = 0 bits
+      (3L, "b b", "de"),    // unmodeled, successor known: floor(log2(52/26)) + 2 = 3
+      (4L, "zz qq", "de"))) // unmodeled, successor unknown: floor(log2(52/1)) + 2 = 7
+    val out = LanguageModel.backoffBits(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bits_total")).toMap
+    assert(out(2L) === 0L)
+    assert(out(3L) === 3L)
+    assert(out(4L) === 7L)
+  }
+
+  test("matryoshka: full-dim recall is exactly 10000 bp and hits never exceed the budget") {
+    val out = graft.operators.Vectors.matryoshkaEval(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[Long]("d") ->
+        (r.getAs[Long]("hits"), r.getAs[Long]("recall_bp"))).toMap
+    assert(out(64L) === ((50L, 10000L)), "truth vs itself must be perfect")
+    assert(out.values.forall { case (h, bp) => h <= 50L && bp <= 10000L })
+    assert(out.keySet === graft.operators.Vectors.MatryoshkaDims.map(_.toLong).toSet)
+  }
+
+  test("surprisal burst localizes a garbled tail; short docs report one truncated burst") {
+    val good = (1 to 20).map(_ => "a b").mkString(" ") // 0-bit bigrams under the model
+    val dir = docsDir(Seq(
+      (1L, good, "en"), // the model trains on this
+      (2L, good + " zz qq ww ee rr tt yy uu ii oo", "en"), // garbled tail
+      (3L, "a b a", "en"))) // 2 bigrams < window → single truncated burst at p=1
+    val out = LanguageModel.surprisalBursts(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 2's max burst must sit in the garbled region, far past the start
+    assert(out(2L).getAs[Long]("max_burst_bits") > out(1L).getAs[Long]("max_burst_bits"))
+    assert(out(2L).getAs[Long]("burst_pos") > 30L,
+      s"burst must localize to the tail: ${out(2L)}")
+    assert(out(3L).getAs[Long]("burst_pos") === 1L)
+    assert(out(3L).getAs[Long]("n_bigrams") === 2L)
+  }
+
+  test("luhn: the generated checksum validates a known-valid card and splits even/odd docs") {
+    import graft.operators.Privacy
+    // reference vector: 4532015112830366 is Luhn-valid
+    val total = spark.sql(
+      s"SELECT ${Privacy.luhnSumSql("'4532015112830366'", 16)} AS t")
+      .collect().head.getInt(0)
+    assert(total % 10 === 0, s"known-valid card must sum to 0 mod 10, got $total")
+    val out = Privacy.luhnCcScrub(spark, "/root/testdata/sf0.001").collect()
+    out.foreach { r =>
+      val even = r.getAs[Long]("doc_id") % 2 == 0
+      assert(r.getAs[Int]("is_valid") === (if (even) 1 else 0),
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("drop funnel partitions the corpus exactly; kept row equals clean()'s cardinality") {
     import graft.operators.CorpusPipeline
     val sf = "/root/testdata/sf0.001"
