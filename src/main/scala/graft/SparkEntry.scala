@@ -1339,6 +1339,9 @@ object SparkEntry {
     // Luhn-validated credit-card PII detection + scrub
     "q208_luhn_cc_scrub"   -> ((s: SparkSession, d: String) =>
       operators.Privacy.luhnCcScrub(s, d)),
+    // one-row dataset datasheet, integer-exact
+    "q209_data_card"       -> ((s: SparkSession, d: String) =>
+      operators.Profile.dataCard(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4290,6 +4293,35 @@ object SparkEntry {
         |  md5(CASE WHEN luhn_total % 10 = 0 THEN replace(aug, cc16, '<CC>') ELSE aug END)
         |    AS scrub_hash
         |FROM f ORDER BY doc_id""".stripMargin,
+    // the dataset datasheet: identical integer roll-up
+    "q209_data_card" ->
+      s"""WITH b AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS toks,
+        |    length(text) AS chars, lang,
+        |    CASE WHEN
+        |      least((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')) / 8.0, 1.0) * 0.4
+        |        + (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text)) * 0.3
+        |        + least(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is','to','in'))) * 1.0 / len(string_split(text, ' ')) * 4.0, 1.0) * 0.3
+        |      >= 0.5 THEN 1 ELSE 0 END AS q_ok,
+        |    md5($normSqlDuck) AS fp
+        |  FROM documents),
+        |a AS (SELECT count(*) AS n_docs, sum(toks) AS n_tokens, sum(chars) AS n_chars,
+        |    count(DISTINCT fp) AS n_distinct, sum(q_ok) AS n_quality_ok,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS docs_en,
+        |    sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS docs_de,
+        |    sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS docs_es,
+        |    sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS docs_fr,
+        |    sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS docs_zh
+        |  FROM b)
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST((n_docs - n_distinct) * 10000 // n_docs AS BIGINT) AS exact_dup_bp,
+        |  CAST(n_quality_ok * 10000 // n_docs AS BIGINT) AS quality_ge50_bp,
+        |  CAST(n_tokens * 100 // n_docs AS BIGINT) AS avg_doc_tokens_x100,
+        |  CAST(docs_en AS BIGINT) AS docs_en, CAST(docs_de AS BIGINT) AS docs_de,
+        |  CAST(docs_es AS BIGINT) AS docs_es, CAST(docs_fr AS BIGINT) AS docs_fr,
+        |  CAST(docs_zh AS BIGINT) AS docs_zh
+        |FROM a""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -88,4 +88,39 @@ object Profile {
       .unionByName(row("fk:o_custkey->customer", orphans.head().getLong(0)))
       .orderBy(col("rule"))
   }
+
+  /** One-row dataset datasheet ("data card") for the documents
+    * corpus — the summary a dataset README publishes: sizes, language
+    * mix, duplication and quality rates. Everything is integer-exact
+    * (counts, integer sums, basis-point `div`s; the only float is the
+    * per-row quality THRESHOLD compare, deterministic per document) —
+    * so the card hash-gates like any other query. Two aggregates over
+    * one corpus scan shape: a global roll-up and a fingerprint
+    * distinct; both map-side combinable. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{normalizeText, qualityExpr, words}
+    val d = graft.sources.Tables.loadSpread(spark, dir, "documents")
+    val base = d.select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("toks"),
+      length(col("text")).cast("long").as("chars"),
+      col("lang"),
+      (qualityExpr(col("text")) >= 0.5).cast("long").as("q_ok"),
+      md5(normalizeText(col("text"))).as("fp"))
+    val langCols = Seq("en", "de", "es", "fr", "zh").map(l =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"docs_$l"))
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("n_tokens"),
+      sum(col("chars")).as("n_chars"),
+      countDistinct(col("fp")).as("n_distinct"),
+      sum(col("q_ok")).as("n_quality_ok")) ++ langCols
+    base.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("(n_docs - n_distinct) * 10000 div n_docs").as("exact_dup_bp"),
+        expr("n_quality_ok * 10000 div n_docs").as("quality_ge50_bp"),
+        expr("n_tokens * 100 div n_docs").as("avg_doc_tokens_x100"),
+        col("docs_en"), col("docs_de"), col("docs_es"), col("docs_fr"),
+        col("docs_zh"))
+  }
 }

@@ -417,6 +417,19 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("data card: exact counts, dup rate and language mix on a planted corpus") {
+    val dir = docsDir(Seq(
+      (1L, "the of and is to in every word a stopword here", "en"),
+      (2L, "the of and is to in every word a stopword here", "en"), // exact dup of 1
+      (3L, "tres palabras distintas", "es")))
+    val r = graft.operators.Profile.dataCard(spark, dir).collect().head
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_tokens") === 11L + 11L + 3L)
+    assert(r.getAs[Long]("exact_dup_bp") === 3333L) // 1 dup of 3 docs
+    assert(r.getAs[Long]("docs_en") === 2L && r.getAs[Long]("docs_es") === 1L)
+    assert(r.getAs[Long]("avg_doc_tokens_x100") === 25L * 100 / 3)
+  }
+
   test("drop funnel partitions the corpus exactly; kept row equals clean()'s cardinality") {
     import graft.operators.CorpusPipeline
     val sf = "/root/testdata/sf0.001"
