@@ -1342,6 +1342,21 @@ object SparkEntry {
     // one-row dataset datasheet, integer-exact
     "q209_data_card"       -> ((s: SparkSession, d: String) =>
       operators.Profile.dataCard(s, d)),
+    // manifest-only MIN/MAX per partition (aggregate pushdown to the
+    // skipping stats: O(manifest) bytes, zero data files opened)
+    "q210_metadata_minmax" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val table = fixture("snapmm", s, d, "orders") { path =>
+        wipe(s, path)
+        graft.sources.Snapshots.commitOverwritePartitioned(s, path, o,
+          "o_orderstatus", statsCols = Seq("o_totalprice"))
+        ()
+      }
+      val v = graft.sources.Snapshots.currentVersion(s, table).get
+      graft.sources.Snapshots.metadataMinMax(s, table, v, "o_totalprice")
+    }),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4322,6 +4337,12 @@ object SparkEntry {
         |  CAST(docs_es AS BIGINT) AS docs_es, CAST(docs_fr AS BIGINT) AS docs_fr,
         |  CAST(docs_zh AS BIGINT) AS docs_zh
         |FROM a""".stripMargin,
+    // the manifest roll-up must equal the data-path aggregate exactly
+    "q210_metadata_minmax" ->
+      """SELECT o_orderstatus AS partition,
+        |  CAST(min(o_totalprice) AS DOUBLE) AS min_v,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS max_v
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -1789,21 +1789,62 @@ object Snapshots {
   /** Per-partition sums of `_rows` stat lines: each file attributed to
     * its (dir, partition) exactly like [[carriedStats]] — dir prefix +
     * the partition subdir segment. */
+  /** Does stat line `st` belong to partition `value` owned by data
+    * dir `dd`? Dir prefix + the partition subdir segment, exactly
+    * like [[carriedStats]]. */
+  private def statInPartition(st: FileStat, value: String, dd: String): Boolean =
+    st.relPath.startsWith(dd + "/") && {
+      val rest = st.relPath.substring(dd.length + 1).split("/")
+      rest.length == 2 && {
+        val eq = rest(0).lastIndexOf('=')
+        eq > 0 && org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(rest(0).substring(eq + 1)) == value
+      }
+    }
+
   private def partitionRowCounts(m: Manifest,
                                  rows: Seq[FileStat]): Seq[(String, Long)] =
     m.partitions.map { case (value, dd) =>
-      val n = rows.filter { st =>
-        st.relPath.startsWith(dd + "/") && {
-          val rest = st.relPath.substring(dd.length + 1).split("/")
-          rest.length == 2 && {
-            val eq = rest(0).lastIndexOf('=')
-            eq > 0 && org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .unescapePathName(rest(0).substring(eq + 1)) == value
-          }
-        }
-      }.map(_.min.toLong).sum
-      (value, n)
+      (value, rows.filter(statInPartition(_, value, dd)).map(_.min.toLong).sum)
     }
+
+  /** Manifest-only MIN/MAX per partition for a tracked stats column:
+    * min of the per-file mins / max of the per-file maxes — the
+    * Iceberg-style aggregate pushdown that answers a MIN/MAX query
+    * by reading O(manifest) bytes and ZERO data files. Same safety
+    * rails as [[metadataRowCounts]]: pending deletion vectors could
+    * have removed the extreme row, so they must be compacted first;
+    * a version that doesn't track the column fails loudly. Decimal
+    * strings parse back to the exact doubles the writer recorded, so
+    * the answer is bit-identical to the data-path aggregate. */
+  def metadataMinMax(spark: SparkSession, tableDir: String,
+                     version: String, statCol: String): DataFrame = {
+    import spark.implicits._
+    val m = readManifest(spark, tableDir, version)
+    require(m.dvs.isEmpty,
+      "Snapshots.metadataMinMax: pending deletion vectors could have " +
+        "removed the extreme row; compact (or read the data path) first")
+    val sts = m.stats.filter(_.col == statCol)
+    require(sts.nonEmpty,
+      s"Snapshots.metadataMinMax: version $version tracks no '$statCol' " +
+        "stats — commit with statsCols including it")
+    def roll(group: Seq[FileStat]): (Double, Double) =
+      (group.map(s => BigDecimal(s.min)).min.toDouble,
+        group.map(s => BigDecimal(s.max)).max.toDouble)
+    m.dataDir match {
+      case Some(_) =>
+        val (lo, hi) = roll(sts)
+        Seq(("", lo, hi)).toDF("partition", "min_v", "max_v")
+      case None =>
+        m.partitions.flatMap { case (value, dd) =>
+          val here = sts.filter(statInPartition(_, value, dd))
+          if (here.isEmpty) None else {
+            val (lo, hi) = roll(here)
+            Some((value, lo, hi))
+          }
+        }.toDF("partition", "min_v", "max_v").orderBy(col("partition"))
+    }
+  }
 
   /** Partition-level drift between two retained versions, computed
     * from the two MANIFESTS alone (requires [[RowCountCol]] tracking

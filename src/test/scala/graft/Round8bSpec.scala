@@ -417,6 +417,78 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("metadata min/max answers with every data file physically deleted") {
+    import graft.sources.Snapshots
+    val dir = Files.createTempDirectory("graft_mm").toString + "/t"
+    val df = spark.range(1000L).selectExpr("id AS k",
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS part",
+      "CAST(id AS DOUBLE) * 1.5 AS v")
+    Snapshots.commitOverwritePartitioned(spark, dir, df, "part",
+      statsCols = Seq("v"))
+    val v = Snapshots.currentVersion(spark, dir).get
+    // physically delete every parquet data file — the manifest path
+    // must still answer (the whole point of aggregate pushdown)
+    val root = new java.io.File(dir)
+    def purge(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(purge)
+      else if (f.getName.endsWith(".parquet")) { f.delete(); () }
+    }
+    purge(root)
+    val out = Snapshots.metadataMinMax(spark, dir, v, "v").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("a") === ((0.0, 1497.0)))   // even ids: 0 .. 998*1.5
+    assert(out("b") === ((1.5, 1498.5)))   // odd ids: 1*1.5 .. 999*1.5
+  }
+
+  // ---------------------------------------------------------------
+  // Randomized differential properties (seeded, deterministic)
+  // ---------------------------------------------------------------
+
+  private val rnd = new scala.util.Random(20260814L)
+
+  test("ppjoin losslessness holds on random corpora (differential vs brute force)") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    for (round <- 1 to 4) {
+      val docs = (1L to 30L).map { i =>
+        val n = 5 + rnd.nextInt(20)
+        val text =
+          if (i > 1L && rnd.nextInt(4) == 0)
+            // near-dup of an earlier doc: copy + small mutation
+            (1 to n).map(_ => vocab(rnd.nextInt(3))).mkString(" ")
+          else (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (i, text, "en")
+      }
+      val dir = docsDir(docs)
+      val got = SetSimJoin.prefixJoin(spark, dir).collect()
+        .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+      assert(got === bruteForcePairs(dir), s"round $round diverged")
+    }
+  }
+
+  test("winnowing guarantee holds on random strings with planted shared substrings") {
+    import graft.operators.Winnowing
+    // shared run of K + W - 1 = 11 normalized chars between planted
+    // pairs; all other content is random and disjoint per doc
+    def randWord(len: Int) =
+      (1 to len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = "commonsharedrun" // 15 chars > 11 after normalization
+    val docs = (1L to 20L).map { i =>
+      val noise = (1 to 6).map(_ => randWord(8)).mkString(" ")
+      val text = if (i % 2 == 0) s"$noise $shared ${randWord(8)}"
+                 else s"${randWord(8)} $noise"
+      (i, text, "en")
+    }
+    val dir = docsDir(docs)
+    val fps = Winnowing.fingerprints(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[String]("fp")).toSet).toMap
+    val evens = docs.map(_._1).filter(_ % 2 == 0)
+    for (a <- evens; b <- evens if a < b)
+      assert((fps(a) & fps(b)).nonEmpty,
+        s"docs $a/$b share an 11+-char run but no fingerprint")
+  }
+
   test("data card: exact counts, dup rate and language mix on a planted corpus") {
     val dir = docsDir(Seq(
       (1L, "the of and is to in every word a stopword here", "en"),
