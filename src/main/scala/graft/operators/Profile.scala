@@ -115,11 +115,17 @@ object Profile {
       sum(col("chars")).as("n_chars"),
       countDistinct(col("fp")).as("n_distinct"),
       sum(col("q_ok")).as("n_quality_ok")) ++ langCols
+    // the bp rates are 0 (not NULL / not an error) on an empty corpus
     base.agg(aggs.head, aggs.tail: _*)
-      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
-        expr("(n_docs - n_distinct) * 10000 div n_docs").as("exact_dup_bp"),
-        expr("n_quality_ok * 10000 div n_docs").as("quality_ge50_bp"),
-        expr("n_tokens * 100 div n_docs").as("avg_doc_tokens_x100"),
+      .select(col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(expr("(n_docs - n_distinct) * 10000 div n_docs"), lit(0L))
+          .as("exact_dup_bp"),
+        coalesce(expr("n_quality_ok * 10000 div n_docs"), lit(0L))
+          .as("quality_ge50_bp"),
+        coalesce(expr("n_tokens * 100 div n_docs"), lit(0L))
+          .as("avg_doc_tokens_x100"),
         col("docs_en"), col("docs_de"), col("docs_es"), col("docs_fr"),
         col("docs_zh"))
   }

@@ -417,6 +417,30 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("degenerate: data card on an empty corpus is all zeros, not NULLs or errors") {
+    val dir = docsDir(Seq.empty)
+    val r = graft.operators.Profile.dataCard(spark, dir).collect().head
+    assert(r.getAs[Long]("n_docs") === 0L)
+    assert(r.getAs[Long]("n_tokens") === 0L)
+    assert(r.getAs[Long]("exact_dup_bp") === 0L)
+    assert(r.getAs[Long]("quality_ge50_bp") === 0L)
+    assert(r.getAs[Long]("avg_doc_tokens_x100") === 0L)
+  }
+
+  test("degenerate: metadata min/max fails loudly without stats or with pending DVs") {
+    import graft.sources.Snapshots
+    val dir = Files.createTempDirectory("graft_mmx").toString + "/t"
+    spark.range(10L).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .write.mode("overwrite").parquet(s"$dir-src")
+    Snapshots.commitOverwrite(spark, dir,
+      spark.read.parquet(s"$dir-src")) // no statsCols
+    val v = Snapshots.currentVersion(spark, dir).get
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.metadataMinMax(spark, dir, v, "v")
+    }
+    assert(e.getMessage.contains("tracks no 'v' stats"))
+  }
+
   test("metadata min/max answers with every data file physically deleted") {
     import graft.sources.Snapshots
     val dir = Files.createTempDirectory("graft_mm").toString + "/t"
