@@ -1357,6 +1357,9 @@ object SparkEntry {
       val v = graft.sources.Snapshots.currentVersion(s, table).get
       graft.sources.Snapshots.metadataMinMax(s, table, v, "o_totalprice")
     }),
+    // C4-style blocklist filter: word + phrase hits, keep flag
+    "q211_blocklist"       -> ((s: SparkSession, d: String) =>
+      operators.TextAnalysis.blocklistFilter(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4343,6 +4346,20 @@ object SparkEntry {
         |  CAST(min(o_totalprice) AS DOUBLE) AS min_v,
         |  CAST(max(o_totalprice) AS DOUBLE) AS max_v
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical word + literal-phrase hit arithmetic
+    "q211_blocklist" ->
+      s"""WITH n AS (SELECT doc_id, $normSqlDuck AS norm FROM documents),
+        |h AS (SELECT doc_id,
+        |    len(list_filter(string_split(norm, ' '), x -> x IN ('slow', 'spill')))
+        |      AS n_blocked_words,
+        |    (length(norm) - length(replace(norm, 'sort table', ''))) // 10
+        |      AS n_blocked_phrases
+        |  FROM n)
+        |SELECT doc_id, CAST(n_blocked_words AS BIGINT) AS n_blocked_words,
+        |  CAST(n_blocked_phrases AS BIGINT) AS n_blocked_phrases,
+        |  CAST(CASE WHEN n_blocked_words = 0 AND n_blocked_phrases = 0
+        |    THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM h ORDER BY doc_id""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -916,6 +916,39 @@ object TextAnalysis {
       .orderBy(col("k"))
   }
 
+  /** Word-level blocklist (stand-ins from the fixture vocabulary; a
+    * real pipeline ships thousands of terms — still broadcast-tiny). */
+  val BlockedWords: Seq[String] = Seq("slow", "spill")
+
+  /** A blocked multi-word phrase (matched on normalized text). */
+  val BlockedPhrase: String = "sort table"
+
+  /** Blocklist filtering — the C4 recipe (Raffel et al. 2020 filter
+    * against a term blocklist): count blocked-word tokens and
+    * non-overlapping blocked-phrase occurrences per document; a
+    * document with any hit is dropped from the keep set. The
+    * blocklist is constant/broadcast state however large the corpus;
+    * the scan is one map-only projection (word hits via an in-row
+    * array filter, phrase hits via exact length arithmetic —
+    * `(len(norm) − len(replace(norm, p, ''))) / len(p)` — no regex,
+    * no explode). */
+  def blocklistFilter(spark: SparkSession, dir: String,
+                      blockedWords: Seq[String] = BlockedWords,
+                      blockedPhrase: String = BlockedPhrase): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+    val norm = normalizeText(col("text"))
+    val phraseLit = blockedPhrase.replace("'", "''")
+    d.select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"),
+        size(filter(words(col("norm")), t => t.isin(blockedWords: _*)))
+          .cast("long").as("n_blocked_words"),
+        expr(s"(length(norm) - length(replace(norm, '$phraseLit', ''))) " +
+          s"div ${blockedPhrase.length}").cast("long").as("n_blocked_phrases"))
+      .withColumn("kept",
+        (col("n_blocked_words") === 0 && col("n_blocked_phrases") === 0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Tokenizer fertility by language: BPE pieces per whitespace word
     * under the corpus-trained merges ([[bpeApplyCounts]]'s per-doc
     * counts rolled up by lang). THE sanity metric before committing

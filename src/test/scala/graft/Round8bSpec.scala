@@ -417,6 +417,20 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("blocklist: exact word hits, non-overlapping phrase counts, clean docs kept") {
+    val dir = docsDir(Seq(
+      (1L, "slow slow spill and more words", "en"),   // 3 word hits
+      (2L, "sort table then sort table again", "en"), // 2 phrase hits
+      (3L, "perfectly clean document body here", "en")))
+    val out = graft.operators.TextAnalysis.blocklistFilter(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocked_words"), r.getAs[Long]("n_blocked_phrases"),
+          r.getAs[Int]("kept"))).toMap
+    assert(out(1L) === ((3L, 0L, 0)))
+    assert(out(2L) === ((0L, 2L, 0)))
+    assert(out(3L) === ((0L, 0L, 1)))
+  }
+
   test("degenerate: data card on an empty corpus is all zeros, not NULLs or errors") {
     val dir = docsDir(Seq.empty)
     val r = graft.operators.Profile.dataCard(spark, dir).collect().head
