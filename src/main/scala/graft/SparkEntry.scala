@@ -3371,23 +3371,28 @@ object SparkEntry {
         |hourly AS (SELECT user_id, hour, CAST(sum(v) AS DECIMAL(18,2)) AS v FROM e GROUP BY 1, 2),
         |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
         |  FROM (SELECT user_id, min(hour) AS lo, max(hour) AS hi FROM e GROUP BY 1)),
-        |f AS (SELECT g.user_id, g.hour, h.v,
-        |    CAST(last_value(h.v IGNORE NULLS) OVER wp AS DOUBLE) AS pv,
+        |f AS (SELECT g.user_id, g.hour,
+        |    CAST(h.v * 100 AS BIGINT) AS vc,
+        |    last_value(CAST(h.v * 100 AS BIGINT) IGNORE NULLS) OVER wp AS pvc,
         |    last_value(CASE WHEN h.v IS NOT NULL THEN g.hour END IGNORE NULLS) OVER wp AS ph,
-        |    CAST(first_value(h.v IGNORE NULLS) OVER wn AS DOUBLE) AS nv,
+        |    first_value(CAST(h.v * 100 AS BIGINT) IGNORE NULLS) OVER wn AS nvc,
         |    first_value(CASE WHEN h.v IS NOT NULL THEN g.hour END IGNORE NULLS) OVER wn AS nh
         |  FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hour = g.hour
         |  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.hour
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |    wn AS (PARTITION BY g.user_id ORDER BY g.hour
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |m AS (SELECT user_id, hour, vc,
+        |    (epoch_us(hour) - epoch_us(ph)) // 3600000000 AS k_,
+        |    (epoch_us(nh) - epoch_us(ph)) // 3600000000 AS n_,
+        |    pvc, nvc
+        |  FROM f)
         |SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
-        |  v IS NOT NULL AS observed,
-        |  round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
-        |    ELSE pv + (nv - pv) *
-        |      (CAST(epoch_us(hour) - epoch_us(ph) AS DOUBLE) /
-        |       CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE)) END, 6) AS v_interp
-        |FROM f ORDER BY user_id, hour""".stripMargin,
+        |  vc IS NOT NULL AS observed,
+        |  CAST(CASE WHEN vc IS NOT NULL THEN vc * 10000
+        |    ELSE (pvc * (n_ - k_) + nvc * k_) * 10000 // n_ END AS DOUBLE)
+        |    / 1e6 AS v_interp
+        |FROM m ORDER BY user_id, hour""".stripMargin,
     // the contract is the direct global rank; equality proves the
     // compressed-bin two-level rank reconstructs it exactly
     "q162_decile_lift" ->

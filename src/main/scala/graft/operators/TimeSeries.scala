@@ -73,21 +73,34 @@ object TimeSeries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = Window.partitionBy(col("user_id")).orderBy(col("hour"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val obsHour = when(col("v").isNotNull, col("hour"))
+    // INTEGER-EXACT interpolation: values in cents, gaps in whole
+    // hours, interpolated value floored at micro precision —
+    // (pv_c·(n−k) + nv_c·k)·10⁴ div n. The previous formulation
+    // rounded a DOUBLE to 6 places, and round-on-double semantics
+    // (Spark: exact decimal HALF_UP on the binary value; DuckDB:
+    // multiply-round-divide) disagreed on exactly one boundary cell
+    // in 13,940 at sf0.1. Integer division cannot disagree. The only
+    // float left is the final micro/1e6 readout — ONE deterministic
+    // IEEE division per row.
     grid.join(hourly, Seq("user_id", "hour"), "left")
-      .select(col("user_id"), col("hour"), col("v"),
-        last(col("v"), ignoreNulls = true).over(wPrev).cast("double").as("pv"),
-        last(obsHour, ignoreNulls = true).over(wPrev).as("ph"),
-        first(col("v"), ignoreNulls = true).over(wNext).cast("double").as("nv"),
-        first(obsHour, ignoreNulls = true).over(wNext).as("nh"))
+      .select(col("user_id"), col("hour"),
+        (col("v") * 100).cast("long").as("vc"))
+      .select(col("user_id"), col("hour"), col("vc"),
+        last(col("vc"), ignoreNulls = true).over(wPrev).as("pvc"),
+        last(when(col("vc").isNotNull, col("hour")), ignoreNulls = true)
+          .over(wPrev).as("ph"),
+        first(col("vc"), ignoreNulls = true).over(wNext).as("nvc"),
+        first(when(col("vc").isNotNull, col("hour")), ignoreNulls = true)
+          .over(wNext).as("nh"))
+      .withColumn("k_", expr("(unix_micros(hour) - unix_micros(ph)) div 3600000000"))
+      .withColumn("n_", expr("(unix_micros(nh) - unix_micros(ph)) div 3600000000"))
+      .withColumn("micro",
+        when(col("vc").isNotNull, col("vc") * 10000L)
+          .otherwise(expr("(pvc * (n_ - k_) + nvc * k_) * 10000 div n_")))
       .select(col("user_id"),
         date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("v").isNotNull.as("observed"),
-        round(when(col("v").isNotNull, col("v").cast("double"))
-          .otherwise(col("pv") + (col("nv") - col("pv")) *
-            ((unix_micros(col("hour")) - unix_micros(col("ph"))).cast("double") /
-             (unix_micros(col("nh")) - unix_micros(col("ph"))).cast("double"))),
-          6).as("v_interp"))
+        col("vc").isNotNull.as("observed"),
+        (col("micro").cast("double") / lit(1e6)).as("v_interp"))
       .orderBy(col("user_id"), col("hour"))
   }
 
