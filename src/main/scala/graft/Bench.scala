@@ -26,9 +26,32 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  private def load1min: Double =
+    try loadavg.split(" ")(0).toDouble catch { case NonFatal(_) => 0.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    // Load gate: timings taken on a busy host are noise (historically
+    // 3-10x per-query swings vs a clean run of identical code). Wait —
+    // bounded — for the 1-min loadavg to drop below the threshold
+    // before timing anything; if the host never quiesces, run anyway
+    // but tag the artifact "loaded" so no one mistakes it for a clean
+    // measurement. Enforced here, in the artifact producer, so every
+    // emitted JSON is self-labelling.
+    val gateMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
+    val gateWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "600").toInt
+    var waited = 0
+    while (load1min > gateMax && waited < gateWaitSec) {
+      System.err.println(
+        f"[bench] host loaded (1-min loadavg ${load1min}%.2f > $gateMax%.1f) — waiting (${waited}s/${gateWaitSec}s)")
+      Thread.sleep(15000L)
+      waited += 15
+    }
+    val loadGate = if (load1min > gateMax) "loaded" else "clean"
+    if (loadGate == "loaded")
+      System.err.println(
+        f"[bench] WARNING: starting under load (1-min loadavg ${load1min}%.2f) — artifact tagged 'loaded'")
     val spark = GraftSession.get()
     val load0 = loadavg
     // A failing query must fail the bench loudly: its time is recorded
@@ -65,7 +88,7 @@ object Bench {
     val failed = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, false) => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"loadavg_before":"$load0","loadavg_after":"$load1","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"loadavg_before":"$load0","loadavg_after":"$load1","load_gate":"$loadGate","load_waited_sec":$waited,"sf":"$sfDir"}"""
     println(json)
     // also persist to a repo artifact: the driver's stdout tail has
     // historically truncated the per-query map, leaving the round

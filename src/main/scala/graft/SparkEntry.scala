@@ -91,7 +91,8 @@ object SparkEntry {
     "q29_pivot"          -> Relational.pivotAgg _,
     "q30_percentile"     -> Relational.percentiles _,
     "q31_corpus_clean"   -> ((s: SparkSession, d: String) => operators.CorpusPipeline.clean(s, d)),
-    // no oracle (sketch algorithms are engine-specific) → rows-only check
+    // native KMV theta estimator — integer-exact, fully oracle-gated
+    // (round 9: retired the last rows-only carve-out)
     "q32_approx_sketches" -> Relational.approxSketches _,
     "q33_asof_join"      -> operators.AsOf.clicksWithLastView _,
     "q34_range_join"     -> operators.RangeJoin.eventPairsWithin _,
@@ -1360,6 +1361,14 @@ object SparkEntry {
     // C4-style blocklist filter: word + phrase hits, keep flag
     "q211_blocklist"       -> ((s: SparkSession, d: String) =>
       operators.TextAnalysis.blocklistFilter(s, d)),
+    // index-vs-delta PPJoin: exact Jaccard pairs involving the delta
+    // slice, candidates fanned out from delta prefixes only
+    "q212_setsim_delta"    -> ((s: SparkSession, d: String) =>
+      operators.SetSimJoin.prefixJoinDelta(s, d)),
+    // index-vs-delta winnowing: shared-fingerprint pairs involving
+    // the delta, probes from delta fingerprint rows only
+    "q213_winnow_delta"    -> ((s: SparkSession, d: String) =>
+      operators.Winnowing.sharedFingerprintPairsDelta(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -1759,6 +1768,46 @@ object SparkEntry {
         |  AND s.quality >= 0.5
         |  AND s.lang IN ('en','de','es','fr','zh')
         |ORDER BY s.doc_id""".stripMargin,
+    // KMV bottom-64 theta estimator replayed exactly: per flag the 64
+    // smallest distinct md5(key); est = 63·2⁶⁰ // 60-bit prefix of the
+    // 64th (or the exact count below capacity); |err| in floor-div bp
+    "q32_approx_sketches" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(l_partkey AS VARCHAR) AS pk, CAST(l_orderkey AS VARCHAR) AS ok
+        |  FROM lineitem),
+        |tru AS (SELECT l_returnflag, count(DISTINCT pk) AS true_parts,
+        |    count(DISTINCT ok) AS true_orders FROM li GROUP BY 1),
+        |dp AS (SELECT DISTINCT l_returnflag, md5(pk) AS h FROM li),
+        |dk AS (SELECT DISTINCT l_returnflag, md5(ok) AS h FROM li),
+        |rp AS (SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk FROM dp),
+        |ro AS (SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk FROM dk),
+        |ep AS (SELECT l_returnflag, count(*) AS nd,
+        |    max(CASE WHEN rk = 64 THEN h END) AS h64
+        |  FROM rp WHERE rk <= 64 GROUP BY 1),
+        |eo AS (SELECT l_returnflag, count(*) AS nd,
+        |    max(CASE WHEN rk = 64 THEN h END) AS h64
+        |  FROM ro WHERE rk <= 64 GROUP BY 1),
+        |est AS (SELECT ep.l_returnflag,
+        |    CASE WHEN ep.nd < 64 THEN ep.nd::HUGEINT
+        |         ELSE (63::HUGEINT * 1152921504606846976::HUGEINT)
+        |              // ('0x' || substr(ep.h64, 1, 15))::BIGINT END AS est_parts,
+        |    CASE WHEN eo.nd < 64 THEN eo.nd::HUGEINT
+        |         ELSE (63::HUGEINT * 1152921504606846976::HUGEINT)
+        |              // ('0x' || substr(eo.h64, 1, 15))::BIGINT END AS est_orders
+        |  FROM ep JOIN eo ON eo.l_returnflag = ep.l_returnflag)
+        |SELECT e.l_returnflag,
+        |  CAST(e.est_parts AS BIGINT) AS est_parts,
+        |  CAST(t.true_parts AS BIGINT) AS true_parts,
+        |  CAST(abs(e.est_parts - t.true_parts) * 10000 // t.true_parts AS BIGINT)
+        |    AS err_parts_bp,
+        |  CAST(e.est_orders AS BIGINT) AS est_orders,
+        |  CAST(t.true_orders AS BIGINT) AS true_orders,
+        |  CAST(abs(e.est_orders - t.true_orders) * 10000 // t.true_orders AS BIGINT)
+        |    AS err_orders_bp
+        |FROM est e JOIN tru t ON t.l_returnflag = e.l_returnflag
+        |ORDER BY e.l_returnflag""".stripMargin,
     "q33_asof_join" ->
       """WITH views AS (SELECT user_id, ts, max(value) AS view_value
         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
@@ -2886,15 +2935,22 @@ object SparkEntry {
     },
     // 4-round k-core peel (k=4) over q123's support-2 co-purchase
     // graph; each round drops degree<k nodes and restricts the edges
+    // every CTE MATERIALIZED: DuckDB inlines plain CTEs, and each
+    // round references the previous edge set THREE times (degree
+    // count + two membership probes) — non-materialized, the e0
+    // self-join re-evaluates ~3^4 times and the sf0.1 sweep ran out
+    // of 79 GB of temp. Materialize-once + equi-join membership (ids
+    // are unique in s_i, so the join IS a semi-join) bounds the whole
+    // oracle at one evaluation per round.
     "q131_kcore" -> {
       val rounds = (0 until 4).map { i =>
-        s"""d$i AS (SELECT id, count(*) AS d
+        s"""d$i AS MATERIALIZED (SELECT id, count(*) AS d
           |  FROM (SELECT src AS id FROM e$i UNION ALL SELECT dst FROM e$i) GROUP BY 1),
-          |s$i AS (SELECT id FROM d$i WHERE d >= 4),
-          |e${i + 1} AS (SELECT src, dst FROM e$i
-          |  WHERE src IN (SELECT id FROM s$i) AND dst IN (SELECT id FROM s$i))""".stripMargin
+          |s$i AS MATERIALIZED (SELECT id FROM d$i WHERE d >= 4),
+          |e${i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e$i e
+          |  JOIN s$i sa ON sa.id = e.src JOIN s$i sb ON sb.id = e.dst)""".stripMargin
       }.mkString(",\n")
-      s"""WITH e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+      s"""WITH e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
         |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -4336,11 +4392,12 @@ object SparkEntry {
         |    sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS docs_fr,
         |    sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS docs_zh
         |  FROM b)
-        |SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(n_chars AS BIGINT) AS n_chars,
-        |  CAST((n_docs - n_distinct) * 10000 // n_docs AS BIGINT) AS exact_dup_bp,
-        |  CAST(n_quality_ok * 10000 // n_docs AS BIGINT) AS quality_ge50_bp,
-        |  CAST(n_tokens * 100 // n_docs AS BIGINT) AS avg_doc_tokens_x100,
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_chars, 0) AS BIGINT) AS n_chars,
+        |  CAST(coalesce((n_docs - n_distinct) * 10000 // n_docs, 0) AS BIGINT) AS exact_dup_bp,
+        |  CAST(coalesce(n_quality_ok * 10000 // n_docs, 0) AS BIGINT) AS quality_ge50_bp,
+        |  CAST(coalesce(n_tokens * 100 // n_docs, 0) AS BIGINT) AS avg_doc_tokens_x100,
         |  CAST(docs_en AS BIGINT) AS docs_en, CAST(docs_de AS BIGINT) AS docs_de,
         |  CAST(docs_es AS BIGINT) AS docs_es, CAST(docs_fr AS BIGINT) AS docs_fr,
         |  CAST(docs_zh AS BIGINT) AS docs_zh
@@ -4365,6 +4422,46 @@ object SparkEntry {
         |  CAST(CASE WHEN n_blocked_words = 0 AND n_blocked_phrases = 0
         |    THEN 1 ELSE 0 END AS INT) AS kept
         |FROM h ORDER BY doc_id""".stripMargin,
+    // losslessness, q198-style: the UNfiltered exact all-pairs join
+    // restricted to pairs with ≥ 1 delta (doc_id % 10 = 3) member —
+    // the prefix-filtered index-vs-delta generation must reproduce it
+    "q212_setsim_delta" ->
+      s"""$shingleCte,
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT x.da, x.db, CAST(ca.n AS BIGINT) AS na, CAST(cb.n AS BIGINT) AS nb,
+        |  CAST(x.i AS BIGINT) AS i,
+        |  round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) AS jaccard
+        |FROM inter x JOIN cnt ca ON ca.doc_id = x.da JOIN cnt cb ON cb.doc_id = x.db
+        |WHERE x.i * 2 >= (ca.n + cb.n - x.i) * 1
+        |  AND (x.da % 10 = 3 OR x.db % 10 = 3)
+        |ORDER BY x.da, x.db""".stripMargin,
+    // q201's full self-join restricted to delta-involving pairs — the
+    // delta-probed fingerprint index must reproduce it exactly
+    "q213_winnow_delta" ->
+      s"""WITH n AS (SELECT doc_id, $normSqlDuck AS norm FROM documents),
+        |g AS (SELECT doc_id, i AS p, md5(substr(norm, i, 8)) AS h,
+        |    length(norm) - 7 AS nk
+        |  FROM n, unnest(generate_series(1, length(norm) - 7)) t(i)
+        |  WHERE length(norm) >= 8),
+        |fp0 AS (SELECT doc_id, p, nk,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM g),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM fp0 WHERE p <= greatest(nk - 3, 1)),
+        |cnt AS (SELECT doc_id, count(*) AS nfp FROM fps GROUP BY 1),
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+        |k AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp)),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+        |  FROM k a JOIN k b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT p.da, p.db, CAST(ca.nfp AS BIGINT) AS fpa, CAST(cb.nfp AS BIGINT) AS fpb,
+        |  CAST(p.shared AS BIGINT) AS shared,
+        |  round(p.shared * 1.0 / least(ca.nfp, cb.nfp), 4) AS containment
+        |FROM pairs p JOIN cnt ca ON ca.doc_id = p.da JOIN cnt cb ON cb.doc_id = p.db
+        |WHERE p.shared * 4 >= least(ca.nfp, cb.nfp)
+        |  AND (p.da % 10 = 3 OR p.db % 10 = 3)
+        |ORDER BY p.da, p.db""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

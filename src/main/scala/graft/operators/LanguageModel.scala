@@ -149,8 +149,15 @@ object LanguageModel {
       .filter(length(col("w")) > 0)
       .cache()
     val uni = train.groupBy(col("w").as("w2")).agg(count(lit(1)).as("cu"))
+    // Two distinct vocabularies, mirrored in the q205 oracle: the
+    // modeled-bigram branch smooths with the bigram SUCCESSOR vocab
+    // (count(DISTINCT w2) over training bigrams — same v as
+    // bitsPerToken/surprisalBursts), the backoff branch with the
+    // unigram vocab (v2). They differ whenever a training word occurs
+    // only document-initially (never as a w2), so conflating them
+    // breaks the hash gate on such corpora.
     val totals = train.agg(count(lit(1)).as("u_total"),
-      countDistinct(col("w")).as("v"))
+      countDistinct(col("w")).as("v2"))
     val bg = trainBigrams(spark, dir)
     val scored = bigramRows(spark, dir)
       .join(broadcast(prunedModel(bg)), Seq("w1", "w2"), "left")
@@ -158,9 +165,10 @@ object LanguageModel {
         Seq("w1"), "left")
       .join(broadcast(uni), Seq("w2"), "left")
       .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(successorVocab(bg)))
       .withColumn("bg_b", coalesce(col("ctx"), lit(0L)) + col("v"))
       .withColumn("bg_a", col("c") + lit(1L)) // only read when c is present
-      .withColumn("un_b", col("u_total") + col("v"))
+      .withColumn("un_b", col("u_total") + col("v2"))
       .withColumn("un_a", coalesce(col("cu"), lit(0L)) + lit(1L))
       .withColumn("bits",
         when(col("c").isNotNull,

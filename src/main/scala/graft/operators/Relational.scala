@@ -554,18 +554,45 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
-  /** Extension: approximate sketch aggregates — HLL++ distinct counts
-    * and quantile sketches. No DuckDB oracle (sketch algorithms differ
-    * across engines by design → driver records the weaker rows-only
-    * check); accuracy is bounded-error by construction and the exact
-    * counterparts (q28/q30) are the oracle-gated versions. */
+  /** Extension: approximate distinct-count sketches, fully
+    * oracle-gated. Re-based (round 9) from Spark's built-in HLL++ —
+    * whose estimate no other engine reproduces, leaving this the one
+    * rows-only carve-out since round 1 — onto the engine's OWN native
+    * KMV bottom-k aggregate ([[graft.plans.KmvRegisters]]): the
+    * classic theta-sketch estimator (K−1)·2⁶⁰ floor-div h_K, where
+    * h_K is the 60-bit prefix of the K-th smallest distinct md5.
+    * Every term is integer arithmetic both engines perform
+    * bit-identically, so the gate is a full hash match — estimate,
+    * exact truth, and signed-free |err| in basis points side by side.
+    *
+    * Scale posture: the sketch ships K·16 B per (group × map
+    * partition) and merges associatively (pooled min-K), versus the
+    * distinct-pair shuffle the exact side needs — the truth column
+    * exists here only because the gate must measure the error. */
   def approxSketches(spark: SparkSession, dir: String): DataFrame = {
+    val k = graft.plans.KmvRegisters.K
+    val num = (BigInt(k - 1) * BigInt(2).pow(60)).toString
     val li = Tables.load(spark, dir, "lineitem")
-    li.groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"))
+      .select(col("l_returnflag"),
+        col("l_partkey").cast("string").as("pk"),
+        col("l_orderkey").cast("string").as("ok"))
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(call_function("kmv_registers", col("pk")).as("sp"),
+        call_function("kmv_registers", col("ok")).as("so"),
+        countDistinct(col("pk")).as("true_parts"),
+        countDistinct(col("ok")).as("true_orders"))
+    // below capacity the sketch IS the exact distinct set
+    def est(sig: String): Column =
+      when(size(col(sig)) < k, size(col(sig)).cast("long"))
+        .otherwise(expr(s"CAST(CAST($num AS DECIMAL(38,0)) div " +
+          s"CAST(conv(substring(element_at($sig, -1), 1, 15), 16, 10) AS BIGINT) AS BIGINT)"))
+    sk.withColumn("est_parts", est("sp"))
+      .withColumn("est_orders", est("so"))
+      .select(col("l_returnflag"),
+        col("est_parts"), col("true_parts"),
+        expr("abs(est_parts - true_parts) * 10000 div true_parts").as("err_parts_bp"),
+        col("est_orders"), col("true_orders"),
+        expr("abs(est_orders - true_orders) * 10000 div true_orders").as("err_orders_bp"))
       .orderBy(col("l_returnflag"))
   }
 

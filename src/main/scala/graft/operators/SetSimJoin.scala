@@ -88,4 +88,71 @@ object SetSimJoin {
           .as("jaccard"))
       .orderBy(col("da"), col("db"))
   }
+
+  /** Index-vs-delta PPJoin — the incremental form streaming ingest
+    * needs (the exact-Jaccard analogue of what
+    * [[Dedup.incrementalLshFrom]] gives LSH): the corpus slice
+    * `doc_id % deltaMod ≠ deltaRes` plays the PERSISTED index (its
+    * prefix postings and full shingle sets are the stored state an
+    * exact set-similarity index must keep — unlike LSH there is no
+    * 12-hash shortcut, exact verification needs the sets), the
+    * `= deltaRes` slice is the newly-arrived delta. Candidate pairs
+    * fan out ONLY from delta prefix postings probing the (index ∪
+    * delta) prefix index — index×index pairs are never generated
+    * (they were found when those docs arrived), so per-batch work
+    * scales with the delta, not the corpus. The same exact
+    * verification and integer threshold as [[prefixJoin]]; the gate's
+    * oracle is the UNfiltered all-pairs join restricted to pairs with
+    * ≥ 1 delta member — the same losslessness proof as q198.
+    *
+    * The df order key is computed over index ∪ delta (in production:
+    * the index's maintained document-frequency stats plus the delta
+    * increment) so prefixes on both sides agree. */
+  def prefixJoinDelta(spark: SparkSession, dir: String,
+                      deltaMod: Int = 10, deltaRes: Int = 3): DataFrame = {
+    val sh = Dedup.shingleRowsOf(
+      graft.sources.Tables.loadSpread(spark, dir, "documents")).cache()
+    val isDelta = (c: org.apache.spark.sql.Column) =>
+      c % deltaMod === deltaRes
+
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val keyed = sh.join(df, Seq("s"))
+    val docs = keyed.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"),
+        count(lit(1)).as("n"))
+    val p = (col("n") - expr(s"(n * $TauNum + ${TauDen - 1}) div $TauDen") +
+      lit(1L)).cast("int")
+    val prefixes = docs
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("ord"), lit(1), p)).as("pe"))
+      .select(col("doc_id"), col("n"), col("pe.s").as("s"))
+
+    // delta prefixes probe ALL prefix postings; a delta-delta pair
+    // arrives from both directions, de-duplicated by the canonical
+    // (least, greatest) ordering before distinct
+    val cands = prefixes.filter(isDelta(col("doc_id")))
+      .select(col("doc_id").as("x"), col("n").as("nx"), col("s"))
+      .join(prefixes.select(col("doc_id").as("y"), col("n").as("ny"), col("s")),
+        Seq("s"))
+      .filter(col("x") =!= col("y") &&
+        col("ny") * TauDen >= col("nx") * TauNum &&
+        col("nx") * TauDen >= col("ny") * TauNum)
+      .select(least(col("x"), col("y")).as("da"),
+        greatest(col("x"), col("y")).as("db"),
+        when(col("x") < col("y"), col("nx")).otherwise(col("ny")).as("na"),
+        when(col("x") < col("y"), col("ny")).otherwise(col("nx")).as("nb"))
+      .distinct()
+
+    val aSide = cands.join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
+    val overlap = aSide
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("i"))
+    overlap
+      .filter(col("i") * TauDen >= (col("na") + col("nb") - col("i")) * TauNum)
+      .select(col("da"), col("db"), col("na"), col("nb"), col("i"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4)
+          .as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
 }

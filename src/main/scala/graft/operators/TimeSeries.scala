@@ -75,13 +75,19 @@ object TimeSeries {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     // INTEGER-EXACT interpolation: values in cents, gaps in whole
     // hours, interpolated value floored at micro precision —
-    // (pv_c·(n−k) + nv_c·k)·10⁴ div n. The previous formulation
+    // (pv_c·(n−k) + nv_c·k)·10⁴ floor-div n. The previous formulation
     // rounded a DOUBLE to 6 places, and round-on-double semantics
     // (Spark: exact decimal HALF_UP on the binary value; DuckDB:
     // multiply-round-divide) disagreed on exactly one boundary cell
-    // in 13,940 at sf0.1. Integer division cannot disagree. The only
-    // float left is the final micro/1e6 readout — ONE deterministic
-    // IEEE division per row.
+    // in 13,940 at sf0.1. Integer division agrees only if both
+    // engines use the SAME integer division: Spark's `div` truncates
+    // toward zero while DuckDB's `//` floors, which differ for
+    // negative numerators — so the value division is written as an
+    // explicit floor-div ((a − pmod(a,n)) div n, exact because the
+    // pmod-adjusted numerator is divisible). The hour-count divs
+    // (k_, n_) have non-negative numerators by construction and
+    // stay plain. The only float left is the final micro/1e6
+    // readout — ONE deterministic IEEE division per row.
     grid.join(hourly, Seq("user_id", "hour"), "left")
       .select(col("user_id"), col("hour"),
         (col("v") * 100).cast("long").as("vc"))
@@ -96,7 +102,9 @@ object TimeSeries {
       .withColumn("n_", expr("(unix_micros(nh) - unix_micros(ph)) div 3600000000"))
       .withColumn("micro",
         when(col("vc").isNotNull, col("vc") * 10000L)
-          .otherwise(expr("(pvc * (n_ - k_) + nvc * k_) * 10000 div n_")))
+          .otherwise(expr(
+            "((pvc * (n_ - k_) + nvc * k_) * 10000" +
+              " - pmod((pvc * (n_ - k_) + nvc * k_) * 10000, n_)) div n_")))
       .select(col("user_id"),
         date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("vc").isNotNull.as("observed"),

@@ -78,6 +78,12 @@ object Vectors {
   private def firstKCentroids(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir).filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      // semantically a no-op (vec_ids are unique, so the filter
+      // already bounds the frame at IvfCentroids rows) but it makes
+      // the bound PROVABLE in the plan (maxRows), so PlanLint can
+      // certify the ×K centroid cross-joins downstream as bounded
+      // fan-out instead of taking it on faith
+      .limit(IvfCentroids)
 
   /** IVF assignment of every corpus vector to its nearest centroid. */
   def ivfAssignment(spark: SparkSession, dir: String): DataFrame =

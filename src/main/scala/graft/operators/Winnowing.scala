@@ -96,4 +96,44 @@ object Winnowing {
           .as("containment"))
       .orderBy(col("da"), col("db"))
   }
+
+  /** Index-vs-delta winnowing — the incremental form for streaming
+    * ingest (mirrors [[graft.operators.Dedup.incrementalLshFrom]] and
+    * [[SetSimJoin.prefixJoinDelta]]): the `doc_id % deltaMod ≠
+    * deltaRes` slice plays the persisted fingerprint index (the
+    * (doc_id, fp) rows ARE the stored state — winnowing needs no
+    * text retention), the `= deltaRes` slice is the new batch, and
+    * pair generation fans out ONLY from delta fingerprint rows
+    * probing the combined index — index×index pairs are never
+    * re-derived. The hot-fingerprint cap and relative containment
+    * threshold are identical to [[sharedFingerprintPairs]] (the cap's
+    * document frequency counts the combined corpus, as maintained
+    * index stats would); the oracle is the full self-join restricted
+    * to pairs with ≥ 1 delta member — losslessness, q201-style. */
+  def sharedFingerprintPairsDelta(spark: SparkSession, dir: String,
+                                  deltaMod: Int = 10, deltaRes: Int = 3): DataFrame = {
+    val fp = fingerprints(spark, dir).cache()
+    val counts = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("docs"))
+      .filter(col("docs") <= FpHotCap)
+    val keyed = fp.join(rare.select(col("fp")), Seq("fp"))
+    // delta fp rows probe the combined postings; the delta-delta
+    // double-arrival collapses under the canonical pair ordering
+    keyed.filter(col("doc_id") % deltaMod === deltaRes)
+      .select(col("fp"), col("doc_id").as("x"))
+      .join(keyed.select(col("fp"), col("doc_id").as("y")), Seq("fp"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("da"),
+        greatest(col("x"), col("y")).as("db"), col("fp"))
+      .distinct()
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("doc_id").as("da"), col("nfp").as("fpa")), Seq("da"))
+      .join(counts.select(col("doc_id").as("db"), col("nfp").as("fpb")), Seq("db"))
+      .filter(col("shared") * ContainDen >= least(col("fpa"), col("fpb")))
+      .select(col("da"), col("db"), col("fpa"), col("fpb"), col("shared"),
+        round(col("shared").cast("double") / least(col("fpa"), col("fpb")), 4)
+          .as("containment"))
+      .orderBy(col("da"), col("db"))
+  }
 }

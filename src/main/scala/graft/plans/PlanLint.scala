@@ -37,22 +37,34 @@ object PlanLint {
     * a short explanation. */
   case class Finding(rule: String, node: String, detail: String)
 
-  def lint(df: DataFrame): Seq[Finding] = lintPlan(df.queryExecution.optimizedPlan)
+  /** Lint `df`'s optimized plan. `smallSideRows` is the largest
+    * PROVABLY-bounded side (via `LogicalPlan.maxRows` — global
+    * aggregates, literal local relations, explicit limits) a
+    * condition-less join may multiply by before it is flagged: the
+    * default 1 admits only the scalar-frame cross; an engine whose
+    * documented idiom includes bounded fan-out crosses (k-means
+    * centroid tables, constant grids) can pass its bound instead —
+    * a ×k fan-out with k ≤ 64 is a legitimate 100 TB shape, an
+    * unbounded×unbounded cross never is. */
+  def lint(df: DataFrame, smallSideRows: Long = 1L): Seq[Finding] =
+    lintPlan(df.queryExecution.optimizedPlan, smallSideRows)
 
   private def headLine(p: LogicalPlan): String =
     p.simpleString(maxFields = 8).linesIterator.next().take(160)
 
-  /** A plan subtree that provably produces at most one row (a global
-    * aggregate or an explicit one-row limit) — the legal cross-join
-    * side for the "multiply by a scalar frame" idiom. */
-  private def maxOneRow(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= 1L)
+  /** A plan subtree that provably produces at most `bound` rows (a
+    * global aggregate or an explicit small limit) — the legal
+    * cross-join side for the "multiply by a scalar frame" idiom. */
+  private def boundedBy(p: LogicalPlan, bound: Long): Boolean =
+    p.maxRows.exists(_ <= bound)
 
-  private[plans] def lintPlan(root: LogicalPlan): Seq[Finding] = {
+  private[plans] def lintPlan(root: LogicalPlan,
+                              smallSideRows: Long = 1L): Seq[Finding] = {
     val out = Seq.newBuilder[Finding]
 
     root.foreach {
       case j @ Join(left, right, _, None, _) =>
-        if (!maxOneRow(left) && !maxOneRow(right))
+        if (!boundedBy(left, smallSideRows) && !boundedBy(right, smallSideRows))
           out += Finding("cartesian-join", headLine(j),
             "condition-less join where neither side is provably single-row: " +
               "|L|x|R| rows materialize")

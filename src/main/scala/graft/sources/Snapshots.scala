@@ -1674,8 +1674,26 @@ object Snapshots {
     require(keys.nonEmpty, "readVersionKeyPruned: no keys")
     val m = readManifest(spark, tableDir, version)
     val predicate = col(keyCol).isin(keys: _*)
+    // The per-file bitmaps were built from cast(col, 'string') —
+    // SPARK's rendering. JVM String.valueOf differs for some types
+    // (java.sql.Timestamp appends '.0', Float/Decimal edge forms), and
+    // a probe hashed from the wrong string silently skips a file that
+    // holds the key. Evaluate the probe strings through the same cast
+    // (one local one-row projection, no job) so both sides of the
+    // index agree for every key type.
+    val probeStrings = {
+      val cols = keys.zipWithIndex.map { case (k, i) =>
+        lit(k).cast("string").as(s"_k$i")
+      }
+      val r = spark.range(1).select(cols: _*).head()
+      // a key whose cast renders NULL can match no stored row (the
+      // index stores only non-null renderings) — drop it from probes
+      keys.indices.filterNot(r.isNullAt).map(r.getString)
+    }
+    if (probeStrings.isEmpty)
+      return readVersion(spark, tableDir, version).filter(lit(false)).filter(predicate)
     val selected = bitmapSelectedFiles(m, versionFiles(spark, tableDir, m),
-      keyCol, keys.map(String.valueOf))
+      keyCol, probeStrings)
     if (selected.isEmpty)
       return readVersion(spark, tableDir, version).filter(lit(false)).filter(predicate)
     val root = new Path(tableDir)

@@ -48,6 +48,7 @@ object DocStreams {
     val indexIds = index.select(col("doc_id").as("iid"))
     val pairs = Dedup.incrementalLshFrom(index, batch)
       .select(col("da"), col("db")).cache()
+    try {
     // dropped: any batch doc paired with an ALREADY-INDEXED doc
     // (earlier ingest wins regardless of id order)…
     val vsIndexA = pairs.join(indexIds, pairs("da") === col("iid"))
@@ -67,6 +68,12 @@ object DocStreams {
     if (!novelSigs.isEmpty)
       Snapshots.commitUpsert(spark, indexTableDir, novelSigs, "doc_id")
     novel
+    } finally {
+      // the cache serves only this batch's three pair consumers — a
+      // long-running stream must not accumulate one storage entry per
+      // micro-batch
+      pairs.unpersist()
+    }
   }
 
   /** The streaming sink: wire a docs stream through [[ingestBatch]].
