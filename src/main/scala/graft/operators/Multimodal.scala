@@ -27,6 +27,15 @@ import graft.sources.Tables
   */
 object Multimodal {
 
+  // ImageIO's stream factories (including the ones ImageIO.read/write
+  // call internally) default to a DISK-backed cache: one temp-file
+  // create+delete per decoded row. For in-memory byte[] payloads that
+  // is pure overhead — measured as ~85% of q103's wall time at sf0.1,
+  // with run-to-run noise tracking /tmp state. Every decode in this
+  // engine is a bounded in-memory image, so force the memory cache
+  // JVM-wide (runs on each executor when the class loads there).
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
   /** One uniform probe row per media payload; the dimension slots
     * carry each format's natural axes (all Long so the output schema
@@ -176,7 +185,11 @@ object Multimodal {
     val w = 8 + (id % 8).toInt
     val h = 8
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // explicit memory-cached stream: ImageIO.createImageOutputStream
+    // defaults to a DISK-backed cache (one temp-file create+delete
+    // per row — measured as the whole q103 cost at sf0.1, and noisy
+    // with /tmp state); the frames here are ≤16×8 px, memory is right
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
@@ -220,7 +233,9 @@ object Multimodal {
       .mapPartitions(_.map { id =>
         val gif = encodeGif(id)
         val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        // memory-cached input: the default createImageInputStream is
+        // disk-backed (per-row temp file) — see encodeGif
+        reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(gif)))
         val n = reader.getNumImages(true)
         var rSum = 0L
