@@ -1369,6 +1369,31 @@ object SparkEntry {
     // the delta, probes from delta fingerprint rows only
     "q213_winnow_delta"    -> ((s: SparkSession, d: String) =>
       operators.Winnowing.sharedFingerprintPairsDelta(s, d)),
+    // DCLM-style discriminative quality classifier: whole-bit Naive
+    // Bayes LLR of curated-seed vs raw-pool, broadcast pruned model
+    "q214_nb_classifier"   -> ((s: SparkSession, d: String) =>
+      operators.QualityClassifier.nbScore(s, d)),
+    // positional inverted-index phrase search: postings partitioned
+    // by term hash-bucket, query terms DPP-prune the scan, posting
+    // lists intersected with pos+1 adjacency
+    "q215_phrase_search"   -> ((s: SparkSession, d: String) => {
+      val idx = fixture("postings", s, d, "documents") { path =>
+        wipe(s, path)
+        operators.PhraseSearch.postings(s, d)
+          .write.partitionBy("tb").parquet(path)
+      }
+      operators.PhraseSearch.phraseSearch(s, d, idx)
+    }),
+    // SFT conversation prep: gap-sessionized dialogues, role mapping,
+    // alternation validity, transcript hash + keep-first dedup
+    "q216_conversations"   -> ((s: SparkSession, d: String) =>
+      operators.Conversations.assemble(s, d)),
+    // skew advisor: key-distribution diagnosis + salt recommendation
+    // (the measurement step ahead of q42/q52's salted treatments)
+    "q217_skew_advisor"    -> ((s: SparkSession, d: String) =>
+      operators.Skew.advisor(
+        graft.sources.Tables.loadEvents(s, d), org.apache.spark.sql.functions.col("user_id"))
+        .withColumnRenamed("k", "user_id")),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4462,6 +4487,105 @@ object SparkEntry {
         |WHERE p.shared * 4 >= least(ca.nfp, cb.nfp)
         |  AND (p.da % 10 = 3 OR p.db % 10 = 3)
         |ORDER BY p.da, p.db""".stripMargin,
+    // whole-bit Naive Bayes LLR, term-for-term with nbScore: pruned
+    // model (HAVING total>=2), full-vocab smoothing, doc-count prior
+    "q214_nb_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, source,
+        |    unnest(string_split($normSqlDuck, ' ')) AS w FROM documents),
+        |t2 AS (SELECT doc_id, source, w FROM toks WHERE length(w) > 0),
+        |tr AS (SELECT * FROM t2 WHERE doc_id % 5 <> 0),
+        |m AS (SELECT w,
+        |    sum(CASE WHEN source IN ($nbSeedList) THEN 1 ELSE 0 END) AS c_pos,
+        |    sum(CASE WHEN source IN ($nbSeedList) THEN 0 ELSE 1 END) AS c_neg
+        |  FROM tr GROUP BY 1 HAVING count(*) >= 2),
+        |tot AS (SELECT
+        |    sum(CASE WHEN source IN ($nbSeedList) THEN 1 ELSE 0 END) AS n_pos,
+        |    sum(CASE WHEN source IN ($nbSeedList) THEN 0 ELSE 1 END) AS n_neg,
+        |    count(DISTINCT w) AS v
+        |  FROM tr),
+        |pri AS (SELECT (length(printf('%b', CAST(d_all // (d_all - d_pos) AS BIGINT))) - 1)
+        |      - (length(printf('%b', CAST(d_all // d_pos AS BIGINT))) - 1) AS prior_bits
+        |  FROM (SELECT count(*) AS d_all,
+        |      sum(CASE WHEN source IN ($nbSeedList) THEN 1 ELSE 0 END) AS d_pos
+        |    FROM documents WHERE doc_id % 5 <> 0)),
+        |sc AS (SELECT t2.doc_id, t2.source,
+        |    (length(printf('%b', CAST((tot.n_neg + tot.v) // (coalesce(m.c_neg, 0) + 1) AS BIGINT))) - 1)
+        |      - (length(printf('%b', CAST((tot.n_pos + tot.v) // (coalesce(m.c_pos, 0) + 1) AS BIGINT))) - 1) AS dbits
+        |  FROM t2 LEFT JOIN m USING (w), tot),
+        |agg AS (SELECT doc_id, source, count(*) AS n_tokens, sum(dbits) AS llr_word
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(llr_word + prior_bits AS BIGINT) AS llr_bits,
+        |  CAST(CASE WHEN llr_word + prior_bits >= 0 THEN 1 ELSE 0 END AS INT) AS kept,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS heldout
+        |FROM agg, pri ORDER BY doc_id""".stripMargin,
+    // phrase = the corpus's most frequent bigram; hits = adjacent
+    // positional postings (b.pos = a.pos + 1) — mirrors phraseSearch
+    "q215_phrase_search" ->
+      s"""WITH n AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, i AS pos, w[i] AS w
+        |  FROM n, unnest(generate_series(1, len(w))) t(i)
+        |  WHERE length(w[i]) > 0),
+        |bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+        |  FROM n, unnest(generate_series(1, greatest(len(w) - 1, 0))) t(i)
+        |  WHERE length(w[i]) > 0 AND length(w[i+1]) > 0),
+        |q AS (SELECT w1, w2 FROM bg GROUP BY 1, 2
+        |  ORDER BY count(*) DESC, w1, w2 LIMIT 1),
+        |hits AS (SELECT a.doc_id, a.pos
+        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1, q
+        |  WHERE a.w = q.w1 AND b.w = q.w2)
+        |SELECT h.doc_id, q.w1, q.w2, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(h.pos) AS BIGINT) AS first_pos
+        |FROM hits h, q GROUP BY 1, 2, 3
+        |ORDER BY n_hits DESC, h.doc_id LIMIT 20""".stripMargin,
+    // 30-min-gap sessionization, role-mapped turns, ordered-transcript
+    // md5, keep-first dedup — mirrors Conversations.assemble
+    "q216_conversations" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |    CASE WHEN event_type IN ('view', 'click') THEN 'user'
+        |      ELSE 'assistant' END AS role
+        |  FROM events),
+        |s AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |      OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s2 AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sess_n FROM s),
+        |s3 AS (SELECT *, CASE WHEN role = lag(role) OVER ws THEN 1 ELSE 0 END AS same_prev,
+        |    row_number() OVER ws AS rn
+        |  FROM s2 WINDOW ws AS (PARTITION BY user_id, sess_n ORDER BY tus, event_id)),
+        |g AS (SELECT user_id, sess_n, count(*) AS n_turns,
+        |    sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user_turns,
+        |    sum(same_prev) AS viol,
+        |    max(CASE WHEN rn = 1 THEN role END) AS first_role,
+        |    md5(string_agg(role || ': ' || event_type, chr(10)
+        |      ORDER BY tus, event_id)) AS thash
+        |  FROM s3 GROUP BY 1, 2),
+        |c AS (SELECT *, row_number() OVER (PARTITION BY thash
+        |    ORDER BY user_id, sess_n) AS rk FROM g)
+        |SELECT user_id, CAST(sess_n AS BIGINT) AS sess_n,
+        |  CAST(n_turns AS BIGINT) AS n_turns,
+        |  CAST(n_user_turns AS BIGINT) AS n_user_turns,
+        |  CAST(viol AS BIGINT) AS viol,
+        |  CAST(CASE WHEN viol = 0 AND first_role = 'user' AND n_turns >= 2
+        |    THEN 1 ELSE 0 END AS INT) AS valid,
+        |  thash,
+        |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS is_canonical
+        |FROM c ORDER BY user_id, sess_n""".stripMargin,
+    // key histogram stats + capped ceil(max/mean) salt recommendation
+    "q217_skew_advisor" ->
+      """WITH c AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |    max(cnt) AS max_cnt FROM c),
+        |t2 AS (SELECT *, n_rows // n_keys AS avg_cnt FROM t),
+        |h AS (SELECT count(*) AS n_hot FROM c, t2 WHERE cnt > avg_cnt * 4),
+        |top AS (SELECT k, cnt FROM c ORDER BY cnt DESC, k LIMIT 5)
+        |SELECT k AS user_id, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(cnt * 1000000 // n_rows AS BIGINT) AS share_ppm,
+        |  CAST(n_rows AS BIGINT) AS n_rows, CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(avg_cnt AS BIGINT) AS avg_cnt, CAST(max_cnt AS BIGINT) AS max_cnt,
+        |  CAST(n_hot AS BIGINT) AS n_hot,
+        |  CAST(least(32, (max_cnt + avg_cnt - 1) // avg_cnt) AS BIGINT) AS salt_reco
+        |FROM top, t2, h ORDER BY cnt DESC, k""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition
@@ -4548,6 +4672,11 @@ object SparkEntry {
     * TextFunctions.normalizeText exactly). */
   private val normSqlDuck =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** DuckDB list literal of the q214 curated-seed sources (mirrors
+    * QualityClassifier.SeedSources). */
+  private val nbSeedList =
+    operators.QualityClassifier.SeedSources.map(s => s"'$s'").mkString(", ")
 
   /** DuckDB fragment: distinct word-3-gram shingles per doc (mirrors
     * TextFunctions.shingles(words(text), 3)). */

@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Conversations, PhraseSearch, QualityClassifier, Skew}
+
+/** Round-9 second-half additions: the DCLM-style Naive Bayes quality
+  * classifier, positional phrase search over a bucket-partitioned
+  * postings index, SFT conversation assembly, and the skew advisor.
+  * Each is pinned on planted data with hand-computed ground truth,
+  * plus plan-shape assertions for the index access path.
+  */
+class Round9bSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    val dir = Files.createTempDirectory("graft_r9b").toString
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---------------------------------------------------------------- q214
+
+  /** Seed (src0) trains on "alpha", raw pool (src9) on "beta"; the
+    * held-out docs (id % 5 == 0) are pure-alpha and pure-beta. */
+  private def classifierDir(): String = docsDir(Seq(
+    (1L, "alpha alpha alpha alpha", "src0"),
+    (2L, "alpha alpha alpha alpha", "src0"),
+    (3L, "beta beta beta beta", "src9"),
+    (4L, "beta beta beta beta", "src9"),
+    (10L, "alpha alpha", "src9"),  // held out, looks like seed
+    (15L, "beta beta", "src0")))   // held out, looks like raw pool
+
+  test("nb classifier: held-out docs score toward the class whose words they use") {
+    val out = QualityClassifier.nbScore(spark, classifierDir()).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("llr_bits"), r.getAs[Int]("kept"), r.getAs[Int]("heldout")))
+      .toMap
+    // every doc is scored, train and held-out alike
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 10L, 15L))
+    assert(out(10L)._3 === 1 && out(15L)._3 === 1)
+    assert(out(1L)._3 === 0)
+    // the alpha-document must score strictly above the beta-document,
+    // and their keep decisions must split accordingly
+    assert(out(10L)._1 > out(15L)._1)
+    assert(out(10L)._2 === 1)
+    assert(out(15L)._2 === 0)
+    // training docs score consistently with their own vocabulary
+    assert(out(1L)._1 > out(3L)._1)
+  }
+
+  test("nb classifier: hand-computed whole-bit LLR on the planted corpus") {
+    // train = ids 1-4 (none divisible by 5): n_pos = 8 alpha tokens,
+    // n_neg = 8 beta tokens, v = 2, model = {alpha: (8,0), beta: (0,8)}
+    // (both pass the total>=2 prune); priors: d_all=4, d_pos=2 →
+    // floor(log2(4/2)) - floor(log2(4/2)) = 0.
+    // alpha token: bits_pos = floor(log2((8+2)/(8+1))) = floor(log2(10/9)) = 0
+    //              bits_neg = floor(log2((8+2)/(0+1))) = floor(log2(10)) = 3
+    // → per-token llr = 3; doc 10 (2 tokens) → llr_bits = 6.
+    // beta token mirrors → doc 15 → llr_bits = -6.
+    val out = QualityClassifier.nbScore(spark, classifierDir()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("llr_bits")).toMap
+    assert(out(10L) === 6L)
+    assert(out(15L) === -6L)
+  }
+
+  // ---------------------------------------------------------------- q215
+
+  /** Corpus where the top bigram is "a a" (4 occurrences) and doc 3
+    * contains an overlapping run "a a a" (2 adjacent hits). */
+  private def phraseDir(): String = docsDir(Seq(
+    (1L, "a a x y z", "src0"),
+    (2L, "a a p q r", "src0"),
+    (3L, "a a a m n", "src0"),
+    (4L, "b c d e f", "src0")))
+
+  private def builtIndex(dir: String): String = {
+    val idxDir = Files.createTempDirectory("graft_r9b_idx").toString
+    PhraseSearch.postings(spark, dir)
+      .write.mode("overwrite").partitionBy("tb").parquet(idxDir)
+    idxDir
+  }
+
+  test("phrase search: overlapping runs count each adjacency, positions 1-based") {
+    val dir = phraseDir()
+    val out = PhraseSearch.phraseSearch(spark, dir, builtIndex(dir)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("w1"), r.getAs[String]("w2"),
+          r.getAs[Long]("n_hits"), r.getAs[Long]("first_pos"))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(3L) === (("a", "a", 2L, 1L))) // "a a a" → hits at pos 1 and 2
+    assert(out(1L) === (("a", "a", 1L, 1L)))
+    assert(!out.contains(4L))
+  }
+
+  test("phrase search: the postings scan is dynamically partition-pruned") {
+    val dir = phraseDir()
+    val plan = PhraseSearch.phraseSearch(spark, dir, builtIndex(dir))
+      .queryExecution.executedPlan.toString
+    // the partition filter on tb must be dynamic (bound to the
+    // broadcast query-term frame), not a full-index scan
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on tb in:\n$plan")
+  }
+
+  // ---------------------------------------------------------------- q216
+
+  /** u1: one valid 3-turn conversation (user → assistant → user …)
+    * then a 31-minute gap starts session 2 (single turn, invalid).
+    * u2: same transcript as u1's session 1 → deduped (keep-first).
+    * u3: two user turns back-to-back → alternation violation. */
+  private def convDir(): String = {
+    val dir = Files.createTempDirectory("graft_r9b_conv").toString
+    Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-03-01 10:05:00"), 1L, "purchase", 1.0, "{}"),
+      (3L, ts("2024-03-01 10:10:00"), 1L, "click", 1.0, "{}"),
+      (4L, ts("2024-03-01 10:42:00"), 1L, "view", 1.0, "{}"),  // 32 min gap
+      (5L, ts("2024-03-02 09:00:00"), 2L, "view", 1.0, "{}"),
+      (6L, ts("2024-03-02 09:05:00"), 2L, "purchase", 1.0, "{}"),
+      (7L, ts("2024-03-02 09:10:00"), 2L, "click", 1.0, "{}"),
+      (8L, ts("2024-03-03 12:00:00"), 3L, "view", 1.0, "{}"),
+      (9L, ts("2024-03-03 12:01:00"), 3L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("conversations: gap split, alternation validity, keep-first transcript dedup") {
+    val out = Conversations.assemble(spark, convDir()).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_n")) ->
+        (r.getAs[Long]("n_turns"), r.getAs[Long]("viol"),
+          r.getAs[Int]("valid"), r.getAs[Int]("is_canonical"),
+          r.getAs[String]("thash"))).toMap
+    assert(out.keySet === Set((1L, 1L), (1L, 2L), (2L, 1L), (3L, 1L)))
+    // u1 session 1: view/purchase/click = user/assistant/user, valid
+    assert(out((1L, 1L))._1 === 3L && out((1L, 1L))._2 === 0L)
+    assert(out((1L, 1L))._3 === 1)
+    // the 32-minute gap isolates the 4th event as its own session,
+    // invalid (below MinTurns)
+    assert(out((1L, 2L))._1 === 1L && out((1L, 2L))._3 === 0)
+    // u2's session replays u1's transcript → same hash, not canonical
+    assert(out((2L, 1L))._5 === out((1L, 1L))._5)
+    assert(out((1L, 1L))._4 === 1 && out((2L, 1L))._4 === 0)
+    // u3: view then click = user,user → one violation, invalid
+    assert(out((3L, 1L))._2 === 1L && out((3L, 1L))._3 === 0)
+  }
+
+  // ---------------------------------------------------------------- q217
+
+  test("skew advisor: hand-computed stats and capped salt recommendation") {
+    // key 1: 60 rows, keys 2..7: 4 rows each → n_rows=84, n_keys=7,
+    // avg = 84 div 7 = 12, max = 60, hot (cnt > 48): {1} → n_hot=1,
+    // salt_reco = ceil(60/12) = 5, share_ppm(1) = 60e6 div 84 = 714285
+    val df = ((1 to 60).map(_ => 1L) ++ (2 to 7).flatMap(k => Seq.fill(4)(k.toLong)))
+      .toDF("k2")
+    val out = Skew.advisor(df, col("k2")).collect()
+    assert(out.length === 5)
+    val top = out.head
+    assert(top.getAs[Long]("k") === 1L)
+    assert(top.getAs[Long]("cnt") === 60L)
+    assert(top.getAs[Long]("avg_cnt") === 12L)
+    assert(top.getAs[Long]("max_cnt") === 60L)
+    assert(top.getAs[Long]("n_hot") === 1L)
+    assert(top.getAs[Long]("salt_reco") === 5L)
+    assert(top.getAs[Long]("share_ppm") === 714285L)
+    // extreme skew: 660 rows on one key + 100 singletons → avg =
+    // 760 div 101 = 7, ceil(660/7) = 95 → capped at SaltCap
+    val df2 = ((1 to 660).map(_ => 1L) ++ (2 to 101).map(_.toLong)).toDF("k2")
+    val out2 = Skew.advisor(df2, col("k2")).collect()
+    assert(out2.head.getAs[Long]("salt_reco") === Skew.SaltCap)
+  }
+}
