@@ -1394,6 +1394,10 @@ object SparkEntry {
       operators.Skew.advisor(
         graft.sources.Tables.loadEvents(s, d), org.apache.spark.sql.functions.col("user_id"))
         .withColumnRenamed("k", "user_id")),
+    // content-defined chunking dedup: md5-window boundary cuts,
+    // global keep-first canonical chunks, per-doc bytes-saved report
+    "q218_cdc_chunks"      -> ((s: SparkSession, d: String) =>
+      operators.Cdc.dedupSavings(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4586,6 +4590,28 @@ object SparkEntry {
         |  CAST(n_hot AS BIGINT) AS n_hot,
         |  CAST(least(32, (max_cnt + avg_cnt - 1) // avg_cnt) AS BIGINT) AS salt_reco
         |FROM top, t2, h ORDER BY cnt DESC, k""".stripMargin,
+    // identical md5-window boundary rule and keep-first chunk
+    // canonicalization — mirrors Cdc.dedupSavings
+    "q218_cdc_chunks" ->
+      s"""WITH n AS (SELECT doc_id, $normSqlDuck AS norm FROM documents),
+        |b AS (SELECT doc_id, i
+        |  FROM n, unnest(generate_series(2, length(norm) - 7)) t(i)
+        |  WHERE length(norm) >= 9 AND md5(substr(norm, i, 8)) LIKE '0%'),
+        |st AS (SELECT doc_id, 1 AS i FROM n
+        |  UNION ALL SELECT doc_id, i FROM b),
+        |c AS (SELECT st.doc_id, st.i,
+        |    coalesce(lead(st.i) OVER (PARTITION BY st.doc_id ORDER BY st.i),
+        |      length(n.norm) + 1) - st.i AS clen,
+        |    n.norm
+        |  FROM st JOIN n ON n.doc_id = st.doc_id),
+        |c2 AS (SELECT doc_id, i, clen, md5(substr(norm, i, clen)) AS chash FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY chash
+        |    ORDER BY doc_id, i) AS rk FROM c2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(clen) AS BIGINT) AS bytes_total,
+        |  CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupe_chunks,
+        |  CAST(sum(CASE WHEN rk > 1 THEN clen ELSE 0 END) AS BIGINT) AS bytes_saved
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Conversations, PhraseSearch, QualityClassifier, Skew}
+import graft.operators.{Cdc, Conversations, PhraseSearch, QualityClassifier, Skew}
 
 /** Round-9 second-half additions: the DCLM-style Naive Bayes quality
   * classifier, positional phrase search over a bucket-partitioned
@@ -176,5 +176,43 @@ class Round9bSpec extends SparkSpec {
     val df2 = ((1 to 660).map(_ => 1L) ++ (2 to 101).map(_.toLong)).toDF("k2")
     val out2 = Skew.advisor(df2, col("k2")).collect()
     assert(out2.head.getAs[Long]("salt_reco") === Skew.SaltCap)
+  }
+
+  // ---------------------------------------------------------------- q218
+
+  test("cdc chunks: partition each document exactly (lossless cover)") {
+    val dir = phraseDir()
+    val byDoc = Cdc.chunks(spark, dir)
+      .groupBy("doc_id").agg(sum("clen").as("bytes"), count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bytes")).toMap
+    // chunks concatenate back to the full normalized text
+    assert(byDoc(1L) === "a a x y z".length.toLong)
+    assert(byDoc(4L) === "b c d e f".length.toLong)
+  }
+
+  test("cdc chunks: boundaries survive a prefix insertion (the CDC property)") {
+    // doc 2 is doc 1 with an inserted prefix — fixed-size chunking
+    // would shift every chunk; CDC must resynchronize at the first
+    // content boundary after the edit and share every chunk beyond it
+    val base = Seq("lorem", "ipsum", "dolor", "sit", "amet", "consectetur",
+      "adipiscing", "elit", "sed", "do", "eiusmod", "tempor", "incididunt",
+      "ut", "labore", "et", "dolore", "magna", "aliqua", "ut", "enim",
+      "ad", "minim", "veniam", "quis", "nostrud", "exercitation").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, base, "src0"),
+      (2L, "zzz qqq " + base, "src0")))
+    val ch = Cdc.chunks(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[String]("chash")).toSet).toMap
+    val shared = ch(1L).intersect(ch(2L))
+    // resync: the two documents share at least half of doc 1's chunks
+    // (everything from the first post-edit boundary on)
+    assert(shared.size * 2 >= ch(1L).size,
+      s"expected resync; shared ${shared.size} of ${ch(1L).size}")
+    // and the report sees those as duplicate occurrences in doc 2
+    val sav = Cdc.dedupSavings(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dupe_chunks")).toMap
+    assert(sav(1L) === 0L)
+    assert(sav(2L) >= shared.size.toLong)
   }
 }
