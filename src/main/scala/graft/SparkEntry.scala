@@ -1398,6 +1398,13 @@ object SparkEntry {
     // global keep-first canonical chunks, per-doc bytes-saved report
     "q218_cdc_chunks"      -> ((s: SparkSession, d: String) =>
       operators.Cdc.dedupSavings(s, d)),
+    // data-constrained scaling: epoch-capped integer waterfill of a
+    // token budget across sources (largest-remainder level split)
+    "q219_epoch_budget"    -> ((s: SparkSession, d: String) =>
+      operators.Sampling.epochBudget(s, d)),
+    // CCNet head/middle/tail: per-language LM-perplexity tertiles
+    "q220_ccnet_buckets"   -> ((s: SparkSession, d: String) =>
+      operators.LanguageModel.ccnetBuckets(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4612,6 +4619,60 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupe_chunks,
         |  CAST(sum(CASE WHEN rk > 1 THEN clen ELSE 0 END) AS BIGINT) AS bytes_saved
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // identical integer waterfill: caps sorted (cap, source), capped
+    // prefix, level + largest-remainder split of the residue
+    "q219_epoch_budget" ->
+      """WITH s AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT source, n_tokens, n_tokens * 2 AS cap FROM s),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+        |    CAST(count(*) AS BIGINT) AS k FROM s),
+        |t2 AS (SELECT *, (3 * tt) // 2 AS budget FROM t),
+        |rkd AS (SELECT c.*, t2.k, t2.budget,
+        |    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS r,
+        |    coalesce(sum(cap) OVER (ORDER BY cap, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM c, t2),
+        |rkd2 AS (SELECT *,
+        |    (cap * (k - r + 1) + prefix <= budget) AS capped FROM rkd),
+        |p AS (SELECT min(r) AS rstar,
+        |    coalesce(min_by(prefix, r), 0) AS pstar FROM rkd2 WHERE NOT capped),
+        |f AS (SELECT rkd2.*, p.rstar, p.pstar FROM rkd2, p),
+        |a AS (SELECT *, CASE WHEN rstar IS NULL OR r < rstar THEN cap
+        |    ELSE (budget - pstar) // (k - rstar + 1)
+        |      + CASE WHEN r - rstar < (budget - pstar) % (k - rstar + 1)
+        |        THEN 1 ELSE 0 END END AS alloc
+        |  FROM f)
+        |SELECT source, n_tokens, CAST(cap AS BIGINT) AS cap,
+        |  CAST(alloc AS BIGINT) AS alloc,
+        |  CAST(alloc * 10000 // n_tokens AS BIGINT) AS epochs_bp
+        |FROM a ORDER BY source""".stripMargin,
+    // the q196 scorer verbatim + per-language ntile(3) tertiles
+    "q220_ccnet_buckets" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split($normSqlDuck, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+        |  FROM w, unnest(generate_series(1, greatest(len(w) - 1, 0))) t(i)),
+        |tbg AS (SELECT w1, w2 FROM bg WHERE lang = 'en'),
+        |m AS (SELECT w1, w2, count(*) AS c FROM tbg GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ctx AS (SELECT w1, count(*) AS ctx_total FROM tbg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2) AS v FROM tbg),
+        |sc AS (SELECT bg.doc_id, bg.lang,
+        |    length(printf('%b',
+        |      (coalesce(ctx.ctx_total, 0) + v.v) // (coalesce(m.c, 0) + 1))) - 1 AS bits
+        |  FROM bg LEFT JOIN m ON m.w1 = bg.w1 AND m.w2 = bg.w2
+        |    LEFT JOIN ctx ON ctx.w1 = bg.w1, v),
+        |agg AS (SELECT doc_id, lang, count(*) AS n_bigrams, sum(bits) AS bits_total
+        |  FROM sc GROUP BY 1, 2),
+        |b AS (SELECT doc_id, lang, n_bigrams, bits_total,
+        |    CAST(bits_total AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS bpt FROM agg),
+        |nt AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+        |    ORDER BY bpt, doc_id) AS tert FROM b)
+        |SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(bits_total AS BIGINT) AS bits_total, bpt,
+        |  CASE WHEN tert = 1 THEN 'head' WHEN tert = 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM nt ORDER BY doc_id""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

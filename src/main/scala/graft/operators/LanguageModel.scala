@@ -128,6 +128,28 @@ object LanguageModel {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet's head/middle/tail split: within each language, tertile
+    * the documents by LM bits-per-token (ascending — "head" is the
+    * most in-domain third) and label the buckets. This is the bucket
+    * assignment CCNet publishes per shard and downstream mixtures
+    * sample from ("train mostly on head, some middle"); the
+    * percentile is per-language so low-resource languages aren't
+    * wiped out by the dominant language's perplexity distribution
+    * (the q202 stratification argument). ntile over (bpt, doc_id) is
+    * deterministic; windows are partitioned by lang so each stratum
+    * ranks independently, in parallel. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("bpt"), col("doc_id"))
+    bitsPerToken(spark, dir)
+      .withColumn("tert", ntile(3).over(byLang))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("bits_total"), col("bpt"),
+        when(col("tert") === 1, "head").when(col("tert") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Backoff penalty in whole bits (≈ −log2 of stupid backoff's
     * α = 0.4 ≈ 1.32 bits, kept integer at 2). */
   val BackoffPenaltyBits = 2L

@@ -259,4 +259,57 @@ object Sampling {
         col("n_lang"), col("kept"))
       .orderBy(col("doc_id"))
   }
+
+  /** Max epochs any source may be repeated in [[epochBudget]] — the
+    * data-constrained-scaling cap (repeating data beyond a few epochs
+    * stops buying loss). */
+  val MaxEpochs = 2L
+
+  /** Epoch-capped token-budget allocation — the data-constrained
+    * scaling recipe (Muennighoff et al.): given per-source token
+    * counts, a total training-token budget (3/2 of the corpus here)
+    * and a per-source repetition cap of [[MaxEpochs]] epochs, fill
+    * the budget as evenly as possible without any source exceeding
+    * its cap. This is exact integer *waterfilling*: sources sorted by
+    * cap; a source is capped when granting it (and everything after
+    * it) its own cap still fits the remaining budget; from the first
+    * uncapped source on, the remainder is split level+largest-
+    * remainder (first `rem` sources in sort order get one extra
+    * token) — fully deterministic, no floats.
+    *
+    * Plan shape: one per-source aggregation, then windows over the
+    * per-source frame only — source cardinality is small by
+    * definition (a mixture has tens of entries, not millions), so the
+    * global-ordered window never sees more than that. */
+  def epochBudget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.words
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.loadSpread(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(words(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * MaxEpochs)
+    val tot = s.agg(sum(col("n_tokens")).as("tt"), count(lit(1)).as("k"))
+      .withColumn("budget", expr("(3 * tt) div 2"))
+    val byCap = Window.orderBy(col("cap"), col("source"))
+    val ranked = s.crossJoin(broadcast(tot))
+      .withColumn("r", row_number().over(byCap).cast("long"))
+      .withColumn("prefix", coalesce(sum(col("cap")).over(
+        byCap.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("capped",
+        col("cap") * (col("k") - col("r") + 1) + col("prefix") <= col("budget"))
+    val pivot = ranked.filter(!col("capped"))
+      .agg(min(col("r")).as("rstar"),
+        coalesce(min_by(col("prefix"), col("r")), lit(0L)).as("pstar"))
+    ranked.crossJoin(broadcast(pivot))
+      .withColumn("alloc",
+        when(col("rstar").isNull || col("r") < col("rstar"), col("cap"))
+          .otherwise(
+            expr("(budget - pstar) div (k - rstar + 1)") +
+              when(col("r") - col("rstar") <
+                expr("(budget - pstar) % (k - rstar + 1)"), 1L).otherwise(0L)))
+      .select(col("source"), col("n_tokens"), col("cap").cast("long").as("cap"),
+        col("alloc").cast("long").as("alloc"),
+        expr("alloc * 10000 div n_tokens").cast("long").as("epochs_bp"))
+      .orderBy(col("source"))
+  }
 }

@@ -5,7 +5,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cdc, Conversations, PhraseSearch, QualityClassifier, Skew}
+import graft.operators.{Cdc, Conversations, PhraseSearch, QualityClassifier,
+  Sampling, Skew}
 
 /** Round-9 second-half additions: the DCLM-style Naive Bayes quality
   * classifier, positional phrase search over a bucket-partitioned
@@ -214,5 +215,55 @@ class Round9bSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dupe_chunks")).toMap
     assert(sav(1L) === 0L)
     assert(sav(2L) >= shared.size.toLong)
+  }
+
+  // ---------------------------------------------------------------- q219
+
+  test("epoch budget: hand-computed waterfill with a capped small source") {
+    // tiny: 4 tokens → cap 8; big: 100 tokens → cap 200.
+    // tt = 104, budget = 156: tiny caps (8·2 + 0 ≤ 156), big takes
+    // the 148-token residue (< its cap). Exactly exhausts the budget.
+    val dir = docsDir(Seq(
+      (1L, "w w w w", "tiny"),
+      (2L, Seq.fill(100)("w").mkString(" "), "big")))
+    val out = Sampling.epochBudget(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("cap"),
+          r.getAs[Long]("alloc"), r.getAs[Long]("epochs_bp"))).toMap
+    assert(out("tiny") === ((4L, 8L, 8L, 20000L)))
+    assert(out("big") === ((100L, 200L, 148L, 14800L)))
+  }
+
+  test("epoch budget: invariants hold on the fixture corpus") {
+    val rows = Sampling.epochBudget(spark, "/root/testdata/sf0.001").collect()
+    val (caps, allocs) = (rows.map(_.getAs[Long]("cap")),
+      rows.map(_.getAs[Long]("alloc")))
+    // nobody over its epoch cap
+    rows.foreach(r => assert(r.getAs[Long]("alloc") <= r.getAs[Long]("cap")))
+    // the budget (3/2 of corpus tokens) is exactly exhausted unless
+    // every source capped out first
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = 3 * total / 2
+    assert(allocs.sum === math.min(budget, caps.sum))
+  }
+
+  // ---------------------------------------------------------------- q220
+
+  test("ccnet buckets: per-language tertiles are balanced and ordered by bpt") {
+    val rows = graft.operators.LanguageModel
+      .ccnetBuckets(spark, "/root/testdata/sf0.001").collect()
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val sizes = rs.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.length).toMap
+      // ntile balance: bucket sizes differ by at most one
+      assert(sizes.values.max - sizes.values.min <= 1)
+      // ordering: every head bpt <= every middle bpt <= every tail bpt
+      def bpts(b: String) = rs.filter(_.getAs[String]("bucket") == b)
+        .map(_.getAs[Double]("bpt"))
+      if (bpts("head").nonEmpty && bpts("middle").nonEmpty)
+        assert(bpts("head").max <= bpts("middle").min)
+      if (bpts("middle").nonEmpty && bpts("tail").nonEmpty)
+        assert(bpts("middle").max <= bpts("tail").min)
+    }
   }
 }
