@@ -266,4 +266,46 @@ class Round9bSpec extends SparkSpec {
         assert(bpts("middle").max <= bpts("tail").min)
     }
   }
+
+  // ------------------------------------------------- degenerate inputs
+
+  test("empty corpora: every round-9b operator returns zero rows, no errors") {
+    val docs = docsDir(Seq.empty)
+    val events = Files.createTempDirectory("graft_r9b_ev0").toString
+    Seq.empty[(Long, Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$events/events.parquet")
+    assert(QualityClassifier.nbScore(spark, docs).count() === 0L)
+    assert(Cdc.dedupSavings(spark, docs).count() === 0L)
+    assert(Sampling.epochBudget(spark, docs).count() === 0L)
+    assert(graft.operators.LanguageModel.ccnetBuckets(spark, docs).count() === 0L)
+    assert(Conversations.assemble(spark, events).count() === 0L)
+    assert(Skew.advisor(spark.emptyDataset[Long].toDF("k2"), col("k2")).count() === 0L)
+    // single-word docs: postings exist but NO bigram does → the query
+    // frame is empty and the search returns nothing (an empty corpus
+    // writes no index files at all — nothing to probe, by contract)
+    val oneWord = docsDir(Seq((1L, "solo", "src0"), (2L, "word", "src0")))
+    assert(PhraseSearch.phraseSearch(spark, oneWord, builtIndex(oneWord))
+      .count() === 0L)
+  }
+
+  test("one-class training: the NB prior (and thus the LLR) is NULL — honestly undefined") {
+    // everything is seed; no negative class exists, so d_all - d_pos = 0
+    // and the prior divides by zero → NULL in Spark (ANSI off) and in
+    // DuckDB (// 0 → NULL) alike: the gate still hash-matches, and the
+    // NULL is the right answer (an LLR needs both classes)
+    val dir = docsDir(Seq((1L, "alpha alpha", "src0"), (2L, "alpha beta", "src1")))
+    val out = QualityClassifier.nbScore(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("llr_bits"))))
+  }
+
+  test("empty-normalizing document: CDC still covers it with one empty chunk") {
+    val dir = docsDir(Seq((1L, "???", "src0"), (2L, "real words here", "src0")))
+    val sav = Cdc.dedupSavings(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("bytes_total"))).toMap
+    assert(sav(1L) === ((1L, 0L)))  // "???" normalizes to "" → one 0-byte chunk
+    assert(sav(2L)._2 === "real words here".length.toLong)
+  }
 }
