@@ -1405,6 +1405,9 @@ object SparkEntry {
     // CCNet head/middle/tail: per-language LM-perplexity tertiles
     "q220_ccnet_buckets"   -> ((s: SparkSession, d: String) =>
       operators.LanguageModel.ccnetBuckets(s, d)),
+    // dedup-quality eval: capped-LSH candidates vs exact PPJoin truth
+    "q221_dedup_recall"    -> ((s: SparkSession, d: String) =>
+      Dedup.lshRecallEval(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4673,6 +4676,26 @@ object SparkEntry {
         |  CASE WHEN tert = 1 THEN 'head' WHEN tert = 2 THEN 'middle'
         |    ELSE 'tail' END AS bucket
         |FROM nt ORDER BY doc_id""".stripMargin,
+    // truth = the exact all-pairs Jaccard-≥-τ join (q198's oracle),
+    // candidates = the capped band buckets (q70's oracle) — composed
+    "q221_dedup_recall" ->
+      s"""$shingleCte,
+        |acnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |ainter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |truth AS (SELECT x.da, x.db
+        |  FROM ainter x JOIN acnt ca ON ca.doc_id = x.da
+        |    JOIN acnt cb ON cb.doc_id = x.db
+        |  WHERE x.i * 2 >= (ca.n + cb.n - x.i) * 1),
+        |$cappedCandCtes,
+        |tn AS (SELECT count(*) AS n_truth FROM truth),
+        |cn AS (SELECT count(*) AS n_cand FROM cand),
+        |hit AS (SELECT count(*) AS n_hit FROM cand JOIN truth USING (da, db))
+        |SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+        |  CAST(n_hit AS BIGINT) AS n_hit,
+        |  CAST(n_hit * 10000 // nullif(n_truth, 0) AS BIGINT) AS recall_bp,
+        |  CAST(n_hit * 10000 // nullif(n_cand, 0) AS BIGINT) AS cand_precision_bp
+        |FROM tn, cn, hit""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -669,4 +669,37 @@ object Dedup {
       .filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
   }
+
+  /** Dedup-quality evaluation: measure the capped-LSH candidate
+    * generator against the EXACT Jaccard-≥-τ truth set (the
+    * prefix-filtered all-true-pairs join, [[SetSimJoin.prefixJoin]]).
+    * Recall answers "which true near-dup pairs does banding + the
+    * hot-bucket cap miss", candidate precision answers "how much
+    * exact-verification work does each surviving candidate buy" —
+    * the two numbers every LSH parameter choice (hashes, bands, cap)
+    * trades between, measured instead of assumed. This is the dedup
+    * counterpart of the ANN recall/MRR evals (q146/q189): run it on a
+    * corpus sample before committing band parameters to 100 TB.
+    *
+    * One row: truth/candidate/hit counts and recall / candidate
+    * precision in basis points (NULL when the denominator is an empty
+    * set — honestly undefined, same in both engines). Both pair sets
+    * are near-dup-sized (tiny vs the corpus); the crossJoins are
+    * one-row broadcasts. */
+  def lshRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRowsOf(
+      graft.sources.Tables.loadSpread(spark, dir, "documents")).cache()
+    val truth = SetSimJoin.prefixJoin(spark, dir).select(col("da"), col("db"))
+    val cand = cappedBandCandidates(minhashSignaturesFrom(sh), BandBucketCap)
+    val tn = truth.agg(count(lit(1)).as("n_truth"))
+    val cn = cand.agg(count(lit(1)).as("n_cand"))
+    val hit = cand.join(truth, Seq("da", "db"))
+      .agg(count(lit(1)).as("n_hit"))
+    tn.crossJoin(broadcast(cn)).crossJoin(broadcast(hit))
+      .select(col("n_truth").cast("long").as("n_truth"),
+        col("n_cand").cast("long").as("n_cand"),
+        col("n_hit").cast("long").as("n_hit"),
+        expr("n_hit * 10000 div nullif(n_truth, 0)").cast("long").as("recall_bp"),
+        expr("n_hit * 10000 div nullif(n_cand, 0)").cast("long").as("cand_precision_bp"))
+  }
 }

@@ -267,6 +267,28 @@ class Round9bSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q221
+
+  test("dedup recall eval: a boilerplate cluster past the band cap is measured as recall loss") {
+    // 60 identical docs: 1770 true pairs, but every band bucket holds
+    // 60 > BandBucketCap docs → zero capped candidates → recall 0.
+    // The eval EXPOSES the cap's deliberate trade instead of hiding it.
+    val clones = (1L to 60L).map(id =>
+      (id, "the exact same boilerplate sentence repeated verbatim in every document", "src0"))
+    val dir = docsDir(clones)
+    val r = graft.operators.Dedup.lshRecallEval(spark, dir).collect().head
+    assert(r.getAs[Long]("n_truth") === 1770L)
+    assert(r.getAs[Long]("n_cand") === 0L)
+    assert(r.getAs[Long]("recall_bp") === 0L)
+    assert(r.isNullAt(r.fieldIndex("cand_precision_bp"))) // 0-candidate precision: undefined
+    // a small duplicate family under the cap is fully recalled
+    val small = docsDir((1L to 3L).map(id =>
+      (id, "another shared duplicate family text body here today", "src0")))
+    val r2 = graft.operators.Dedup.lshRecallEval(spark, small).collect().head
+    assert(r2.getAs[Long]("n_truth") === 3L)
+    assert(r2.getAs[Long]("recall_bp") === 10000L)
+  }
+
   // ------------------------------------------------- degenerate inputs
 
   test("empty corpora: every round-9b operator returns zero rows, no errors") {
