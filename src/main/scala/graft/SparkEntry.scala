@@ -1408,6 +1408,10 @@ object SparkEntry {
     // dedup-quality eval: capped-LSH candidates vs exact PPJoin truth
     "q221_dedup_recall"    -> ((s: SparkSession, d: String) =>
       Dedup.lshRecallEval(s, d)),
+    // contrastive triplet mining: per anchor, best in-cell positive
+    // (cos ≥ τ) + hardest in-cell negative (best cos < τ)
+    "q222_triplet_mining"  -> ((s: SparkSession, d: String) =>
+      Vectors.tripletMining(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4696,6 +4700,26 @@ object SparkEntry {
         |  CAST(n_hit * 10000 // nullif(n_truth, 0) AS BIGINT) AS recall_bp,
         |  CAST(n_hit * 10000 // nullif(n_cand, 0) AS BIGINT) AS cand_precision_bp
         |FROM tn, cn, hit""".stripMargin,
+    // same trained-IVF cells (q43/q92 prelude), same rounded cosine,
+    // same (cos desc, cand) tie order — mirrors tripletMining
+    "q222_triplet_mining" ->
+      s"""$ivfTrainPreludeDuck,
+        |pr AS (SELECT fa.vec_id AS anchor, fb.vec_id AS cand,
+        |    ${cosDuck("ea.v", "eb.v")} AS cos
+        |  FROM fasg fa JOIN fasg fb ON fa.cid = fb.cid AND fa.vec_id <> fb.vec_id
+        |    JOIN e ea ON ea.vec_id = fa.vec_id
+        |    JOIN e eb ON eb.vec_id = fb.vec_id),
+        |sided AS (SELECT anchor, cand, cos,
+        |    CASE WHEN cos >= ${operators.Vectors.NearDupThreshold}
+        |      THEN 'pos' ELSE 'neg' END AS side FROM pr),
+        |top AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY anchor, side ORDER BY cos DESC, cand) AS rk
+        |    FROM sided) WHERE rk = 1),
+        |p AS (SELECT anchor, cand AS pos_id, cos AS cos_pos FROM top WHERE side = 'pos'),
+        |n AS (SELECT anchor, cand AS neg_id, cos AS cos_neg FROM top WHERE side = 'neg')
+        |SELECT p.anchor, pos_id, cos_pos, neg_id, cos_neg,
+        |  round(cos_pos - cos_neg, 4) AS margin
+        |FROM p JOIN n USING (anchor) ORDER BY p.anchor""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -563,6 +563,51 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** Contrastive triplet mining for embedding training — the data-prep
+    * step behind every contrastive fine-tune (SimCSE / GTR / E5
+    * recipes): for each anchor vector, a *positive* (its most-similar
+    * in-cell neighbor at cosine ≥ [[NearDupThreshold]]) and a *hard
+    * negative* (the most-similar neighbor BELOW the threshold — the
+    * near-miss that teaches the margin; random negatives are too easy
+    * to carry gradient). Anchors lacking either side are dropped: a
+    * triplet needs all three corners.
+    *
+    * Candidates come from the same trained-IVF cell as the anchor —
+    * the SemDeDup trick that bounds the pair join to N²/k per cell
+    * instead of all-pairs (hard negatives are by definition
+    * high-similarity, so in-cell mining loses only easy ones). One
+    * equi-join on cid, two per-anchor window ranks, one join to pair
+    * the sides — nothing quadratic crosses the shuffle. */
+  def tripletMining(spark: SparkSession, dir: String,
+                    k: Int = IvfCentroids, iters: Int = IvfTrainIters,
+                    threshold: Double = NearDupThreshold): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val assigned = ivfAssignmentWith(e, trainCentroids(spark, dir, k, iters)).cache()
+    val l = assigned.select(col("cid"), col("vec_id").as("anchor"),
+      col("embedding").as("va"))
+    val r = assigned.select(col("cid"), col("vec_id").as("cand"),
+      col("embedding").as("vb"))
+    val sided = l.join(r, Seq("cid"))
+      .filter(col("anchor") =!= col("cand"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("side", when(col("cos") >= threshold, "pos").otherwise("neg"))
+    val best = Window.partitionBy(col("anchor"), col("side"))
+      .orderBy(col("cos").desc, col("cand"))
+    val top = sided
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+    val pos = top.filter(col("side") === "pos")
+      .select(col("anchor"), col("cand").as("pos_id"), col("cos").as("cos_pos"))
+    val neg = top.filter(col("side") === "neg")
+      .select(col("anchor"), col("cand").as("neg_id"), col("cos").as("cos_neg"))
+    pos.join(neg, Seq("anchor"))
+      .select(col("anchor"), col("pos_id"), col("cos_pos"),
+        col("neg_id"), col("cos_neg"),
+        round(col("cos_pos") - col("cos_neg"), 4).as("margin"))
+      .orderBy(col("anchor"))
+  }
+
   /** Exact all-pairs near-dup baseline — TEST ORACLE ONLY, not the
     * gated path (that is [[lshNearDupPairs]]): collects the corpus to
     * the driver and broadcasts it, so it is bounded by driver memory

@@ -289,6 +289,39 @@ class Round9bSpec extends SparkSpec {
     assert(r2.getAs[Long]("recall_bp") === 10000L)
   }
 
+  // ---------------------------------------------------------------- q222
+
+  test("triplet mining: planted anchor gets its best positive and its hardest negative") {
+    val dir = Files.createTempDirectory("graft_r9b_emb").toString
+    Seq(
+      (0L, Array(1f, 0f), 0),        // anchor
+      (1L, Array(0.99f, 0.14f), 0),  // cos ≈ .990 → positive
+      (2L, Array(0.3f, 0.954f), 0),  // cos ≈ .300 → HARD negative
+      (3L, Array(0f, 1f), 0))        // cos = 0   → easy negative
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // k = 1 puts everything in one cell (4 vectors would otherwise
+    // each seed their own centroid and no in-cell pairs exist)
+    val out = graft.operators.Vectors.tripletMining(spark, dir, k = 1)
+      .collect().map(r => r.getAs[Long]("anchor") -> r).toMap
+    val a = out(0L)
+    assert(a.getAs[Long]("pos_id") === 1L)
+    assert(a.getAs[Long]("neg_id") === 2L) // the near-miss, not the orthogonal one
+    assert(a.getAs[Double]("cos_pos") >= 0.45)
+    assert(a.getAs[Double]("cos_neg") < 0.45 && a.getAs[Double]("cos_neg") > 0.2)
+    assert(a.getAs[Double]("margin") > 0.5)
+    // an anchor whose cell holds no positive is dropped entirely:
+    // re-plant with the positive removed
+    val dir2 = Files.createTempDirectory("graft_r9b_emb2").toString
+    Seq((0L, Array(1f, 0f), 0), (2L, Array(0.3f, 0.954f), 0), (3L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val out2 = graft.operators.Vectors.tripletMining(spark, dir2, k = 1)
+      .collect().map(_.getAs[Long]("anchor")).toSet
+    assert(!out2.contains(0L)) // no cos ≥ τ neighbor → no triplet
+    assert(out2.contains(2L))  // 2 has pos (3, cos ≈ .954) and neg (0, cos .3)
+  }
+
   // ------------------------------------------------- degenerate inputs
 
   test("empty corpora: every round-9b operator returns zero rows, no errors") {
