@@ -1412,6 +1412,25 @@ object SparkEntry {
     // (cos ≥ τ) + hardest in-cell negative (best cos < τ)
     "q222_triplet_mining"  -> ((s: SparkSession, d: String) =>
       Vectors.tripletMining(s, d)),
+    // WebDataset tar shards: pack (txt, cls) members per doc into
+    // shard-NNNNN.tar executor-side, stream + parse them back, and
+    // re-pair samples by key — gated against the source table
+    "q223_tar_webdataset"  -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val tarDir = fixture("tarshards", s, d, "documents") { path =>
+        wipe(s, path)
+        val members = graft.sources.Tables.load(s, d, "documents")
+          .select(expr(s"doc_id div ${graft.sources.TarShards.MembersPerShard}").as("shard"),
+            explode(array(
+              struct(concat(col("doc_id"), lit(".txt")).as("name"),
+                encode(col("text"), "UTF-8").as("bytes")),
+              struct(concat(col("doc_id"), lit(".cls")).as("name"),
+                encode(col("source"), "UTF-8").as("bytes")))).as("m"))
+          .select(col("shard"), col("m.name"), col("m.bytes"))
+        graft.sources.TarShards.writeShards(s, members, path)
+      }
+      graft.sources.TarShards.webdatasetTable(s, tarDir)
+    }),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4720,6 +4739,12 @@ object SparkEntry {
         |SELECT p.anchor, pos_id, cos_pos, neg_id, cos_neg,
         |  round(cos_pos - cos_neg, 4) AS margin
         |FROM p JOIN n USING (anchor) ORDER BY p.anchor""".stripMargin,
+    // the tar round-trip contract: what was packed must come back —
+    // byte length (octet_length), content md5, class member
+    "q223_tar_webdataset" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS txt_len,
+        |  md5(text) AS txt_md5, source AS cls
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -322,6 +322,51 @@ class Round9bSpec extends SparkSpec {
     assert(out2.contains(2L))  // 2 has pos (3, cos ≈ .954) and neg (0, cos .3)
   }
 
+  // ---------------------------------------------------------------- q223
+
+  test("tar shards: entry round-trip across padding edges, valid ustar checksums") {
+    import graft.sources.TarShards
+    val cases = Seq(
+      "empty.bin" -> Array.empty[Byte],
+      "one.bin" -> Array[Byte](42),
+      "block.bin" -> Array.tabulate(512)(_.toByte),      // exactly one block
+      "block1.bin" -> Array.tabulate(513)(_.toByte),     // one byte over
+      "text.txt" -> "hello tar world".getBytes("UTF-8"))
+    val tar = cases.flatMap { case (n, b) => TarShards.tarEntry(n, b) }.toArray ++
+      new Array[Byte](1024)
+    val back = TarShards.parseTar(tar)
+    assert(back.map(_._1) === cases.map(_._1))
+    cases.zip(back).foreach { case ((_, exp), (_, got)) =>
+      assert(java.util.Arrays.equals(exp, got)) }
+    // every header passes the ustar checksum rule (sum of header bytes
+    // with the checksum field read as spaces)
+    var off = 0
+    for ((_, data) <- cases) {
+      val sum = (0 until 512).map { i =>
+        if (i >= 148 && i < 156) ' '.toInt else tar(off + i) & 0xff
+      }.sum
+      val stored = Integer.parseInt(
+        new String(tar, off + 148, 6, "UTF-8"), 8)
+      assert(stored === sum)
+      off += 512 + (data.length + 511) / 512 * 512
+    }
+  }
+
+  test("tar shards: GNU tar reads our shards (interop, skipped if tar absent)") {
+    import graft.sources.TarShards
+    import scala.sys.process._
+    val tarBin = Seq("sh", "-c", "command -v tar || true").!!.trim
+    assume(tarBin.nonEmpty, "no system tar available")
+    val dir = Files.createTempDirectory("graft_r9b_tar").toString
+    val bytes = TarShards.tarEntry("7.txt", "seven".getBytes("UTF-8")) ++
+      TarShards.tarEntry("7.cls", "src7".getBytes("UTF-8")) ++
+      new Array[Byte](1024)
+    Files.write(java.nio.file.Paths.get(dir, "shard-00000.tar"), bytes)
+    val listing = Seq("tar", "-tf", s"$dir/shard-00000.tar").!!.trim
+      .split("\n").toSeq
+    assert(listing === Seq("7.txt", "7.cls"))
+  }
+
   // ------------------------------------------------- degenerate inputs
 
   test("empty corpora: every round-9b operator returns zero rows, no errors") {
