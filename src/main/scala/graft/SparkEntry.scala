@@ -1431,6 +1431,10 @@ object SparkEntry {
       }
       graft.sources.TarShards.webdatasetTable(s, tarDir)
     }),
+    // perceptual-hash image dedup: real PNG encode→decode→aHash;
+    // byte-distinct images collapse into perceptual groups
+    "q224_image_phash"     -> ((s: SparkSession, d: String) =>
+      Multimodal.aHashDedup(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4745,6 +4749,31 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS txt_len,
         |  md5(text) AS txt_md5, source AS cls
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the aHash arithmetic restated from the pattern formula — only a
+    // real PNG round trip + correct block/mean arithmetic matches
+    "q224_image_phash" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id % 50 AS g FROM documents),
+        |px AS (SELECT id, g, x, y,
+        |    (CASE WHEN ((y // 4) * 8 + (x // 4) + g * 11) % 64 < 32
+        |      THEN 200 ELSE 4 END)
+        |      + (x * y + g) % 3
+        |      + (CASE WHEN x = id % 32 AND y = (id // 32) % 32
+        |        THEN id % 3 ELSE 0 END) AS gray
+        |  FROM ids, unnest(generate_series(0, 31)) tx(x),
+        |    unnest(generate_series(0, 31)) ty(y)),
+        |blk AS (SELECT id, (y // 4) * 8 + (x // 4) AS k, sum(gray) AS s
+        |  FROM px GROUP BY 1, 2),
+        |tot AS (SELECT id, sum(s) AS t FROM blk GROUP BY 1),
+        |bits AS (SELECT b.id, b.k // 4 AS nk,
+        |    sum(CASE WHEN b.s * 64 > tt.t THEN
+        |        CASE b.k % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END
+        |      ELSE 0 END) AS nib
+        |  FROM blk b JOIN tot tt USING (id) GROUP BY 1, 2),
+        |hx AS (SELECT id, string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1),
+        |    '' ORDER BY nk) AS ahash FROM bits GROUP BY 1)
+        |SELECT ahash, CAST(count(*) AS BIGINT) AS n_images,
+        |  CAST(min(id) AS BIGINT) AS canonical_id
+        |FROM hx GROUP BY 1 ORDER BY ahash""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -329,6 +329,102 @@ object Multimodal {
   def decodeQuery(spark: SparkSession, dir: String): DataFrame =
     decode(spark, realMediaTable(spark, dir).toDF()).toDF().orderBy(col("media_id"))
 
+  /** Side length of the perceptual-hash fixture images (32×32 gray,
+    * aHashed over an 8×8 block grid). */
+  val PHashSide = 32
+
+  /** Documents per perceptual-dup group: ids sharing `id % 50` render
+    * the same base pattern (plus a tiny per-id pixel perturbation). */
+  val PHashGroups = 50
+
+  /** Deterministic "structured" grayscale PNG: an 8×8 block pattern
+    * (half bright, half dark, layout a function of the group id g)
+    * with low-amplitude in-block texture and a single per-id pixel
+    * perturbation — so images in a group are byte-level DISTINCT
+    * (different md5, different PNG) but perceptually identical. The
+    * bright/dark margin (≈ 196 gray levels) dwarfs both texture and
+    * perturbation, so no block can cross the global mean — the aHash
+    * is provably perturbation-invariant on this family. */
+  def encodePatternPng(id: Long): Array[Byte] = {
+    val side = PHashSide
+    val g = (id % PHashGroups).toInt
+    val img = new java.awt.image.BufferedImage(side, side,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val k = (y / 4) * 8 + (x / 4)
+        val base = if ((k + g * 11) % 64 < 32) 200 else 4
+        val texture = ((x * y + g) % 3)
+        val perturb = if (x == (id % side).toInt && y == ((id / side) % side).toInt)
+          (id % 3).toInt else 0
+        val gray = base + texture + perturb
+        img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** aHash (average hash) of a decoded 32×32 grayscale image: 8×8
+    * block sums, bit k = 1 iff block k's mean exceeds the image mean
+    * — compared integer-exactly as `s·64 > total` (block mean s/16 vs
+    * image mean total/1024), no division. 64 bits → 16 hex chars,
+    * MSB-first nibbles in block row-major order. */
+  private[graft] def aHashOf(img: java.awt.image.BufferedImage): String = {
+    val s = new Array[Long](64)
+    var y = 0
+    while (y < PHashSide) {
+      var x = 0
+      while (x < PHashSide) {
+        s((y / 4) * 8 + (x / 4)) += (img.getRGB(x, y) >> 16) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val tot = s.sum
+    val sb = new StringBuilder(16)
+    var nk = 0
+    while (nk < 16) {
+      var nib = 0
+      var b = 0
+      while (b < 4) {
+        if (s(nk * 4 + b) * 64 > tot) nib |= 8 >> b
+        b += 1
+      }
+      sb.append("0123456789abcdef".charAt(nib))
+      nk += 1
+    }
+    sb.toString
+  }
+
+  /** Perceptual-hash image dedup (the LAION pipeline step): encode a
+    * REAL structured PNG per doc, decode it back, aHash the pixels,
+    * and group identical hashes — byte-level distinct images (every
+    * PNG differs by its perturbation pixel) collapse into their
+    * perceptual groups, which md5-style exact hashing cannot do.
+    * Per-group: hash, member count, canonical (min) id. Map-only
+    * encode+decode+hash, one tiny group-by keyed by the 64-bit hash. */
+  def aHashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id").as("media_id"))
+      .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodePatternPng(id)))
+        (id, aHashOf(img))
+      })
+      .toDF("media_id", "ahash")
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("canonical_id"))
+      .orderBy(col("ahash"))
+  }
+
   /** Frame sampling via binary slicing — every `stride` bytes take an
     * 8-byte "frame" window; pure column expressions, no decode. */
   def frameSample(spark: SparkSession, dir: String, stride: Int = 64): DataFrame =

@@ -367,6 +367,25 @@ class Round9bSpec extends SparkSpec {
     assert(listing === Seq("7.txt", "7.cls"))
   }
 
+  // ---------------------------------------------------------------- q224
+
+  test("image phash: byte-distinct PNGs share their group's aHash; patterns differ across groups") {
+    import graft.operators.Multimodal
+    def hashOf(id: Long) = Multimodal.aHashOf(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodePatternPng(id))))
+    def md5Of(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(Multimodal.encodePatternPng(id)).map("%02x".format(_)).mkString
+    // ids 7, 57, 107 share group 7: pixel-perturbed (distinct bytes),
+    // perceptually identical (same aHash) — what md5 dedup cannot see
+    assert(Set(md5Of(7), md5Of(57), md5Of(107)).size === 3)
+    assert(hashOf(7) === hashOf(57) && hashOf(57) === hashOf(107))
+    // different groups render different patterns → different hashes
+    assert(hashOf(7) !== hashOf(8))
+    // the hash is a 16-hex-char string with both 0 and 1 bits
+    assert(hashOf(7).matches("[0-9a-f]{16}"))
+    assert(hashOf(7).toSet.size > 1)
+  }
+
   // ------------------------------------------------- degenerate inputs
 
   test("empty corpora: every round-9b operator returns zero rows, no errors") {
