@@ -1435,6 +1435,10 @@ object SparkEntry {
     // byte-distinct images collapse into perceptual groups
     "q224_image_phash"     -> ((s: SparkSession, d: String) =>
       Multimodal.aHashDedup(s, d)),
+    // audio quality triage: real WAV decode → silence windows,
+    // clipped samples, integer energy, keep decision
+    "q225_audio_quality"   -> ((s: SparkSession, d: String) =>
+      Multimodal.audioQuality(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4774,6 +4778,32 @@ object SparkEntry {
         |SELECT ahash, CAST(count(*) AS BIGINT) AS n_images,
         |  CAST(min(id) AS BIGINT) AS canonical_id
         |FROM hx GROUP BY 1 ORDER BY ahash""".stripMargin,
+    // the PCM sample formula restated; silence before clipping, just
+    // like the encoder — mirrors audioQuality
+    "q225_audio_quality" ->
+      """WITH f AS (SELECT doc_id AS id, i,
+        |    CASE WHEN ((i // 32) + doc_id)
+        |        % (CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 4 END) = 0 THEN 0
+        |      WHEN doc_id % 11 = 0 AND i // 32 = 1 THEN 32767
+        |      WHEN (doc_id + i) % 97 = 0 THEN 32767
+        |      ELSE ((doc_id * 7 + i * 13) % 2000) - 1000 END AS v
+        |  FROM documents, unnest(generate_series(0, 255)) t(i)),
+        |wn AS (SELECT id, i // 32 AS wk,
+        |    CASE WHEN max(abs(v)) = 0 THEN 1 ELSE 0 END AS silent
+        |  FROM f GROUP BY 1, 2),
+        |a AS (SELECT id, CAST(count(*) AS BIGINT) AS n_frames,
+        |    sum(CASE WHEN v = 32767 THEN 1 ELSE 0 END) AS n_clipped,
+        |    sum(v * v) AS energy
+        |  FROM f GROUP BY 1),
+        |s AS (SELECT id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    sum(silent) AS n_silent FROM wn GROUP BY 1)
+        |SELECT id AS media_id, n_frames, n_windows,
+        |  CAST(n_silent AS BIGINT) AS n_silent_windows,
+        |  CAST(n_clipped AS BIGINT) AS n_clipped,
+        |  CAST(energy AS BIGINT) AS energy,
+        |  CAST(CASE WHEN n_silent * 2 < n_windows AND n_clipped * 50 < n_frames
+        |    THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM a JOIN s USING (id) ORDER BY media_id""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -301,6 +301,91 @@ object Multimodal {
       .toDF().orderBy(col("media_id"))
   }
 
+  /** Frames per speech-quality fixture clip ([[encodeSpeechWav]]). */
+  val SpeechFrames = 256
+
+  /** Analysis window width in frames for the audio-quality gate. */
+  val SpeechWindow = 32
+
+  /** Deterministic "speech-like" 16-bit PCM WAV with three planted
+    * failure regimes: ids ≡ 0 (mod 7) are half dead air (every 2nd
+    * window silent → silence-reject), ids ≡ 0 (mod 11) clip their
+    * whole 2nd window (32 full-scale samples → clipping-reject),
+    * everyone gets every 4th window silent, scattered single-sample
+    * clips (`(id + i) % 97 == 0`) and a ±1000 pseudo-signal —
+    * healthy clips pass both gates. Silence is applied before
+    * clipping, so silent windows stay bit-exact zero. */
+  def encodeSpeechWav(id: Long): Array[Byte] = {
+    val silentMod = if (id % 7 == 0) 2 else 4
+    val vals = Array.tabulate(SpeechFrames) { i =>
+      val w = i / SpeechWindow
+      if ((w + id) % silentMod == 0) 0
+      else if (id % 11 == 0 && w == 1) 32767
+      else if ((id + i) % 97 == 0) 32767
+      else (((id * 7 + i * 13) % 2000) - 1000).toInt
+    }
+    val bytes = new Array[Byte](SpeechFrames * 2)
+    var i = 0
+    while (i < SpeechFrames) {
+      bytes(2 * i) = (vals(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((vals(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, SpeechFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio quality filtering (the speech-data pipeline gate): decode
+    * each clip's REAL WAV, then per clip count digital-silence
+    * windows (all-zero 32-frame blocks — dead air), clipped samples
+    * (full-scale +32767 — distorted recordings) and total signal
+    * energy (Σ sample², integer-exact). Keep = less than half the
+    * clip silent AND under 2% clipped — the standard pre-ASR triage.
+    * Map-only decode per row; the oracle restates every count from
+    * the sample formula, so only a bit-exact PCM round trip plus
+    * correct windowing matches. */
+  def audioQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id").as("media_id"))
+      .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(encodeSpeechWav(id)))
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        require(n == SpeechFrames, s"media_id=$id: expected $SpeechFrames frames, got $n")
+        var energy = 0L
+        var clipped = 0L
+        var silentW = 0L
+        var w = 0
+        while (w < n / SpeechWindow) {
+          var allZero = true
+          var i = w * SpeechWindow
+          while (i < (w + 1) * SpeechWindow) {
+            val v = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toLong
+            if (v != 0L) allZero = false
+            if (v == 32767L) clipped += 1
+            energy += v * v
+            i += 1
+          }
+          if (allZero) silentW += 1
+          w += 1
+        }
+        val nW = (n / SpeechWindow).toLong
+        val keep = if (silentW * 2 < nW && clipped * 50 < n) 1 else 0
+        (id, n.toLong, nW, silentW, clipped, energy, keep)
+      })
+      .toDF("media_id", "n_frames", "n_windows", "n_silent_windows",
+        "n_clipped", "energy", "keep")
+      .orderBy(col("media_id"))
+  }
+
   /** End-to-end REAL image decode query: encode a deterministic PNG
     * per document id (map-only, executor-side), decode it back with
     * `javax.imageio`, emit dims + the (0,0) pixel. The oracle states

@@ -386,6 +386,28 @@ class Round9bSpec extends SparkSpec {
     assert(hashOf(7).toSet.size > 1)
   }
 
+  // ---------------------------------------------------------------- q225
+
+  test("audio quality: hand-computed silence/clipping regimes on real WAV decode") {
+    val dir = docsDir((1L to 3L).map(i => (i, "x", "src0")) ++
+      Seq((7L, "x", "src0"), (22L, "x", "src0")))
+    val out = graft.operators.Multimodal.audioQuality(spark, dir).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("n_silent_windows"), r.getAs[Long]("n_clipped"),
+          r.getAs[Int]("keep"))).toMap
+    // id 7 (≡0 mod 7): every 2nd window silent → 4 of 8 → rejected
+    assert(out(7L)._1 === 4L && out(7L)._3 === 0)
+    // id 22 (≡0 mod 11): whole window 1 clipped (32) + scattered
+    // clips → ≥ 32 clipped of 256 (> 2%) → rejected
+    assert(out(22L)._2 >= 32L && out(22L)._3 === 0)
+    // id 1: 2 of 8 windows silent, ≤ 3 scattered clips → kept
+    assert(out(1L)._1 === 2L && out(1L)._2 <= 3L && out(1L)._3 === 1)
+    // silence wins over clipping: every silent window is bit-zero, so
+    // clip marks never land inside one (energy of a silent-only
+    // window contributes nothing)
+    assert(out.values.forall { case (s, c, _) => s <= 4L && c <= 35L })
+  }
+
   // ------------------------------------------------- degenerate inputs
 
   test("empty corpora: every round-9b operator returns zero rows, no errors") {
