@@ -1439,6 +1439,10 @@ object SparkEntry {
     // clipped samples, integer energy, keep decision
     "q225_audio_quality"   -> ((s: SparkSession, d: String) =>
       Multimodal.audioQuality(s, d)),
+    // perceptual NEAR-dup pairs: 4x16-bit band blocking (lossless for
+    // Hamming <= 2), bit_count(xor) verify on the hash halves
+    "q226_phash_neardup"   -> ((s: SparkSession, d: String) =>
+      Multimodal.pHashNearDup(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4756,28 +4760,34 @@ object SparkEntry {
     // the aHash arithmetic restated from the pattern formula — only a
     // real PNG round trip + correct block/mean arithmetic matches
     "q224_image_phash" ->
-      """WITH ids AS (SELECT doc_id AS id, doc_id % 50 AS g FROM documents),
-        |px AS (SELECT id, g, x, y,
-        |    (CASE WHEN ((y // 4) * 8 + (x // 4) + g * 11) % 64 < 32
-        |      THEN 200 ELSE 4 END)
-        |      + (x * y + g) % 3
-        |      + (CASE WHEN x = id % 32 AND y = (id // 32) % 32
-        |        THEN id % 3 ELSE 0 END) AS gray
-        |  FROM ids, unnest(generate_series(0, 31)) tx(x),
-        |    unnest(generate_series(0, 31)) ty(y)),
-        |blk AS (SELECT id, (y // 4) * 8 + (x // 4) AS k, sum(gray) AS s
-        |  FROM px GROUP BY 1, 2),
-        |tot AS (SELECT id, sum(s) AS t FROM blk GROUP BY 1),
-        |bits AS (SELECT b.id, b.k // 4 AS nk,
-        |    sum(CASE WHEN b.s * 64 > tt.t THEN
-        |        CASE b.k % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END
-        |      ELSE 0 END) AS nib
-        |  FROM blk b JOIN tot tt USING (id) GROUP BY 1, 2),
+      s"""$phashNibsCtes,
         |hx AS (SELECT id, string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1),
         |    '' ORDER BY nk) AS ahash FROM bits GROUP BY 1)
         |SELECT ahash, CAST(count(*) AS BIGINT) AS n_images,
         |  CAST(min(id) AS BIGINT) AS canonical_id
         |FROM hx GROUP BY 1 ORDER BY ahash""".stripMargin,
+    // same nibbles folded into 32-bit halves; 4×16-bit band blocking
+    // then bit_count(xor) — mirrors pHashNearDup
+    "q226_phash_neardup" ->
+      s"""$phashNibsCtes,
+        |hv AS (SELECT id,
+        |    CAST(sum(nib * (CASE WHEN nk < 8
+        |      THEN CAST(1 AS BIGINT) << (4 * (7 - CAST(nk AS INT))) ELSE 0 END)) AS BIGINT) AS hi,
+        |    CAST(sum(nib * (CASE WHEN nk >= 8
+        |      THEN CAST(1 AS BIGINT) << (4 * (15 - CAST(nk AS INT))) ELSE 0 END)) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1),
+        |hb AS (SELECT id, hi // 65536 AS b0, hi % 65536 AS b1,
+        |    lo // 65536 AS b2, lo % 65536 AS b3 FROM hv),
+        |cand AS (SELECT DISTINCT da, db FROM (
+        |    SELECT a.id AS da, b.id AS db FROM hb a JOIN hb b ON a.b0 = b.b0 AND a.id < b.id
+        |    UNION ALL SELECT a.id, b.id FROM hb a JOIN hb b ON a.b1 = b.b1 AND a.id < b.id
+        |    UNION ALL SELECT a.id, b.id FROM hb a JOIN hb b ON a.b2 = b.b2 AND a.id < b.id
+        |    UNION ALL SELECT a.id, b.id FROM hb a JOIN hb b ON a.b3 = b.b3 AND a.id < b.id) u),
+        |p AS (SELECT c.da, c.db,
+        |    bit_count(xor(ha.hi, hx.hi)) + bit_count(xor(ha.lo, hx.lo)) AS hamming
+        |  FROM cand c JOIN hv ha ON ha.id = c.da JOIN hv hx ON hx.id = c.db)
+        |SELECT da, db, CAST(hamming AS BIGINT) AS hamming
+        |FROM p WHERE hamming BETWEEN 1 AND 2 ORDER BY da, db""".stripMargin,
     // the PCM sample formula restated; silence before clipping, just
     // like the encoder — mirrors audioQuality
     "q225_audio_quality" ->
@@ -4895,6 +4905,31 @@ object SparkEntry {
     * QualityClassifier.SeedSources). */
   private val nbSeedList =
     operators.QualityClassifier.SeedSources.map(s => s"'$s'").mkString(", ")
+
+  /** DuckDB fragment: the q224/q226 perceptual-hash arithmetic from
+    * the pattern formula (Multimodal.encodePatternPng + aHashOf,
+    * bit-for-bit — block layout XOR the near-miss single-block flip,
+    * texture, perturbation pixel, integer-exact `s·64 > tot` mean
+    * compare) ending in `bits(id, nk, nib)`. */
+  private val phashNibsCtes =
+    """WITH ids AS (SELECT doc_id AS id, doc_id % 50 AS g FROM documents),
+      |px AS (SELECT id, g, x, y,
+      |    (CASE WHEN (((y // 4) * 8 + (x // 4) + g * 11) % 64 < 32)
+      |        <> ((id // 50) % 5 = 4 AND (y // 4) * 8 + (x // 4) = id % 64)
+      |      THEN 200 ELSE 4 END)
+      |      + (x * y + g) % 3
+      |      + (CASE WHEN x = id % 32 AND y = (id // 32) % 32
+      |        THEN id % 3 ELSE 0 END) AS gray
+      |  FROM ids, unnest(generate_series(0, 31)) tx(x),
+      |    unnest(generate_series(0, 31)) ty(y)),
+      |blk AS (SELECT id, (y // 4) * 8 + (x // 4) AS k, sum(gray) AS s
+      |  FROM px GROUP BY 1, 2),
+      |tot AS (SELECT id, sum(s) AS t FROM blk GROUP BY 1),
+      |bits AS (SELECT b.id, b.k // 4 AS nk,
+      |    sum(CASE WHEN b.s * 64 > tt.t THEN
+      |        CASE b.k % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END
+      |      ELSE 0 END) AS nib
+      |  FROM blk b JOIN tot tt USING (id) GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB fragment: distinct word-3-gram shingles per doc (mirrors
     * TextFunctions.shingles(words(text), 3)). */

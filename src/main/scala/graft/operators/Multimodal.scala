@@ -429,10 +429,17 @@ object Multimodal {
     * (different md5, different PNG) but perceptually identical. The
     * bright/dark margin (≈ 196 gray levels) dwarfs both texture and
     * perturbation, so no block can cross the global mean — the aHash
-    * is provably perturbation-invariant on this family. */
+    * is provably perturbation-invariant on this family.
+    *
+    * Additionally, ids with `(id / 50) % 5 == 4` render a NEAR-MISS
+    * variant: exactly one block (index `id % 64`) has its bright/dark
+    * role inverted — a Hamming-distance-1 neighbor of its group's
+    * hash, the "slightly re-cropped / re-compressed copy" the
+    * Hamming-radius pairing (q226) exists to catch. */
   def encodePatternPng(id: Long): Array[Byte] = {
     val side = PHashSide
     val g = (id % PHashGroups).toInt
+    val flipped = (id / PHashGroups) % 5 == 4
     val img = new java.awt.image.BufferedImage(side, side,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -440,7 +447,8 @@ object Multimodal {
       var x = 0
       while (x < side) {
         val k = (y / 4) * 8 + (x / 4)
-        val base = if ((k + g * 11) % 64 < 32) 200 else 4
+        val bright = ((k + g * 11) % 64 < 32) ^ (flipped && k == (id % 64).toInt)
+        val base = if (bright) 200 else 4
         val texture = ((x * y + g) % 3)
         val perturb = if (x == (id % side).toInt && y == ((id / side) % side).toInt)
           (id % 3).toInt else 0
@@ -508,6 +516,56 @@ object Multimodal {
       .groupBy(col("ahash"))
       .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("canonical_id"))
       .orderBy(col("ahash"))
+  }
+
+  /** Hamming radius for [[pHashNearDup]] pairs (1..MaxHamming; 0 =
+    * exact hash equality, which is [[aHashDedup]]'s job). */
+  val MaxHamming = 2L
+
+  /** Perceptual NEAR-dup pairing — the second half of the LAION image
+    * dedup mechanic: images whose aHashes differ in 1..[[MaxHamming]]
+    * bits (the slightly-edited copies hash equality misses) are
+    * paired via 4×16-bit *band blocking*: any two hashes within
+    * Hamming 2 differ in at most 2 bands, so they must agree on at
+    * least two of four — sharing ≥1 band is therefore a LOSSLESS
+    * candidate filter for the radius (the SimHash byte-banding
+    * argument, q16). Hamming distance itself is two bit_count(xor)
+    * ops on the 32-bit hash halves — codegen-friendly integer ops,
+    * no arrays. Scale shape: band self-join on 16-bit bucket keys
+    * (the q70 candidate discipline; hot buckets would get the same
+    * cap treatment), then a per-pair O(1) verify. */
+  def pHashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = Tables.load(spark, dir, "documents").select(col("doc_id").as("media_id"))
+      .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodePatternPng(id)))
+        val hex = aHashOf(img)
+        (id, java.lang.Long.parseLong(hex.substring(0, 8), 16),
+          java.lang.Long.parseLong(hex.substring(8, 16), 16))
+      })
+      .toDF("id", "hi", "lo")
+      .withColumn("bands", array(
+        (col("hi") / 65536L).cast("long"), pmod(col("hi"), lit(65536L)),
+        (col("lo") / 65536L).cast("long"), pmod(col("lo"), lit(65536L))))
+      .select(col("id"), col("hi"), col("lo"),
+        posexplode(col("bands")).as(Seq("band", "bk")))
+      .cache()
+    val l = h.select(col("band"), col("bk"), col("id").as("da"),
+      col("hi").as("hia"), col("lo").as("loa"))
+    val r = h.select(col("band"), col("bk"), col("id").as("db"),
+      col("hi").as("hib"), col("lo").as("lob"))
+    l.join(r, Seq("band", "bk"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("hia"), col("loa"),
+        col("hib"), col("lob")).distinct()
+      .withColumn("hamming",
+        expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)").cast("long"))
+      .filter(col("hamming") >= 1 && col("hamming") <= MaxHamming)
+      .select(col("da"), col("db"), col("hamming"))
+      .orderBy(col("da"), col("db"))
   }
 
   /** Frame sampling via binary slicing — every `stride` bytes take an

@@ -386,6 +386,27 @@ class Round9bSpec extends SparkSpec {
     assert(hashOf(7).toSet.size > 1)
   }
 
+  // ---------------------------------------------------------------- q226
+
+  test("phash near-dup: single-block flips pair at Hamming 1, two flips at Hamming 2") {
+    import graft.operators.Multimodal
+    // group g=7: id 7 base; ids 207 and 457 are its flipped variants
+    // ((id/50)%5==4) with DIFFERENT flipped blocks (207%64=15, 457%64=9)
+    val dir = docsDir(Seq((7L, "x", "src0"), (57L, "x", "src0"),
+      (207L, "x", "src0"), (457L, "x", "src0"), (8L, "x", "src0")))
+    val out = Multimodal.pHashNearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(out((7L, 207L)) === 1L)   // base vs flipped variant
+    assert(out((57L, 207L)) === 1L)  // every group member pairs with it
+    assert(out((7L, 457L)) === 1L)
+    assert(out((207L, 457L)) === 2L) // two different flipped blocks
+    // exact duplicates (7, 57) are NOT near-dup pairs (Hamming 0 —
+    // that's q224's grouping), and unrelated groups don't pair
+    assert(!out.contains((7L, 57L)))
+    assert(!out.keys.exists { case (a, b) => a == 8L || b == 8L })
+  }
+
   // ---------------------------------------------------------------- q225
 
   test("audio quality: hand-computed silence/clipping regimes on real WAV decode") {
