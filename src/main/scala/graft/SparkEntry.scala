@@ -1443,6 +1443,10 @@ object SparkEntry {
     // Hamming <= 2), bit_count(xor) verify on the hash halves
     "q226_phash_neardup"   -> ((s: SparkSession, d: String) =>
       Multimodal.pHashNearDup(s, d)),
+    // SoftDeDup: keep near-dups, weight each 1/cluster-size (bp) so
+    // a cluster contributes one doc's worth of training gradient
+    "q227_soft_dedup"      -> ((s: SparkSession, d: String) =>
+      Dedup.softDedupWeights(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4814,6 +4818,19 @@ object SparkEntry {
         |  CAST(CASE WHEN n_silent * 2 < n_windows AND n_clipped * 50 < n_frames
         |    THEN 1 ELSE 0 END AS INT) AS keep
         |FROM a JOIN s USING (id) ORDER BY media_id""".stripMargin,
+    // q41's components + singleton completion + 1/n weights in bp
+    "q227_soft_dedup" ->
+      s"""$shingleCteRec,
+        |$minhashCappedCtes,
+        |$clusterCtes,
+        |memb AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |allm AS (SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN memb m USING (doc_id)),
+        |cs AS (SELECT cluster_id, count(*) AS csize FROM allm GROUP BY 1)
+        |SELECT a.doc_id, a.cluster_id, CAST(cs.csize AS BIGINT) AS csize,
+        |  CAST(10000 // cs.csize AS BIGINT) AS weight_bp
+        |FROM allm a JOIN cs USING (cluster_id) ORDER BY a.doc_id""".stripMargin,
   )
 
   /** Upsert-by-key merge semantics shared by q62 (dynamic partition

@@ -670,6 +670,35 @@ object Dedup {
       .select(col("da"), col("db")).distinct()
   }
 
+  /** SoftDeDup — duplicate-aware loss weighting: instead of DROPPING
+    * near-duplicates (q41's keep-one-per-cluster), keep every
+    * document and downweight repeats so a cluster of n near-dups
+    * contributes one document's worth of gradient (weight = 1/n, in
+    * basis points, floor — integer-exact). The soft alternative
+    * matters when near-dups carry small real differences (updated
+    * pages, quote variants) that hard dedup would throw away.
+    * Clusters come from the same capped-LSH connected components as
+    * q41; docs in no near-dup pair are their own singleton cluster at
+    * full weight. One LSH pass + the component fixed point + two
+    * joins keyed by cluster id — no new shuffle shapes. */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"))
+    val memb = Components.minLabel(
+      minhashLshCapped(spark, dir).select(col("da"), col("db")))
+    val withCluster = docs
+      .join(memb.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = withCluster.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+    withCluster.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        col("csize").cast("long").as("csize"),
+        expr("10000 div csize").cast("long").as("weight_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Dedup-quality evaluation: measure the capped-LSH candidate
     * generator against the EXACT Jaccard-≥-τ truth set (the
     * prefix-filtered all-true-pairs join, [[SetSimJoin.prefixJoin]]).

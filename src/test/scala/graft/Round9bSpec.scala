@@ -386,6 +386,26 @@ class Round9bSpec extends SparkSpec {
     assert(hashOf(7).toSet.size > 1)
   }
 
+  // ---------------------------------------------------------------- q227
+
+  test("soft dedup: cluster mass sums to one doc's worth; singletons keep full weight") {
+    // 3 identical docs (one cluster) + 2 unique docs (singletons)
+    val dir = docsDir(Seq(
+      (1L, "the exact same duplicated training document body here", "src0"),
+      (2L, "the exact same duplicated training document body here", "src0"),
+      (3L, "the exact same duplicated training document body here", "src0"),
+      (4L, "a completely unrelated document about other things", "src0"),
+      (5L, "yet another distinct singleton body entirely", "src0")))
+    val out = graft.operators.Dedup.softDedupWeights(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("csize"),
+          r.getAs[Long]("weight_bp"))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))        // nothing dropped
+    assert(Seq(1L, 2L, 3L).forall(out(_) == ((1L, 3L, 3333L))))
+    assert(out(4L) === ((4L, 1L, 10000L)))
+    assert(out(5L) === ((5L, 1L, 10000L)))
+  }
+
   // ---------------------------------------------------------------- q226
 
   test("phash near-dup: single-block flips pair at Hamming 1, two flips at Hamming 2") {
