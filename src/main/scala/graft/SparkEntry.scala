@@ -1447,6 +1447,10 @@ object SparkEntry {
     // a cluster contributes one doc's worth of training gradient
     "q227_soft_dedup"      -> ((s: SparkSession, d: String) =>
       Dedup.softDedupWeights(s, d)),
+    // classifier calibration on held-out: LLR quintiles vs actual
+    // seed-membership rate — the filter-threshold trust check
+    "q228_nb_calibration"  -> ((s: SparkSession, d: String) =>
+      operators.QualityClassifier.calibration(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4543,35 +4547,25 @@ object SparkEntry {
     // whole-bit Naive Bayes LLR, term-for-term with nbScore: pruned
     // model (HAVING total>=2), full-vocab smoothing, doc-count prior
     "q214_nb_classifier" ->
-      s"""WITH toks AS (SELECT doc_id, source,
-        |    unnest(string_split($normSqlDuck, ' ')) AS w FROM documents),
-        |t2 AS (SELECT doc_id, source, w FROM toks WHERE length(w) > 0),
-        |tr AS (SELECT * FROM t2 WHERE doc_id % 5 <> 0),
-        |m AS (SELECT w,
-        |    sum(CASE WHEN source IN ($nbSeedList) THEN 1 ELSE 0 END) AS c_pos,
-        |    sum(CASE WHEN source IN ($nbSeedList) THEN 0 ELSE 1 END) AS c_neg
-        |  FROM tr GROUP BY 1 HAVING count(*) >= 2),
-        |tot AS (SELECT
-        |    sum(CASE WHEN source IN ($nbSeedList) THEN 1 ELSE 0 END) AS n_pos,
-        |    sum(CASE WHEN source IN ($nbSeedList) THEN 0 ELSE 1 END) AS n_neg,
-        |    count(DISTINCT w) AS v
-        |  FROM tr),
-        |pri AS (SELECT (length(printf('%b', CAST(d_all // (d_all - d_pos) AS BIGINT))) - 1)
-        |      - (length(printf('%b', CAST(d_all // d_pos AS BIGINT))) - 1) AS prior_bits
-        |  FROM (SELECT count(*) AS d_all,
-        |      sum(CASE WHEN source IN ($nbSeedList) THEN 1 ELSE 0 END) AS d_pos
-        |    FROM documents WHERE doc_id % 5 <> 0)),
-        |sc AS (SELECT t2.doc_id, t2.source,
-        |    (length(printf('%b', CAST((tot.n_neg + tot.v) // (coalesce(m.c_neg, 0) + 1) AS BIGINT))) - 1)
-        |      - (length(printf('%b', CAST((tot.n_pos + tot.v) // (coalesce(m.c_pos, 0) + 1) AS BIGINT))) - 1) AS dbits
-        |  FROM t2 LEFT JOIN m USING (w), tot),
-        |agg AS (SELECT doc_id, source, count(*) AS n_tokens, sum(dbits) AS llr_word
-        |  FROM sc GROUP BY 1, 2)
+      s"""$nbScoreCtes
         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(llr_word + prior_bits AS BIGINT) AS llr_bits,
         |  CAST(CASE WHEN llr_word + prior_bits >= 0 THEN 1 ELSE 0 END AS INT) AS kept,
         |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS heldout
         |FROM agg, pri ORDER BY doc_id""".stripMargin,
+    // held-out quintiles by LLR desc; per bucket the ACTUAL seed rate
+    "q228_nb_calibration" ->
+      s"""$nbScoreCtes,
+        |hv AS (SELECT doc_id, source, llr_word + prior_bits AS llr
+        |  FROM agg, pri WHERE doc_id % 5 = 0),
+        |b AS (SELECT *, ntile(5) OVER (ORDER BY llr DESC, doc_id) AS bucket FROM hv)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN source IN ($nbSeedList) THEN 1 ELSE 0 END) AS BIGINT) AS n_seed,
+        |  CAST(sum(CASE WHEN source IN ($nbSeedList) THEN 1 ELSE 0 END) * 10000
+        |    // count(*) AS BIGINT) AS seed_bp,
+        |  CAST(min(llr) AS BIGINT) AS min_llr, CAST(max(llr) AS BIGINT) AS max_llr
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
     // phrase = the corpus's most frequent bigram; hits = adjacent
     // positional postings (b.pos = a.pos + 1) — mirrors phraseSearch
     "q215_phrase_search" ->
@@ -4922,6 +4916,37 @@ object SparkEntry {
     * QualityClassifier.SeedSources). */
   private val nbSeedList =
     operators.QualityClassifier.SeedSources.map(s => s"'$s'").mkString(", ")
+
+  /** DuckDB fragment: the q214 Naive Bayes computation (pruned model,
+    * full-vocab smoothing, whole-bit surprisals, doc-count prior)
+    * ending in `agg(doc_id, source, n_tokens, llr_word)` and
+    * `pri(prior_bits)` — shared by the score readout (q214) and the
+    * held-out calibration (q228). */
+  private val nbScoreCtes =
+    s"""WITH toks AS (SELECT doc_id, source,
+      |    unnest(string_split($normSqlDuck, ' ')) AS w FROM documents),
+      |t2 AS (SELECT doc_id, source, w FROM toks WHERE length(w) > 0),
+      |tr AS (SELECT * FROM t2 WHERE doc_id % 5 <> 0),
+      |m AS (SELECT w,
+      |    sum(CASE WHEN source IN ($nbSeedList) THEN 1 ELSE 0 END) AS c_pos,
+      |    sum(CASE WHEN source IN ($nbSeedList) THEN 0 ELSE 1 END) AS c_neg
+      |  FROM tr GROUP BY 1 HAVING count(*) >= 2),
+      |tot AS (SELECT
+      |    sum(CASE WHEN source IN ($nbSeedList) THEN 1 ELSE 0 END) AS n_pos,
+      |    sum(CASE WHEN source IN ($nbSeedList) THEN 0 ELSE 1 END) AS n_neg,
+      |    count(DISTINCT w) AS v
+      |  FROM tr),
+      |pri AS (SELECT (length(printf('%b', CAST(d_all // (d_all - d_pos) AS BIGINT))) - 1)
+      |      - (length(printf('%b', CAST(d_all // d_pos AS BIGINT))) - 1) AS prior_bits
+      |  FROM (SELECT count(*) AS d_all,
+      |      sum(CASE WHEN source IN ($nbSeedList) THEN 1 ELSE 0 END) AS d_pos
+      |    FROM documents WHERE doc_id % 5 <> 0)),
+      |sc AS (SELECT t2.doc_id, t2.source,
+      |    (length(printf('%b', CAST((tot.n_neg + tot.v) // (coalesce(m.c_neg, 0) + 1) AS BIGINT))) - 1)
+      |      - (length(printf('%b', CAST((tot.n_pos + tot.v) // (coalesce(m.c_pos, 0) + 1) AS BIGINT))) - 1) AS dbits
+      |  FROM t2 LEFT JOIN m USING (w), tot),
+      |agg AS (SELECT doc_id, source, count(*) AS n_tokens, sum(dbits) AS llr_word
+      |  FROM sc GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB fragment: the q224/q226 perceptual-hash arithmetic from
     * the pattern formula (Multimodal.encodePatternPng + aHashOf,

@@ -127,4 +127,33 @@ object QualityClassifier {
         (pmod(col("doc_id"), lit(TrainMod)) === 0).cast("int").as("heldout"))
       .orderBy(col("doc_id"))
   }
+
+  /** Calibration of the classifier ON HELD-OUT DATA — the check every
+    * learned data filter needs before its threshold is trusted at
+    * corpus scale: quintile the held-out docs by LLR (descending —
+    * bucket 1 = most seed-like) and report each bucket's actual
+    * seed-membership rate in basis points. A well-behaved filter
+    * shows a monotone seed_bp profile; a flat one means the score
+    * carries no signal and the threshold is arbitrary. The q191
+    * calibration-curve discipline applied to q214's scores. One
+    * window over the held-out slice (a bounded fraction of the
+    * corpus), then a 5-row aggregate. */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val held = nbScore(spark, dir).filter(col("heldout") === 1)
+    val byScore = Window.orderBy(col("llr_bits").desc, col("doc_id"))
+    held
+      .withColumn("bucket", ntile(5).over(byScore))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(isSeed, 1L).otherwise(0L)).as("n_seed"),
+        min(col("llr_bits")).as("min_llr"),
+        max(col("llr_bits")).as("max_llr"))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_seed").cast("long").as("n_seed"),
+        expr("n_seed * 10000 div n_docs").cast("long").as("seed_bp"),
+        col("min_llr"), col("max_llr"))
+      .orderBy(col("bucket"))
+  }
 }

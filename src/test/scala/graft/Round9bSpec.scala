@@ -386,6 +386,31 @@ class Round9bSpec extends SparkSpec {
     assert(hashOf(7).toSet.size > 1)
   }
 
+  // ---------------------------------------------------------------- q228
+
+  test("nb calibration: separable vocabularies produce a monotone seed-rate profile") {
+    // seed docs speak alpha, pool docs speak beta; held-out ids
+    // (0 mod 5) of both kinds land in opposite score extremes
+    val rows = (1L to 40L).map { i =>
+      val seed = i % 2 == 0
+      (i, if (seed) "alpha alpha alpha alpha" else "beta beta beta beta",
+        if (seed) "src0" else "src9")
+    }
+    val out = graft.operators.QualityClassifier
+      .calibration(spark, docsDir(rows)).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("seed_bp"))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // total held-out docs = ids in 1..40 with id % 5 == 0 → 8
+    assert(out.values.map(_._1).sum === 8L)
+    // top buckets are pure seed, bottom pure pool — perfectly
+    // separable vocabularies give a monotone (step) profile
+    assert(out(1L)._2 === 10000L)
+    assert(out(5L)._2 === 0L)
+    val profile = (1L to 5L).map(out(_)._2)
+    assert(profile === profile.sorted.reverse)
+  }
+
   // ---------------------------------------------------------------- q227
 
   test("soft dedup: cluster mass sums to one doc's worth; singletons keep full weight") {
