@@ -1451,6 +1451,10 @@ object SparkEntry {
     // seed-membership rate — the filter-threshold trust check
     "q228_nb_calibration"  -> ((s: SparkSession, d: String) =>
       operators.QualityClassifier.calibration(s, d)),
+    // the q219 plan executed as a physical sample: full epochs +
+    // md5-sixteenths fractional draw, reconciled per source
+    "q229_epoch_sampler"   -> ((s: SparkSession, d: String) =>
+      operators.Sampling.epochSampler(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4658,32 +4662,33 @@ object SparkEntry {
     // identical integer waterfill: caps sorted (cap, source), capped
     // prefix, level + largest-remainder split of the residue
     "q219_epoch_budget" ->
-      """WITH s AS (SELECT source,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY 1),
-        |c AS (SELECT source, n_tokens, n_tokens * 2 AS cap FROM s),
-        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
-        |    CAST(count(*) AS BIGINT) AS k FROM s),
-        |t2 AS (SELECT *, (3 * tt) // 2 AS budget FROM t),
-        |rkd AS (SELECT c.*, t2.k, t2.budget,
-        |    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS r,
-        |    coalesce(sum(cap) OVER (ORDER BY cap, source
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
-        |  FROM c, t2),
-        |rkd2 AS (SELECT *,
-        |    (cap * (k - r + 1) + prefix <= budget) AS capped FROM rkd),
-        |p AS (SELECT min(r) AS rstar,
-        |    coalesce(min_by(prefix, r), 0) AS pstar FROM rkd2 WHERE NOT capped),
-        |f AS (SELECT rkd2.*, p.rstar, p.pstar FROM rkd2, p),
-        |a AS (SELECT *, CASE WHEN rstar IS NULL OR r < rstar THEN cap
-        |    ELSE (budget - pstar) // (k - rstar + 1)
-        |      + CASE WHEN r - rstar < (budget - pstar) % (k - rstar + 1)
-        |        THEN 1 ELSE 0 END END AS alloc
-        |  FROM f)
+      s"""$epochAllocCtes
         |SELECT source, n_tokens, CAST(cap AS BIGINT) AS cap,
         |  CAST(alloc AS BIGINT) AS alloc,
         |  CAST(alloc * 10000 // n_tokens AS BIGINT) AS epochs_bp
         |FROM a ORDER BY source""".stripMargin,
+    // the q219 plan executed: full epochs + md5-sixteenths fractional
+    // draw (q71 discipline), reconciled against the allocation
+    "q229_epoch_sampler" ->
+      s"""$epochAllocCtes,
+        |pl AS (SELECT source, n_tokens, alloc, alloc // n_tokens AS full_epochs,
+        |    ((alloc % n_tokens) * 16) // n_tokens AS rate16 FROM a),
+        |d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS h16
+        |  FROM documents),
+        |j AS (SELECT d.source, d.toks, pl.n_tokens, pl.alloc, pl.full_epochs, pl.rate16,
+        |    pl.full_epochs + CASE WHEN d.h16 < pl.rate16 THEN 1 ELSE 0 END AS copies
+        |  FROM d JOIN pl USING (source))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(max(alloc) AS BIGINT) AS alloc,
+        |  CAST(max(full_epochs) AS BIGINT) AS full_epochs,
+        |  CAST(max(rate16) AS BIGINT) AS rate16,
+        |  CAST(sum(copies) AS BIGINT) AS sampled_docs,
+        |  CAST(sum(toks * copies) AS BIGINT) AS sampled_tokens,
+        |  CAST(sum(toks * copies) * 10000 // nullif(max(alloc), 0) AS BIGINT) AS fill_bp
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // the q196 scorer verbatim + per-language ntile(3) tertiles
     "q220_ccnet_buckets" ->
       s"""WITH w AS (SELECT doc_id, lang, string_split($normSqlDuck, ' ') AS w FROM documents),
@@ -4916,6 +4921,34 @@ object SparkEntry {
     * QualityClassifier.SeedSources). */
   private val nbSeedList =
     operators.QualityClassifier.SeedSources.map(s => s"'$s'").mkString(", ")
+
+  /** DuckDB fragment: the q219 integer waterfill (caps sorted
+    * (cap, source), capped prefix, level + largest remainder) ending
+    * in `a(source, n_tokens, cap, alloc, …)` — shared by the plan
+    * readout (q219) and the physical sampler (q229). */
+  private val epochAllocCtes =
+    """WITH s AS (SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |c AS (SELECT source, n_tokens, n_tokens * 2 AS cap FROM s),
+      |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+      |    CAST(count(*) AS BIGINT) AS k FROM s),
+      |t2 AS (SELECT *, (3 * tt) // 2 AS budget FROM t),
+      |rkd AS (SELECT c.*, t2.k, t2.budget,
+      |    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS r,
+      |    coalesce(sum(cap) OVER (ORDER BY cap, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      |  FROM c, t2),
+      |rkd2 AS (SELECT *,
+      |    (cap * (k - r + 1) + prefix <= budget) AS capped FROM rkd),
+      |p AS (SELECT min(r) AS rstar,
+      |    coalesce(min_by(prefix, r), 0) AS pstar FROM rkd2 WHERE NOT capped),
+      |f AS (SELECT rkd2.*, p.rstar, p.pstar FROM rkd2, p),
+      |a AS (SELECT *, CASE WHEN rstar IS NULL OR r < rstar THEN cap
+      |    ELSE (budget - pstar) // (k - rstar + 1)
+      |      + CASE WHEN r - rstar < (budget - pstar) % (k - rstar + 1)
+      |        THEN 1 ELSE 0 END END AS alloc
+      |  FROM f)""".stripMargin
 
   /** DuckDB fragment: the q214 Naive Bayes computation (pruned model,
     * full-vocab smoothing, whole-bit surprisals, doc-count prior)

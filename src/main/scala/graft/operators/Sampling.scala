@@ -281,7 +281,9 @@ object Sampling {
     * per-source frame only — source cardinality is small by
     * definition (a mixture has tens of entries, not millions), so the
     * global-ordered window never sees more than that. */
-  def epochBudget(spark: SparkSession, dir: String): DataFrame = {
+  /** The waterfill allocation frame behind [[epochBudget]] and
+    * [[epochSampler]]: (source, n_tokens, cap, alloc). */
+  private def epochAlloc(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.words
     import org.apache.spark.sql.expressions.Window
     val s = Tables.loadSpread(spark, dir, "documents")
@@ -308,8 +310,54 @@ object Sampling {
               when(col("r") - col("rstar") <
                 expr("(budget - pstar) % (k - rstar + 1)"), 1L).otherwise(0L)))
       .select(col("source"), col("n_tokens"), col("cap").cast("long").as("cap"),
-        col("alloc").cast("long").as("alloc"),
+        col("alloc").cast("long").as("alloc"))
+  }
+
+  def epochBudget(spark: SparkSession, dir: String): DataFrame =
+    epochAlloc(spark, dir)
+      .select(col("source"), col("n_tokens"), col("cap"), col("alloc"),
         expr("alloc * 10000 div n_tokens").cast("long").as("epochs_bp"))
+      .orderBy(col("source"))
+
+  /** Execute the [[epochBudget]] plan as a PHYSICAL sample: every doc
+    * of a source is repeated `alloc div n_tokens` times (the full
+    * epochs) and the fractional remainder epoch is realized as a
+    * deterministic md5-sixteenths membership draw
+    * (`rate16 = (alloc mod n_tokens)·16 div n_tokens`, the q71
+    * discipline — rerun-stable, repartition-stable, no rand()).
+    * Readout is the per-source reconciliation: how many doc-copies
+    * and tokens the sample actually materialized vs the allocation
+    * (`fill_bp` — the sixteenths granularity bounds the shortfall).
+    * The sample itself is a map-only broadcast join + bounded
+    * explode; nothing shuffles until the readout aggregate. */
+  def epochSampler(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val plan = epochAlloc(spark, dir)
+      .withColumn("full_epochs", expr("alloc div n_tokens"))
+      .withColumn("rate16", expr("((alloc % n_tokens) * 16) div n_tokens"))
+    val t = Tables.loadSpread(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("toks"),
+        hexBucket16(col("doc_id")).as("h16"))
+    t.join(broadcast(plan), Seq("source"))
+      .withColumn("copies",
+        col("full_epochs") + when(col("h16") < col("rate16"), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("n_tokens"),
+        max(col("alloc")).as("alloc"),
+        max(col("full_epochs")).as("full_epochs"),
+        max(col("rate16")).as("rate16"),
+        sum(col("copies")).as("sampled_docs"),
+        sum(col("toks") * col("copies")).as("sampled_tokens"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens"), col("alloc"),
+        col("full_epochs").cast("long").as("full_epochs"),
+        col("rate16").cast("long").as("rate16"),
+        col("sampled_docs").cast("long").as("sampled_docs"),
+        col("sampled_tokens").cast("long").as("sampled_tokens"),
+        expr("sampled_tokens * 10000 div nullif(alloc, 0)")
+          .cast("long").as("fill_bp"))
       .orderBy(col("source"))
   }
 }

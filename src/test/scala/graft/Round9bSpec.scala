@@ -386,6 +386,34 @@ class Round9bSpec extends SparkSpec {
     assert(hashOf(7).toSet.size > 1)
   }
 
+  // ---------------------------------------------------------------- q229
+
+  test("epoch sampler: materialized copies reconcile with the waterfill plan") {
+    val rows = Sampling.epochSampler(spark, "/root/testdata/sf0.001").collect()
+    val plan = Sampling.epochBudget(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc")).toMap
+    rows.foreach { r =>
+      val (alloc, sampled, full, rate16) = (r.getAs[Long]("alloc"),
+        r.getAs[Long]("sampled_tokens"), r.getAs[Long]("full_epochs"),
+        r.getAs[Long]("rate16"))
+      // the sampler executes THIS plan
+      assert(alloc === plan(r.getAs[String]("source")))
+      // every doc contributes at least its full epochs; the fractional
+      // draw can only add
+      val nTokens = r.getAs[Long]("n_tokens")
+      assert(sampled >= full * nTokens)
+      assert(sampled <= (full + 1) * nTokens)
+      // the draw realizes SOME fraction iff the plan asked for one
+      // (rate16 > 0 can still draw zero docs on a tiny source, but a
+      // zero rate must draw nothing)
+      if (rate16 == 0L) assert(sampled === full * nTokens)
+    }
+    // deterministic md5 membership: a rerun materializes the exact
+    // same sample (no rand() anywhere)
+    val again = Sampling.epochSampler(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   // ---------------------------------------------------------------- q228
 
   test("nb calibration: separable vocabularies produce a monotone seed-rate profile") {
