@@ -1455,6 +1455,17 @@ object SparkEntry {
     // md5-sixteenths fractional draw, reconciled per source
     "q229_epoch_sampler"   -> ((s: SparkSession, d: String) =>
       operators.Sampling.epochSampler(s, d)),
+    // multimodal WebDataset: PNG+cls members packed into tar shards,
+    // streamed back, PNGs REALLY decoded and aHashed from the
+    // transported bytes — tar round trip × image decode in one gate
+    "q230_tar_multimodal"  -> ((s: SparkSession, d: String) => {
+      val tarDir = fixture("tarmm", s, d, "documents") { path =>
+        wipe(s, path)
+        graft.sources.TarShards.writeShards(s,
+          Multimodal.multimodalMembers(s, d), path)
+      }
+      Multimodal.tarMultimodalTable(s, tarDir)
+    }),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4791,6 +4802,16 @@ object SparkEntry {
         |  FROM cand c JOIN hv ha ON ha.id = c.da JOIN hv hx ON hx.id = c.db)
         |SELECT da, db, CAST(hamming AS BIGINT) AS hamming
         |FROM p WHERE hamming BETWEEN 1 AND 2 ORDER BY da, db""".stripMargin,
+    // dims are fixed 32×32; the hash must match the pattern formula —
+    // provable only by decoding the bytes that crossed the tar
+    "q230_tar_multimodal" ->
+      s"""$phashNibsCtes,
+        |hx AS (SELECT id, string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1),
+        |    '' ORDER BY nk) AS ahash FROM bits GROUP BY 1)
+        |SELECT d.doc_id, CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+        |  hx.ahash, d.source AS cls
+        |FROM documents d JOIN hx ON hx.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // the PCM sample formula restated; silence before clipping, just
     // like the encoder — mirrors audioQuality
     "q225_audio_quality" ->

@@ -518,6 +518,48 @@ object Multimodal {
       .orderBy(col("ahash"))
   }
 
+  /** (shard, name, bytes) member rows for the multimodal WebDataset
+    * fixture: one real PNG + one class label per document, keyed
+    * `<doc_id>.png` / `<doc_id>.cls` — the canonical image-caption
+    * shard layout. Encoding happens executor-side per partition. */
+  def multimodalMembers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.flatMap { case (id, source) =>
+        val shard = id / graft.sources.TarShards.MembersPerShard
+        Seq((shard, s"$id.png", encodePatternPng(id)),
+          (shard, s"$id.cls", source.getBytes("UTF-8")))
+      })
+      .toDF("shard", "name", "bytes")
+  }
+
+  /** The q230 gate: stream the multimodal shards back, REALLY decode
+    * each transported PNG member (dims + aHash from its pixels) and
+    * re-pair it with its class member — only a byte-exact tar round
+    * trip AND a correct decode reproduce the oracle's arithmetic
+    * hash. The per-member decode runs where the shard was parsed
+    * (one task per shard — the WebDataset execution model). */
+  def tarMultimodalTable(spark: SparkSession, tarDir: String): DataFrame = {
+    import spark.implicits._
+    val members = graft.sources.TarShards.readMembers(spark, tarDir)
+    val pngs = members.filter(col("name").endsWith(".png"))
+      .select(regexp_extract(col("name"), "^(\\d+)\\.", 1).cast("long").as("doc_id"),
+        col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        (id, img.getWidth.toLong, img.getHeight.toLong, aHashOf(img))
+      })
+      .toDF("doc_id", "width", "height", "ahash")
+    val cls = members.filter(col("name").endsWith(".cls"))
+      .select(regexp_extract(col("name"), "^(\\d+)\\.", 1).cast("long").as("doc_id"),
+        col("bytes").cast("string").as("cls"))
+    pngs.join(cls, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hamming radius for [[pHashNearDup]] pairs (1..MaxHamming; 0 =
     * exact hash equality, which is [[aHashDedup]]'s job). */
   val MaxHamming = 2L
