@@ -718,7 +718,10 @@ object Dedup {
   def lshRecallEval(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleRowsOf(
       graft.sources.Tables.loadSpread(spark, dir, "documents")).cache()
-    val truth = SetSimJoin.prefixJoin(spark, dir).select(col("da"), col("db"))
+    // ONE cached shingle pass feeds both the truth join and the
+    // candidate generator being measured (prefixJoin would otherwise
+    // re-scan and re-shingle the corpus)
+    val truth = SetSimJoin.prefixJoinFrom(sh).select(col("da"), col("db"))
     val cand = cappedBandCandidates(minhashSignaturesFrom(sh), BandBucketCap)
     val tn = truth.agg(count(lit(1)).as("n_truth"))
     val cn = cand.agg(count(lit(1)).as("n_cand"))

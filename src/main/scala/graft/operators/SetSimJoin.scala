@@ -41,10 +41,15 @@ object SetSimJoin {
   /** Candidate pairs + exact verification. Output matches the exact
     * all-pairs Jaccard-≥-τ join (same columns as ngramJaccard plus
     * the exact set sizes and overlap). */
-  def prefixJoin(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingleRowsOf(
-      graft.sources.Tables.loadSpread(spark, dir, "documents")).cache()
+  def prefixJoin(spark: SparkSession, dir: String): DataFrame =
+    prefixJoinFrom(Dedup.shingleRowsOf(
+      graft.sources.Tables.loadSpread(spark, dir, "documents")).cache())
 
+  /** As [[prefixJoin]] but over caller-provided (cached) shingle rows
+    * — the shared-corpus-scan seam (the Dedup.*From discipline);
+    * q221's eval harness feeds the SAME cached shingles to this truth
+    * join and to the LSH candidate generator it measures. */
+  def prefixJoinFrom(sh: org.apache.spark.sql.DataFrame): DataFrame = {
     // global inverse-frequency order key: (df asc, shingle asc)
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val keyed = sh.join(df, Seq("s"))
