@@ -1466,6 +1466,39 @@ object SparkEntry {
       }
       Multimodal.tarMultimodalTable(s, tarDir)
     }),
+    // image RESIZE over real decoded pixels: box filter (the correct
+    // downsample kernel) + nearest neighbor to 8×8, hex-packed — the
+    // CLIP-preprocessing step; oracle replays both kernels from the
+    // pattern formula
+    "q231_image_resize"    -> ((s: SparkSession, d: String) =>
+      Multimodal.imageResize(s, d)),
+    // source (domain) reputation gate: per-source language / short-doc
+    // profile in exact basis points — judge the domain, not the doc
+    "q232_source_reputation" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.sourceReputation(s, d)),
+    // cluster-balanced diversity sample: ≤ quota per k-means cluster
+    // by md5 lottery — cover the embedding space, not its density
+    "q233_cluster_balanced" -> ((s: SparkSession, d: String) =>
+      Vectors.clusterBalancedSample(s, d)),
+    // native codegen'd Unicode NFC normalization: decomposed
+    // e + COMBINING ACUTE must re-compose to é before exact hashing
+    "q234_nfc_normalize"   -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.sources.Tables.loadSpread(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "e", "e\u0301").as("dec"))
+        .select(col("doc_id"),
+          length(col("dec")).cast("long").as("n_dec"),
+          length(call_function("nfc_normalize", col("dec")))
+            .cast("long").as("n_nfc"),
+          md5(call_function("nfc_normalize", col("dec"))).as("nfc_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    // sketch-driven runtime join pruning: the build side's native
+    // membership bitmap drops probe rows BEFORE the shuffle; no false
+    // negatives, so the result IS the plain join the oracle runs
+    "q235_sketch_join_prune" -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.sketchPrunedJoin(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4812,6 +4845,68 @@ object SparkEntry {
         |  hx.ahash, d.source AS cls
         |FROM documents d JOIN hx ON hx.id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // both resize kernels replayed arithmetically from the pattern
+    // formula: box = floor-mean of each 4×4 block, nearest = the
+    // top-left sample — only a real decode + correct stride math matches
+    "q231_image_resize" ->
+      s"""$phashNibsCtes,
+        |pooled AS (SELECT id, k, s // 16 AS p FROM blk),
+        |nnv AS (SELECT id, (y // 4) * 8 + (x // 4) AS k, gray AS p
+        |  FROM px WHERE x % 4 = 0 AND y % 4 = 0),
+        |hexes AS (SELECT b.id,
+        |    string_agg(substr('0123456789abcdef', CAST(b.p // 16 AS INT) + 1, 1) ||
+        |      substr('0123456789abcdef', CAST(b.p % 16 AS INT) + 1, 1), '' ORDER BY b.k) AS box_hex,
+        |    string_agg(substr('0123456789abcdef', CAST(n.p // 16 AS INT) + 1, 1) ||
+        |      substr('0123456789abcdef', CAST(n.p % 16 AS INT) + 1, 1), '' ORDER BY b.k) AS nn_hex
+        |  FROM pooled b JOIN nnv n USING (id, k) GROUP BY b.id)
+        |SELECT id AS media_id, CAST(8 AS BIGINT) AS width,
+        |  CAST(8 AS BIGINT) AS height, box_hex, nn_hex
+        |FROM hexes ORDER BY media_id""".stripMargin,
+    // per-source profile in exact bp; keep = both shares under their
+    // caps — integer floor-div only, no float aggregation order
+    "q232_source_reputation" ->
+      """WITH s AS (SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS n_non_en,
+        |    sum(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END) AS n_short
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_docs,
+        |  CAST(10000 * n_non_en // n_docs AS BIGINT) AS non_en_bp,
+        |  CAST(10000 * n_short // n_docs AS BIGINT) AS short_bp,
+        |  CAST(CASE WHEN 10000 * n_non_en // n_docs <= 6000
+        |    AND 10000 * n_short // n_docs <= 1200 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM s ORDER BY source""".stripMargin,
+    // the trained-kmeans assignment (q43's unrolled Lloyd CTEs) +
+    // per-cluster md5-lottery rank, quota 8 — the balanced draw
+    "q233_cluster_balanced" ->
+      s"""$ivfTrainPreludeDuck,
+        |cs AS (SELECT cid, CAST(count(*) AS BIGINT) AS csize FROM fasg GROUP BY 1),
+        |rkd AS (SELECT vec_id, cid, row_number() OVER (
+        |    PARTITION BY cid ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM fasg)
+        |SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cid, c.csize,
+        |  CAST(r.rk AS BIGINT) AS rk
+        |FROM rkd r JOIN cs c USING (cid) WHERE r.rk <= 8
+        |ORDER BY r.vec_id""".stripMargin,
+    // DuckDB's utf8proc NFC vs the JVM's ICU NFC on the same
+    // deliberately-decomposed input — lengths shrink, md5s agree
+    "q234_nfc_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |    regexp_replace(text, 'e', 'e' || chr(769), 'g') AS dec
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(dec) AS BIGINT) AS n_dec,
+        |  CAST(length(nfc_normalize(dec)) AS BIGINT) AS n_nfc,
+        |  md5(nfc_normalize(dec)) AS nfc_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
+    // the oracle runs the PLAIN join — the sketch prune must be
+    // invisible in the result (no false negatives by construction)
+    "q235_sketch_join_prune" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F' AND o_orderkey % 97 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the PCM sample formula restated; silence before clipping, just
     // like the encoder — mirrors audioQuality
     "q225_audio_quality" ->

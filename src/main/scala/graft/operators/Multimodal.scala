@@ -518,6 +518,70 @@ object Multimodal {
       .orderBy(col("ahash"))
   }
 
+  /** Output side length of [[imageResize]] (32×32 → 8×8, an exact
+    * 4× reduction so both kernels stay integer-exact). */
+  val ResizeSide = 8
+
+  /** Image RESIZE over real decoded pixels — the CLIP/ViT-style
+    * preprocessing step every multimodal training pipeline runs before
+    * the encoder. Two standard kernels, both integer-exact so the
+    * result is gateable cross-engine:
+    *
+    *  - box filter (PIL `Image.reduce` / antialiased downsample for an
+    *    integer factor): each output pixel is the floor-mean of its
+    *    4×4 source block — the correct kernel when downsampling
+    *    (nearest aliases high-frequency texture);
+    *  - nearest neighbor (torchvision `InterpolationMode.NEAREST`
+    *    with the top-left sample convention `src = dst·scale`): the
+    *    cheap kernel, kept for masks/labels where interpolation would
+    *    invent classes.
+    *
+    * Output pixels are hex-packed row-major into one string per image
+    * (2 hex chars per gray pixel) — schema-stable however large the
+    * target, and directly comparable. Scale shape: map-only
+    * decode+resize per partition (mapPartitions batch, no shuffle);
+    * payload bytes never leave the stage. The DuckDB oracle replays
+    * the pattern formula + both kernels arithmetically, so only a real
+    * PNG decode with correct block/stride arithmetic matches. */
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = PHashSide / ResizeSide // integer reduction factor (4)
+    Tables.load(spark, dir, "documents").select(col("doc_id").as("media_id"))
+      .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodePatternPng(id)))
+        val box = new StringBuilder(ResizeSide * ResizeSide * 2)
+        val nn = new StringBuilder(ResizeSide * ResizeSide * 2)
+        var by = 0
+        while (by < ResizeSide) {
+          var bx = 0
+          while (bx < ResizeSide) {
+            var s = 0L
+            var dy = 0
+            while (dy < f) {
+              var dx = 0
+              while (dx < f) {
+                s += (img.getRGB(bx * f + dx, by * f + dy) >> 16) & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            box.append(f"${(s / (f * f)).toInt}%02x")
+            nn.append(f"${(img.getRGB(bx * f, by * f) >> 16) & 0xff}%02x")
+            bx += 1
+          }
+          by += 1
+        }
+        (id, box.toString, nn.toString)
+      })
+      .toDF("media_id", "box_hex", "nn_hex")
+      .select(col("media_id"), lit(ResizeSide.toLong).as("width"),
+        lit(ResizeSide.toLong).as("height"), col("box_hex"), col("nn_hex"))
+      .orderBy(col("media_id"))
+  }
+
   /** (shard, name, bytes) member rows for the multimodal WebDataset
     * fixture: one real PNG + one class label per document, keyed
     * `<doc_id>.png` / `<doc_id>.cls` — the canonical image-caption

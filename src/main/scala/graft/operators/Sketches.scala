@@ -255,4 +255,50 @@ object Sketches {
         expr("CAST((est_v - true_v) * 10000 div true_v AS BIGINT)").as("err_bp"))
       .orderBy(col("status"), col("q"))
   }
+
+  /** The [[graft.plans.BitmapRegisters]] bucket of a key rendered as a
+    * column expression: first 12 bits of md5 = hex chars 1..3 — the
+    * exact convention BitmapRegisters.update hashes with, so a column
+    * probe and the aggregate can never disagree on a bucket. */
+  private[graft] def bitmapBucket(key: org.apache.spark.sql.Column) =
+    conv(substring(md5(key), 1, 3), 16, 10).cast("int")
+
+  /** Sketch-driven runtime join pruning — the explicit form of the
+    * Bloom-filter join (Spark's `runtimeFilter`, Delta's dynamic file
+    * pruning) built on the engine's own native membership bitmap: the
+    * selective build side (filtered orders) aggregates its join keys
+    * into one 4096-bucket bitmap (512 B total, NOT a key list), the
+    * set buckets broadcast, and the probe side (lineitem — the 100 TB
+    * fact) drops every row whose key-bucket is unset BEFORE the
+    * shuffle join. The bitmap has no false negatives (probe and build
+    * bucket through the identical md5 expression), so the pruned join
+    * is EXACTLY the plain join — which is what the oracle runs; false
+    * positives only cost carrying a few extra rows into the exact
+    * join, never wrong output.
+    *
+    * Scale shape: at 1000 executors the alternative is shuffling the
+    * full fact table on the join key; here the fact scan's survivors
+    * are ~|build keys|/4096 of the buckets, the filter is a broadcast
+    * semi-join on a ≤4096-row frame inside the scan stage, and only
+    * survivors reach the exchange. */
+  def sketchPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F" &&
+        pmod(col("o_orderkey"), lit(97L)) === 0L)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val buckets = ord
+      .agg(call_function("bitmap_registers",
+        col("o_orderkey").cast("string")).as("bm"))
+      .select(explode(col("bm")).as("bucket"))
+    val pruned = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .withColumn("bucket", bitmapBucket(col("l_orderkey").cast("string")))
+      .join(broadcast(buckets), Seq("bucket"), "left_semi")
+    pruned.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

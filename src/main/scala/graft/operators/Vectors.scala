@@ -563,6 +563,42 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-cluster quota for [[clusterBalancedSample]]. */
+  val ClusterQuota = 8
+
+  /** Cluster-balanced diversity sampling — the "cover the embedding
+    * space, don't mirror its density" selection step (the k-means
+    * cousin of DiverseEvol/k-center selection): k-means-cluster the
+    * corpus ([[trainCentroids]], exact and engine-portable), then take
+    * at most [[ClusterQuota]] vectors PER CLUSTER instead of uniformly
+    * — dense modes stop dominating the sample and sparse regions keep
+    * representation. Within a cluster the draw is the engine's
+    * standard deterministic lottery: rank by (md5(vec_id), vec_id), so
+    * reruns and engines agree without any RNG state.
+    *
+    * Scale shape: assignment is the broadcast-centroid argmax (one
+    * corpus pass), the per-cluster rank is a window over cid — k
+    * partitions, each bounded by cluster size, and AQE splits a
+    * mega-cluster's sort; the output is ≤ k·quota rows. */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+                            k: Int = IvfCentroids, iters: Int = IvfTrainIters,
+                            quota: Int = ClusterQuota): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssignmentWith(emb(spark, dir),
+      trainCentroids(spark, dir, k, iters))
+    val sizes = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("csize"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned.select(col("vec_id"), col("cid"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+      .join(broadcast(sizes), Seq("cid"))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+        col("csize"), col("rk"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Contrastive triplet mining for embedding training — the data-prep
     * step behind every contrastive fine-tune (SimCSE / GTR / E5
     * recipes): for each anchor vector, a *positive* (its most-similar

@@ -122,6 +122,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("kmv_registers"), KmvRegisters.info,
       (children: Seq[Expression]) => KmvRegisters(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"), NfcNormalize.info,
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     // the reference's SQL UDF surface (norm_body / to_bool_safe /
     // norm_date) as composed catalyst trees — see functions.SqlFunctions
     graft.functions.SqlFunctions.all.foreach(ext.injectFunction)
