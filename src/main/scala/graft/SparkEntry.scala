@@ -1499,6 +1499,22 @@ object SparkEntry {
     // negatives, so the result IS the plain join the oracle runs
     "q235_sketch_join_prune" -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.sketchPrunedJoin(s, d)),
+    // n-gram novelty: share of a doc's shingles FIRST owned by it —
+    // what a new crawl snapshot adds vs what the corpus already has
+    "q236_novelty_score"   -> ((s: SparkSession, d: String) =>
+      TextAnalysis.noveltyScore(s, d)),
+    // b-bit minhash: 4-bit register compression + the (16R−12)/180
+    // unbiased estimate in exact bp, audited against exact Jaccard
+    "q237_bbit_minhash"    -> ((s: SparkSession, d: String) =>
+      Dedup.bbitMinhash(s, d)),
+    // context-window trimming: longest turn SUFFIX under the token
+    // budget per conversation (recency wins, oldest turns fall off)
+    "q238_context_trim"    -> ((s: SparkSession, d: String) =>
+      graft.operators.Conversations.contextTrim(s, d)),
+    // dataset normalization stats from real decoded pixels: exact
+    // per-group pixel sums / sums of squares + integer milli-mean
+    "q239_channel_stats"   -> ((s: SparkSession, d: String) =>
+      Multimodal.channelStats(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4898,6 +4914,64 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(dec)) AS BIGINT) AS n_nfc,
         |  md5(nfc_normalize(dec)) AS nfc_md5
         |FROM n ORDER BY doc_id""".stripMargin,
+    // first-owner novelty share per doc, exact bp
+    "q236_novelty_score" ->
+      s"""$shingleCte,
+        |own AS (SELECT s, min(doc_id) AS owner FROM sh GROUP BY 1),
+        |per AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(sum(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM sh JOIN own USING (s) GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_novel,
+        |  CAST(10000 * n_novel // n_shingles AS BIGINT) AS novelty_bp
+        |FROM per ORDER BY doc_id""".stripMargin,
+    // low-nibble register collisions + the clamped unbiased estimator
+    // (numerator clamped BEFORE division: negative floor-div differs
+    // between engines), next to the exact Jaccard
+    "q237_bbit_minhash" ->
+      s"""$shingleCte,
+        |$cappedCandCtes,
+        |$jaccardVerifyCtes,
+        |rr AS (SELECT c.da, c.db,
+        |    CAST(${(0 until 12).map(i => s"CASE WHEN substr(sa.h$i, 32, 1) = substr(sb.h$i, 32, 1) THEN 1 ELSE 0 END").mkString(" + ")} AS BIGINT) AS r_coll
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.da JOIN sig sb ON sb.doc_id = c.db)
+        |SELECT r.da, r.db, r.r_coll,
+        |  CAST(greatest(0, 16 * r.r_coll - 12) * 10000 // 180 AS BIGINT) AS est_bp,
+        |  CAST(10000 * coalesce(x.i, 0) // (ca.n + cb.n - coalesce(x.i, 0)) AS BIGINT) AS true_bp
+        |FROM rr r LEFT JOIN inter x ON x.da = r.da AND x.db = r.db
+        |JOIN cnt ca ON ca.doc_id = r.da JOIN cnt cb ON cb.doc_id = r.db
+        |ORDER BY r.da, r.db""".stripMargin,
+    // q216's sessionization + a descending cumulative cost window:
+    // kept = the turn suffix that fits the budget
+    "q238_context_trim" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    1 + CAST(coalesce(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), ''), '0') AS BIGINT) AS cost
+        |  FROM events),
+        |s AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |      OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s2 AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sess_n FROM s),
+        |s3 AS (SELECT *, sum(cost) OVER (PARTITION BY user_id, sess_n
+        |    ORDER BY tus DESC, event_id DESC ROWS UNBOUNDED PRECEDING) AS sufcost
+        |  FROM s2)
+        |SELECT user_id, CAST(sess_n AS BIGINT) AS sess_n,
+        |  CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(sum(cost) AS BIGINT) AS total_cost,
+        |  CAST(sum(CASE WHEN sufcost <= 150 THEN 1 ELSE 0 END) AS BIGINT) AS kept_turns,
+        |  CAST(count(*) - sum(CASE WHEN sufcost <= 150 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_turns,
+        |  CAST(coalesce(sum(CASE WHEN sufcost <= 150 THEN cost END), 0) AS BIGINT) AS kept_cost
+        |FROM s3 GROUP BY 1, 2 ORDER BY user_id, sess_n""".stripMargin,
+    // the pattern formula's exact pixel sums / sums of squares per
+    // group — only a faithful real decode reproduces them
+    "q239_channel_stats" ->
+      s"""$phashNibsCtes,
+        |a AS (SELECT g, count(DISTINCT id) AS n_images,
+        |    sum(gray) AS sum_gray, sum(gray * gray) AS sum_sq
+        |  FROM px GROUP BY 1)
+        |SELECT CAST(g AS BIGINT) AS grp, CAST(n_images AS BIGINT) AS n_images,
+        |  CAST(sum_gray AS BIGINT) AS sum_gray, CAST(sum_sq AS BIGINT) AS sum_sq,
+        |  CAST(1000 * sum_gray // (n_images * 1024) AS BIGINT) AS mean_milli
+        |FROM a ORDER BY grp""".stripMargin,
     // the oracle runs the PLAIN join — the sketch prune must be
     // invisible in the result (no false negatives by construction)
     "q235_sketch_join_prune" ->

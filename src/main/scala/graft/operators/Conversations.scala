@@ -37,24 +37,29 @@ object Conversations {
   /** Minimum turns for a valid training conversation. */
   val MinTurns = 2
 
-  /** Per-conversation assembly + validity + keep-first dedup. */
-  def assemble(spark: SparkSession, dir: String): DataFrame = {
+  /** Gap-sessionized turn rows (user_id, event_id, event_type, props,
+    * role, tus, sess_n) — the sessionization shared by [[assemble]]
+    * and [[contextTrim]] (one shuffle keyed by user_id). */
+  private def sessionized(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.loadEvents(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("tus"))
+        col("props"), unix_micros(col("ts")).as("tus"))
       .withColumn("role",
         when(col("event_type").isin("view", "click"), "user")
           .otherwise("assistant"))
-
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"))
-    val sessed = e
-      .withColumn("prev_tus", lag(col("tus"), 1).over(byUser))
+    e.withColumn("prev_tus", lag(col("tus"), 1).over(byUser))
       .withColumn("new_s",
         (col("prev_tus").isNull || col("tus") - col("prev_tus") > GapUs)
           .cast("long"))
       .withColumn("sess_n", sum(col("new_s")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-conversation assembly + validity + keep-first dedup. */
+  def assemble(spark: SparkSession, dir: String): DataFrame = {
+    val sessed = sessionized(spark, dir)
 
     val inSess = Window.partitionBy(col("user_id"), col("sess_n"))
       .orderBy(col("tus"), col("event_id"))
@@ -89,6 +94,46 @@ object Conversations {
           col("n_turns") >= MinTurns).cast("int").as("valid"),
         col("thash"),
         (col("rk") === 1).cast("int").as("is_canonical"))
+      .orderBy(col("user_id"), col("sess_n"))
+  }
+
+  /** Token budget (cost units) for [[contextTrim]]. */
+  val ContextBudget = 150L
+
+  /** Context-window trimming — the "fit the conversation into the
+    * model's context" step every SFT/serving pipeline runs: keep the
+    * LONGEST SUFFIX of turns whose summed token cost fits
+    * [[ContextBudget]] (recency wins; the oldest turns fall off, the
+    * standard sliding-context policy). Per-turn cost here is the
+    * event's payload size (1 + props.k — the fixture's stand-in for a
+    * per-turn token count). A single over-budget turn keeps nothing:
+    * trimming cannot shrink a turn, only drop it.
+    *
+    * Scale shape: reuses [[sessionized]]'s one user-keyed shuffle;
+    * the suffix sum is a per-conversation descending cumulative
+    * window (bounded partitions), then one aggregation — integer
+    * arithmetic throughout. */
+  def contextTrim(spark: SparkSession, dir: String): DataFrame = {
+    val cost = lit(1L) + coalesce(
+      nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit(""))
+        .cast("long"), lit(0L))
+    val suffix = Window.partitionBy(col("user_id"), col("sess_n"))
+      .orderBy(col("tus").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessionized(spark, dir)
+      .withColumn("cost", cost)
+      .withColumn("sufcost", sum(col("cost")).over(suffix))
+      .groupBy(col("user_id"), col("sess_n"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("cost")).as("total_cost"),
+        sum(when(col("sufcost") <= ContextBudget, 1L).otherwise(0L))
+          .as("kept_turns"),
+        coalesce(sum(when(col("sufcost") <= ContextBudget, col("cost"))),
+          lit(0L)).as("kept_cost"))
+      .select(col("user_id"), col("sess_n").cast("long").as("sess_n"),
+        col("n_turns"), col("total_cost"), col("kept_turns"),
+        (col("n_turns") - col("kept_turns")).as("dropped_turns"),
+        col("kept_cost"))
       .orderBy(col("user_id"), col("sess_n"))
   }
 }

@@ -553,6 +553,52 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** b-bit MinHash (Li & König, WWW 2010): keep only the lowest b=4
+    * bits — one hex nibble — of each of the [[NumHashes]] registers.
+    * The signature shrinks 8× (12 nibbles = 6 bytes vs the full md5
+    * minima), and at 100 TB the register file IS the dedup index's
+    * resident footprint, so the compression is the difference between
+    * an in-memory index and a spilled one. Two independent minima
+    * collide in their low b bits with probability J + (1−J)/2ᵇ, so
+    * the unbiased estimate from R matching nibbles of n is
+    * Ĵ = (R/n − 2⁻ᵇ)/(1 − 2⁻ᵇ) = (16R − 12)/180 for n=12, b=4 —
+    * computed in exact integer basis points (numerator clamped at 0
+    * BEFORE the division: floor-vs-truncate of a negative quotient is
+    * exactly the kind of cross-engine divergence this engine bans),
+    * next to the exact Jaccard so the gate audits the estimator's
+    * error pair by pair. Candidates come from the same capped band
+    * join as every dedup operator — never all-pairs. */
+  def bbitMinhash(spark: SparkSession, dir: String,
+                  cap: Int = BandBucketCap): DataFrame = {
+    val sh = shingleRows(spark, dir).cache()
+    val raw = minhashRawFrom(sh).cache()
+    val cand = cappedBandCandidates(bandsOf(raw), cap)
+    // lowest 4 bits of a register = the md5 string's last hex char
+    val rColl = (0 until NumHashes)
+      .map(i => when(substring(col(s"ha$i"), 32, 1) ===
+        substring(col(s"hb$i"), 32, 1), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val aSide = raw.select(col("doc_id").as("da") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"ha$i")): _*)
+    val bSide = raw.select(col("doc_id").as("db") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"hb$i")): _*)
+    val coll = cand.join(aSide, Seq("da")).join(bSide, Seq("db"))
+      .select(col("da"), col("db"), rColl.as("r_coll"))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    coll
+      .join(inter, Seq("da", "db"), "left")
+      .join(counts.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(counts.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"), col("r_coll"),
+        expr("greatest(0L, 16 * r_coll - 12) * 10000 div 180").as("est_bp"),
+        expr("10000 * coalesce(i, 0L) div (na + nb - coalesce(i, 0L))").as("true_bp"))
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Minimum matching signature components (of [[NumHashes]]) for the
     * incremental path's agreement verify — 6/12 ≈ Jaccard 0.5, the
     * same threshold the batch paths verify exactly. */

@@ -582,6 +582,48 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Dataset normalization statistics over real decoded pixels — the
+    * job that produces the per-channel mean/std constants every
+    * vision training run bakes into its transform (ImageNet's
+    * `[0.485, 0.456, 0.406]` came from exactly this computation). Per
+    * pattern group: image count, exact pixel sum and sum of squares
+    * (the sufficient statistics — mergeable integers, so shard-level
+    * partials combine associatively at any scale), and the mean in
+    * integer milli-units. Map-only decode + one tiny aggregation;
+    * the DuckDB oracle replays the sums from the pattern formula, so
+    * only a faithful decode matches. */
+  def channelStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id").as("media_id"))
+      .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodePatternPng(id)))
+        var s = 0L
+        var s2 = 0L
+        var y = 0
+        while (y < PHashSide) {
+          var x = 0
+          while (x < PHashSide) {
+            val v = (img.getRGB(x, y) >> 16) & 0xff
+            s += v
+            s2 += v.toLong * v
+            x += 1
+          }
+          y += 1
+        }
+        (id % PHashGroups, s, s2)
+      })
+      .toDF("grp", "s", "s2")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("s")).as("sum_gray"), sum(col("s2")).as("sum_sq"))
+      .withColumn("mean_milli",
+        expr(s"1000 * sum_gray div (n_images * ${PHashSide * PHashSide})"))
+      .orderBy(col("grp"))
+  }
+
   /** (shard, name, bytes) member rows for the multimodal WebDataset
     * fixture: one real PNG + one class label per document, keyed
     * `<doc_id>.png` / `<doc_id>.cls` — the canonical image-caption

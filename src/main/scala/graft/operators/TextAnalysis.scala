@@ -970,6 +970,33 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Per-document n-gram NOVELTY — the data-valuation signal behind
+    * "does this document add anything the corpus doesn't already
+    * have": the share of a document's distinct 3-gram shingles whose
+    * FIRST owner (minimum doc_id across the corpus) is the document
+    * itself. Crawl snapshots re-fetch most of the web; ranking a new
+    * snapshot by novelty_bp is how a pipeline decides what of it is
+    * worth tokenizing. Near-zero novelty flags near-dups the exact
+    * operators also catch; MID-range novelty (a doc that is half
+    * boilerplate) is what this score surfaces and pair-based dedup
+    * does not.
+    *
+    * Scale shape: one shingle pass (shared with every dedup
+    * operator), one shingle-keyed min-aggregate (the same shuffle
+    * key the LSH signatures use), one join back and a per-doc
+    * count — no pair join anywhere, so it costs O(corpus shingles)
+    * however duplicated the corpus is. Exact integer bp. */
+  def noveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleRowsOf(Tables.loadSpread(spark, dir, "documents")).cache()
+    val owners = sh.groupBy(col("s")).agg(min(col("doc_id")).as("owner"))
+    sh.join(owners, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("10000 * n_novel div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[sourceReputation]] gate: a source is dropped when more than
     * 60% of its documents are non-target-language, or more than 12%
     * are too short to carry signal (< [[ShortDocChars]] chars). */
