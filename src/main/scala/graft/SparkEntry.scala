@@ -1515,6 +1515,22 @@ object SparkEntry {
     // per-group pixel sums / sums of squares + integer milli-mean
     "q239_channel_stats"   -> ((s: SparkSession, d: String) =>
       Multimodal.channelStats(s, d)),
+    // doc-granularity retrieval over a chunk-level index: IVF-probed
+    // candidates, document score = MAX chunk cosine (MaxSim)
+    "q240_group_maxsim"    -> ((s: SparkSession, d: String) =>
+      Vectors.groupMaxSim(s, d)),
+    // JL sign projection: hash-generated ±1 matrix over integer
+    // micro-components — storage-free, broadcast-free, exact BIGINTs
+    "q241_random_projection" -> ((s: SparkSession, d: String) =>
+      Vectors.randomProjection(s, d)),
+    // range-partition boundary planning: exact k-quantile boundaries
+    // from compressed counts + measured per-bin tie imbalance
+    "q242_range_boundaries" -> ((s: SparkSession, d: String) =>
+      Relational.rangeBoundaries(s, d)),
+    // the optimizer's cost model as a query: CMS-estimated edge
+    // cardinalities vs truth, minimum-estimate edge marked chosen
+    "q243_join_order_advisor" -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.joinOrderAdvisor(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -4961,6 +4977,97 @@ object SparkEntry {
         |  CAST(count(*) - sum(CASE WHEN sufcost <= 150 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_turns,
         |  CAST(coalesce(sum(CASE WHEN sufcost <= 150 THEN cost END), 0) AS BIGINT) AS kept_cost
         |FROM s3 GROUP BY 1, 2 ORDER BY user_id, sess_n""".stripMargin,
+    // q43's trained-kmeans prelude + probe CTEs, then group-max per
+    // label and a top-3 rank — the chunk→document collapse
+    "q240_group_maxsim" ->
+      s"""$ivfTrainPreludeDuck,
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |qq AS (SELECT vec_id AS qid, v AS qv2 FROM e WHERE vec_id < 10),
+        |probes AS (SELECT qid, qv2, cid FROM (
+        |    SELECT qid, qv2, c.cid, row_number() OVER (PARTITION BY qid ORDER BY ${cosDuck("c.cv", "qv2")} DESC, c.cid) AS prk
+        |    FROM qq, c3 c)
+        |  WHERE prk <= 4),
+        |sc AS (SELECT p.qid, l.label, max(${cosDuck("p.qv2", "e.v")}) AS maxcos,
+        |    CAST(count(*) AS BIGINT) AS n_chunks
+        |  FROM probes p JOIN fasg a ON a.cid = p.cid JOIN e ON e.vec_id = a.vec_id
+        |  JOIN lab l ON l.vec_id = e.vec_id
+        |  WHERE e.vec_id <> p.qid GROUP BY 1, 2),
+        |r AS (SELECT qid, label, maxcos, n_chunks, row_number() OVER (
+        |    PARTITION BY qid ORDER BY maxcos DESC, label) AS rk FROM sc)
+        |SELECT qid, label, maxcos, n_chunks, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+    // the hash-generated sign matrix replayed nibble-by-nibble over
+    // the same integer micro-components
+    "q241_random_projection" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv FROM e),
+        |comp AS (SELECT vec_id, i - 1 AS dim, qv[i] AS qi
+        |  FROM q, unnest(generate_series(1, len(qv))) t(i)),
+        |sgn AS (SELECT vec_id, j.j AS j,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |        substr(md5(j.j || '|' || dim), 1, 1)) - 1 < 8
+        |      THEN qi ELSE -qi END AS sq
+        |  FROM comp, unnest(generate_series(0, 3)) j(j))
+        |SELECT vec_id,
+        |  ${(0 until 4).map(j => s"CAST(sum(CASE WHEN j = $j THEN sq END) AS BIGINT) AS p$j").mkString(", ")}
+        |FROM sgn GROUP BY 1 ORDER BY vec_id""".stripMargin,
+    // exact type-1 k-quantile boundaries over compressed counts +
+    // the measured per-bin loads (tie mass = imbalance)
+    "q242_range_boundaries" ->
+      """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders),
+        |b AS (SELECT v, count(*) AS c FROM v GROUP BY 1),
+        |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi FROM b),
+        |n AS (SELECT count(*) AS n FROM v),
+        |t AS (SELECT m.m AS bin, m.m * n.n // 8 AS r, n.n AS n
+        |  FROM unnest(generate_series(1, 8)) m(m), n),
+        |bd AS (SELECT t.bin, t.n, min(cum.v) AS upper_cents
+        |  FROM t JOIN cum ON cum.hi >= t.r GROUP BY 1, 2),
+        |bd2 AS (SELECT *, lag(upper_cents) OVER (ORDER BY bin) AS lower_cents FROM bd),
+        |ld AS (SELECT bd2.bin, bd2.upper_cents, bd2.n, sum(b.c) AS n_rows
+        |  FROM b JOIN bd2 ON (bd2.lower_cents IS NULL OR b.v > bd2.lower_cents)
+        |    AND b.v <= bd2.upper_cents
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(bin AS BIGINT) AS bin, upper_cents,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(10000 * n_rows // n AS BIGINT) AS load_bp
+        |FROM ld ORDER BY bin""".stripMargin,
+    // per-edge CMS register matrices rebuilt from md5 bytes, row inner
+    // products, MIN over rows; truth from group-count joins; chosen =
+    // minimum estimate (the q188 arithmetic, two star edges)
+    "q243_join_order_advisor" ->
+      """WITH k AS (
+        |  SELECT 'co' AS edge, 'a' AS side, CAST(c_custkey AS VARCHAR) AS u FROM customer
+        |  UNION ALL SELECT 'co', 'b', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'ol', 'a', CAST(o_orderkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'ol', 'b', CAST(l_orderkey AS VARCHAR) FROM lineitem),
+        |h AS (SELECT edge, side, u, md5(u) AS h, count(*) AS n FROM k GROUP BY 1, 2, 3, 4),
+        |bk AS (SELECT edge, side, n, j.j AS j,
+        |    (strpos('0123456789abcdef', substr(h, j.j * 2 + 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(h, j.j * 2 + 2, 1)) - 1) AS bucket
+        |  FROM h, unnest(generate_series(0, 3)) j(j)),
+        |cnt AS (SELECT edge, side, j, bucket, SUM(n) AS c FROM bk GROUP BY 1, 2, 3, 4),
+        |grid AS (SELECT DISTINCT edge, j.j AS j FROM k, unnest(generate_series(0, 3)) j(j)),
+        |dotsum AS (SELECT a.edge, a.j, SUM(a.c * bb.c) AS dot
+        |  FROM cnt a JOIN cnt bb ON a.edge = bb.edge AND a.j = bb.j
+        |    AND a.bucket = bb.bucket AND a.side = 'a' AND bb.side = 'b'
+        |  GROUP BY 1, 2),
+        |dots AS (SELECT g.edge, g.j, coalesce(d.dot, 0) AS dot FROM grid g
+        |  LEFT JOIN dotsum d ON d.edge = g.edge AND d.j = g.j),
+        |est AS (SELECT edge, MIN(dot) AS est_size FROM dots GROUP BY 1),
+        |ta AS (SELECT 'co' AS edge, coalesce(SUM(ca.c * cb.c), 0) AS true_size
+        |  FROM (SELECT c_custkey AS kk, count(*) AS c FROM customer GROUP BY 1) ca
+        |  JOIN (SELECT o_custkey AS kk, count(*) AS c FROM orders GROUP BY 1) cb USING (kk)
+        |  UNION ALL SELECT 'ol', coalesce(SUM(ca.c * cb.c), 0)
+        |  FROM (SELECT o_orderkey AS kk, count(*) AS c FROM orders GROUP BY 1) ca
+        |  JOIN (SELECT l_orderkey AS kk, count(*) AS c FROM lineitem GROUP BY 1) cb USING (kk)),
+        |fin AS (SELECT e.edge, e.est_size, t.true_size FROM est e JOIN ta t USING (edge)),
+        |m AS (SELECT min(est_size) AS me FROM fin)
+        |SELECT CASE fin.edge WHEN 'co' THEN 'customer-orders'
+        |    ELSE 'orders-lineitem' END AS join_edge,
+        |  CAST(fin.est_size AS BIGINT) AS est_size,
+        |  CAST(fin.true_size AS BIGINT) AS true_size,
+        |  CAST(CASE WHEN fin.est_size = m.me THEN 1 ELSE 0 END AS INT) AS chosen
+        |FROM fin, m ORDER BY join_edge""".stripMargin,
     // the pattern formula's exact pixel sums / sums of squares per
     // group — only a faithful real decode reproduces them
     "q239_channel_stats" ->

@@ -834,4 +834,47 @@ object Relational {
         expr("n_pos * 10000 div n").as("pos_rate_bp"), col("sum_score"))
       .orderBy(col("bin"))
   }
+
+  /** Range partitions planned by [[rangeBoundaries]]. */
+  val RangeBins = 8
+
+  /** Balanced range-partition boundary planning — what a range
+    * exchange (repartitionByRange, sorted write layouts, terasort)
+    * must compute before it can move a row: k boundary values whose
+    * rank targets split the table evenly. Boundaries are EXACT type-1
+    * k-quantiles computed from compressed value counts (the q162
+    * rank decomposition — one aggregation + a cumulative window over
+    * distinct values, never a global row sort), and the per-bin TRUE
+    * loads are read back so tie mass shows up as measured imbalance
+    * (`load_bp` vs the ideal 10000/k) — ties are precisely why real
+    * range partitioners sample and still skew. The boundary frame is
+    * k rows; both non-equi joins against it are broadcasts. */
+  def rangeBoundaries(spark: SparkSession, dir: String,
+                      k: Int = RangeBins): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.load(spark, dir, "orders")
+      .select((col("o_totalprice").cast(D182) * 100).cast("long").as("v"))
+    val bins = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val wcum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.withColumn("hi", sum(col("c")).over(wcum)).cache()
+    val n = v.agg(count(lit(1)).as("n"))
+    val targets = spark.range(1, k + 1).toDF("bin")
+      .crossJoin(broadcast(n))
+      .withColumn("r", expr(s"bin * n div $k"))
+    val bounds = broadcast(targets).join(cum, col("hi") >= col("r"))
+      .groupBy(col("bin"), col("n"))
+      .agg(min(col("v")).as("upper_cents"))
+    val wb = Window.orderBy(col("bin"))
+    val ranged = bounds
+      .withColumn("lower_cents", lag(col("upper_cents"), 1).over(wb))
+    bins.join(broadcast(ranged),
+        (col("lower_cents").isNull || col("v") > col("lower_cents")) &&
+          col("v") <= col("upper_cents"))
+      .groupBy(col("bin"), col("upper_cents"), col("n"))
+      .agg(sum(col("c")).as("n_rows"))
+      .select(col("bin"), col("upper_cents"), col("n_rows"),
+        expr("10000 * n_rows div n").as("load_bp"))
+      .orderBy(col("bin"))
+  }
 }

@@ -256,6 +256,51 @@ object Sketches {
       .orderBy(col("status"), col("q"))
   }
 
+  /** Join-order advisor — the optimizer's cost-model step as a gated
+    * query: for the star chain customer ⋈ orders ⋈ lineitem, estimate
+    * each edge's join cardinality from two 8 KB CMS sketches (the
+    * q188 AMS inner-product upper bound — Σ f_a·f_b without touching
+    * either table again), put the TRUE size next to it, and mark the
+    * edge a cost-based optimizer would start with (minimum estimate).
+    * At 100 TB this decision is made from stored per-column sketches
+    * in O(sketch) — the tables are never re-read to plan them; the
+    * truth column exists because the gate must audit the estimates. */
+  def joinOrderAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.plans.CmsRegisters.D
+    val w = graft.plans.CmsRegisters.W
+    val rowDot = (0 until d).map { j =>
+      expr(s"""aggregate(sequence(${j * w + 1}, ${j * w + w}),
+              |CAST(0 AS BIGINT), (acc, i) -> acc + ra[i - 1] * rb[i - 1])"""
+        .stripMargin)
+    }
+    def edge(label: String, a: DataFrame, ak: String,
+             b: DataFrame, bk: String): DataFrame = {
+      val ra = a.agg(call_function("cms_registers",
+        col(ak).cast("string")).as("ra"))
+      val rb = b.agg(call_function("cms_registers",
+        col(bk).cast("string")).as("rb"))
+      val est = ra.crossJoin(broadcast(rb))
+        .select(rowDot.reduce(least(_, _)).as("est_size"))
+      val ca = a.groupBy(col(ak).as("kk")).agg(count(lit(1)).as("ca"))
+      val cb = b.groupBy(col(bk).as("kk")).agg(count(lit(1)).as("cb"))
+      val tru = ca.join(cb, Seq("kk"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("true_size"))
+      est.crossJoin(broadcast(tru))
+        .select(lit(label).as("join_edge"), col("est_size"), col("true_size"))
+    }
+    val edges = edge("customer-orders",
+        Tables.load(spark, dir, "customer"), "c_custkey",
+        Tables.load(spark, dir, "orders"), "o_custkey")
+      .unionByName(edge("orders-lineitem",
+        Tables.load(spark, dir, "orders"), "o_orderkey",
+        Tables.load(spark, dir, "lineitem"), "l_orderkey"))
+    val m = edges.agg(min(col("est_size")).as("me"))
+    edges.crossJoin(broadcast(m))
+      .select(col("join_edge"), col("est_size"), col("true_size"),
+        (col("est_size") === col("me")).cast("int").as("chosen"))
+      .orderBy(col("join_edge"))
+  }
+
   /** The [[graft.plans.BitmapRegisters]] bucket of a key rendered as a
     * column expression: first 12 bits of md5 = hex chars 1..3 — the
     * exact convention BitmapRegisters.update hashes with, so a column

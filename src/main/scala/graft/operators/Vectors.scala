@@ -563,6 +563,77 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** Documents returned per query by [[groupMaxSim]]. */
+  val MaxSimTopDocs = 3
+
+  /** Doc-granularity retrieval over a CHUNK-level index — the
+    * late-interaction serving shape (ColBERT-family): the index
+    * stores one vector per chunk, results are parent documents (label
+    * groups stand in for parents here), and a document's score is the
+    * MAX over its chunks' cosines (single-query-vector MaxSim).
+    * Candidates come from the query's [[IvfProbes]] nearest trained
+    * cells — the identical bounded-probe machinery as
+    * [[annIvfTrained]], which is what keeps this from being a corpus
+    * scan at 100 TB; the group-max then collapses candidates to ≤
+    * |docs touched| rows before the tiny top-k rank. */
+  def groupMaxSim(spark: SparkSession, dir: String,
+                  topDocs: Int = MaxSimTopDocs): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val cents = trainCentroids(spark, dir)
+    val assigned = ivfAssignmentWith(e, cents)
+      .join(Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label")),
+        Seq("vec_id"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cid"),
+        round(cosine(col("cv"), col("qv")), 4).as("pcos"))
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= IvfProbes)
+      .select(col("qid"), col("qv"), col("cid"))
+    val byDoc = broadcast(probes).join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("label"))
+      .agg(max(round(cosine(col("qv"), col("embedding")), 4)).as("maxcos"),
+        count(lit(1)).as("n_chunks"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("maxcos").desc, col("label"))
+    byDoc.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topDocs)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Output dimensionality of [[randomProjection]]. */
+  val ProjDims = 4
+
+  /** Johnson–Lindenstrauss sign projection — the cheap, data-oblivious
+    * dimensionality reduction (Achlioptas 2003: ±1 entries preserve
+    * pairwise distances in expectation): component i's sign for output
+    * dimension j is bit "first md5 nibble < 8" of `j|i` — the engine's
+    * portable hash convention, so the matrix needs no storage and no
+    * broadcast, and every engine regenerates it bit-identically.
+    * Components are the integer micro-units (floor(x·10⁶)) every
+    * exact vector op here uses, so projections are BIGINT sums —
+    * hash-gateable, overflow-safe, and mergeable. One posexplode +
+    * one vec_id-keyed aggregation; map-shuffle-reduce, no joins. */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val comps = emb(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        expr("CAST(floor(x * 1000000) AS BIGINT)").as("qi"))
+    val projs = (0 until ProjDims).map { j =>
+      val sg = when(conv(substring(md5(concat(lit(j.toString), lit("|"),
+        col("dim").cast("string"))), 1, 1), 16, 10).cast("int") < 8,
+        col("qi")).otherwise(-col("qi"))
+      sum(sg).as(s"p$j")
+    }
+    comps.groupBy(col("vec_id"))
+      .agg(projs.head, projs.tail: _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-cluster quota for [[clusterBalancedSample]]. */
   val ClusterQuota = 8
 

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Conversations, Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Conversations, Dedup, Multimodal, Relational, TextAnalysis}
 
 /** Round-9 fourth-batch additions: n-gram novelty scoring, b-bit
   * minhash compression, conversation context-window trimming, and
@@ -107,6 +107,116 @@ class Round9dSpec extends SparkSpec {
     val bright = ((k + g * 11) % 64 < 32) ^ (flipped && k == (id % 64).toInt)
     (if (bright) 200 else 4) + ((x * y + g) % 3) +
       (if (x == (id % 32).toInt && y == ((id / 32) % 32).toInt) (id % 3).toInt else 0)
+  }
+
+  // ---------------------------------------------------------- q240
+
+  test("group maxsim: a query's top document is its own cluster's label") {
+    val dir = Files.createTempDirectory("graft_maxsim").toString
+    (0L until 480L).map { vid =>
+      val c = (vid % 4).toInt
+      val emb = Array.tabulate(16) { i =>
+        val base = if (i / 4 == c) 1.0f else 0.0f
+        base + (((vid * 2654435761L + i * 97L) % 1000L) - 500L) / 10000.0f
+      }
+      (vid, emb, c)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.Vectors.groupMaxSim(spark, dir).collect()
+    val top = out.filter(_.getAs[Long]("rk") == 1L)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("label")).toMap
+    top.foreach { case (qid, label) =>
+      assert(label === qid % 4, s"query $qid retrieved doc $label")
+    }
+    // ranks dense and scores non-increasing within a query
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq === (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getAs[Double]("maxcos"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  // ---------------------------------------------------------- q241
+
+  test("random projection: hash-sign recompute matches; JL ratio is in a sane band") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Long = {
+      val d = md.digest(s"$j|$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xF) < 8) 1L else -1L
+    }
+    def project(v: Array[Float]): Array[Long] =
+      Array.tabulate(4)(j => v.indices.map(i =>
+        sign(j, i) * math.floor(v(i) * 1000000.0).toLong).sum)
+    val out = graft.operators.Vectors.randomProjection(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        Array(r.getAs[Long]("p0"), r.getAs[Long]("p1"),
+          r.getAs[Long]("p2"), r.getAs[Long]("p3"))).toMap
+    vecs.take(25).foreach { case (vid, v) =>
+      assert(out(vid).toSeq === project(v).toSeq, s"projection mismatch vec $vid")
+    }
+    // JL: E[|Δp|²] = 4·|Δq|² — the mean pairwise ratio over a sample
+    // of pairs should sit near 1 (loose band: hash signs, 16 dims)
+    val sample = vecs.keys.toSeq.sorted.take(20)
+    val ratios = for (a <- sample; b <- sample if a < b) yield {
+      val (qa, qb) = (vecs(a).map(x => math.floor(x * 1000000.0).toLong),
+        vecs(b).map(x => math.floor(x * 1000000.0).toLong))
+      val dq = qa.zip(qb).map { case (x, y) => val d = x - y; d * d }.sum
+      val dp = out(a).zip(out(b)).map { case (x, y) => val d = x - y; d * d }.sum
+      dp.toDouble / (4.0 * dq)
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.4 && mean < 2.5, s"JL mean ratio $mean out of band")
+  }
+
+  // ---------------------------------------------------------- q242
+
+  private def ordersDir(prices: Seq[Double]): String = {
+    val dir = Files.createTempDirectory("graft_range").toString
+    prices.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("range boundaries: uniform values split exactly; total ties collapse to one loaded bin") {
+    val out = Relational.rangeBoundaries(spark, ordersDir((1 to 16).map(_.toDouble)))
+      .collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("upper_cents"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("load_bp"))).toMap
+    (1 to 8).foreach { m =>
+      assert(out(m.toLong) === ((m * 200L, 2L, 1250L)), s"bin $m")
+    }
+    val tied = Relational.rangeBoundaries(spark, ordersDir(Seq.fill(16)(5.0)))
+      .collect()
+    assert(tied.length === 1)
+    assert(tied.head.getAs[Long]("bin") === 1L)
+    assert(tied.head.getAs[Long]("n_rows") === 16L)
+    assert(tied.head.getAs[Long]("load_bp") === 10000L)
+  }
+
+  // ---------------------------------------------------------- q243
+
+  test("join-order advisor: estimates upper-bound truth; the chosen edge has the minimum estimate") {
+    val out = graft.operators.Sketches.joinOrderAdvisor(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[String]("join_edge"), r.getAs[Long]("est_size"),
+        r.getAs[Long]("true_size"), r.getAs[Int]("chosen")))
+    assert(out.length === 2)
+    out.foreach { case (edge, est, tru, _) =>
+      assert(est >= tru, s"$edge: CMS estimate $est below truth $tru")
+    }
+    val minEst = out.map(_._2).min
+    out.foreach { case (_, est, _, chosen) =>
+      assert((chosen == 1) === (est == minEst))
+    }
+    assert(out.exists(_._4 == 1))
   }
 
   test("channel stats: sums and milli-mean match the formula recompute per group") {
