@@ -219,6 +219,33 @@ class Round9dSpec extends SparkSpec {
     assert(out.exists(_._4 == 1))
   }
 
+  // ------------------------------------------------ degenerate inputs
+
+  test("empty/tiny tables: the q231-q243 family returns zero/identity rows, no errors") {
+    val docs = docsDir(Seq.empty)
+    assert(Multimodal.imageResize(spark, docs).count() === 0L)
+    assert(Multimodal.channelStats(spark, docs).count() === 0L)
+    assert(TextAnalysis.sourceReputation(spark, docs).count() === 0L)
+    assert(TextAnalysis.noveltyScore(spark, docs).count() === 0L)
+    assert(Dedup.bbitMinhash(spark, docs).count() === 0L)
+    val ev = eventsDir(Seq.empty)
+    assert(Conversations.contextTrim(spark, ev).count() === 0L)
+    val ord = ordersDir(Seq.empty)
+    assert(Relational.rangeBoundaries(spark, ord).count() === 0L)
+    // corpus smaller than the codebook: the trained-kmeans consumers
+    // still answer (3 vectors, 16 seeds)
+    val vdir = Files.createTempDirectory("graft_r9d_vec").toString
+    (0L until 3L).map(v =>
+      (v, Array.tabulate(16)(i => ((v * 31 + i * 7) % 13).toFloat / 13f), (v % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$vdir/embeddings.parquet")
+    assert(graft.operators.Vectors.randomProjection(spark, vdir).count() === 3L)
+    val cb = graft.operators.Vectors.clusterBalancedSample(spark, vdir).collect()
+    assert(cb.length === 3 && cb.forall(_.getAs[Long]("rk") <= 8L))
+    // every query still retrieves the other vectors' labels
+    assert(graft.operators.Vectors.groupMaxSim(spark, vdir).count() > 0L)
+  }
+
   test("channel stats: sums and milli-mean match the formula recompute per group") {
     val dir = "/root/testdata/sf0.001"
     val ids = spark.read.parquet(s"$dir/documents.parquet")
