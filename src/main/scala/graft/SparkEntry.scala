@@ -5014,20 +5014,20 @@ object SparkEntry {
     // exact type-1 k-quantile boundaries over compressed counts +
     // the measured per-bin loads (tie mass = imbalance)
     "q242_range_boundaries" ->
-      """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders),
+      """WITH v AS (SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS v FROM orders),
         |b AS (SELECT v, count(*) AS c FROM v GROUP BY 1),
         |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi FROM b),
         |n AS (SELECT count(*) AS n FROM v),
         |t AS (SELECT m.m AS bin, m.m * n.n // 8 AS r, n.n AS n
         |  FROM unnest(generate_series(1, 8)) m(m), n),
-        |bd AS (SELECT t.bin, t.n, min(cum.v) AS upper_cents
+        |bd AS (SELECT t.bin, t.n, min(cum.v) AS upper_price
         |  FROM t JOIN cum ON cum.hi >= t.r GROUP BY 1, 2),
-        |bd2 AS (SELECT *, lag(upper_cents) OVER (ORDER BY bin) AS lower_cents FROM bd),
-        |ld AS (SELECT bd2.bin, bd2.upper_cents, bd2.n, sum(b.c) AS n_rows
-        |  FROM b JOIN bd2 ON (bd2.lower_cents IS NULL OR b.v > bd2.lower_cents)
-        |    AND b.v <= bd2.upper_cents
+        |bd2 AS (SELECT *, lag(upper_price) OVER (ORDER BY bin) AS lower_price FROM bd),
+        |ld AS (SELECT bd2.bin, bd2.upper_price, bd2.n, sum(b.c) AS n_rows
+        |  FROM b JOIN bd2 ON (bd2.lower_price IS NULL OR b.v > bd2.lower_price)
+        |    AND b.v <= bd2.upper_price
         |  GROUP BY 1, 2, 3)
-        |SELECT CAST(bin AS BIGINT) AS bin, upper_cents,
+        |SELECT CAST(bin AS BIGINT) AS bin, upper_price,
         |  CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(10000 * n_rows // n AS BIGINT) AS load_bp
         |FROM ld ORDER BY bin""".stripMargin,

@@ -847,13 +847,18 @@ object Relational {
     * distinct values, never a global row sort), and the per-bin TRUE
     * loads are read back so tie mass shows up as measured imbalance
     * (`load_bp` vs the ideal 10000/k) — ties are precisely why real
-    * range partitioners sample and still skew. The boundary frame is
-    * k rows; both non-equi joins against it are broadcasts. */
+    * range partitioners sample and still skew. Values are WHOLE
+    * dollars (floor), not cents: partition boundaries don't need
+    * cent precision, and the coarser grain is what keeps the
+    * compressed-count frame (and its cumulative window) orders of
+    * magnitude smaller than the table — the q162 compression
+    * argument. The boundary frame is k rows; both non-equi joins
+    * against it are broadcasts. */
   def rangeBoundaries(spark: SparkSession, dir: String,
                       k: Int = RangeBins): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = Tables.load(spark, dir, "orders")
-      .select((col("o_totalprice").cast(D182) * 100).cast("long").as("v"))
+      .select(floor(col("o_totalprice").cast(D182)).cast("long").as("v"))
     val bins = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
     val wcum = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -864,16 +869,16 @@ object Relational {
       .withColumn("r", expr(s"bin * n div $k"))
     val bounds = broadcast(targets).join(cum, col("hi") >= col("r"))
       .groupBy(col("bin"), col("n"))
-      .agg(min(col("v")).as("upper_cents"))
+      .agg(min(col("v")).as("upper_price"))
     val wb = Window.orderBy(col("bin"))
     val ranged = bounds
-      .withColumn("lower_cents", lag(col("upper_cents"), 1).over(wb))
+      .withColumn("lower_price", lag(col("upper_price"), 1).over(wb))
     bins.join(broadcast(ranged),
-        (col("lower_cents").isNull || col("v") > col("lower_cents")) &&
-          col("v") <= col("upper_cents"))
-      .groupBy(col("bin"), col("upper_cents"), col("n"))
+        (col("lower_price").isNull || col("v") > col("lower_price")) &&
+          col("v") <= col("upper_price"))
+      .groupBy(col("bin"), col("upper_price"), col("n"))
       .agg(sum(col("c")).as("n_rows"))
-      .select(col("bin"), col("upper_cents"), col("n_rows"),
+      .select(col("bin"), col("upper_price"), col("n_rows"),
         expr("10000 * n_rows div n").as("load_bp"))
       .orderBy(col("bin"))
   }

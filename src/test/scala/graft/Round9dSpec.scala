@@ -188,10 +188,10 @@ class Round9dSpec extends SparkSpec {
     val out = Relational.rangeBoundaries(spark, ordersDir((1 to 16).map(_.toDouble)))
       .collect()
       .map(r => r.getAs[Long]("bin") ->
-        (r.getAs[Long]("upper_cents"), r.getAs[Long]("n_rows"),
+        (r.getAs[Long]("upper_price"), r.getAs[Long]("n_rows"),
           r.getAs[Long]("load_bp"))).toMap
     (1 to 8).foreach { m =>
-      assert(out(m.toLong) === ((m * 200L, 2L, 1250L)), s"bin $m")
+      assert(out(m.toLong) === ((m * 2L, 2L, 1250L)), s"bin $m")
     }
     val tied = Relational.rangeBoundaries(spark, ordersDir(Seq.fill(16)(5.0)))
       .collect()
