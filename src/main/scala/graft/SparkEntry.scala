@@ -1531,6 +1531,39 @@ object SparkEntry {
     // cardinalities vs truth, minimum-estimate edge marked chosen
     "q243_join_order_advisor" -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.joinOrderAdvisor(s, d)),
+    // zero-copy shallow clone: the clone's v1 references the source's
+    // data dirs (O(manifest)); a delete on the clone diverges
+    // copy-on-write while the source's full data stays intact
+    "q244_snapshot_clone"  -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val o = graft.sources.Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val root = fixture("snapclone", s, d, "orders") { path =>
+        wipe(s, path)
+        graft.sources.Snapshots.commitOverwrite(s, s"$path/src", o)
+        graft.sources.Snapshots.shallowClone(s, s"$path/src", s"$path/clone")
+        graft.sources.Snapshots.commitDelete(s, s"$path/clone",
+          col("o_orderkey") % 3 === 0)
+        ()
+      }
+      def side(tag: String, sub: String) =
+        graft.sources.Snapshots.read(s, s"$root/$sub")
+          .agg(count(lit(1)).as("n"),
+            sum(col("price")).cast("double").as("price_sum"))
+          .select(lit(tag).as("side"), col("n"), col("price_sum"))
+      side("clone", "clone").unionByName(side("src", "src"))
+        .orderBy(col("side"))
+    }),
+    // seasonal-naive forecast backtest: forecast(d) = actual(d-7) by
+    // calendar join, per-weekday MAE/bias in exact cents
+    "q245_forecast_backtest" -> ((s: SparkSession, d: String) =>
+      operators.TimeSeries.forecastBacktest(s, d)),
+    // per-dimension embedding drift between corpus halves: the
+    // cross-multiplied mean difference, division-free and exact
+    "q246_embedding_drift" -> ((s: SparkSession, d: String) =>
+      Vectors.embeddingDrift(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -5068,6 +5101,44 @@ object SparkEntry {
         |  CAST(fin.true_size AS BIGINT) AS true_size,
         |  CAST(CASE WHEN fin.est_size = m.me THEN 1 ELSE 0 END AS INT) AS chosen
         |FROM fin, m ORDER BY join_edge""".stripMargin,
+    // clone = all rows minus the clone-side delete; src = everything —
+    // the oracle states both sides from the base table
+    "q244_snapshot_clone" ->
+      """SELECT 'clone' AS side, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |UNION ALL
+        |SELECT 'src', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders ORDER BY side""".stripMargin,
+    // the calendar-shifted self-join and the per-dow cents errors
+    "q245_forecast_backtest" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT a.d, a.cents, b.cents AS fc_cents
+        |  FROM daily a JOIN daily b ON a.d = b.d + 7)
+        |SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(cents - fc_cents)) AS BIGINT) AS sum_abs_err_cents,
+        |  CAST(sum(cents - fc_cents) AS BIGINT) AS sum_err_cents,
+        |  CAST(sum(abs(cents - fc_cents)) // count(*) AS BIGINT) AS mae_cents
+        |FROM j GROUP BY 1 ORDER BY dow""".stripMargin,
+    // per-dim micro-component sums per half + the division-free
+    // cross-multiplied mean difference
+    "q246_embedding_drift" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |comp AS (SELECT vec_id % 2 AS half, i - 1 AS dim,
+        |    CAST(floor(v[i] * 1000000) AS BIGINT) AS qi
+        |  FROM e, unnest(generate_series(1, len(v))) t(i)),
+        |a AS (SELECT half, dim, count(*) AS n, sum(qi) AS s FROM comp GROUP BY 1, 2)
+        |SELECT CAST(h0.dim AS BIGINT) AS dim,
+        |  CAST(h0.n AS BIGINT) AS n0, CAST(h0.s AS BIGINT) AS sum0_micro,
+        |  CAST(h1.n AS BIGINT) AS n1, CAST(h1.s AS BIGINT) AS sum1_micro,
+        |  CAST(abs(h0.s * h1.n - h1.s * h0.n) AS BIGINT) AS abs_cross
+        |FROM (SELECT * FROM a WHERE half = 0) h0
+        |JOIN (SELECT * FROM a WHERE half = 1) h1 USING (dim)
+        |ORDER BY dim""".stripMargin,
     // the pattern formula's exact pixel sums / sums of squares per
     // group — only a faithful real decode reproduces them
     "q239_channel_stats" ->

@@ -253,6 +253,33 @@ object TimeSeries {
       .orderBy(col("dow"))
   }
 
+  /** Seasonal-naive forecast BACKTEST — the baseline every forecasting
+    * pipeline must beat and the eval harness that proves it: predict
+    * each day's revenue as the revenue of the same weekday one week
+    * earlier (forecast(d) = actual(d−7), joined by CALENDAR date so
+    * gaps don't slip the season), then score per weekday in exact
+    * cents: absolute-error sums, signed bias sums (no division — a
+    * signed floor-div would diverge between engines) and the MAE
+    * floor-div. Scale shape: one day-grain aggregation (the corpus
+    * collapse), a self-equi-join on the shifted date, and a ≤7-row
+    * readout. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(col("o_totalprice").cast(D182)) * lit(100)).cast("long").as("cents"))
+    val prev = daily.select(date_add(col("d"), 7).as("d"),
+      col("cents").as("fc_cents"))
+    daily.join(prev, Seq("d"))
+      .select(dayofweek(col("d")).cast("long").as("dow"),
+        col("cents"), col("fc_cents"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cents") - col("fc_cents"))).as("sum_abs_err_cents"),
+        sum(col("cents") - col("fc_cents")).as("sum_err_cents"))
+      .withColumn("mae_cents", expr("sum_abs_err_cents div n_days"))
+      .orderBy(col("dow"))
+  }
+
   /** Discrete inter-order hazard table — the duration-based survival
     * readout beside q113's calendar-cohort retention: every
     * consecutive order pair per customer contributes one observed

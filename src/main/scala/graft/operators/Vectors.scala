@@ -634,6 +634,34 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding distribution DRIFT between two corpus halves — the
+    * monitor a production embedding pipeline runs between crawl
+    * snapshots / model versions: per dimension, compare the mean
+    * component of half A (even vec_ids) against half B (odd). To
+    * stay hash-exact the comparison is the CROSS-MULTIPLIED mean
+    * difference |sum_A·n_B − sum_B·n_A| over integer micro-components
+    * — algebraically sign(mean_A − mean_B)·n_A·n_B·|Δmean|, so zero
+    * iff the means agree, monotone in the drift, and never a signed
+    * floor-division (the cross-engine trap). One explode + one
+    * (half, dim)-keyed aggregation; the readout is dims rows. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val comps = emb(spark, dir)
+      .select(pmod(col("vec_id"), lit(2L)).as("half"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("half"), col("dim").cast("long").as("dim"),
+        expr("CAST(floor(x * 1000000) AS BIGINT)").as("qi"))
+    val agg = comps.groupBy(col("half"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("s"))
+    val h0 = agg.filter(col("half") === 0)
+      .select(col("dim"), col("n").as("n0"), col("s").as("sum0_micro"))
+    val h1 = agg.filter(col("half") === 1)
+      .select(col("dim"), col("n").as("n1"), col("s").as("sum1_micro"))
+    h0.join(h1, Seq("dim"))
+      .withColumn("abs_cross",
+        abs(col("sum0_micro") * col("n1") - col("sum1_micro") * col("n0")))
+      .orderBy(col("dim"))
+  }
+
   /** Per-cluster quota for [[clusterBalancedSample]]. */
   val ClusterQuota = 8
 

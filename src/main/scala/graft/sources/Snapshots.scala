@@ -1227,6 +1227,38 @@ object Snapshots {
     claimExactlyAfter(spark, tableDir, live, m)
   }
 
+  /** Zero-copy SHALLOW CLONE — the `CREATE TABLE dst SHALLOW CLONE
+    * src` analog (Delta/Iceberg snapshot-reference clones): publish,
+    * as the clone's v1, the source's LIVE manifest with every
+    * data-dir / deletion-vector / stat-file reference rewritten
+    * relative to the clone root (`../src/d-…`). O(manifest) work,
+    * zero data bytes copied — cloning a 100 TB table costs one small
+    * file write. Every reader resolves dirs through the same
+    * `new Path(tableDir, dir)` seam, so plain reads, time travel,
+    * min/max- and bitmap-pruned reads and DV application all work on
+    * the clone unchanged. Divergence is copy-on-write by
+    * construction: commits to the clone write their OWN data dirs
+    * under the clone root; commits to the source are invisible to the
+    * clone (it pinned one manifest). The caveat is Delta's too:
+    * vacuuming the SOURCE can reclaim dirs a live clone still
+    * references — source retention policy must cover clones. */
+  def shallowClone(spark: SparkSession, srcTableDir: String,
+                   dstTableDir: String): String = {
+    val srcLive = currentVersion(spark, srcTableDir).getOrElse(
+      throw new IOException(s"Snapshots.shallowClone: no committed version at $srcTableDir"))
+    val m = readManifest(spark, srcTableDir, srcLive)
+    val rel = java.nio.file.Paths.get(dstTableDir).toAbsolutePath.normalize()
+      .relativize(java.nio.file.Paths.get(srcTableDir).toAbsolutePath.normalize())
+      .toString.replace(java.io.File.separatorChar, '/')
+    def re(d: String) = s"$rel/$d"
+    val cloned = m.copy(
+      dataDir = m.dataDir.map(re),
+      partitions = m.partitions.map { case (v, d) => (v, re(d)) },
+      stats = m.stats.map(s => s.copy(relPath = re(s.relPath))),
+      dvs = m.dvs.map { case (dv, owner) => (re(dv), re(owner)) })
+    claimExactly(spark, dstTableDir, 1, cloned)
+  }
+
   // --------------------------------------------------- change data feed
 
   /** Change-data-feed rows between two retained versions: one row per
