@@ -1564,6 +1564,18 @@ object SparkEntry {
     // cross-multiplied mean difference, division-free and exact
     "q246_embedding_drift" -> ((s: SparkSession, d: String) =>
       Vectors.embeddingDrift(s, d)),
+    // audio 2x decimation over real decoded PCM: subsample + flooring
+    // box kernels, sufficient statistics per clip
+    "q247_audio_resample"  -> ((s: SparkSession, d: String) =>
+      Multimodal.audioResample(s, d)),
+    // Newman modularity of the label-prop communities, scaled by 4m²
+    // so every term is integer (4m·e_c − D_c²)
+    "q248_modularity"      -> ((s: SparkSession, d: String) =>
+      operators.Affinity.modularity(s, d)),
+    // WebDataset reshard planning: tar footprints to byte-budgeted
+    // shards by hierarchical global prefix sum
+    "q249_reshard_plan"    -> ((s: SparkSession, d: String) =>
+      operators.Packing.reshardPlan(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -5139,6 +5151,77 @@ object SparkEntry {
         |FROM (SELECT * FROM a WHERE half = 0) h0
         |JOIN (SELECT * FROM a WHERE half = 1) h1 USING (dim)
         |ORDER BY dim""".stripMargin,
+    // the PCM formula decimated arithmetically: v0 subsample + the
+    // shifted-nonnegative (v0+v1+65536)//2-32768 box (floor==truncate)
+    "q247_audio_resample" ->
+      """WITH f AS (SELECT doc_id AS id, i,
+        |    CASE WHEN ((i // 32) + doc_id)
+        |        % (CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 4 END) = 0 THEN 0
+        |      WHEN doc_id % 11 = 0 AND i // 32 = 1 THEN 32767
+        |      WHEN (doc_id + i) % 97 = 0 THEN 32767
+        |      ELSE ((doc_id * 7 + i * 13) % 2000) - 1000 END AS v
+        |  FROM documents, unnest(generate_series(0, 255)) t(i)),
+        |p AS (SELECT id, i // 2 AS k,
+        |    max(CASE WHEN i % 2 = 0 THEN v END) AS v0,
+        |    max(CASE WHEN i % 2 = 1 THEN v END) AS v1
+        |  FROM f GROUP BY 1, 2),
+        |r AS (SELECT id, v0, (v0 + v1 + 65536) // 2 - 32768 AS box FROM p)
+        |SELECT id AS media_id, CAST(count(*) AS BIGINT) AS n_out,
+        |  CAST(sum(v0) AS BIGINT) AS sum_sub,
+        |  CAST(sum(box) AS BIGINT) AS sum_box,
+        |  CAST(sum(v0 * v0) AS BIGINT) AS energy_sub,
+        |  CAST(sum(box * box) AS BIGINT) AS energy_box
+        |FROM r GROUP BY 1 ORDER BY media_id""".stripMargin,
+    // q154's propagation prelude + the scaled modularity readout:
+    // contrib_scaled = 4m·e_c − D_c², division-free and sign-safe
+    "q248_modularity" ->
+      """WITH e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |r1 AS (SELECT src, dst AS label, count(*) AS c FROM adj GROUP BY 1, 2),
+        |l1 AS (SELECT src AS id, label FROM (SELECT src, label,
+        |    row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rk FROM r1)
+        |  WHERE rk = 1),
+        |r2 AS (SELECT a.src, l1.label, count(*) AS c FROM adj a
+        |  JOIN l1 ON l1.id = a.dst GROUP BY 1, 2),
+        |l2 AS (SELECT src AS id, label FROM (SELECT src, label,
+        |    row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rk FROM r2)
+        |  WHERE rk = 1),
+        |m AS (SELECT count(*) AS m FROM e0),
+        |deg AS (SELECT src AS id, count(*) AS d FROM adj GROUP BY 1),
+        |ein AS (SELECT la.label AS community, count(*) AS e_in
+        |  FROM e0 JOIN l2 la ON la.id = e0.src JOIN l2 lb ON lb.id = e0.dst
+        |  WHERE la.label = lb.label GROUP BY 1),
+        |ds AS (SELECT l2.label AS community, count(*) AS n_members,
+        |    sum(deg.d) AS deg_sum
+        |  FROM l2 JOIN deg ON deg.id = l2.id GROUP BY 1)
+        |SELECT ds.community, CAST(n_members AS BIGINT) AS n_members,
+        |  CAST(coalesce(e_in, 0) AS BIGINT) AS e_in,
+        |  CAST(deg_sum AS BIGINT) AS deg_sum,
+        |  CAST(4 * m.m * coalesce(e_in, 0) - deg_sum * deg_sum AS BIGINT) AS contrib_scaled
+        |FROM ds LEFT JOIN ein USING (community), m
+        |ORDER BY ds.community""".stripMargin,
+    // the sequential tar writer replayed as one cumulative window:
+    // ustar footprint per doc, shard = start offset div budget
+    "q249_reshard_plan" ->
+      """WITH s AS (SELECT doc_id,
+        |    1024 + ((octet_length(encode(text)) + 511) // 512) * 512
+        |         + ((octet_length(encode(source)) + 511) // 512) * 512 AS tar_bytes
+        |  FROM documents),
+        |c AS (SELECT doc_id, tar_bytes,
+        |    coalesce(sum(tar_bytes) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM s),
+        |a AS (SELECT doc_id, tar_bytes, CAST(start_off // 65536 AS BIGINT) AS shard FROM c)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc,
+        |  CAST(sum(tar_bytes) AS BIGINT) AS shard_bytes,
+        |  CAST(10000 * sum(tar_bytes) // 65536 AS BIGINT) AS fill_bp
+        |FROM a GROUP BY 1 ORDER BY shard""".stripMargin,
     // the pattern formula's exact pixel sums / sums of squares per
     // group — only a faithful real decode reproduces them
     "q239_channel_stats" ->

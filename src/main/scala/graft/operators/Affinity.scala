@@ -295,8 +295,18 @@ object Affinity {
     * neighbor collection, no driver state; the fixed round count
     * bounds cluster synchronization like [[kCore]]. */
   def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 2,
-                       minSupport: Int = 2, k: Int = 30): DataFrame = {
-    val und = coPurchaseEdges(spark, dir, minSupport).cache()
+                       minSupport: Int = 2, k: Int = 30): DataFrame =
+    labelPropagationLabels(
+      coPurchaseEdges(spark, dir, minSupport).cache(), rounds)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(k)
+
+  /** The label-propagation fixed rounds over an undirected edge set,
+    * returning (id, label) per node — shared by [[labelPropagation]]
+    * and [[modularity]]. */
+  private def labelPropagationLabels(und: DataFrame, rounds: Int): DataFrame = {
     val adj = und.unionByName(
       und.select(col("dst").as("src"), col("src").as("dst"))).cache()
     var lbl = adj.select(col("src").as("id")).distinct()
@@ -310,10 +320,43 @@ object Affinity {
           .select(col("src").as("id"), col("label")),
         r, rounds)
     }
-    lbl.groupBy(col("label").as("community"))
-      .agg(count(lit(1)).as("n_members"))
-      .orderBy(col("n_members").desc, col("community"))
-      .limit(k)
+    lbl
+  }
+
+  /** Newman MODULARITY of the label-propagation communities — the
+    * "are these communities better than chance" audit that should
+    * accompany any community detection: Q = Σ_c [e_c/m − (D_c/2m)²]
+    * over intra-community edge counts e_c and member degree sums D_c.
+    * Emitted SCALED by 4m² so everything stays integer-exact:
+    * contrib_scaled = 4m·e_c − D_c², and Σ contrib_scaled = 4m²·Q —
+    * no float division anywhere, hash-gateable, sign-safe (negative
+    * contributions are legal and never divided). Scale shape: after
+    * the propagation rounds, one degree aggregation, one two-sided
+    * label join over the EDGE list (keyed equi-joins), and a
+    * per-community readout. */
+  def modularity(spark: SparkSession, dir: String, rounds: Int = 2,
+                 minSupport: Int = 2): DataFrame = {
+    val und = coPurchaseEdges(spark, dir, minSupport).cache()
+    val lbl = labelPropagationLabels(und, rounds).cache()
+    val m = und.agg(count(lit(1)).as("m"))
+    val adj = und.unionByName(
+      und.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = adj.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val eIn = und
+      .join(lbl.select(col("id").as("src"), col("label").as("la")), Seq("src"))
+      .join(lbl.select(col("id").as("dst"), col("label").as("lb")), Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("e_in"))
+    val ds = lbl.join(deg, Seq("id"))
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d")).as("deg_sum"))
+    ds.join(eIn, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_members"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+        (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L)) -
+          col("deg_sum") * col("deg_sum")).as("contrib_scaled"))
+      .orderBy(col("community"))
   }
 
   /** k-core decomposition by `rounds` peeling iterations over the part

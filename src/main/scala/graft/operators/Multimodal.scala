@@ -582,6 +582,52 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Audio RESAMPLE (2× decimation) over real decoded PCM — the audio
+    * counterpart of [[imageResize]], and the step every speech
+    * pipeline runs to land on the model's sample rate (16 kHz for
+    * most ASR encoders). Two kernels on the decoded 16-bit samples:
+    * plain subsampling (every 2nd sample) and the averaging (box)
+    * decimator `(v₀+v₁+65536)/2 − 32768` — the sum is SHIFTED into
+    * the non-negative domain before halving, where floor and
+    * truncate agree, because signed integer division is exactly the
+    * semantics engines disagree on (Spark `div` truncates; DuckDB's
+    * `//` has truncated AND floored across releases — measured here).
+    * The gate emits the
+    * resample's sufficient statistics per clip (counts, sums, integer
+    * energies) — fully determined by the kernel arithmetic, so only a
+    * real WAV decode + correct stride math matches the oracle's
+    * replay of the PCM formula. Map-only decode per partition. */
+  def audioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id").as("media_id"))
+      .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(encodeSpeechWav(id)))
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var k = 0
+        var sumSub = 0L
+        var sumBox = 0L
+        var eSub = 0L
+        var eBox = 0L
+        while (k < n / 2) {
+          val v0 = ((bytes(4 * k + 1) << 8) | (bytes(4 * k) & 0xff)).toLong
+          val v1 = ((bytes(4 * k + 3) << 8) | (bytes(4 * k + 2) & 0xff)).toLong
+          val box = (v0 + v1 + 65536L) / 2L - 32768L
+          sumSub += v0
+          sumBox += box
+          eSub += v0 * v0
+          eBox += box * box
+          k += 1
+        }
+        (id, (n / 2).toLong, sumSub, sumBox, eSub, eBox)
+      })
+      .toDF("media_id", "n_out", "sum_sub", "sum_box", "energy_sub", "energy_box")
+      .orderBy(col("media_id"))
+  }
+
   /** Dataset normalization statistics over real decoded pixels — the
     * job that produces the per-channel mean/std constants every
     * vision training run bakes into its transform (ImageNet's

@@ -71,6 +71,35 @@ object Packing {
       .drop("_bucket", "_boffset")
   }
 
+  /** Tar-shard size budget (bytes) for [[reshardPlan]]. */
+  val ShardBudgetBytes = 65536L
+
+  /** WebDataset RESHARD planning — the rebalancing job a training
+    * fleet runs when shards have drifted from the I/O sweet spot:
+    * assign every document's tar footprint (two ustar members, each
+    * 512 B header + content rounded up to the 512 B block — the
+    * [[graft.sources.TarShards]] layout arithmetic) to a byte-budgeted
+    * shard by GLOBAL prefix sum, exactly as a sequential tar writer
+    * that rolls to a new shard at each budget boundary would. The
+    * prefix sum is the [[packByPrefix]] two-level hierarchy, so no
+    * global row window ever materializes; the readout is one row per
+    * planned shard with its fill. */
+  def reshardPlan(spark: SparkSession, dir: String,
+                  budget: Long = ShardBudgetBytes): DataFrame = {
+    val sized = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"),
+        (lit(1024L) +
+          expr("((octet_length(text) + 511) div 512) * 512") +
+          expr("((octet_length(source) + 511) div 512) * 512")).as("tar_bytes"))
+    packByPrefix(sized, "doc_id", "tar_bytes", budget)
+      .groupBy(col("seq_id").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+        sum(col("tar_bytes")).as("shard_bytes"))
+      .withColumn("fill_bp", expr(s"10000 * shard_bytes div $budget"))
+      .orderBy(col("shard"))
+  }
+
   /** Packing of the `documents` table by whitespace token count. */
   def packDocuments(spark: SparkSession, dir: String,
                     budget: Long = DefaultBudget): DataFrame = {

@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
+import graft.operators.Multimodal
 import graft.sources.Snapshots
 
 /** Round-9 fifth batch: zero-copy shallow clone, seasonal-naive
@@ -90,6 +91,77 @@ class Round9eSpec extends SparkSpec {
     (1L to 3L).foreach(d => assert(out(d) === ((4L, 4L, 0L)), s"dim $d"))
     // dim 0: |4·500000·4 − 4·750000·4| = 4_000_000
     assert(out(0L) === ((4L, 4L, 4000000L)))
+  }
+
+  // ---------------------------------------------------------- q247
+
+  test("audio resample: operator equals an independent floorDiv recompute for every sf0.001 clip") {
+    def formula(id: Long): (Long, Long, Long, Long, Long) = {
+      val silent = if (id % 7 == 0) 2 else 4
+      val vals = Array.tabulate(256) { i =>
+        val w = i / 32
+        if ((w + id) % silent == 0) 0L
+        else if (id % 11 == 0 && w == 1) 32767L
+        else if ((id + i) % 97 == 0) 32767L
+        else ((id * 7 + i * 13) % 2000) - 1000
+      }
+      val subs = (0 until 128).map(k => vals(2 * k))
+      // plain floorDiv — proves the operator's shifted form IS floor
+      val boxes = (0 until 128).map(k => Math.floorDiv(vals(2 * k) + vals(2 * k + 1), 2L))
+      (128L, subs.sum, boxes.sum, subs.map(v => v * v).sum, boxes.map(b => b * b).sum)
+    }
+    val out = Multimodal.audioResample(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val (n, ss, sb, es, eb) = formula(id)
+      assert((r.getAs[Long]("n_out"), r.getAs[Long]("sum_sub"),
+        r.getAs[Long]("sum_box"), r.getAs[Long]("energy_sub"),
+        r.getAs[Long]("energy_box")) === ((n, ss, sb, es, eb)), s"clip $id")
+    }
+  }
+
+  // ---------------------------------------------------------- q248
+
+  test("modularity: two planted triangles read the textbook Q = 1/2 in scaled form") {
+    val dir = Files.createTempDirectory("graft_mod").toString
+    // two orders per triangle so co-purchase support >= 2
+    val rows = for {
+      (orders, parts) <- Seq((Seq(1L, 2L), Seq(1L, 2L, 3L)),
+        (Seq(3L, 4L), Seq(11L, 12L, 13L)))
+      o <- orders; p <- parts
+    } yield (o, p)
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Affinity.modularity(spark, dir).collect()
+      .map(r => r.getAs[Long]("community") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("e_in"),
+          r.getAs[Long]("deg_sum"), r.getAs[Long]("contrib_scaled"))).toMap
+    // each triangle collapses to its min-id label; m = 6 edges total
+    assert(out === Map(
+      1L -> ((3L, 3L, 6L, 4 * 6 * 3 - 36L)),
+      11L -> ((3L, 3L, 6L, 4 * 6 * 3 - 36L))))
+    // Σ contrib = 4m²·Q → Q = 72 / 144 = 1/2, the textbook value
+    assert(out.values.map(_._4).sum === 72L)
+  }
+
+  // ---------------------------------------------------------- q249
+
+  test("reshard plan: ustar footprints and the budget boundary land exactly where a tar writer would") {
+    val dir = Files.createTempDirectory("graft_reshard").toString
+    // every doc: 2×512 headers + 512 text block + 512 cls block = 2048 B
+    (0L until 33L).map(i => (i, "x" * 100, "en", "s", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Packing.reshardPlan(spark, dir).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("first_doc"),
+          r.getAs[Long]("last_doc"), r.getAs[Long]("shard_bytes"))).toMap
+    // doc k starts at 2048k; doc 32 starts exactly at the 65536
+    // boundary → shard 0 holds docs 0..31 full, doc 32 opens shard 1
+    assert(out === Map(
+      0L -> ((32L, 0L, 31L, 32L * 2048L)),
+      1L -> ((1L, 32L, 32L, 2048L))))
   }
 
   test("shallow clone carries deletion vectors") {
