@@ -1576,6 +1576,10 @@ object SparkEntry {
     // shards by hierarchical global prefix sum
     "q249_reshard_plan"    -> ((s: SparkSession, d: String) =>
       operators.Packing.reshardPlan(s, d)),
+    // smart-batching audit: padding waste of arrival-order vs
+    // length-bucketed batches, exact bp — no global sort either way
+    "q250_batch_padding"   -> ((s: SparkSession, d: String) =>
+      operators.Packing.batchPaddingAudit(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -5204,6 +5208,28 @@ object SparkEntry {
         |  CAST(4 * m.m * coalesce(e_in, 0) - deg_sum * deg_sum AS BIGINT) AS contrib_scaled
         |FROM ds LEFT JOIN ein USING (community), m
         |ORDER BY ds.community""".stripMargin,
+    // both batching strategies replayed: arrival = doc_id div B,
+    // bucketed = per-length-bucket rank div B; waste in exact bp
+    "q250_batch_padding" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+        |arr AS (SELECT doc_id // 8 AS bk, len FROM d),
+        |ab AS (SELECT bk, count(*) AS n, sum(len) AS real, max(len) AS mx
+        |  FROM arr GROUP BY 1),
+        |aa AS (SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+        |    CAST(sum(real) AS BIGINT) AS real_tokens,
+        |    CAST(sum(n * mx) AS BIGINT) AS padded_tokens FROM ab),
+        |bu AS (SELECT doc_id, len, len // 32 AS lb,
+        |    row_number() OVER (PARTITION BY len // 32 ORDER BY len, doc_id) AS rk
+        |  FROM d),
+        |bb AS (SELECT lb || '_' || CAST((rk - 1) // 8 AS VARCHAR) AS bk,
+        |    count(*) AS n, sum(len) AS real, max(len) AS mx FROM bu GROUP BY 1),
+        |ba AS (SELECT 'bucketed' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+        |    CAST(sum(real) AS BIGINT) AS real_tokens,
+        |    CAST(sum(n * mx) AS BIGINT) AS padded_tokens FROM bb),
+        |u AS (SELECT * FROM aa UNION ALL SELECT * FROM ba)
+        |SELECT strategy, n_batches, real_tokens, padded_tokens,
+        |  CAST(10000 * (padded_tokens - real_tokens) // padded_tokens AS BIGINT) AS waste_bp
+        |FROM u ORDER BY strategy""".stripMargin,
     // the sequential tar writer replayed as one cumulative window:
     // ustar footprint per doc, shard = start offset div budget
     "q249_reshard_plan" ->

@@ -100,6 +100,52 @@ object Packing {
       .orderBy(col("shard"))
   }
 
+  /** Batch size (sequences per batch) for [[batchPaddingAudit]]. */
+  val BatchSize = 8L
+  /** Length-bucket width (tokens) for the bucketed strategy. */
+  val LenBucketTokens = 32L
+
+  /** Sequence-length BUCKETED BATCHING audit — the padding-waste
+    * measurement behind "smart batching" (every fine-tuning harness'
+    * `group_by_length`): a batch is padded to its longest member, so
+    * arrival-order batches burn compute on pad tokens while
+    * length-bucketed batches don't. Two deterministic strategies,
+    * both chosen so NO global row sort exists at any scale:
+    *
+    *  - `arrival`: batch = doc_id div B (the stream order a naive
+    *    loader uses) — one keyed aggregation;
+    *  - `bucketed`: docs group into 32-token length buckets, batches
+    *    form within a bucket by a per-BUCKET rank window (bounded
+    *    partitions — the global order is never materialized).
+    *
+    * Per strategy: batches, real vs padded tokens, waste in exact bp
+    * — the number that justifies the bucketing shuffle. */
+  def batchPaddingAudit(spark: SparkSession, dir: String,
+                        batch: Long = BatchSize): DataFrame = {
+    val d = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("len"))
+    def audit(tag: String, batched: DataFrame): DataFrame =
+      batched.groupBy(col("bk"))
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("real"),
+          max(col("len")).as("mx"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("real")).as("real_tokens"),
+          sum(col("n") * col("mx")).as("padded_tokens"))
+        .select(lit(tag).as("strategy"), col("n_batches"),
+          col("real_tokens"), col("padded_tokens"),
+          expr("10000 * (padded_tokens - real_tokens) div padded_tokens")
+            .as("waste_bp"))
+    val arrival = d.withColumn("bk", expr(s"doc_id div $batch"))
+    val wBucket = Window.partitionBy(col("lb"))
+      .orderBy(col("len"), col("doc_id"))
+    val bucketed = d.withColumn("lb", expr(s"len div $LenBucketTokens"))
+      .withColumn("rk", row_number().over(wBucket).cast("long"))
+      .withColumn("bk", concat(col("lb"), lit("_"),
+        expr(s"(rk - 1) div $batch")))
+    audit("arrival", arrival).unionByName(audit("bucketed", bucketed))
+      .orderBy(col("strategy"))
+  }
+
   /** Packing of the `documents` table by whitespace token count. */
   def packDocuments(spark: SparkSession, dir: String,
                     budget: Long = DefaultBudget): DataFrame = {

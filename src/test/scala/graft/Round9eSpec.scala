@@ -164,6 +164,27 @@ class Round9eSpec extends SparkSpec {
       1L -> ((1L, 32L, 32L, 2048L))))
   }
 
+  // ---------------------------------------------------------- q250
+
+  test("batch padding audit: mixed arrival batches pay exact waste; bucketing eliminates it") {
+    val dir = Files.createTempDirectory("graft_pad").toString
+    // 16 docs, lengths alternating 10 and 100 tokens by parity — every
+    // arrival batch mixes both lengths, every length bucket is pure
+    (0L until 16L).map { i =>
+      val len = if (i % 2 == 0) 10 else 100
+      (i, Seq.fill(len)("w").mkString(" "), "en", "s", len.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Packing.batchPaddingAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("strategy") ->
+        (r.getAs[Long]("n_batches"), r.getAs[Long]("real_tokens"),
+          r.getAs[Long]("padded_tokens"), r.getAs[Long]("waste_bp"))).toMap
+    // arrival: 2 batches of (4×10 + 4×100), each padded to 8×100
+    assert(out("arrival") === ((2L, 880L, 1600L, 4500L)))
+    // bucketed: the 10s batch pads to 10, the 100s batch to 100 — zero waste
+    assert(out("bucketed") === ((2L, 880L, 880L, 0L)))
+  }
+
   test("shallow clone carries deletion vectors") {
     val root = Files.createTempDirectory("graft_clone_dv").toString
     val src = s"$root/src"
