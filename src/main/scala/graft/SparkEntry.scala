@@ -1580,6 +1580,27 @@ object SparkEntry {
     // length-bucketed batches, exact bp — no global sort either way
     "q250_batch_padding"   -> ((s: SparkSession, d: String) =>
       operators.Packing.batchPaddingAudit(s, d)),
+    // TFRecord shard round trip: CRC32C-framed records through real
+    // shards, both checksums verified at parse
+    "q251_tfrecord_roundtrip" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val tfDir = fixture("tfrec", s, d, "documents") { path =>
+        wipe(s, path)
+        val recs = graft.sources.Tables.load(s, d, "documents")
+          .select(
+            expr(s"doc_id div ${graft.sources.TfRecords.RecordsPerShard}")
+              .as("shard"),
+            col("doc_id").as("order"),
+            encode(concat(col("doc_id").cast("string"), lit("\n"),
+              col("text")), "UTF-8").as("data"))
+        graft.sources.TfRecords.writeShards(s, recs, path)
+      }
+      graft.sources.TfRecords.roundTripTable(s, tfDir)
+    }),
+    // deterministic augmentation over real decode: rot90 + hflip
+    // aHashes next to the identity hash
+    "q252_image_augment"   -> ((s: SparkSession, d: String) =>
+      Multimodal.imageAugment(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -5208,6 +5229,24 @@ object SparkEntry {
         |  CAST(4 * m.m * coalesce(e_in, 0) - deg_sum * deg_sum AS BIGINT) AS contrib_scaled
         |FROM ds LEFT JOIN ein USING (community), m
         |ORDER BY ds.community""".stripMargin,
+    // the TFRecord round-trip contract: framed length + content md5
+    // per record must match the source rows (CRCs verified at parse)
+    "q251_tfrecord_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(doc_id || chr(10) || text)) AS BIGINT) AS rec_len,
+        |  md5(text) AS txt_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the pattern formula under all three coordinate substitutions —
+    // only a real decode + correct index arithmetic matches all hashes
+    "q252_image_augment" ->
+      s"""WITH ids AS (SELECT doc_id AS id, doc_id % 50 AS g FROM documents),
+        |${augHashCtes("i", "x", "y")},
+        |${augHashCtes("r", "y", "31 - x")},
+        |${augHashCtes("f", "31 - x", "y")}
+        |SELECT i.id AS media_id, i.h AS ahash, r.h AS ahash_rot90,
+        |  f.h AS ahash_flip
+        |FROM hxi i JOIN hxr r ON r.id = i.id JOIN hxf f ON f.id = i.id
+        |ORDER BY media_id""".stripMargin,
     // both batching strategies replayed: arrival = doc_id div B,
     // bucketed = per-length-bucket rank div B; waste in exact bp
     "q250_batch_padding" ->
@@ -5463,6 +5502,33 @@ object SparkEntry {
     * bit-for-bit — block layout XOR the near-miss single-block flip,
     * texture, perturbation pixel, integer-exact `s·64 > tot` mean
     * compare) ending in `bits(id, nk, nib)`. */
+  /** The pattern-image aHash chain under a COORDINATE SUBSTITUTION:
+    * gray is evaluated at source coords (`sx`,`sy`) expressed in the
+    * output frame's x/y — identity ("x","y"), rot90 ("y","31 - x"),
+    * hflip ("31 - x","y") — then block-summed and bit-voted exactly
+    * like [[phashNibsCtes]]. Used by the q252 augmentation oracle. */
+  private def augHashCtes(tag: String, sx: String, sy: String): String =
+    s"""px$tag AS (SELECT id, g, x, y,
+       |    (CASE WHEN (((($sy) // 4) * 8 + (($sx) // 4) + g * 11) % 64 < 32)
+       |        <> ((id // 50) % 5 = 4 AND (($sy) // 4) * 8 + (($sx) // 4) = id % 64)
+       |      THEN 200 ELSE 4 END)
+       |      + (($sx) * ($sy) + g) % 3
+       |      + (CASE WHEN ($sx) = id % 32 AND ($sy) = (id // 32) % 32
+       |        THEN id % 3 ELSE 0 END) AS gray
+       |  FROM ids, unnest(generate_series(0, 31)) tx(x),
+       |    unnest(generate_series(0, 31)) ty(y)),
+       |blk$tag AS (SELECT id, (y // 4) * 8 + (x // 4) AS k, sum(gray) AS s
+       |  FROM px$tag GROUP BY 1, 2),
+       |tot$tag AS (SELECT id, sum(s) AS t FROM blk$tag GROUP BY 1),
+       |bits$tag AS (SELECT b.id, b.k // 4 AS nk,
+       |    sum(CASE WHEN b.s * 64 > tt.t THEN
+       |        CASE b.k % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END
+       |      ELSE 0 END) AS nib
+       |  FROM blk$tag b JOIN tot$tag tt USING (id) GROUP BY 1, 2),
+       |hx$tag AS (SELECT id, string_agg(substr('0123456789abcdef',
+       |    CAST(nib AS INT) + 1, 1), '' ORDER BY nk) AS h
+       |  FROM bits$tag GROUP BY 1)""".stripMargin
+
   private val phashNibsCtes =
     """WITH ids AS (SELECT doc_id AS id, doc_id % 50 AS g FROM documents),
       |px AS (SELECT id, g, x, y,

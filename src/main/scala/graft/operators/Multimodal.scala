@@ -628,6 +628,48 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Deterministic image AUGMENTATION over real decoded pixels — the
+    * flip/rotate step every vision training pipeline applies, done
+    * integer-exactly so it gates: 90° clockwise rotation
+    * (out(x,y) = in(y, S−1−x)) and horizontal flip
+    * (out(x,y) = in(S−1−x, y)), each re-hashed with the SAME aHash as
+    * the identity image. The DuckDB oracle replays the pattern
+    * formula under both coordinate substitutions, so only a real
+    * decode + correct index arithmetic matches all three hashes.
+    * Augmentation is map-only (no shuffle) and per-partition batched
+    * — the production shape for a transform stage. */
+  def imageAugment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id").as("media_id"))
+      .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodePatternPng(id)))
+        val side = PHashSide
+        def derived(f: (Int, Int) => (Int, Int)) = {
+          val o = new java.awt.image.BufferedImage(side, side,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < side) {
+            var x = 0
+            while (x < side) {
+              val (sx, sy) = f(x, y)
+              o.setRGB(x, y, img.getRGB(sx, sy))
+              x += 1
+            }
+            y += 1
+          }
+          o
+        }
+        val rot = derived((x, y) => (y, side - 1 - x))
+        val flip = derived((x, y) => (side - 1 - x, y))
+        (id, aHashOf(img), aHashOf(rot), aHashOf(flip))
+      })
+      .toDF("media_id", "ahash", "ahash_rot90", "ahash_flip")
+      .orderBy(col("media_id"))
+  }
+
   /** Dataset normalization statistics over real decoded pixels — the
     * job that produces the per-channel mean/std constants every
     * vision training run bakes into its transform (ImageNet's
