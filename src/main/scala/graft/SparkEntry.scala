@@ -1601,6 +1601,21 @@ object SparkEntry {
     // aHashes next to the identity hash
     "q252_image_augment"   -> ((s: SparkSession, d: String) =>
       Multimodal.imageAugment(s, d)),
+    // corpus-wide kNN graph: every vector's top-3 in-cell neighbors
+    // (the SemDeDup join shape emitting exactly N·k edges)
+    "q253_knn_graph"       -> ((s: SparkSession, d: String) =>
+      Vectors.knnGraph(s, d)),
+    // IVF index health: per-cell loads, ppm shares, hot-cell flags
+    "q254_ivf_cell_stats"  -> ((s: SparkSession, d: String) =>
+      Vectors.ivfCellStats(s, d)),
+    // order-invariant corpus fingerprint: commutative 48-bit-prefix
+    // digest + counts + hash extrema, one aggregation
+    "q255_corpus_fingerprint" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.corpusFingerprint(s, d)),
+    // temporal embargo split: train < cutoff−embargo < test, per-user
+    // counts + the auditable train→test gap
+    "q256_temporal_split"  -> ((s: SparkSession, d: String) =>
+      operators.Sampling.temporalEmbargoSplit(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -5247,6 +5262,52 @@ object SparkEntry {
         |  f.h AS ahash_flip
         |FROM hxi i JOIN hxr r ON r.id = i.id JOIN hxf f ON f.id = i.id
         |ORDER BY media_id""".stripMargin,
+    // the trained-assignment prelude + in-cell pair rank: exactly the
+    // operator's candidate bound, so edges match one for one
+    "q253_knn_graph" ->
+      s"""$ivfTrainPreludeDuck,
+        |pr AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${cosDuck("ea.v", "eb.v")} AS cos
+        |  FROM fasg a JOIN fasg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
+        |r AS (SELECT src, dst, cos, row_number() OVER (
+        |    PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM pr)
+        |SELECT src, dst, cos, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY src, rk""".stripMargin,
+    // per-cell loads from the same assignment; hot = load > 2× mean
+    "q254_ivf_cell_stats" ->
+      s"""$ivfTrainPreludeDuck,
+        |cells AS (SELECT CAST(cid AS BIGINT) AS cid, count(*) AS n_vecs
+        |  FROM fasg GROUP BY 1),
+        |t AS (SELECT sum(n_vecs) AS n_total, count(*) AS n_cells FROM cells)
+        |SELECT cid, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(1000000 * n_vecs // n_total AS BIGINT) AS load_ppm,
+        |  CAST(n_total // n_cells AS BIGINT) AS mean_load,
+        |  CAST(CASE WHEN n_vecs * n_cells > 2 * n_total THEN 1 ELSE 0 END AS INT) AS hot
+        |FROM cells, t ORDER BY cid""".stripMargin,
+    // the commutative digest restated: keyed md5, 48-bit hex prefix
+    // summed in DECIMAL(38,0), emitted as a string
+    "q255_corpus_fingerprint" ->
+      """WITH h AS (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(CAST('0x' || substr(h, 1, 12) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS fp_sum,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+        |  min(h) AS min_h, max(h) AS max_h
+        |FROM h""".stripMargin,
+    // row-local part assignment + per-user counts and the train→test
+    // gap (NULL when a user lacks either side, in both engines)
+    "q256_temporal_split" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |s AS (SELECT user_id, tus, CASE WHEN tus >= 1706054400000000 THEN 'test'
+        |    WHEN tus >= 1706054400000000 - 172800000000 THEN 'embargo'
+        |    ELSE 'train' END AS part FROM e)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN part = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN part = 'embargo' THEN 1 ELSE 0 END) AS BIGINT) AS n_embargo,
+        |  CAST(sum(CASE WHEN part = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        |  CAST(min(CASE WHEN part = 'test' THEN tus END)
+        |     - max(CASE WHEN part = 'train' THEN tus END) AS BIGINT) AS gap_us
+        |FROM s GROUP BY 1 ORDER BY user_id""".stripMargin,
     // both batching strategies replayed: arrival = doc_id div B,
     // bucketed = per-length-bucket rank div B; waste in exact bp
     "q250_batch_padding" ->

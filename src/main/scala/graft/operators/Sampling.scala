@@ -360,4 +360,38 @@ object Sampling {
           .cast("long").as("fill_bp"))
       .orderBy(col("source"))
   }
+
+  /** Cutoff instant for [[temporalEmbargoSplit]]: 2024-01-24T00:00Z
+    * in epoch micros (the fixture's event range is January 2024). */
+  val EmbargoCutoffUs = 1706054400000000L
+  /** Embargo width: 2 days in micros. */
+  val EmbargoUs = 2L * 24 * 3600 * 1000000
+
+  /** TEMPORAL train/test split with an EMBARGO gap — the
+    * leakage-safe split for time-dependent data (the de-Prado purged
+    * split finance ML uses; the same shape guards "predict the
+    * future" evals anywhere): train < cutoff − embargo ≤ (discarded
+    * embargo zone) < cutoff ≤ test, so features computed over trailing
+    * windows of train rows cannot overlap the test period. Assignment
+    * is a pure row-local comparison; per user the gate also emits
+    * `gap_us` = first test instant − last train instant, which is ≥
+    * the embargo BY CONSTRUCTION — emitting it makes the guarantee
+    * auditable rather than assumed. One keyed aggregation; the
+    * q159 cluster-atomic split is the content-side sibling. */
+  def temporalEmbargoSplit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+    val part = when(col("tus") >= EmbargoCutoffUs, "test")
+      .when(col("tus") >= EmbargoCutoffUs - EmbargoUs, "embargo")
+      .otherwise("train")
+    e.withColumn("part", part)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("part") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("part") === "embargo", 1L).otherwise(0L)).as("n_embargo"),
+        sum(when(col("part") === "test", 1L).otherwise(0L)).as("n_test"),
+        (min(when(col("part") === "test", col("tus"))) -
+          max(when(col("part") === "train", col("tus")))).as("gap_us"))
+      .orderBy(col("user_id"))
+  }
 }

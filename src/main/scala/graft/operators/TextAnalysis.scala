@@ -997,6 +997,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Order-invariant corpus FINGERPRINT — the dataset-version check a
+    * pipeline stamps on every published snapshot: a COMMUTATIVE
+    * content digest (sum of each row's 48-bit keyed-md5 prefix in
+    * DECIMAL(38,0) — overflow-safe to ~10²⁳ rows) plus row and
+    * distinct counts and the hash extrema. Any changed, added,
+    * dropped or duplicated row moves the digest, while partition
+    * layout, file order and parallelism never do — which is what
+    * makes it comparable across engines, clusters and reruns (a
+    * Merkle-style equality check without an ordered reduce). One
+    * map-only projection + one aggregation. */
+  def corpusFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(md5(concat(col("doc_id").cast("string"), lit("|"),
+        col("text"))).as("h"))
+    d.agg(count(lit(1)).as("n_docs"),
+        sum(conv(substring(col("h"), 1, 12), 16, 10).cast("decimal(38,0)"))
+          .cast("string").as("fp_sum"),
+        countDistinct(col("h")).as("n_distinct"),
+        min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+  }
+
   /** [[sourceReputation]] gate: a source is dropped when more than
     * 60% of its documents are non-target-language, or more than 12%
     * are too short to carry signal (< [[ShortDocChars]] chars). */

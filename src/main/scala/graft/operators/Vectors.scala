@@ -662,6 +662,59 @@ object Vectors {
       .orderBy(col("dim"))
   }
 
+  /** Neighbors per vector in [[knnGraph]]. */
+  val KnnK = 3
+
+  /** Corpus-wide kNN GRAPH construction — the primitive under
+    * graph-based curation (SemDeDup successors, diversity maximizers,
+    * graph-connectivity dedup): EVERY vector gets its k nearest
+    * in-cell neighbors, not just a handful of query vectors. The
+    * trained-IVF cell bounds each vector's candidate set to its own
+    * cell (the N²/k SemDeDup join shape — in-cell neighbors are by
+    * construction the high-cosine ones, which is what a kNN graph
+    * wants), one window ranks per vector, and the output is exactly
+    * N·k edges. At 100 TB: k-means k scales with N so cells stay
+    * bounded; the pair join never crosses cells. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssignmentWith(emb(spark, dir),
+      trainCentroids(spark, dir)).cache()
+    val l = assigned.select(col("cid"), col("vec_id").as("src"),
+      col("embedding").as("va"))
+    val r = assigned.select(col("cid"), col("vec_id").as("dst"),
+      col("embedding").as("vb"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    l.join(r, Seq("cid"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("src"), col("rk"))
+  }
+
+  /** IVF index HEALTH audit — the check a serving system runs after
+    * (re)training before routing queries: per-cell member counts and
+    * the imbalance profile. A mega-cell means probe latency spikes
+    * and the q222-style in-cell joins go quadratic; empty cells mean
+    * wasted probes. Everything integer: per-cell counts, the
+    * mean-cell load (floor), and each cell's load as ppm of the
+    * corpus. One assignment pass + a k-row readout. */
+  def ivfCellStats(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssignmentWith(emb(spark, dir), trainCentroids(spark, dir))
+    val cells = assigned.groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vecs"),
+        expr("1000000 * n_vecs div n_total").as("load_ppm"),
+        expr("n_total div n_cells").as("mean_load"),
+        expr("CAST(CASE WHEN n_vecs * n_cells > 2 * n_total THEN 1 ELSE 0 END AS INT)")
+          .as("hot"))
+      .orderBy(col("cid"))
+  }
+
   /** Per-cluster quota for [[clusterBalancedSample]]. */
   val ClusterQuota = 8
 
