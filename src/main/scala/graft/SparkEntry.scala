@@ -1616,6 +1616,14 @@ object SparkEntry {
     // counts + the auditable train→test gap
     "q256_temporal_split"  -> ((s: SparkSession, d: String) =>
       operators.Sampling.temporalEmbargoSplit(s, d)),
+    // RFM churn features: recency days / purchase count / exact cents
+    // + threshold segments, one keyed aggregation
+    "q257_rfm_features"    -> ((s: SparkSession, d: String) =>
+      operators.Behavioral.rfmFeatures(s, d)),
+    // near-zero-variance dimension pruning: exact scaled n²·Var per
+    // dim in DECIMAL(38,0), division-free threshold verdict
+    "q258_dim_variance_prune" -> ((s: SparkSession, d: String) =>
+      Vectors.dimVariancePrune(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -5294,6 +5302,36 @@ object SparkEntry {
         |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
         |  min(h) AS min_h, max(h) AS max_h
         |FROM h""".stripMargin,
+    // purchase-slice RFM triple + segment thresholds, integer-exact
+    "q257_rfm_features" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS tus,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT user_id, max(tus) AS last_tus, count(*) AS frequency,
+        |    sum(cents) AS monetary_cents FROM p GROUP BY 1),
+        |f AS (SELECT user_id,
+        |    (1706745600000000 - last_tus) // 86400000000 AS recency_days,
+        |    CAST(frequency AS BIGINT) AS frequency,
+        |    CAST(monetary_cents AS BIGINT) AS monetary_cents FROM a)
+        |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+        |  frequency, monetary_cents,
+        |  CASE WHEN recency_days <= 7 AND frequency >= 3 THEN 'champion'
+        |    WHEN recency_days <= 7 THEN 'recent'
+        |    WHEN frequency >= 3 THEN 'loyal'
+        |    ELSE 'at_risk' END AS segment
+        |FROM f ORDER BY user_id""".stripMargin,
+    // n·Σq² − (Σq)² per dim in DECIMAL(38,0); prune below n²·2.5e9
+    "q258_dim_variance_prune" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |comp AS (SELECT i - 1 AS dim, CAST(floor(v[i] * 1000000) AS BIGINT) AS qi
+        |  FROM e, unnest(generate_series(1, len(v))) t(i)),
+        |a AS (SELECT dim, count(*) AS n, sum(qi) AS s,
+        |    sum(CAST(qi AS HUGEINT) * qi) AS s2 FROM comp GROUP BY 1)
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s AS VARCHAR) AS scaled_var,
+        |  CAST(CASE WHEN CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s
+        |    < CAST(n AS HUGEINT) * n * 2500000000 THEN 1 ELSE 0 END AS INT) AS pruned
+        |FROM a ORDER BY dim""".stripMargin,
     // row-local part assignment + per-user counts and the train→test
     // gap (NULL when a user lacks either side, in both engines)
     "q256_temporal_split" ->

@@ -27,6 +27,40 @@ import graft.sources.Tables
   */
 object Behavioral {
 
+  /** Reference instant for [[rfmFeatures]] recency: the day after the
+    * fixture's event range (micros for 2024-02-01T00:00Z). */
+  val RfmAsOfUs = 1706745600000000L
+
+  /** RFM FEATURE ENGINEERING — the classic churn/LTV feature triple
+    * every customer-model feature store materializes: per user,
+    * Recency (whole days from last purchase to the as-of instant —
+    * integer floor of a non-negative difference), Frequency (purchase
+    * count), Monetary (exact cents via DECIMAL), plus simple
+    * threshold segments so the downstream join is a tiny dictionary.
+    * One keyed aggregation over the purchase slice; the scan prunes
+    * to three columns and the purchase filter pushes down. */
+  def rfmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+    e.groupBy(col("user_id"))
+      .agg(max(col("tus")).as("last_tus"),
+        count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+      .select(col("user_id"),
+        expr(s"($RfmAsOfUs - last_tus) div ${86400L * 1000000}")
+          .as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+      .withColumn("segment",
+        when(col("recency_days") <= 7 && col("frequency") >= 3, "champion")
+          .when(col("recency_days") <= 7, "recent")
+          .when(col("frequency") >= 3, "loyal")
+          .otherwise("at_risk"))
+      .orderBy(col("user_id"))
+  }
+
   /** Ordered funnel: for each step i, users whose earliest qualifying
     * step-i event falls strictly after their step-(i-1) time and
     * within `withinDays` of it. Returns one row per step with the

@@ -662,6 +662,35 @@ object Vectors {
       .orderBy(col("dim"))
   }
 
+  /** Near-zero-variance dimension PRUNING — the feature-selection
+    * pass that drops embedding dimensions carrying (almost) no
+    * signal before indexing/training: per dimension, the exact
+    * scaled variance n²·Var = n·Σq² − (Σq)² over integer
+    * micro-components (one shuffle, DECIMAL(38,0) products so no
+    * corpus overflows), pruned when it falls below a threshold
+    * expressed the same scaled way (n²·τ). Division-free,
+    * sign-safe, hash-exact; emits one row per dimension with the
+    * verdict. */
+  def dimVariancePrune(spark: SparkSession, dir: String): DataFrame = {
+    val comps = emb(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("CAST(floor(x * 1000000) AS BIGINT)").as("qi"))
+    comps.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("s"),
+        sum(expr("CAST(qi AS DECIMAL(38,0)) * qi")).as("s2"))
+      // n²·Var in micro² units; threshold τ = 0.0025 (σ = 0.05) scaled
+      // the same way: n²·τ·10¹² = n² · 2.5e9
+      .select(col("dim"), col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * s2 - CAST(s AS DECIMAL(38,0)) * s")
+          .cast("string").as("scaled_var"),
+        expr("""CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * s2
+                  - CAST(s AS DECIMAL(38,0)) * s
+                < CAST(n AS DECIMAL(38,0)) * n * 2500000000 THEN 1 ELSE 0 END AS INT)""")
+          .as("pruned"))
+      .orderBy(col("dim"))
+  }
+
   /** Neighbors per vector in [[knnGraph]]. */
   val KnnK = 3
 

@@ -81,6 +81,64 @@ class Round9gSpec extends SparkSpec {
     assert(fa(1) !== fc(1))   // digest moved
   }
 
+  // ---------------------------------------------------------- q257
+
+  test("rfm features: recency/frequency/monetary and segments match the planted purchases") {
+    val dir = Files.createTempDirectory("graft_rfm").toString
+    val rows = Seq(
+      (1L, 9L, "2024-01-28 10:00:00", 10.50, "purchase"),
+      (2L, 9L, "2024-01-29 10:00:00", 20.25, "purchase"),
+      (3L, 9L, "2024-01-30 10:00:00", 0.25, "purchase"),
+      (4L, 5L, "2024-01-05 09:00:00", 99.99, "purchase"),
+      (5L, 5L, "2024-01-06 09:00:00", 1.00, "view")) // non-purchase ignored
+    rows.map { case (eid, uid, ts, v, et) =>
+      (eid, Timestamp.valueOf(ts), uid, et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val lastOf = (uid: Long) => rows.filter(r => r._2 == uid && r._5 == "purchase")
+      .map(r => Timestamp.valueOf(r._3).getTime * 1000L).max
+    val out = graft.operators.Behavioral.rfmFeatures(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+          r.getAs[Long]("monetary_cents"), r.getAs[String]("segment"))).toMap
+    val rec9 = (graft.operators.Behavioral.RfmAsOfUs - lastOf(9L)) / 86400000000L
+    val rec5 = (graft.operators.Behavioral.RfmAsOfUs - lastOf(5L)) / 86400000000L
+    assert(out(9L) === ((rec9, 3L, 3100L, "champion")))
+    assert(out(5L) === ((rec5, 1L, 9999L, "at_risk")))
+    assert(out.size === 2) // the view-only activity creates no row
+  }
+
+  // ---------------------------------------------------------- q258
+
+  test("dim variance prune: constant and near-constant dims pruned, a real signal kept — exact scaled variances") {
+    val dir = Files.createTempDirectory("graft_var").toString
+    (0L until 8L).map { vid =>
+      val sign = if (vid % 2 == 0) 1f else -1f
+      (vid, Array(0.5f, 0.1f * sign, 0.01f * sign))
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.Vectors.dimVariancePrune(spark, dir).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        (r.getAs[String]("scaled_var"), r.getAs[Int]("pruned"))).toMap
+    // independent recompute with the operator's exact quantization
+    // (floor of the widened float — note floor(−0.1f·10⁶) = −100001)
+    def scaled(vals: Seq[Float]): BigInt = {
+      val q = vals.map(v => BigInt(math.floor(v.toDouble * 1000000.0).toLong))
+      BigInt(q.size) * q.map(x => x * x).sum - q.sum * q.sum
+    }
+    val signs = (0 until 8).map(i => if (i % 2 == 0) 1f else -1f)
+    // dim 0: constant → exactly zero variance, pruned
+    assert(out(0L) === (("0", 1)))
+    // dim 1: ±0.1 carries real signal → kept; exact value matches
+    val s1 = scaled(signs.map(_ * 0.1f))
+    assert(out(1L) === ((s1.toString, 0)))
+    assert(s1 >= BigInt(8) * 8 * 2500000000L)
+    // dim 2: ±0.01 is sub-threshold noise → pruned
+    val s2v = scaled(signs.map(_ * 0.01f))
+    assert(out(2L) === ((s2v.toString, 1)))
+    assert(s2v < BigInt(8) * 8 * 2500000000L)
+  }
+
   // ---------------------------------------------------------- q256
 
   test("temporal embargo split: planted user splits exactly; gap is the audited train-to-test distance") {
