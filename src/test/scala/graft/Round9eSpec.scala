@@ -185,6 +185,32 @@ class Round9eSpec extends SparkSpec {
     assert(out("bucketed") === ((2L, 880L, 880L, 0L)))
   }
 
+  test("shallow clone of a PARTITIONED table keeps pruning-by-construction reads working") {
+    val root = Files.createTempDirectory("graft_clone_part").toString
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    val df = (1L to 60L).map(k => (k, if (k % 3 == 0) "A" else "B"))
+      .toDF("k", "part")
+    Snapshots.commitOverwritePartitioned(spark, src, df, "part")
+    Snapshots.shallowClone(spark, src, dst)
+    val all = Snapshots.readVersion(spark, dst, "v00000001")
+    assert(all.count() === 60L)
+    assert(all.filter(col("part") === "A").count() === 20L)
+    // still zero data under the clone root
+    assert(new java.io.File(dst).listFiles().map(_.getName).toSet === Set("_commits"))
+  }
+
+  test("clone of a clone resolves through chained relative references") {
+    val root = Files.createTempDirectory("graft_clone2").toString
+    Snapshots.commitOverwrite(spark, s"$root/src",
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "name"))
+    Snapshots.shallowClone(spark, s"$root/src", s"$root/c1")
+    Snapshots.shallowClone(spark, s"$root/c1", s"$root/c2")
+    assert(Snapshots.readVersion(spark, s"$root/c2", "v00000001").count() === 10L)
+    assert(new java.io.File(s"$root/c2").listFiles().map(_.getName).toSet ===
+      Set("_commits"))
+  }
+
   test("shallow clone carries deletion vectors") {
     val root = Files.createTempDirectory("graft_clone_dv").toString
     val src = s"$root/src"
