@@ -85,4 +85,23 @@ object DocStreams {
         ingestBatch(batch, indexTableDir)
         ()
       }
+
+  /** STREAMING corpus fingerprint — the q255 commutative digest as a
+    * running aggregate over an unbounded document stream. The digest
+    * was designed commutative/associative (a DECIMAL(38,0) sum of
+    * keyed 48-bit md5 prefixes), and that is precisely what makes it
+    * streamable with ONE ROW of state: count, sum, min and max all
+    * merge per micro-batch, so after any prefix of the stream the
+    * sink holds exactly the batch fingerprint of the documents seen
+    * so far — ingest can stamp/verify a snapshot digest continuously
+    * without ever re-scanning the corpus (StreamingSpec proves
+    * stream ≡ batch after multi-batch, shuffled arrival). */
+  def fingerprintStream(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(concat(col("doc_id").cast("string"), lit("|"),
+        col("text"))).as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(conv(substring(col("h"), 1, 12), 16, 10).cast("decimal(38,0)"))
+          .cast("string").as("fp_sum"),
+        min(col("h")).as("min_h"), max(col("h")).as("max_h"))
 }

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.EventStreams
+import graft.streaming.{DocStreams, EventStreams}
 import graft.streaming.EventStreams.Evt
 
 /** Drives the streaming operators through real micro-batches with
@@ -653,5 +653,33 @@ class StreamingSpec extends SparkSpec {
     assert(after === Set(21L))
     assert(Snapshots.read(spark, indexDir).select("doc_id")
       .collect().map(_.getLong(0)).toSet === Set(21L))
+  }
+
+  test("streaming corpus fingerprint equals the batch digest after shuffled multi-batch arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 60L).map(i => (i, s"streamed body $i"))
+    val source = MemoryStream[(Long, String)]
+    val q = DocStreams.fingerprintStream(source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("fpstream")
+      .outputMode("complete").start()
+    try {
+      // arrive shuffled, in three uneven micro-batches
+      val shuffled = new scala.util.Random(7).shuffle(docs)
+      source.addData(shuffled.take(9): _*)
+      q.processAllAvailable()
+      source.addData(shuffled.slice(9, 40): _*)
+      source.addData(shuffled.drop(40): _*)
+      q.processAllAvailable()
+      val got = spark.table("fpstream").collect().head
+      // batch ground truth: the q255 operator over the same docs
+      val dir = java.nio.file.Files.createTempDirectory("graft_fps").toString
+      docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val want = graft.operators.TextAnalysis.corpusFingerprint(spark, dir)
+        .collect().head
+      for (c <- Seq("n_docs", "fp_sum", "min_h", "max_h"))
+        assert(got.getAs[Any](c) === want.getAs[Any](c), c)
+    } finally q.stop()
   }
 }
