@@ -1624,6 +1624,10 @@ object SparkEntry {
     // dim in DECIMAL(38,0), division-free threshold verdict
     "q258_dim_variance_prune" -> ((s: SparkSession, d: String) =>
       Vectors.dimVariancePrune(s, d)),
+    // dataset diff: full-outer hash join classifies every row
+    // added/removed/changed/same — the fingerprint's localizer
+    "q259_dataset_diff"    -> ((s: SparkSession, d: String) =>
+      TextAnalysis.datasetDiffQuery(s, d)),
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -5302,6 +5306,16 @@ object SparkEntry {
         |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
         |  min(h) AS min_h, max(h) AS max_h
         |FROM h""".stripMargin,
+    // the derived-next diff census in closed form from the base table
+    // (removal wins over edit; adds are the shifted mod-103 copies)
+    "q259_dataset_diff" ->
+      """WITH st AS (SELECT CASE WHEN doc_id % 97 = 0 THEN 'removed'
+        |    WHEN doc_id % 101 = 0 THEN 'changed' ELSE 'same' END AS status
+        |  FROM documents),
+        |u AS (SELECT status FROM st
+        |  UNION ALL SELECT 'added' FROM documents WHERE doc_id % 103 = 0)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // purchase-slice RFM triple + segment thresholds, integer-exact
     "q257_rfm_features" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS tus,

@@ -1018,6 +1018,41 @@ object TextAnalysis {
         min(col("h")).as("min_h"), max(col("h")).as("max_h"))
   }
 
+  /** Dataset DIFF — [[corpusFingerprint]]'s companion: the digest
+    * says WHETHER two snapshots differ, this says WHERE. One
+    * full-outer join on the row key with per-side content hashes
+    * classifies every row added / removed / changed / same; the
+    * readout is the per-status census. At 100 TB this is one keyed
+    * shuffle of (key, 16-byte hash) pairs — text never crosses the
+    * exchange. */
+  def datasetDiff(base: DataFrame, next: DataFrame): DataFrame = {
+    val b = base.select(col("doc_id"), md5(col("text")).as("hb"))
+    val n = next.select(col("doc_id"), md5(col("text")).as("hn"))
+    b.join(n, Seq("doc_id"), "full_outer")
+      .select(when(col("hn").isNull, "removed")
+        .when(col("hb").isNull, "added")
+        .when(col("hb") =!= col("hn"), "changed")
+        .otherwise("same").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
+  /** The q259 gate: the next snapshot is DERIVED deterministically
+    * from the current one (drop doc_id≡0 mod 97, edit ≡0 mod 101,
+    * add a shifted copy of ≡0 mod 103), so the diff census has a
+    * closed form the oracle states from the base table alone. */
+  def datasetDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+    val next = base
+      .filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(101L)) === 0L,
+          concat(col("text"), lit(" (rev2)"))).otherwise(col("text")))
+      .unionByName(base.filter(pmod(col("doc_id"), lit(103L)) === 0L)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    datasetDiff(base, next)
+  }
+
   /** [[sourceReputation]] gate: a source is dropped when more than
     * 60% of its documents are non-target-language, or more than 12%
     * are too short to carry signal (< [[ShortDocChars]] chars). */

@@ -139,6 +139,24 @@ class Round9gSpec extends SparkSpec {
     assert(s2v < BigInt(8) * 8 * 2500000000L)
   }
 
+  // ---------------------------------------------------------- q259
+
+  test("dataset diff: planted add/remove/change census, and identical snapshots read all-same") {
+    val dir = Files.createTempDirectory("graft_diff").toString
+    def docs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = docs(Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val next = docs(Seq((2L, "b CHANGED"), (3L, "c"), (9L, "new")))
+    val out = TextAnalysis.datasetDiff(base, next).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n")).toMap
+    assert(out === Map("removed" -> 1L, "changed" -> 1L, "same" -> 1L, "added" -> 1L))
+    val same = TextAnalysis.datasetDiff(base, base).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n")).toMap
+    assert(same === Map("same" -> 3L))
+    assert(dir.nonEmpty)
+  }
+
   // ---------------------------------------------------------- q256
 
   test("temporal embargo split: planted user splits exactly; gap is the audited train-to-test distance") {
