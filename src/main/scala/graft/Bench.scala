@@ -66,6 +66,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // per-query load attribution: the start-of-run gate cannot see a
+      // co-tenant that arrives MID-run (observed round 9: loadavg
+      // 1.76 → 11.35 across one artifact, inflating only the tail
+      // queries). Recording the 1-min loadavg at each query's start
+      // makes every row individually attributable — a reader can
+      // discount exactly the load-confounded entries instead of
+      // un-confounding the whole artifact by hand.
+      val qLoad = load1min
       try fn(spark, sfDir).count() catch { case NonFatal(_) => () } // warmup
       spark.catalog.clearCache()
       val runs = (1 to reps).map { _ =>
@@ -80,15 +88,17 @@ object Bench {
         (sec, err.isDefined)
       }
       val failed = runs.exists(_._2)
-      (name, if (failed) -1.0 else median(runs.map(_._1)), failed)
+      (name, if (failed) -1.0 else median(runs.map(_._1)), failed, qLoad)
     }
     val load1 = loadavg
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, true) => "\"" + k + "\"" }
+    val loads = results.map { case (k, _, _, l) => f""""$k":$l%.2f""" }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, false) => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"loadavg_before":"$load0","loadavg_after":"$load1","load_gate":"$loadGate","load_waited_sec":$waited,"sf":"$sfDir"}"""
+    val total = results.collect { case (_, v, false, _) => v }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"loadavg_before":"$load0","loadavg_after":"$load1","load_gate":"$loadGate","load_waited_sec":$waited,"query_loadavg":$loads,"sf":"$sfDir"}"""
     println(json)
     // also persist to a repo artifact: the driver's stdout tail has
     // historically truncated the per-query map, leaving the round

@@ -1866,7 +1866,8 @@ object SparkEntry {
         |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q23_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |$adaptiveKCteDuck,
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < (SELECT k FROM kk)),
         |asg0 AS (SELECT vec_id, v, cid,
         |    round(list_dot_product(cv, v) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(v, v))), 4) AS ccos
         |  FROM e, cents),
@@ -3447,7 +3448,8 @@ object SparkEntry {
         |bf AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
         |  FROM bscored) WHERE rk <= 5),
-        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |$adaptiveKCteDuck,
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < (SELECT k FROM kk)),
         |asg0 AS (SELECT vec_id, v, cid,
         |    round(list_dot_product(cv, v) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(v, v))), 4) AS ccos
         |  FROM e, cents),
@@ -5687,6 +5689,12 @@ object SparkEntry {
   private def cosDuck(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 4)"
 
+  /** The count-derived IVF cell count k = clamp(16, 2¹⁶, ⌈√N⌉) —
+    * Vectors.adaptiveIvfK restated over the `e` CTE. IEEE sqrt is
+    * correctly rounded on both engines, so ⌈√N⌉ is bit-identical. */
+  private val adaptiveKCteDuck: String =
+    "kk AS (SELECT greatest(16, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k FROM e)"
+
   /** Unrolled Lloyd training (3 iterations, integer-quantized sum
     * centroids — Vectors.trainCentroids bit-for-bit) ending in the
     * final assignment `fasg(vec_id, cid)`; shared by q43 and q92. */
@@ -5704,7 +5712,8 @@ object SparkEntry {
     }.mkString("\n")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |q AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS qv FROM e),
-       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv FROM q WHERE vec_id < 16),
+       |$adaptiveKCteDuck,
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv FROM q WHERE vec_id < (SELECT k FROM kk)),
        |$steps
        |fasg AS (SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosDuck("c.cv", "e.v")} DESC, c.cid) AS rk

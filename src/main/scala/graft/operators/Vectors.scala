@@ -25,7 +25,39 @@ import graft.sources.Tables
 object Vectors {
   val NumQueries = 10
   val TopK = 5
-  val IvfCentroids = 16
+
+  /** Floor / cap for the ADAPTIVE IVF cell count. A fixed cell count
+    * is the classic IVF scale-killer: in-cell candidate pairs grow as
+    * N²/k, so holding k constant while N grows ×10 makes every
+    * cell-local join (semantic dedup, kNN graph, triplet mining) ×100
+    * more expensive. Every IVF-derived operator here therefore derives
+    * k from the corpus count at train time (see [[adaptiveIvfK]]);
+    * the floor keeps tiny corpora/test fixtures on the historical
+    * 16-cell layout, the cap bounds the broadcast centroid table
+    * (2¹⁶ × dim doubles ≈ 33 MB at dim 64 — comfortably broadcast). */
+  val IvfMinCentroids = 16
+  val IvfMaxCentroids = 1 << 16
+
+  /** Sentinel default for `k` parameters: derive the cell count from
+    * the corpus via [[adaptiveIvfK]] at train time. */
+  val AdaptiveK = 0
+
+  /** k ≈ ⌈√N⌉ clamped to [[[IvfMinCentroids]], [[IvfMaxCentroids]]] —
+    * the count-derived IVF cell count. √N balances the two cost terms
+    * of flat IVF (assignment N·k vs in-cell pairs N²/k, both N^1.5),
+    * and keeps per-cell candidate joins shrinking as the corpus grows
+    * instead of going quadratic under a fixed k. ⌈√N⌉ is
+    * engine-portable: IEEE-754 sqrt is correctly rounded on every
+    * platform, so the DuckDB oracles derive the identical k with
+    * `ceil(sqrt(count(*)))`. */
+  def adaptiveIvfK(n: Long): Int =
+    math.min(IvfMaxCentroids.toLong,
+      math.max(IvfMinCentroids.toLong,
+        math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  private def resolveK(e: DataFrame, k: Int): Int =
+    if (k == AdaptiveK) adaptiveIvfK(e.count()) else k
+
   val IvfProbes = 4
   val NearDupThreshold = 0.45
   /** LSH banding for the gated near-dup query: 60 planes in 20 bands
@@ -73,17 +105,21 @@ object Vectors {
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** First-IvfCentroids pseudo-centroids (deterministic, untrained —
-    * the q23 baseline; [[trainCentroids]] is the quality path). */
-  private def firstKCentroids(spark: SparkSession, dir: String): DataFrame =
-    emb(spark, dir).filter(col("vec_id") < IvfCentroids)
+  /** First-k pseudo-centroids (deterministic, untrained — the q23
+    * baseline; [[trainCentroids]] is the quality path). k is the
+    * count-derived [[adaptiveIvfK]]. */
+  private def firstKCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val k = adaptiveIvfK(e.count())
+    e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
       // semantically a no-op (vec_ids are unique, so the filter
-      // already bounds the frame at IvfCentroids rows) but it makes
-      // the bound PROVABLE in the plan (maxRows), so PlanLint can
-      // certify the ×K centroid cross-joins downstream as bounded
-      // fan-out instead of taking it on faith
-      .limit(IvfCentroids)
+      // already bounds the frame at k rows) but it makes the bound
+      // PROVABLE in the plan (maxRows), so PlanLint can certify the
+      // ×K centroid cross-joins downstream as bounded fan-out instead
+      // of taking it on faith
+      .limit(k)
+  }
 
   /** IVF assignment of every corpus vector to its nearest centroid. */
   def ivfAssignment(spark: SparkSession, dir: String): DataFrame =
@@ -272,11 +308,16 @@ object Vectors {
     *    (k+0.5)·10⁻⁶ is not representable as a float.
     *
     * Driver traffic per iteration is the MODEL, not data: k×dim sum
-    * rows (16×64). Seeded deterministically with the first k vectors.
-    * Empty clusters keep their previous centroid. */
+    * rows (k ≤ [[IvfMaxCentroids]] by the adaptive clamp). Seeded
+    * deterministically with the first k vectors; k defaults to the
+    * count-derived [[adaptiveIvfK]] so the cell count grows with the
+    * corpus instead of letting in-cell work go quadratic. Empty
+    * clusters keep their previous centroid. */
   def trainCentroids(spark: SparkSession, dir: String,
-                     k: Int = IvfCentroids, iters: Int = IvfTrainIters): DataFrame =
-    trainCentroidsOn(spark, emb(spark, dir), k, iters)
+                     k: Int = AdaptiveK, iters: Int = IvfTrainIters): DataFrame = {
+    val e = emb(spark, dir)
+    trainCentroidsOn(spark, e, resolveK(e, k), iters)
+  }
 
   /** As [[trainCentroids]] but over any (vec_id, embedding) frame —
     * the shared kernel; product quantization trains it per
@@ -541,12 +582,13 @@ object Vectors {
     * the shuffle. A vector is a duplicate when a LOWER-id member of
     * its cluster is within `threshold` cosine (greedy keep-lowest-id
     * — deterministic, one pass; full transitive-closure resolution is
-    * the q41 operator). At 100 TB, k scales with the corpus so
-    * clusters stay bounded; pathological mega-clusters get the same
-    * cap treatment as [[graft.operators.Dedup.minhashLshCapped]].
+    * the q41 operator). k scales with the corpus BY DEFAULT (the
+    * count-derived [[adaptiveIvfK]]) so clusters stay bounded;
+    * pathological mega-clusters get the same cap treatment as
+    * [[graft.operators.Dedup.minhashLshCapped]].
     * Returns (vec_id, cid, is_dup) for every corpus vector. */
   def semanticDedup(spark: SparkSession, dir: String,
-                    k: Int = IvfCentroids, iters: Int = IvfTrainIters,
+                    k: Int = AdaptiveK, iters: Int = IvfTrainIters,
                     threshold: Double = NearDupThreshold): DataFrame = {
     val e = emb(spark, dir)
     val assigned = ivfAssignmentWith(e, trainCentroids(spark, dir, k, iters)).cache()
@@ -702,8 +744,9 @@ object Vectors {
     * cell (the N²/k SemDeDup join shape — in-cell neighbors are by
     * construction the high-cosine ones, which is what a kNN graph
     * wants), one window ranks per vector, and the output is exactly
-    * N·k edges. At 100 TB: k-means k scales with N so cells stay
-    * bounded; the pair join never crosses cells. */
+    * N·k edges. At 100 TB: the k-means cell count scales with N by
+    * default ([[adaptiveIvfK]]) so cells stay bounded; the pair join
+    * never crosses cells. */
   def knnGraph(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = ivfAssignmentWith(emb(spark, dir),
@@ -762,7 +805,7 @@ object Vectors {
     * partitions, each bounded by cluster size, and AQE splits a
     * mega-cluster's sort; the output is ≤ k·quota rows. */
   def clusterBalancedSample(spark: SparkSession, dir: String,
-                            k: Int = IvfCentroids, iters: Int = IvfTrainIters,
+                            k: Int = AdaptiveK, iters: Int = IvfTrainIters,
                             quota: Int = ClusterQuota): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = ivfAssignmentWith(emb(spark, dir),
@@ -796,7 +839,7 @@ object Vectors {
     * equi-join on cid, two per-anchor window ranks, one join to pair
     * the sides — nothing quadratic crosses the shuffle. */
   def tripletMining(spark: SparkSession, dir: String,
-                    k: Int = IvfCentroids, iters: Int = IvfTrainIters,
+                    k: Int = AdaptiveK, iters: Int = IvfTrainIters,
                     threshold: Double = NearDupThreshold): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir)
