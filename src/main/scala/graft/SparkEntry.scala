@@ -1628,6 +1628,7 @@ object SparkEntry {
     // added/removed/changed/same — the fingerprint's localizer
     "q259_dataset_diff"    -> ((s: SparkSession, d: String) =>
       TextAnalysis.datasetDiffQuery(s, d)),
+    "q260_mjpeg_frames"    -> operators.Multimodal.mjpegFrames _,
   )
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -5308,6 +5309,26 @@ object SparkEntry {
         |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
         |  min(h) AS min_h, max(h) AS max_h
         |FROM h""".stripMargin,
+    // per-frame geometry + pixel sums restated from the pattern
+    // formulas — matched only by really walking the RIFF tree to the
+    // '00dc' chunks and really JPEG-decoding each one (the uniform-gray
+    // rasters are the bit-exact subset of the lossy codec: DC-only DCT,
+    // neutral chroma)
+    "q260_mjpeg_frames" ->
+      """WITH ids AS (SELECT doc_id AS id, 2 + doc_id % 4 AS n FROM documents),
+        |fr AS (SELECT id, n, f.f AS f
+        |  FROM ids, unnest(generate_series(0, CAST(n - 1 AS INT))) f(f)),
+        |g AS (SELECT id, f, n,
+        |    16 + (id * 7 + f * 3) % 24 AS w,
+        |    8 + (id * 5 + f * 11) % 16 AS h,
+        |    32 + (id * 13 + f * 29) % 192 AS gray
+        |  FROM fr)
+        |SELECT id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(gray AS BIGINT) AS gray00,
+        |  CAST(gray * w * h AS BIGINT) AS gray_sum,
+        |  CAST(n AS BIGINT) AS n_frames
+        |FROM g ORDER BY media_id, frame_idx""".stripMargin,
     // the derived-next diff census in closed form from the base table
     // (removal wins over edit; adds are the shifted mod-103 copies)
     "q259_dataset_diff" ->
