@@ -77,14 +77,63 @@ object DocStreams {
   }
 
   /** The streaming sink: wire a docs stream through [[ingestBatch]].
-    * Start with `.option("checkpointLocation", …)` like any sink. */
-  def lshDedupIngest(docs: DataFrame, indexTableDir: String): DataStreamWriter[Row] =
+    * Start with `.option("checkpointLocation", …)` like any sink.
+    *
+    * `compactEvery` > 0 runs [[maintainIndex]] after every Nth
+    * micro-batch: each batch's upsert commit leaves one manifest and
+    * one data dir behind, so on a long-running stream the commit
+    * chain grows without bound even though the LIVE row set is
+    * bounded by novel docs — the cadence bounds on-disk state at
+    * ~compactEvery commit dirs between maintenances. Maintenance runs
+    * INSIDE foreachBatch (serialized with ingest), so the CAS commit
+    * never races the stream's own upserts. */
+  def lshDedupIngest(docs: DataFrame, indexTableDir: String,
+                     compactEvery: Int = 0): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, indexTableDir)
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+          maintainIndex(batch.sparkSession, indexTableDir)
         ()
       }
+
+  /** Signature-index lifecycle maintenance: consolidate the live rows
+    * into one data dir ([[Snapshots.compact]]) and reclaim every
+    * unreferenced data dir / aged manifest ([[Snapshots.vacuum]]).
+    * The maintained index is bit-identical as a row set, so dedup
+    * decisions are unchanged by construction (and proved unchanged in
+    * StreamingSpec); what shrinks is the COMMIT CHAIN — after a
+    * thousand micro-batches the table root holds a thousand
+    * single-batch data dirs whose live bytes are a fraction of their
+    * footprint, and readers pay a thousand-file manifest walk.
+    * `keep` retains that many newest manifests for pinned readers;
+    * `orphanGraceMs` protects a concurrent committer's in-flight dir
+    * (0 is safe from inside the stream's own foreachBatch, which
+    * serializes all writers). Returns the number of manifests
+    * reclaimed. */
+  def maintainIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexTableDir: String, keep: Int = 2,
+                    orphanGraceMs: Long = 0L): Int =
+    Snapshots.currentVersion(spark, indexTableDir) match {
+      case None => 0 // nothing committed yet — nothing to maintain
+      case Some(_) =>
+        Snapshots.compact(spark, indexTableDir)
+        Snapshots.vacuum(spark, indexTableDir, keep, orphanGraceMs)
+    }
+
+  /** Compliance erasure for the signature index: physically erase the
+    * given doc ids' signatures ([[Snapshots.forget]] — deletion
+    * vector, then compact + vacuum to one live version so no file
+    * under the index root retains the bytes). The forgotten docs'
+    * INFLUENCE goes with their rows: future near-dups of an erased
+    * doc are admitted again (proved in StreamingSpec), while
+    * decisions about unrelated docs are untouched. */
+  def eraseFromIndex(spark: org.apache.spark.sql.SparkSession,
+                     indexTableDir: String, docIds: DataFrame): Unit = {
+    Snapshots.forget(spark, indexTableDir, docIds.select(col("doc_id")), "doc_id")
+    ()
+  }
 
   /** STREAMING corpus fingerprint — the q255 commutative digest as a
     * running aggregate over an unbounded document stream. The digest

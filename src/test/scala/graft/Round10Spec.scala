@@ -65,6 +65,104 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("signature-index maintenance: compaction collapses the commit chain, shrinks bytes, and changes no dedup decision") {
+    import graft.streaming.DocStreams
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_lshmaint").toString
+    val indexDir = root + "/idx"
+    def dirSize(p: String): Long = {
+      val base = java.nio.file.Paths.get(p)
+      val s = java.nio.file.Files.walk(base)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    def dataDirs(): Int = new java.io.File(indexDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("d-"))
+    // 6 micro-batches of novel docs -> 6 commits, 6 data dirs.
+    // Vocabularies are fully disjoint per batch (every token suffixed
+    // by the batch number) so no batch is a near-dup of an earlier one
+    val texts = (0 until 6).map { b =>
+      (100L + b, (0 until 12).map(w => s"w${w}b$b").mkString(" "))
+    }
+    texts.foreach { case (id, t) =>
+      DocStreams.ingestBatch(Seq((id, t)).toDF("doc_id", "text"), indexDir)
+    }
+    assert(dataDirs() === 6, "each upsert commit leaves one data dir")
+    val rowsBefore = Snapshots.read(spark, indexDir).collect()
+      .map(_.toSeq).toSet
+    val bytesBefore = dirSize(indexDir)
+    // a near-dup of an indexed doc is dropped BEFORE maintenance…
+    val probe = Seq((900L, texts.head._2 + " tail")).toDF("doc_id", "text")
+    assert(DocStreams.ingestBatch(probe, indexDir).isEmpty)
+    val removed = DocStreams.maintainIndex(spark, indexDir, keep = 1)
+    assert(removed >= 6, s"expected the chain reclaimed, removed=$removed")
+    assert(dataDirs() === 1, "maintenance consolidates to one live data dir")
+    assert(dirSize(indexDir) < bytesBefore,
+      "the consolidated index must be physically smaller than the chain")
+    // …the maintained index is the identical row set…
+    assert(Snapshots.read(spark, indexDir).collect().map(_.toSeq).toSet
+      === rowsBefore)
+    // …and the SAME probe is still dropped: maintenance changed no decision
+    assert(DocStreams.ingestBatch(probe, indexDir).isEmpty)
+    // erasure through the index-lifecycle surface shrinks the row set,
+    // physically removes the signature bytes, and leaves unrelated
+    // decisions untouched
+    val sig101 = Snapshots.read(spark, indexDir)
+      .filter(col("doc_id") === 101L).select("h0")
+      .collect().head.getString(0)
+    DocStreams.eraseFromIndex(spark, indexDir, Seq(101L).toDF("doc_id"))
+    assert(Snapshots.read(spark, indexDir).count() === rowsBefore.size - 1L)
+    // byte-level: no file under the index root retains the signature
+    // (raw-size compare is meaningless at 6-row parquet scale —
+    // footer/dictionary overhead dominates; content absence is the
+    // property erasure promises)
+    val walker = java.nio.file.Files.walk(java.nio.file.Paths.get(indexDir))
+    val lingering = try {
+      import scala.jdk.CollectionConverters._
+      walker.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .exists { p =>
+          new String(java.nio.file.Files.readAllBytes(p), "ISO-8859-1")
+            .contains(sig101)
+        }
+    } finally walker.close()
+    assert(!lingering, "erased signature bytes must not linger in any file")
+    assert(DocStreams.ingestBatch(probe, indexDir).isEmpty,
+      "erasing doc 101 must not change the decision about doc 100's near-dup")
+  }
+
+  test("the ingest sink's compaction cadence maintains the index from inside the stream") {
+    import graft.streaming.DocStreams
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_lshcadence").toString
+    val indexDir = root + "/idx"
+    val cp = root + "/cp"
+    val source = MemoryStream[(Long, String)]
+    val docs = source.toDF().toDF("doc_id", "text")
+    val q = DocStreams.lshDedupIngest(docs, indexDir, compactEvery = 2)
+      .option("checkpointLocation", cp).start()
+    try {
+      // 4 batches of disjoint-vocabulary novel docs; maintenance fires
+      // after batches 1 and 3 (keep=2 retains the pre-compaction
+      // version for pinned readers, so the bound is 2 dirs, not 1 —
+      // without the cadence this would be 4+ dirs)
+      (1L to 4L).foreach { b =>
+        source.addData((b, (0 until 12).map(w => s"s${w}x$b").mkString(" ")))
+        q.processAllAvailable()
+      }
+      val dataDirs = new java.io.File(indexDir).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("d-"))
+      assert(dataDirs <= 2, s"cadence must bound the chain, saw $dataDirs dirs")
+      assert(Snapshots.read(spark, indexDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("mjpegFrames emits one row per (id, frame) with exact sums at sf0.001") {
     val out = Multimodal.mjpegFrames(spark, "/root/testdata/sf0.001")
     val rows = out.collect()
