@@ -1,8 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{ScalaUDF, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, ScalaUDF, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Sort, Window}
+import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Static scale linter over a query's OPTIMIZED logical plan — the
   * anti-pattern checklist this engine's PlanShapeSpec enforces by
@@ -100,6 +102,79 @@ object PlanLint {
           case _ => ()
         }
       }
+    }
+    out.result().distinct
+  }
+
+  /** Column names that mark a join as already salted (the engine's
+    * [[graft.operators.Skew.saltedJoin]] idiom). */
+  private val SaltKeyNames = Set("_salt", "salt")
+
+  /** DATA-AWARE skew rule — the q217 advisor wired into the linter.
+    *
+    * For every equi-join in the optimized plan that would SHUFFLE
+    * (neither side within the session's broadcast threshold by
+    * Catalyst's own size stats — a broadcast join never shuffles the
+    * fact side, so a hot key cannot overload a reducer) and is not
+    * already salted (no `_salt` equi-key), this MEASURES each side's
+    * join-key histogram — one counting aggregation per side, which is
+    * why the rule is a separate, explicitly-invoked pass rather than
+    * part of the static [[lint]] — and flags the join when the
+    * advisor's threshold fires: max per-key count > `hotFactor` × the
+    * mean ([[graft.operators.Skew.HotFactor]]). The finding carries
+    * the measured max/mean and the advisor's capped salt
+    * recommendation ceil(max/mean), i.e. the `buckets` argument to
+    * [[graft.operators.Skew.saltedJoin]] that levels the hottest
+    * reducer to the mean.
+    */
+  def lintSkew(df: DataFrame, hotFactor: Long = graft.operators.Skew.HotFactor)
+      : Seq[Finding] = {
+    val spark = df.sparkSession
+    val bcThreshold = BigInt(spark.sessionState.conf.autoBroadcastJoinThreshold)
+    val out = Seq.newBuilder[Finding]
+    df.queryExecution.optimizedPlan.foreach {
+      case j @ Join(left, right, _, Some(cond), _) =>
+        // equi-key pairs: EqualTo conjuncts with one attr per side
+        val eqKeys: Seq[(Attribute, Attribute)] = cond.collect {
+          case EqualTo(a: Attribute, b: Attribute)
+            if left.outputSet.contains(a) && right.outputSet.contains(b) => (a, b)
+          case EqualTo(a: Attribute, b: Attribute)
+            if left.outputSet.contains(b) && right.outputSet.contains(a) => (b, a)
+        }
+        val salted = eqKeys.exists { case (a, b) =>
+          SaltKeyNames(a.name.toLowerCase) || SaltKeyNames(b.name.toLowerCase) }
+        val broadcastable =
+          left.stats.sizeInBytes <= bcThreshold ||
+            right.stats.sizeInBytes <= bcThreshold
+        if (eqKeys.nonEmpty && !salted && !broadcastable) {
+          def measure(side: LogicalPlan, keys: Seq[Attribute], tag: String): Unit = {
+            // group by the RESOLVED attributes (not names — a self-join
+            // side can carry duplicate column names)
+            val cnts = Bridge.ofRows(spark, side)
+              .groupBy(keys.map(a => Bridge.column(a)): _*)
+              .agg(count(lit(1)).as("_lint_cnt"))
+            val row = cnts.agg(sum(col("_lint_cnt")).as("n_rows"),
+              count(lit(1)).as("n_keys"), max(col("_lint_cnt")).as("max_cnt"))
+              .collect().head
+            if (!row.isNullAt(0)) {
+              val (nRows, nKeys, maxCnt) =
+                (row.getLong(0), row.getLong(1), row.getLong(2))
+              val avg = math.max(nRows / math.max(nKeys, 1L), 1L)
+              if (maxCnt > avg * hotFactor) {
+                val reco = math.min(graft.operators.Skew.SaltCap,
+                  (maxCnt + avg - 1L) / avg)
+                out += Finding("skewed-shuffle-join", headLine(j),
+                  s"$tag side key histogram is hot (max=$maxCnt, mean=$avg, " +
+                    s"keys=$nKeys): one reducer takes ${maxCnt / math.max(avg, 1L)}x " +
+                    s"the mean — salt with Skew.saltedJoin(buckets=$reco) or " +
+                    "broadcast the dim")
+              }
+            }
+          }
+          measure(left, eqKeys.map(_._1), "left")
+          measure(right, eqKeys.map(_._2), "right")
+        }
+      case _ => ()
     }
     out.result().distinct
   }

@@ -43,6 +43,41 @@ class PlanLintSpec extends SparkSpec {
     assert(!rules(df.orderBy(col("x")).limit(5)).contains("non-root-global-sort"))
   }
 
+  test("skew rule: a planted hot key on a shuffle join is flagged with the advisor's salt reco; salted and broadcast joins are not") {
+    // force shuffle joins so the skew rule has something to protect
+    val bcBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // fact: 20k rows, 10% of them on key 0 (a 2000x-mean hot key)
+      val fact = spark.range(20000).select(
+        when(col("id") % 10 === 0, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(5000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val hot = fact.join(dim, "k")
+      val findings = PlanLint.lintSkew(hot)
+      assert(findings.exists(_.rule === "skewed-shuffle-join"),
+        s"planted hot key must be flagged, got $findings")
+      val f = findings.find(_.rule === "skewed-shuffle-join").get
+      assert(f.detail.contains("saltedJoin"), f.detail)
+      // the advisor's reco for max=2001, mean=1 is the 32 cap
+      assert(f.detail.contains("buckets=32"), f.detail)
+      // the treated join is NOT flagged: the _salt equi-key marks it
+      val salted = graft.operators.Skew.saltedJoin(fact, dim, "k", col("v"), 8)
+      assert(PlanLint.lintSkew(salted).isEmpty,
+        "a salted join must pass the skew rule")
+      // a uniform key is not flagged either
+      val uniform = spark.range(20000).toDF("k").join(dim, "k")
+      assert(PlanLint.lintSkew(uniform).isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcBefore)
+    // with the default broadcast threshold the dim side broadcasts —
+    // no shuffle, so the hot key is harmless and the rule stays silent
+    val fact2 = spark.range(20000).select(
+      when(col("id") % 10 === 0, 0L).otherwise(col("id")).as("k"))
+    val dim2 = spark.range(5000).toDF("k")
+    assert(PlanLint.lintSkew(fact2.join(dim2, "k")).isEmpty,
+      "a broadcast-eligible join must not be measured or flagged")
+  }
+
   /** Queries whose condition-less joins are the DOCUMENTED by-design
     * exception, not a regression — each with the reason the shape is
     * legitimate. Everything else in the registry must lint clean, so
