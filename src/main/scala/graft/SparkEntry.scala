@@ -71,7 +71,7 @@ object SparkEntry {
     "q13_events_window"  -> Relational.eventsWindow _,
     "q14_dedup_exact"    -> Dedup.exact _,
     "q15_dedup_minhash"  -> Dedup.minhashLsh _,
-    "q16_dedup_simhash"  -> Dedup.simhash _,
+    "q16_dedup_simhash"  -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "q17_ngram_jaccard"  -> Dedup.ngramJaccard _,
     "q18_lang_id"        -> TextAnalysis.langId _,
     "q19_quality_score"  -> TextAnalysis.qualityScore _,
@@ -1785,25 +1785,38 @@ object SparkEntry {
         |FROM inter x JOIN cnt ca ON ca.doc_id = x.da JOIN cnt cb ON cb.doc_id = x.db
         |WHERE round(x.i * 1.0 / (ca.n + cb.n - x.i), 4) >= 0.5
         |ORDER BY x.da, x.db""".stripMargin,
+    // the q164 64-bit signature chain, then Manku banding: 4 bands x
+    // 16 bits (4 hex chars) with the >cap buckets dropped whole;
+    // Hamming per hex nibble — no signed 64-bit value is ever built
     "q16_dedup_simhash" ->
-      """WITH toks AS (SELECT DISTINCT doc_id, t
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
-        |h AS (SELECT doc_id, md5(t) AS h FROM toks),
-        |bits AS (SELECT doc_id, i,
-        |    CASE WHEN ((strpos('0123456789abcdef', substr(h, i // 4 + 1, 1)) - 1) >> (i % 4)) & 1 = 1
-        |         THEN 1 ELSE -1 END AS v
-        |  FROM h, unnest(generate_series(0, 31)) t(i)),
-        |votes AS (SELECT doc_id, i, sum(v) AS sv FROM bits GROUP BY doc_id, i),
-        |sig AS (SELECT doc_id,
-        |    CAST(sum(CASE WHEN sv > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM votes GROUP BY doc_id),
-        |banded AS (SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS byte
-        |  FROM sig, unnest(generate_series(0, 3)) t(k)),
+      s"""WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS tok FROM w),
+        |h AS (SELECT doc_id, md5(tok) AS h FROM t),
+        |bits AS (SELECT doc_id, b.b AS b,
+        |    CASE WHEN ((strpos('0123456789abcdef', substr(h, (b.b // 4) + 1, 1)) - 1)
+        |      >> (b.b % 4)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        |  FROM h, unnest(generate_series(0, 63)) b(b)),
+        |v AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY 1, 2),
+        |nib AS (SELECT doc_id, b // 4 AS nidx,
+        |    sum(CASE WHEN v > 0 THEN (1 << (b % 4)) ELSE 0 END) AS nv
+        |  FROM v GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+        |    '' ORDER BY nidx) AS h64 FROM nib GROUP BY doc_id),
+        |banded AS (SELECT doc_id, h64, k.k AS k, substr(h64, k.k * 4 + 1, 4) AS band
+        |  FROM sig, unnest(generate_series(0, 3)) k(k)),
+        |hot AS (SELECT k, band FROM banded GROUP BY 1, 2
+        |  HAVING count(*) > ${operators.Dedup.SimhashBandCap}),
+        |ok AS (SELECT b.* FROM banded b ANTI JOIN hot USING (k, band)),
         |pairs AS (SELECT DISTINCT l.doc_id AS da, r.doc_id AS db,
-        |    l.simhash AS sa, r.simhash AS sb
-        |  FROM banded l JOIN banded r ON l.k = r.k AND l.byte = r.byte AND l.doc_id < r.doc_id)
-        |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM pairs
-        |WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY da, db""".stripMargin,
+        |    l.h64 AS ha, r.h64 AS hb
+        |  FROM ok l JOIN ok r ON l.k = r.k AND l.band = r.band AND l.doc_id < r.doc_id),
+        |ham AS (SELECT da, db,
+        |    ${(0 until 16).map(i =>
+               s"bit_count(xor(strpos('0123456789abcdef', substr(ha, ${i + 1}, 1)) - 1, " +
+               s"strpos('0123456789abcdef', substr(hb, ${i + 1}, 1)) - 1))").mkString(" + ")} AS hamming
+        |  FROM pairs)
+        |SELECT da, db, CAST(hamming AS INT) AS hamming FROM ham
+        |WHERE hamming <= 3 ORDER BY da, db""".stripMargin,
     "q17_ngram_jaccard" ->
       s"""$shingleCte,
         |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 20),

@@ -259,18 +259,48 @@ object Dedup {
     sig.select(col("doc_id"), simhash.as("simhash"))
   }
 
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSignatures(spark, dir).cache()
-    val banded = sig.select(col("doc_id"), col("simhash"),
+  /** Band-bucket member cap for [[simhash]] — buckets past the cap
+    * (boilerplate clusters, degenerate signatures) are dropped whole,
+    * the same documented recall tradeoff as [[minhashLshCapped]]. */
+  val SimhashBandCap = 20
+
+  /** SimHash near-dup pairs, Manku-style (WWW'07) over the NATIVE
+    * 64-bit signature: 4 bands × 16 bits — Hamming ≤ 3 differing bits
+    * can touch at most 3 of the 4 bands, so every qualifying pair
+    * collides EXACTLY in at least one band (lossless candidate
+    * generation for the threshold), and 2¹⁶ buckets per band keep
+    * in-bucket candidate joins bounded as the corpus grows. The
+    * previous 8-bit byte-banding of the 32-bit signature had a FIXED
+    * 256-bucket fan-in per band — in-bucket pairs grew N²/256
+    * (measured ×199 wall at ×10 data); 16-bit bands measured back at
+    * ~linear. Buckets past [[SimhashBandCap]] members are dropped
+    * whole (the q70 cap discipline). Signatures are the map-only
+    * codegen'd `simhash64` — no 32-sum aggregate shuffle; Hamming is
+    * computed per hex nibble, so no engine ever builds a signed
+    * 64-bit value (top-bit signatures would overflow DuckDB's strict
+    * BIGINT). */
+  def simhash(spark: SparkSession, dir: String,
+              bandCap: Int = SimhashBandCap): DataFrame = {
+    val sig = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"),
+        call_function("simhash64", array_distinct(words(col("text")))).as("h"))
+      .cache()
+    val banded = sig.select(col("doc_id"), col("h"),
       explode(array((0 until 4).map(k =>
-        struct(lit(k).as("k"),
-          shiftright(col("simhash"), k * 8).bitwiseAND(lit(255L)).as("byte"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.k"), col("bk.byte"))
-    val l = banded.select(col("doc_id").as("da"), col("simhash").as("sa"), col("k"), col("byte"))
-    val r = banded.select(col("doc_id").as("db"), col("simhash").as("sb"), col("k"), col("byte"))
-    l.join(r, Seq("k", "byte")).filter(col("da") < col("db"))
-      .select(col("da"), col("db"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+        struct(lit(k).as("k"), substring(col("h"), k * 4 + 1, 4).as("band"))): _*)).as("bk"))
+      .select(col("doc_id"), col("h"), col("bk.k"), col("bk.band"))
+    val hot = banded.groupBy(col("k"), col("band"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > bandCap)
+      .select(col("k"), col("band"))
+    val ok = banded.join(hot, Seq("k", "band"), "left_anti")
+    val l = ok.select(col("doc_id").as("da"), col("h").as("ha"), col("k"), col("band"))
+    val r = ok.select(col("doc_id").as("db"), col("h").as("hb"), col("k"), col("band"))
+    val hamming = (0 until 16).map { i =>
+      bit_count(conv(substring(col("ha"), i + 1, 1), 16, 10).cast("long")
+        .bitwiseXOR(conv(substring(col("hb"), i + 1, 1), 16, 10).cast("long")))
+    }.reduce(_ + _)
+    l.join(r, Seq("k", "band")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"), hamming.cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("da"), col("db"))
