@@ -12,6 +12,21 @@ import scala.util.control.NonFatal
   * historically swung 10-30x on identical code under load).
   * /proc/loadavg is recorded before and after so a load-noisy run is
   * self-identifying in the artifact itself.
+  *
+  * Load hygiene, in layers (each motivated by a contaminated artifact
+  * from an earlier round):
+  *   1. a bounded wait-for-quiesce gate before the run starts
+  *      (round 9: the whole artifact ran at loadavg 11);
+  *   2. per-query load attribution — the MAX of the 1-min loadavg at
+  *      query start and end, so a co-tenant arriving mid-warmup tags
+  *      the row it actually inflated, not the next one (round 10:
+  *      start-only sampling mis-attributed by one row);
+  *   3. auto-requeue — any query whose recorded load exceeds the gate
+  *      is re-run (bounded retries, re-gated wait before each) and the
+  *      LEAST-loaded attempt is kept, so a transient co-tenant never
+  *      lands a contaminated row in the artifact at all (round 10: 230
+  *      of 260 driver rows ran at loadavg > 4 and the artifact was
+  *      unusable as a signal).
   */
 object Bench {
   private def loadavg: String =
@@ -29,6 +44,19 @@ object Bench {
   private def load1min: Double =
     try loadavg.split(" ")(0).toDouble catch { case NonFatal(_) => 0.0 }
 
+  /** Bounded wait for the 1-min loadavg to drop under `max`; returns
+    * seconds waited. */
+  private def waitForQuiesce(max: Double, waitSec: Int, tag: String): Int = {
+    var waited = 0
+    while (load1min > max && waited < waitSec) {
+      System.err.println(
+        f"[bench] $tag: host loaded (1-min loadavg ${load1min}%.2f > $max%.1f) — waiting (${waited}s/${waitSec}s)")
+      Thread.sleep(15000L)
+      waited += 15
+    }
+    waited
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
@@ -41,13 +69,14 @@ object Bench {
     // emitted JSON is self-labelling.
     val gateMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
     val gateWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "600").toInt
-    var waited = 0
-    while (load1min > gateMax && waited < gateWaitSec) {
-      System.err.println(
-        f"[bench] host loaded (1-min loadavg ${load1min}%.2f > $gateMax%.1f) — waiting (${waited}s/${gateWaitSec}s)")
-      Thread.sleep(15000L)
-      waited += 15
-    }
+    // Per-query requeue: a row whose observed load (max of start/end
+    // 1-min loadavg) exceeds this is re-run up to BENCH_REQUEUE times,
+    // keeping the least-loaded attempt. Default = the start gate: the
+    // same bar for starting clean applies to every row staying clean.
+    val requeueMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE_LOAD",
+      gateMax.toString).toDouble
+    val requeueTries = sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE", "2").toInt
+    var waited = waitForQuiesce(gateMax, gateWaitSec, "start gate")
     val loadGate = if (load1min > gateMax) "loaded" else "clean"
     if (loadGate == "loaded")
       System.err.println(
@@ -63,17 +92,15 @@ object Bench {
     // restricts the run (the driver's env sets no value → full run)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      // per-query load attribution: the start-of-run gate cannot see a
-      // co-tenant that arrives MID-run (observed round 9: loadavg
-      // 1.76 → 11.35 across one artifact, inflating only the tail
-      // queries). Recording the 1-min loadavg at each query's start
-      // makes every row individually attributable — a reader can
-      // discount exactly the load-confounded entries instead of
-      // un-confounding the whole artifact by hand.
-      val qLoad = load1min
+
+    // One full measurement of one query: warmup + reps timed runs.
+    // Returns (median sec or -1, failed, max(start,end) 1-min loadavg)
+    // — the END sample catches a co-tenant that arrives mid-warmup or
+    // mid-rep, which a start-only sample attributes to the NEXT row.
+    def runOne(name: String,
+               fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean, Double) = {
+      val loadStart = load1min
       try fn(spark, sfDir).count() catch { case NonFatal(_) => () } // warmup
       spark.catalog.clearCache()
       val runs = (1 to reps).map { _ =>
@@ -88,8 +115,30 @@ object Bench {
         (sec, err.isDefined)
       }
       val failed = runs.exists(_._2)
-      (name, if (failed) -1.0 else median(runs.map(_._1)), failed, qLoad)
+      (if (failed) -1.0 else median(runs.map(_._1)), failed,
+        math.max(loadStart, load1min))
     }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        var (value, failed, qLoad) = runOne(name, fn)
+        // requeue: keep the least-loaded attempt (by observed load),
+        // re-gating before each retry so the retry isn't equally
+        // contaminated; a never-quiescing host leaves the row tagged
+        // with its (high) load — self-labelling, never silently clean
+        var tries = 0
+        while (!failed && qLoad > requeueMax && tries < requeueTries) {
+          tries += 1
+          System.err.println(
+            f"[bench] $name ran at loadavg $qLoad%.2f > $requeueMax%.1f — requeue attempt $tries/$requeueTries")
+          waited += waitForQuiesce(requeueMax, gateWaitSec, s"requeue $name")
+          val (v2, f2, l2) = runOne(name, fn)
+          if (f2) { value = v2; failed = f2; qLoad = l2 }
+          else if (l2 < qLoad) { value = v2; qLoad = l2 }
+        }
+        (name, value, failed, qLoad)
+      }
     val load1 = loadavg
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

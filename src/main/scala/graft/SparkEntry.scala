@@ -1629,7 +1629,83 @@ object SparkEntry {
     "q259_dataset_diff"    -> ((s: SparkSession, d: String) =>
       TextAnalysis.datasetDiffQuery(s, d)),
     "q260_mjpeg_frames"    -> operators.Multimodal.mjpegFrames _,
+    // ---- round 11: the raw-web front door (WARC source + HTML
+    // boilerplate-removing extraction) — the stage upstream of every
+    // text operator; fixture = each documents row rendered into a
+    // crawl page (title/nav/ad/script/style/comment/footer chrome +
+    // entity-coded, inline-marked-up body), packed into mixed plain
+    // and per-record-gzip WARC shards
+    // WARC scan → HTTP parse → block-classifying extraction; gate =
+    // the extractor recovers the original text byte-for-byte and
+    // drops exactly the planted boilerplate blocks
+    "q261_warc_extract"    -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      operators.HtmlText.extractPages(s, warcPages(s, d)).toDF()
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          col("text").as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+    // shard-level record accounting through BOTH codec paths (even
+    // shards plain .warc, odd shards per-record-member .warc.gz)
+    "q262_warc_shards"     -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.sources.Warc.readRecords(s, warcFixture(s, d)).toDF()
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("file"), "shard-(\\d+)", 1).cast("long").as("shard"),
+          col("file").endsWith(".gz").cast("long").as("gz"),
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_records"), max(col("gz")).as("is_gzip"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
+    }),
+    // front-door composition: raw WARC → extraction → the SAME
+    // quality-scoring stage the clean-text path uses (q19) — proves
+    // the crawl path feeds the downstream pipeline unchanged
+    "q263_warc_quality"    -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      TextAnalysis.qualityScoreOf(
+        operators.HtmlText.extractPages(s, warcPages(s, d)).toDF()
+          .select(col("doc_id"), col("text")))
+    }),
+    // hashed char-n-gram language classifier (fastText-style NB over
+    // md5-hashed 2/3/4-grams, whole-bit integer scoring) — the
+    // production replacement for q18's stopword heuristic, which
+    // stays registered as the comparison baseline
+    "q264_langid_ngram"    -> ((s: SparkSession, d: String) =>
+      TextAnalysis.langIdNgram(s, d)),
   )
+
+  /** Memoized WARC shard fixture: every documents row rendered into a
+    * deterministic crawl page and packed into mixed plain/gzip WARC
+    * shards (see [[graft.sources.Warc]] / [[operators.HtmlText.renderPage]]). */
+  private def warcFixture(s: SparkSession, d: String): String =
+    fixture("warcshards", s, d, "documents") { path =>
+      wipe(s, path)
+      import s.implicits._
+      val pages = graft.sources.Tables.load(s, d, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+          org.apache.spark.sql.functions.col("text").cast("string"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          (id / graft.sources.Warc.PagesPerShard, id,
+            s"http://example.org/doc/$id", operators.HtmlText.renderPage(id, text))
+        }
+        .toDF("shard", "doc_id", "url", "html")
+      graft.sources.Warc.writeShards(s, pages, path)
+    }
+
+  /** (doc_id, html) page rows re-read from the WARC fixture — the
+    * shared front half of q261/q263. */
+  private def warcPages(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Warc.readRecords(s, warcFixture(s, d)).toDF()
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        decode(col("body"), "UTF-8").as("html"))
+  }
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
   private val groupingSetsSql: String =
@@ -4904,9 +4980,11 @@ object SparkEntry {
         |    ELSE 'tail' END AS bucket
         |FROM nt ORDER BY doc_id""".stripMargin,
     // truth = the exact all-pairs Jaccard-≥-τ join (q198's oracle),
-    // candidates = the capped band buckets (q70's oracle) — composed
+    // candidates = the capped band buckets (q70's oracle) — composed,
+    // both over the fixed-K md5-ordered doc sample (Dedup round-11
+    // scale fix: the eval is O(sample²), not O(corpus²))
     "q221_dedup_recall" ->
-      s"""$shingleCte,
+      s"""$shingleSampledCte,
         |acnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |ainter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
         |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -5342,6 +5420,87 @@ object SparkEntry {
         |  CAST(gray * w * h AS BIGINT) AS gray_sum,
         |  CAST(n AS BIGINT) AS n_frames
         |FROM g ORDER BY media_id, frame_idx""".stripMargin,
+    // the extraction identity: the fixture page wraps text in known
+    // chrome, so extracted == text byte-for-byte; kept blocks = the
+    // fixture's paragraph count (12-word groups, tail <4 words merged
+    // into the previous group), dropped = the planted boilerplate
+    // (title + nav + footer, + the ad block on even doc_ids)
+    "q261_warc_extract" ->
+      s"""WITH n AS (SELECT doc_id, text,
+        |  len(string_split(text, ' ')) AS nw FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN (nw + 11) // 12 > 1 AND nw % 12 BETWEEN 1 AND 3
+        |    THEN (nw + 11) // 12 - 1 ELSE (nw + 11) // 12 END AS BIGINT) AS n_kept,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT) AS n_dropped,
+        |  text AS extracted
+        |FROM n ORDER BY doc_id""".stripMargin,
+    // shard assignment + per-shard record counts through both codec
+    // paths (odd shards are per-record-gzip .warc.gz)
+    "q262_warc_shards" ->
+      s"""WITH s AS (SELECT doc_id // ${graft.sources.Warc.PagesPerShard} AS shard, doc_id
+        |  FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(shard % 2 AS BIGINT) AS is_gzip,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    // identical to q19's oracle: the raw-crawl path (WARC → HTTP →
+    // extraction) must feed the quality stage the same bytes the
+    // clean-text path reads from parquet
+    "q263_warc_quality" ->
+      """WITH q AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  length(text) AS n_chars,
+        |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
+        |  len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','is','to','in'))) AS n_stopwords
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_punct, n_stopwords,
+        |  (n_chars - (n_words - 1)) * 1.0 / n_words AS avg_word_len,
+        |  least((n_chars - (n_words - 1)) * 1.0 / n_words / 8.0, 1.0) * 0.4
+        |    + (1.0 - n_punct * 1.0 / n_chars) * 0.3
+        |    + least(n_stopwords * 1.0 / n_words * 4.0, 1.0) * 0.3 AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+    // the full NB-over-hashed-char-n-grams classifier restated: same
+    // md5 3-hex-digit bucket, same whole-bit surprisal, same
+    // (cost, class) argmin tie order — mirrors TextAnalysis.langIdNgram
+    "q264_langid_ngram" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+        |    substring($normSqlDuck, 1, ${operators.TextAnalysis.LangIdMaxChars}) AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |    (strpos('0123456789abcdef', substr(md5(n || '|' || substring(t, i, n)), 1, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(md5(n || '|' || substring(t, i, n)), 2, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(n || '|' || substring(t, i, n)), 3, 1)) - 1) AS bucket
+        |  FROM d, unnest([${operators.TextAnalysis.LangIdNgrams.mkString(", ")}]) tn(n),
+        |    unnest(generate_series(1, greatest(length(t) - (n - 1), 0))) ti(i)),
+        |tr AS (SELECT * FROM g WHERE doc_id % ${operators.TextAnalysis.LangIdTrainMod} <> 0),
+        |m AS (SELECT bucket, lang AS cand_lang, count(*) AS c FROM tr GROUP BY 1, 2),
+        |tot AS (SELECT lang AS cand_lang, count(*) AS n_l FROM tr GROUP BY 1),
+        |pri AS (SELECT dl.lang AS cand_lang,
+        |    length(printf('%b', CAST(da.d_all // dl.d_l AS BIGINT))) - 1 AS prior_bits
+        |  FROM (SELECT lang, count(*) AS d_l FROM documents
+        |      WHERE doc_id % ${operators.TextAnalysis.LangIdTrainMod} <> 0 GROUP BY 1) dl,
+        |    (SELECT count(*) AS d_all FROM documents
+        |      WHERE doc_id % ${operators.TextAnalysis.LangIdTrainMod} <> 0) da),
+        |sc AS (SELECT g.doc_id, g.lang, tot.cand_lang,
+        |    sum(length(printf('%b',
+        |      CAST((tot.n_l + ${operators.TextAnalysis.LangIdBuckets}) // (coalesce(m.c, 0) + 1) AS BIGINT))) - 1) AS gram_bits
+        |  FROM g CROSS JOIN tot
+        |    LEFT JOIN m ON m.bucket = g.bucket AND m.cand_lang = tot.cand_lang
+        |  GROUP BY 1, 2, 3),
+        |costed AS (SELECT sc.doc_id, sc.lang, sc.cand_lang,
+        |    sc.gram_bits + pri.prior_bits AS cost
+        |  FROM sc JOIN pri USING (cand_lang)),
+        |best AS (SELECT doc_id, lang, cand_lang AS detected,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cost, cand_lang) AS rk
+        |  FROM costed)
+        |SELECT CAST(CASE WHEN doc_id % ${operators.TextAnalysis.LangIdTrainMod} = 0
+        |    THEN 1 ELSE 0 END AS INT) AS heldout,
+        |  lang, detected, CAST(count(*) AS BIGINT) AS n
+        |FROM best WHERE rk = 1
+        |GROUP BY 1, 2, 3 ORDER BY heldout, lang, detected""".stripMargin,
     // the derived-next diff census in closed form from the base table
     // (removal wins over edit; adds are the shifted mod-103 copies)
     "q259_dataset_diff" ->
@@ -5708,6 +5867,19 @@ object SparkEntry {
   /** As [[shingleCte]] but opening a WITH RECURSIVE block (for queries
     * whose later CTEs are recursive — q31/q41 transitive closure). */
   private val shingleCteRec = "WITH RECURSIVE " + shingleCte.stripPrefix("WITH ")
+
+  /** As [[shingleCte]] but restricted to the q221 eval's fixed-K doc
+    * sample: the Dedup.DedupEvalSampleK docs with the smallest
+    * (md5(doc_id), doc_id) — mirrors lshRecallEval's sample exactly
+    * (same cast, same hex-string ordering, same tiebreak). */
+  private val shingleSampledCte =
+    s"""WITH samp AS (SELECT doc_id FROM documents
+      |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |  LIMIT ${operators.Dedup.DedupEvalSampleK}),
+      |w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS w
+      |  FROM documents JOIN samp USING (doc_id)),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM w, unnest(generate_series(1, greatest(len(w) - 2, 0))) t(i))""".stripMargin
 
   /** DuckDB fragment: rounded double cosine between qv and v. */
   private val cosSqlDuck =

@@ -775,25 +775,50 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed doc-sample size for [[lshRecallEval]]: the eval runs the
+    * EXACT all-true-pairs join as its truth side, so its cost must be
+    * bounded by a constant, not by the corpus — at 100 TB an unsampled
+    * truth join is the single most expensive query in the registry
+    * (measured ×62 at ×10 data, 631 s, round 10). 256 docs keeps the
+    * estimate meaningful at the sf0.01 gate (half that corpus) while
+    * making the eval O(sample²) = O(1) in corpus size. */
+  val DedupEvalSampleK = 256
+
   /** Dedup-quality evaluation: measure the capped-LSH candidate
     * generator against the EXACT Jaccard-≥-τ truth set (the
-    * prefix-filtered all-true-pairs join, [[SetSimJoin.prefixJoin]]).
-    * Recall answers "which true near-dup pairs does banding + the
-    * hot-bucket cap miss", candidate precision answers "how much
-    * exact-verification work does each surviving candidate buy" —
-    * the two numbers every LSH parameter choice (hashes, bands, cap)
-    * trades between, measured instead of assumed. This is the dedup
-    * counterpart of the ANN recall/MRR evals (q146/q189): run it on a
-    * corpus sample before committing band parameters to 100 TB.
+    * prefix-filtered all-true-pairs join, [[SetSimJoin.prefixJoin]]),
+    * ON A FIXED-SIZE DETERMINISTIC DOC SAMPLE. Recall answers "which
+    * true near-dup pairs does banding + the hot-bucket cap miss",
+    * candidate precision answers "how much exact-verification work
+    * does each surviving candidate buy" — the two numbers every LSH
+    * parameter choice (hashes, bands, cap) trades between, measured
+    * instead of assumed. This is the dedup counterpart of the ANN
+    * recall/MRR evals (q146/q189).
+    *
+    * Sampling (round-11 scale fix): the [[DedupEvalSampleK]] docs with
+    * the smallest (md5(doc_id), doc_id) — a deterministic uniform
+    * sample selected by one corpus scan + top-K, identical in any
+    * engine. Truth AND candidates are both computed within the sample,
+    * exact within it, so the estimate is unbiased for pair recall
+    * among sampled docs and the whole eval stays O(K²) at any corpus
+    * size; only the sample selection touches the full table. An
+    * UNSAMPLED eval was measured at ×62 wall-clock for ×10 data — the
+    * kind of slope that makes an eval unrunnable exactly where it
+    * matters most.
     *
     * One row: truth/candidate/hit counts and recall / candidate
     * precision in basis points (NULL when the denominator is an empty
     * set — honestly undefined, same in both engines). Both pair sets
-    * are near-dup-sized (tiny vs the corpus); the crossJoins are
+    * are near-dup-sized (tiny vs the sample); the crossJoins are
     * one-row broadcasts. */
   def lshRecallEval(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRowsOf(
-      graft.sources.Tables.loadSpread(spark, dir, "documents")).cache()
+    val docs = graft.sources.Tables.loadSpread(spark, dir, "documents")
+    val sample = docs
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("_smp"))
+      .orderBy(col("_smp"), col("doc_id"))
+      .limit(DedupEvalSampleK)
+      .select(col("doc_id"))
+    val sh = shingleRowsOf(docs.join(broadcast(sample), Seq("doc_id"))).cache()
     // ONE cached shingle pass feeds both the truth join and the
     // candidate generator being measured (prefixJoin would otherwise
     // re-scan and re-shingle the corpus)

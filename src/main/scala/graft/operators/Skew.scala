@@ -44,6 +44,15 @@ object Skew {
     * mean per-key count. */
   val HotFactor = 4L
 
+  /** Absolute significance floor for the skew advisor/linter: a key is
+    * only "hot" when its max per-key count ALSO reaches this many rows
+    * — a 6-row key that is 6× its (1-row) mean satisfies the ratio
+    * test but cannot overload a reducer, and salting it buys nothing.
+    * The ratio finds the shape, the floor confirms the magnitude;
+    * without it the data-aware rule fires on noise at test scale and
+    * would train authors to ignore it. */
+  val MinHotCount = 1000L
+
   /** Recommended salt factors are capped here — past ~32 sub-keys the
     * second-phase re-merge cost outweighs further spreading. */
   val SaltCap = 32L

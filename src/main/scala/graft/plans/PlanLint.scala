@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, ScalaUDF, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, ScalaUDF, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Sort, Window}
 import org.apache.spark.sql.functions.{col, count, lit, max, sum}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -121,21 +121,37 @@ object PlanLint {
     * why the rule is a separate, explicitly-invoked pass rather than
     * part of the static [[lint]] — and flags the join when the
     * advisor's threshold fires: max per-key count > `hotFactor` × the
-    * mean ([[graft.operators.Skew.HotFactor]]). The finding carries
+    * mean ([[graft.operators.Skew.HotFactor]]) AND max ≥ `minHot`
+    * rows ([[graft.operators.Skew.MinHotCount]] — the absolute
+    * significance floor that keeps the ratio test from firing on
+    * reducer loads too small to matter). The finding carries
     * the measured max/mean and the advisor's capped salt
     * recommendation ceil(max/mean), i.e. the `buckets` argument to
     * [[graft.operators.Skew.saltedJoin]] that levels the hottest
     * reducer to the mean.
     */
-  def lintSkew(df: DataFrame, hotFactor: Long = graft.operators.Skew.HotFactor)
+  def lintSkew(df: DataFrame, hotFactor: Long = graft.operators.Skew.HotFactor,
+               minHot: Long = graft.operators.Skew.MinHotCount)
       : Seq[Finding] = {
     val spark = df.sparkSession
     val bcThreshold = BigInt(spark.sessionState.conf.autoBroadcastJoinThreshold)
     val out = Seq.newBuilder[Finding]
     df.queryExecution.optimizedPlan.foreach {
       case j @ Join(left, right, _, Some(cond), _) =>
-        // equi-key pairs: EqualTo conjuncts with one attr per side
-        val eqKeys: Seq[(Attribute, Attribute)] = cond.collect {
+        // equi-key pairs: EqualTo among the TOP-LEVEL conjuncts only,
+        // one attr per side. Splitting on And first (rather than
+        // cond.collect over the whole tree) is load-bearing: an
+        // EqualTo nested under OR/NOT (`a=b OR c`) is NOT a join
+        // equi-key — the shuffle doesn't hash on it — so collecting
+        // it would measure the histogram of a non-key, and a `_salt`
+        // comparison inside a disjunct would wrongly mark the join
+        // salted.
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+        val eqKeys: Seq[(Attribute, Attribute)] = conjuncts(cond).collect {
           case EqualTo(a: Attribute, b: Attribute)
             if left.outputSet.contains(a) && right.outputSet.contains(b) => (a, b)
           case EqualTo(a: Attribute, b: Attribute)
@@ -160,7 +176,11 @@ object PlanLint {
               val (nRows, nKeys, maxCnt) =
                 (row.getLong(0), row.getLong(1), row.getLong(2))
               val avg = math.max(nRows / math.max(nKeys, 1L), 1L)
-              if (maxCnt > avg * hotFactor) {
+              // ratio finds the shape, the absolute floor confirms the
+              // magnitude: a max-count under `minHot` rows cannot
+              // overload a reducer however extreme its ratio (see
+              // Skew.MinHotCount)
+              if (maxCnt > avg * hotFactor && maxCnt >= minHot) {
                 val reco = math.min(graft.operators.Skew.SaltCap,
                   (maxCnt + avg - 1L) / avg)
                 out += Finding("skewed-shuffle-join", headLine(j),

@@ -165,6 +165,23 @@ object Snapshots {
   def currentVersion(spark: SparkSession, tableDir: String): Option[String] =
     listVersions(spark, tableDir).lastOption
 
+  /** Number of DISTINCT data dirs the LIVE manifest references — the
+    * fragmentation probe that tells maintenance whether [[compact]]
+    * (a full live-set rewrite) would buy anything: 0 = no commit yet,
+    * 1 = already consolidated (compacting again is pure write
+    * amplification), N = a chain of N per-commit dirs that one
+    * compact collapses. O(one manifest read); touches no data file. */
+  def liveDataDirCount(spark: SparkSession, tableDir: String): Int =
+    currentVersion(spark, tableDir) match {
+      case None => 0
+      case Some(v) =>
+        val m = readManifest(spark, tableDir, v)
+        m.dataDir match {
+          case Some(_) => 1
+          case None => m.partitions.map(_._2).distinct.size
+        }
+    }
+
   /** All published version names, ascending (bounded by [[vacuum]]
     * retention). */
   private[graft] def listVersions(spark: SparkSession, tableDir: String): Seq[String] = {

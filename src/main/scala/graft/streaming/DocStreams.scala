@@ -112,13 +112,26 @@ object DocStreams {
     * (0 is safe from inside the stream's own foreachBatch, which
     * serializes all writers). Returns the number of manifests
     * reclaimed. */
+  /** Compact only when the live manifest references at least this many
+    * data dirs. Compaction is a full rewrite of the LIVE ROW SET, so
+    * running it on an unconditional cadence makes cumulative write
+    * amplification grow with index size × stream length (quadratic on
+    * a long-running stream) — and buys nothing when the chain is
+    * already one dir. Gating on fragmentation makes maintenance cost
+    * track CHAIN GROWTH (bounded by the cadence) instead. */
+  val CompactMinDataDirs = 4
+
   def maintainIndex(spark: org.apache.spark.sql.SparkSession,
                     indexTableDir: String, keep: Int = 2,
-                    orphanGraceMs: Long = 0L): Int =
-    Snapshots.currentVersion(spark, indexTableDir) match {
-      case None => 0 // nothing committed yet — nothing to maintain
-      case Some(_) =>
-        Snapshots.compact(spark, indexTableDir)
+                    orphanGraceMs: Long = 0L,
+                    minDataDirs: Int = CompactMinDataDirs): Int =
+    Snapshots.liveDataDirCount(spark, indexTableDir) match {
+      case 0 => 0 // nothing committed yet — nothing to maintain
+      case n =>
+        // vacuum alone reclaims aged manifests and any dirs a prior
+        // compact already unreferenced; the rewrite runs only when the
+        // chain is long enough to be worth collapsing
+        if (n >= minDataDirs) Snapshots.compact(spark, indexTableDir)
         Snapshots.vacuum(spark, indexTableDir, keep, orphanGraceMs)
     }
 

@@ -78,6 +78,50 @@ class PlanLintSpec extends SparkSpec {
       "a broadcast-eligible join must not be measured or flagged")
   }
 
+  test("skew rule: an EqualTo under OR is not a join equi-key") {
+    val bcBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // same planted 2000x hot key as above, but the equality sits in
+      // a DISJUNCTION — the join cannot hash-partition on it, so the
+      // rule must not measure it (pre-fix, cond.collect over the whole
+      // tree extracted it and flagged a non-key histogram)
+      val fact = spark.range(20000).select(
+        when(col("id") % 10 === 0, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(5000).select(col("id").as("k2"), (col("id") * 2).as("w"))
+      val orJoin = fact.join(dim,
+        fact("k") === dim("k2") || fact("v") === dim("w"))
+      assert(PlanLint.lintSkew(orJoin).isEmpty,
+        "an OR-nested equality is not an equi-key and must not be measured")
+      // conjunct + disjunct mix: the top-level conjunct IS measured
+      val mixed = fact.join(dim,
+        fact("k") === dim("k2") && (fact("v") === dim("w") || fact("v") > dim("w")))
+      assert(PlanLint.lintSkew(mixed).exists(_.rule == "skewed-shuffle-join"),
+        "the top-level equi-conjunct still carries the hot key")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcBefore)
+  }
+
+  /** Queries whose measured key histogram legitimately trips the skew
+    * rule at the gate SF — each with the reason the shape is safe at
+    * scale. Everything else must pass the data-aware rule, so a future
+    * round introducing a genuinely hot shuffle key fails HERE. */
+  private val skewWhitelist: Map[String, String] = Map.empty
+
+  test("EVERY registered query passes the data-aware skew rule at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val failures = Seq.newBuilder[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try {
+        val found = PlanLint.lintSkew(fn(spark, sf))
+        if (found.nonEmpty && !skewWhitelist.contains(name))
+          failures += s"$name: ${found.mkString("; ")}"
+      } finally spark.catalog.clearCache()
+    }
+    val out = failures.result()
+    assert(out.isEmpty, s"\n${out.mkString("\n")}")
+  }
+
   /** Queries whose condition-less joins are the DOCUMENTED by-design
     * exception, not a regression — each with the reason the shape is
     * legitimate. Everything else in the registry must lint clean, so
@@ -85,7 +129,12 @@ class PlanLintSpec extends SparkSpec {
   private val cartesianWhitelist: Map[String, String] = Map(
     "q144_drift_days" ->
       ("day-grid × type-mix zero-materializing cross: both sides are dimension-sized " +
-        "(days, event types) by design — the grid IS the operator (Behavioral.driftDays)"))
+        "(days, event types) by design — the grid IS the operator (Behavioral.driftDays)"),
+    "q264_langid_ngram" ->
+      ("gram-rows × class-totals broadcast cross: the fastText scoring shape — every " +
+        "class is scored per gram, and the class table is bounded by the label set " +
+        "(a dimension, like the centroid tables); partial aggregation collapses the " +
+        "fan-out map-side before the only shuffle (TextAnalysis.langIdNgramOf)"))
 
   test("EVERY registered query lints clean of unbounded cross-joins and Scala UDFs") {
     val sf = "/root/testdata/sf0.001"
