@@ -71,10 +71,19 @@ object Bench {
     val gateWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "600").toInt
     // Per-query requeue: a row whose observed load (max of start/end
     // 1-min loadavg) exceeds this is re-run up to BENCH_REQUEUE times,
-    // keeping the least-loaded attempt. Default = the start gate: the
-    // same bar for starting clean applies to every row staying clean.
+    // keeping the least-loaded attempt. The threshold must sit ABOVE
+    // the bench's own steady-state contribution, which the start gate
+    // does not: a multi-second query keeps local[32] busy long enough
+    // to push the 1-min loadavg past any gate-level bound by itself
+    // (the full-registry ×10 run measured self-load up to 5.0 on an
+    // otherwise-idle host — a gate-level threshold would requeue ~95%
+    // of its rows twice, tripling the run for zero signal). 6.0 =
+    // worst observed self-load plus margin; historical co-tenants
+    // pushed 5-18, so real contamination still trips it, and every
+    // row's observed load is recorded regardless — a sub-threshold
+    // co-tenant is still visible in the artifact.
     val requeueMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE_LOAD",
-      gateMax.toString).toDouble
+      "6.0").toDouble
     val requeueTries = sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE", "2").toInt
     var waited = waitForQuiesce(gateMax, gateWaitSec, "start gate")
     val loadGate = if (load1min > gateMax) "loaded" else "clean"
@@ -132,7 +141,11 @@ object Bench {
           tries += 1
           System.err.println(
             f"[bench] $name ran at loadavg $qLoad%.2f > $requeueMax%.1f — requeue attempt $tries/$requeueTries")
-          waited += waitForQuiesce(requeueMax, gateWaitSec, s"requeue $name")
+          // re-gate at the CLEAN start bar, not the requeue threshold:
+          // the retry exists to produce an uncontaminated attempt, and
+          // with the bench idle during the wait only a live co-tenant
+          // keeps the loadavg up
+          waited += waitForQuiesce(gateMax, gateWaitSec, s"requeue $name")
           val (v2, f2, l2) = runOne(name, fn)
           if (f2) { value = v2; failed = f2; qLoad = l2 }
           else if (l2 < qLoad) { value = v2; qLoad = l2 }
