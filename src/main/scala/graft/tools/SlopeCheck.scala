@@ -50,7 +50,10 @@ object SlopeCheck {
     "q87_crosscorpus_neardup" -> 90.0, // same banding as q24; ×44.9 r10
     "q104_editdist_neardup" -> 85.0,   // Levenshtein over inflated candidates; ×41.6 r10
     "q198_setsim_prefix" -> 75.0,      // exact PPJoin emits the clone pairs; ×36.9 r10
-    "q212_setsim_delta" -> 40.0)       // delta-involving pairs ×~100; ×20.3 r10
+    "q212_setsim_delta" -> 40.0,       // delta-involving pairs ×~100; ×20.3 r10
+    "q84_audio_decode" -> 30.0)        // per-row linear decode; ×12.4 r10 / ×16.8 r11
+                                       // on a STABLE ×10 cost (8.37→8.64 s) — the
+                                       // swing is sub-second base wobble (0.67→0.51 s)
   // q221_dedup_recall dropped from this table in round 11: its truth
   // side is now computed on a fixed-K doc sample (Dedup.lshRecallEval)
   // so the default ×16 bound applies — the pin IS the regression gate
