@@ -165,7 +165,14 @@ object Bench {
     // also persist to a repo artifact: the driver's stdout tail has
     // historically truncated the per-query map, leaving the round
     // bench unparseable — the file keeps all entries diffable
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // Default OFF the repo: the committed bench_out.json is a curated
+    // clean-run artifact written only by tools/bench_chain.sh (which
+    // sets SPARK_GRAFT_BENCH_OUT explicitly) — with the old in-repo
+    // default, any casual smoke run or an external driver invocation
+    // silently clobbered it (round 10: the committed clean 190.2 s
+    // artifact was overwritten by a load-contaminated run).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"${sys.props("java.io.tmpdir")}/graft_bench_last.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case NonFatal(e) =>
