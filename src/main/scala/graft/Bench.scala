@@ -147,8 +147,12 @@ object Bench {
           // keeps the loadavg up
           waited += waitForQuiesce(gateMax, gateWaitSec, s"requeue $name")
           val (v2, f2, l2) = runOne(name, fn)
-          if (f2) { value = v2; failed = f2; qLoad = l2 }
-          else if (l2 < qLoad) { value = v2; qLoad = l2 }
+          // keep the least-loaded SUCCESSFUL attempt only: a failed
+          // retry must never overwrite a valid first measurement (the
+          // row already ran — a transient retry crash turning it into
+          // failed/-1 would contradict the keep-least-loaded contract
+          // and red the SlopeSpec failed-query gate for nothing)
+          if (!f2 && l2 < qLoad) { value = v2; qLoad = l2 }
         }
         (name, value, failed, qLoad)
       }

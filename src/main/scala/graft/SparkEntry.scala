@@ -1675,6 +1675,48 @@ object SparkEntry {
     // stays registered as the comparison baseline
     "q264_langid_ngram"    -> ((s: SparkSession, d: String) =>
       TextAnalysis.langIdNgram(s, d)),
+    // ---- round 12: charset handling on the raw-web path — pages
+    // planted in ISO-8859-1 / windows-1252 / UTF-8 (header param,
+    // meta-tag fallback, default) must decode to the UTF-8 ground
+    // truth; a UTF-8-only reader turns every high byte into U+FFFD
+    "q265_charset_decode"  -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      graft.sources.Warc.readRecords(s, warcCharsetFixture(s, d))
+        .filter(_.warc_type == "response")
+        .map { r =>
+          val id = r.target_uri.substring(r.target_uri.lastIndexOf('/') + 1).toLong
+          val (cs, html) = graft.sources.Warc.decodeBody(r.http_content_type, r.body)
+          (id, cs, operators.HtmlText.extract(html).text)
+        }
+        .toDF("doc_id", "charset", "extracted")
+        .orderBy(col("doc_id"))
+    }),
+    // URL canonicalization + keep-first dedup by canonical URL — the
+    // cheapest dedup of a crawl pipeline, upstream of content dedup:
+    // five cosmetic variants per page (host case, explicit default
+    // port, fragment, tracking params, query-key order) collapse onto
+    // one canonical string
+    "q266_url_canonical"   -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val d5 = graft.sources.Tables.load(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr("CAST(CAST(doc_id AS BIGINT) div 5 AS STRING)").as("g"))
+      val url = when(pmod(col("doc_id"), lit(5L)) === 0,
+          concat(lit("http://Example.org/doc/"), col("g")))
+        .when(pmod(col("doc_id"), lit(5L)) === 1,
+          concat(lit("HTTP://example.org:80/doc/"), col("g"), lit("?utm_source=x")))
+        .when(pmod(col("doc_id"), lit(5L)) === 2,
+          concat(lit("http://example.org/doc/"), col("g"), lit("#frag")))
+        .when(pmod(col("doc_id"), lit(5L)) === 3,
+          concat(lit("https://Example.org:443/doc/"), col("g"), lit("?b=2&a=1")))
+        .otherwise(
+          concat(lit("https://example.org/doc/"), col("g"), lit("?a=1&b=2&utm_campaign=y")))
+      d5.withColumn("canon_url", functions.Urls.canonicalUrl(url))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("keeper_doc"))
+        .orderBy(col("canon_url"))
+    }),
   )
 
   /** Memoized WARC shard fixture: every documents row rendered into a
@@ -1706,6 +1748,42 @@ object SparkEntry {
         regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
         decode(col("body"), "UTF-8").as("html"))
   }
+
+  /** Memoized charset-zoo WARC fixture: each documents row becomes a
+    * minimal page whose BYTES are encoded in a per-doc charset with a
+    * charset-specific marker prepended (every marker contains
+    * characters whose bytes are invalid UTF-8 in that encoding — a
+    * UTF-8-only decode provably corrupts them):
+    *   doc_id % 3 == 0 → UTF-8, declared in the Content-Type header;
+    *   doc_id % 3 == 1 → ISO-8859-1, declared in the header;
+    *   doc_id % 3 == 2 → windows-1252, declared ONLY by an HTML
+    *     `<meta charset>` (header says bare `text/html`) — the
+    *     sniffing fallback path; the € / ’ marker chars sit in
+    *     0x80-0x9F, where cp1252 and latin-1 disagree. */
+  private def warcCharsetFixture(s: SparkSession, d: String): String =
+    fixture("warccharset", s, d, "documents") { path =>
+      wipe(s, path)
+      import s.implicits._
+      val pages = graft.sources.Tables.load(s, d, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+          org.apache.spark.sql.functions.col("text").cast("string"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val (cs, marker, ctype, meta) = (id % 3) match {
+            case 0 => ("UTF-8", "naïve café übung", "text/html; charset=utf-8", "")
+            case 1 => ("ISO-8859-1", "café déjà vu", "text/html; charset=ISO-8859-1", "")
+            case _ => ("windows-1252", "€uro ’quote café", "text/html",
+              "<meta charset=\"windows-1252\">")
+          }
+          val body = if (text.isEmpty) marker else marker + " " + text
+          val html =
+            s"<html><head>$meta<title>t</title></head><body><p>$body</p></body></html>"
+          (id / graft.sources.Warc.PagesPerShard, id,
+            s"http://example.org/doc/$id", ctype, html.getBytes(cs))
+        }
+        .toDF("shard", "doc_id", "url", "content_type", "body")
+      graft.sources.Warc.writeShardsEncoded(s, pages, path)
+    }
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
   private val groupingSetsSql: String =
@@ -1955,15 +2033,11 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q23_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |$adaptiveKCteDuck,
-        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < (SELECT k FROM kk)),
-        |asg0 AS (SELECT vec_id, v, cid,
-        |    round(list_dot_product(cv, v) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(v, v))), 4) AS ccos
-        |  FROM e, cents),
-        |asg AS (SELECT vec_id, v, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM asg0)
-        |  WHERE crk = 1),
+        |$coarseMCteDuck,
+        |cents AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < (SELECT k FROM kk)),
+        |${twoLevelAsgDuck("0", "cents", "asg")},
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
         |probes AS (SELECT qid, qv, cid FROM (
         |    SELECT qid, qv, cid,
@@ -1971,10 +2045,10 @@ object SparkEntry {
         |        round(list_dot_product(cv, qv) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 4) DESC, cid) AS prk
         |    FROM q, cents)
         |  WHERE prk <= 4),
-        |scored AS (SELECT p.qid, a.vec_id,
-        |    round(list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 4) AS cos
-        |  FROM probes p JOIN asg a ON a.cid = p.cid
-        |  WHERE a.vec_id <> p.qid),
+        |scored AS (SELECT p.qid, e.vec_id,
+        |    round(list_dot_product(p.qv, e.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cos
+        |  FROM probes p JOIN asg a ON a.cid = p.cid JOIN e ON e.vec_id = a.vec_id
+        |  WHERE e.vec_id <> p.qid),
         |r AS (SELECT qid, vec_id, cos,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
         |  FROM scored)
@@ -3531,7 +3605,7 @@ object SparkEntry {
     // recall@5 of the q23 IVF search against the q22 brute force,
     // computed from the SAME CTE definitions both gates already prove
     "q146_ann_recall" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
         |bscored AS (SELECT qid, vec_id, $cosSqlDuck AS cos
         |  FROM e, q WHERE vec_id <> qid),
@@ -3539,13 +3613,9 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
         |  FROM bscored) WHERE rk <= 5),
         |$adaptiveKCteDuck,
-        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < (SELECT k FROM kk)),
-        |asg0 AS (SELECT vec_id, v, cid,
-        |    round(list_dot_product(cv, v) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(v, v))), 4) AS ccos
-        |  FROM e, cents),
-        |asg AS (SELECT vec_id, v, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM asg0)
-        |  WHERE crk = 1),
+        |$coarseMCteDuck,
+        |cents AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < (SELECT k FROM kk)),
+        |${twoLevelAsgDuck("0", "cents", "asg")},
         |probes AS (SELECT qid, qv, cid FROM (
         |    SELECT qid, qv, cid,
         |      row_number() OVER (PARTITION BY qid ORDER BY
@@ -3553,8 +3623,8 @@ object SparkEntry {
         |    FROM q, cents)
         |  WHERE prk <= 4),
         |iscored AS (SELECT p.qid, a.vec_id,
-        |    round(list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 4) AS cos
-        |  FROM probes p JOIN asg a ON a.cid = p.cid
+        |    round(list_dot_product(p.qv, e.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cos
+        |  FROM probes p JOIN asg a ON a.cid = p.cid JOIN e ON e.vec_id = a.vec_id
         |  WHERE a.vec_id <> p.qid),
         |ivf AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
@@ -5424,15 +5494,23 @@ object SparkEntry {
     // chrome, so extracted == text byte-for-byte; kept blocks = the
     // fixture's paragraph count (12-word groups, tail <4 words merged
     // into the previous group), dropped = the planted boilerplate
-    // (title + nav + footer, + the ad block on even doc_ids)
+    // (title + nav + footer, + the ad block on even doc_ids).
+    // Sub-MinBlockWords documents are stated honestly: a <3-word body
+    // renders one short paragraph that the extractor's length gate
+    // drops (n_kept 0, extracted '', one extra dropped block), and an
+    // all-whitespace body renders NO block at all — so the identity
+    // holds at any corpus shape, not just the current fixtures'
     "q261_warc_extract" ->
       s"""WITH n AS (SELECT doc_id, text,
         |  len(string_split(text, ' ')) AS nw FROM documents)
         |SELECT doc_id,
-        |  CAST(CASE WHEN (nw + 11) // 12 > 1 AND nw % 12 BETWEEN 1 AND 3
+        |  CAST(CASE WHEN nw < 3 THEN 0
+        |    WHEN (nw + 11) // 12 > 1 AND nw % 12 BETWEEN 1 AND 3
         |    THEN (nw + 11) // 12 - 1 ELSE (nw + 11) // 12 END AS BIGINT) AS n_kept,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT) AS n_dropped,
-        |  text AS extracted
+        |  CAST((CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END)
+        |    + (CASE WHEN nw < 3 AND length(trim(text)) > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  CASE WHEN nw < 3 THEN '' ELSE text END AS extracted
         |FROM n ORDER BY doc_id""".stripMargin,
     // shard assignment + per-shard record counts through both codec
     // paths (odd shards are per-record-gzip .warc.gz)
@@ -5501,6 +5579,54 @@ object SparkEntry {
         |  lang, detected, CAST(count(*) AS BIGINT) AS n
         |FROM best WHERE rk = 1
         |GROUP BY 1, 2, 3 ORDER BY heldout, lang, detected""".stripMargin,
+    // the charset identity: the fixture prepends a charset-specific
+    // non-ASCII marker and encodes the page bytes per doc_id % 3 —
+    // matched only by really parsing charset= from the HTTP header
+    // (cases 0/1) or the meta tag (case 2) and decoding with it; a
+    // UTF-8-only decode turns every marker byte into U+FFFD
+    "q265_charset_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+        |    ELSE 'windows-1252' END AS charset,
+        |  (CASE doc_id % 3 WHEN 0 THEN 'naïve café übung'
+        |    WHEN 1 THEN 'café déjà vu' ELSE '€uro ’quote café' END)
+        |  || (CASE WHEN length(text) = 0 THEN '' ELSE ' ' || text END) AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // functions.Urls.canonicalUrl restated: same regexes, same
+    // codepoint param sort, same tracking-param strip — five cosmetic
+    // variants collapse onto one canonical string per (scheme, page)
+    "q266_url_canonical" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(CAST(doc_id AS BIGINT) // 5 AS VARCHAR) AS g FROM documents),
+        |u AS (SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'http://Example.org/doc/' || g
+        |      WHEN 1 THEN 'HTTP://example.org:80/doc/' || g || '?utm_source=x'
+        |      WHEN 2 THEN 'http://example.org/doc/' || g || '#frag'
+        |      WHEN 3 THEN 'https://Example.org:443/doc/' || g || '?b=2&a=1'
+        |      ELSE 'https://example.org/doc/' || g || '?a=1&b=2&utm_campaign=y' END AS url
+        |  FROM d),
+        |p AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |c AS (SELECT doc_id,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS pth,
+        |    regexp_extract(nf, '\?(.*)$', 1) AS qry
+        |  FROM p),
+        |n AS (SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |      WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |      ELSE hostport END AS host,
+        |    CASE WHEN pth = '' THEN '/' ELSE pth END AS pth,
+        |    coalesce(array_to_string(list_sort(list_filter(string_split(qry, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)='))), '&'), '') AS kept
+        |  FROM c),
+        |canon AS (SELECT doc_id, scheme || '://' || host || pth ||
+        |    (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canon_url
+        |  FROM n)
+        |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper_doc
+        |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin,
     // the derived-next diff census in closed form from the base table
     // (removal wins over edit; adds are the shifted mod-103 copies)
     "q259_dataset_diff" ->
@@ -5901,29 +6027,52 @@ object SparkEntry {
   private val adaptiveKCteDuck: String =
     "kk AS (SELECT greatest(16, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k FROM e)"
 
+  /** The coarse cell count m = ⌈√k⌉ of the two-level assignment —
+    * Vectors.twoLevelParts restated; `kk` must be in scope. */
+  private val coarseMCteDuck: String =
+    "ivm AS (SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS m FROM kk)"
+
+  /** TWO-LEVEL assignment CTE block over centroid table `ctab`
+    * (cid, cv), emitting `$out(vec_id, cid)` — mirrors
+    * Vectors.twoLevelAssign exactly: coarse seeds = centroids with
+    * cid < m (`ivm` must be in scope); every centroid maps to its
+    * nearest seed; every vector picks its nearest NON-EMPTY seed, then
+    * argmaxes only over that seed's member centroids. All argmaxes are
+    * (rounded cosine DESC, id ASC) — the engine's tie convention.
+    * Requires CTE `e(vec_id, v)`. */
+  private def twoLevelAsgDuck(tag: String, ctab: String, out: String): String =
+    s"""ivg$tag AS MATERIALIZED (SELECT cid AS gid, cv AS gv FROM $ctab WHERE cid < (SELECT m FROM ivm)),
+       |ivcg$tag AS MATERIALIZED (SELECT cid, gid FROM (
+       |    SELECT c.cid, g.gid, row_number() OVER (PARTITION BY c.cid ORDER BY ${cosDuck("g.gv", "c.cv")} DESC, g.gid) AS rk
+       |    FROM $ctab c, ivg$tag g) WHERE rk = 1),
+       |ivvg$tag AS MATERIALIZED (SELECT vec_id, gid FROM (
+       |    SELECT e.vec_id, g.gid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosDuck("g.gv", "e.v")} DESC, g.gid) AS rk
+       |    FROM e, ivg$tag g WHERE g.gid IN (SELECT gid FROM ivcg$tag)) WHERE rk = 1),
+       |$out AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosDuck("c.cv", "e.v")} DESC, c.cid) AS rk
+       |    FROM e JOIN ivvg$tag vv USING (vec_id) JOIN ivcg$tag cg ON cg.gid = vv.gid JOIN $ctab c ON c.cid = cg.cid) WHERE rk = 1)""".stripMargin
+
   /** Unrolled Lloyd training (3 iterations, integer-quantized sum
-    * centroids — Vectors.trainCentroids bit-for-bit) ending in the
-    * final assignment `fasg(vec_id, cid)`; shared by q43 and q92. */
+    * centroids — Vectors.trainCentroids bit-for-bit, each iteration's
+    * assignment TWO-LEVEL like the engine's) ending in the final
+    * assignment `fasg(vec_id, cid)`; shared by q43 and q92. */
   private val ivfTrainPreludeDuck: String = {
     val iters = 3
     val steps = (0 until iters).map { t =>
-      s"""asg$t AS (SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosDuck("c.cv", "e.v")} DESC, c.cid) AS rk
-         |    FROM e, c$t c) WHERE rk = 1),
+      s"""${twoLevelAsgDuck(t.toString, s"c$t", s"asg$t")},
          |s$t AS (SELECT a.cid, t.i, sum(q.qv[t.i]) AS s
          |  FROM asg$t a JOIN q USING (vec_id), unnest(generate_series(1, len(q.qv))) t(i)
          |  GROUP BY a.cid, t.i),
-         |c${t + 1} AS (SELECT c.cid, coalesce(n.cv, c.cv) AS cv FROM c$t c
+         |c${t + 1} AS MATERIALIZED (SELECT c.cid, coalesce(n.cv, c.cv) AS cv FROM c$t c
          |  LEFT JOIN (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv FROM s$t GROUP BY cid) n USING (cid)),""".stripMargin
     }.mkString("\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |q AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS qv FROM e),
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS qv FROM e),
        |$adaptiveKCteDuck,
-       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv FROM q WHERE vec_id < (SELECT k FROM kk)),
+       |$coarseMCteDuck,
+       |c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv FROM q WHERE vec_id < (SELECT k FROM kk)),
        |$steps
-       |fasg AS (SELECT vec_id, cid FROM (
-       |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosDuck("c.cv", "e.v")} DESC, c.cid) AS rk
-       |    FROM e, c$iters c) WHERE rk = 1)""".stripMargin
+       |${twoLevelAsgDuck("f", s"c$iters", "fasg")}""".stripMargin
   }
 
   private val ivfTrainedSqlDuck: String =

@@ -71,14 +71,33 @@ object HtmlText {
   private val EntityRe = "&(#[xX]?[0-9a-fA-F]+|[a-zA-Z]+);".r
 
   /** Decode named (the HTML core set) + numeric (decimal / hex)
-    * entities; unknown names pass through verbatim (lossless). */
+    * entities; unknown names pass through verbatim (lossless).
+    *
+    * Numeric decode is crawl-safe: supplementary-plane code points
+    * (`&#128512;`) decode via `Character.toChars` (a bare `.toChar`
+    * truncates them to a wrong BMP char), and ANY malformed numeric —
+    * out-of-range, non-code-point, overflowing, or hex digits in the
+    * decimal branch (`&#1f;`, which the entity regex admits) — falls
+    * back to the matched text verbatim, the same lossless pass-through
+    * unknown named entities get. A parse failure must never throw: one
+    * bad entity on one page would kill the whole Spark task. */
+  private def decodeNumeric(e: String): Option[String] = {
+    val hex = e.startsWith("#x") || e.startsWith("#X")
+    try {
+      val cp = Integer.parseInt(e.drop(if (hex) 2 else 1), if (hex) 16 else 10)
+      // lone surrogates are valid "code points" to isValidCodePoint
+      // but not scalar values — emitting one makes ill-formed UTF-16
+      if (Character.isValidCodePoint(cp) && !(cp >= 0xD800 && cp <= 0xDFFF))
+        Some(new String(Character.toChars(cp)))
+      else None
+    } catch { case _: NumberFormatException => None }
+  }
+
   private[graft] def decodeEntities(s: String): String =
     EntityRe.replaceAllIn(s, m => {
       val e = m.group(1)
       val repl =
-        if (e.startsWith("#x") || e.startsWith("#X"))
-          Integer.parseInt(e.drop(2), 16).toChar.toString
-        else if (e.startsWith("#")) Integer.parseInt(e.drop(1)).toChar.toString
+        if (e.startsWith("#")) decodeNumeric(e).getOrElse(m.matched)
         else e match {
           case "amp" => "&"
           case "lt" => "<"

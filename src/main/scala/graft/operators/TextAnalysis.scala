@@ -107,14 +107,23 @@ object TextAnalysis {
       .crossJoin(broadcast(docs.filter(!held).agg(count(lit(1)).as("d_all"))))
       .select(col("lang").as("cand_lang"),
         (length(bin(expr("d_all div d_l"))) - 1).cast("long").as("prior_bits"))
-    val scored = grams
+    // scoring fans out × |classes| — so fan out DISTINCT (doc, bucket)
+    // rows weighted by their occurrence count, not raw gram
+    // occurrences: at a real crawl's ~100 languages the per-doc rows
+    // into the partial aggregate drop from occurrences×classes to
+    // distinct-buckets×classes (identical sums: Σ bits over
+    // occurrences = bits × count)
+    val gcounts = grams
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("gcnt"))
+    val scored = gcounts
       .crossJoin(broadcast(totals))
       .join(broadcast(model), Seq("bucket", "cand_lang"), "left")
       .withColumn("b_", col("n_l") + lit(LangIdBuckets.toLong))
       .withColumn("a_", coalesce(col("c"), lit(0L)) + lit(1L))
       .withColumn("bits", (length(bin(expr("b_ div a_"))) - 1).cast("long"))
       .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
-      .agg(sum(col("bits")).as("gram_bits"))
+      .agg(sum(col("bits") * col("gcnt")).as("gram_bits"))
       .join(broadcast(priors), Seq("cand_lang"))
       .withColumn("cost", col("gram_bits") + col("prior_bits"))
     scored.groupBy(col("doc_id"), col("lang"))

@@ -43,13 +43,16 @@ object Vectors {
   val AdaptiveK = 0
 
   /** k ≈ ⌈√N⌉ clamped to [[[IvfMinCentroids]], [[IvfMaxCentroids]]] —
-    * the count-derived IVF cell count. √N balances the two cost terms
-    * of flat IVF (assignment N·k vs in-cell pairs N²/k, both N^1.5),
-    * and keeps per-cell candidate joins shrinking as the corpus grows
-    * instead of going quadratic under a fixed k. ⌈√N⌉ is
-    * engine-portable: IEEE-754 sqrt is correctly rounded on every
-    * platform, so the DuckDB oracles derive the identical k with
-    * `ceil(sqrt(count(*)))`. */
+    * the count-derived IVF cell count. √N keeps the in-cell pair term
+    * N²/k shrinking per cell as the corpus grows instead of going
+    * quadratic under a fixed k; the OTHER cost term of flat IVF — the
+    * N·k·d assignment, which at k = √N is N^1.5·d and was the measured
+    * ×100 scale-killer (q43 ×164) — is killed separately by the
+    * two-level coarse-quantized assignment ([[twoLevelAssign]]:
+    * ~2·N·⌈√k⌉·d per pass). ⌈√N⌉ is engine-portable: IEEE-754 sqrt is
+    * correctly rounded on every platform, so the DuckDB oracles derive
+    * the identical k with `ceil(sqrt(count(*)))` and the identical
+    * m = ⌈√k⌉ coarse cell count. */
   def adaptiveIvfK(n: Long): Int =
     math.min(IvfMaxCentroids.toLong,
       math.max(IvfMinCentroids.toLong,
@@ -125,18 +128,75 @@ object Vectors {
   def ivfAssignment(spark: SparkSession, dir: String): DataFrame =
     ivfAssignmentWith(emb(spark, dir), firstKCentroids(spark, dir))
 
-  /** Argmax via max_by over (score, -cid) — one aggregation of tiny
-    * (vec_id, cid, score) triples; carrying `embedding` through the
-    * ×K cross join into a window exchange would shuffle K copies of
-    * every corpus vector. The embedding is joined back by vec_id
-    * (one corpus-sized shuffle instead of K). */
-  private def ivfAssignmentWith(e: DataFrame, centsDf: DataFrame): DataFrame = {
-    val cents = broadcast(centsDf)
-    val assignment = e.crossJoin(cents)
+  /** Two-level (coarse-quantized) assignment preparation, driver-side
+    * over the MODEL (k centroids — the same bounded-model contract as
+    * the Lloyd sum collect): coarse seeds are the centroids with
+    * cid < m, m = ⌈√k⌉; every centroid maps to its nearest seed
+    * (rounded cosine, ties to the smallest gid — the engine's argmax
+    * convention everywhere); seeds whose group ended up empty are
+    * dropped so no vector can be routed to a memberless group. k×m
+    * ≤ 2¹⁶·2⁸ driver dot products — model-sized, never corpus-sized.
+    * Returns (non-empty seeds, cid → gid). */
+  private def twoLevelParts(cents: Array[(Int, Array[Double])])
+      : (Seq[(Int, Array[Double])], Seq[(Int, Int)]) = {
+    val m = math.ceil(math.sqrt(cents.length.toDouble)).toInt
+    val seeds = cents.filter(_._1 < m)
+    def cosOf(a: Array[Double], b: Array[Double]): Double = {
+      val denom = math.sqrt(dotArr(a, a)) * math.sqrt(dotArr(b, b))
+      if (denom == 0.0) Double.NegativeInfinity else round4(dotArr(a, b) / denom)
+    }
+    val cidToGid = cents.toSeq.map { case (cid, cv) =>
+      val (_, gid) = seeds.map { case (g, gv) => (cosOf(gv, cv), g) }
+        .minBy { case (c, g) => (-c, g) }
+      (cid, gid)
+    }
+    val nonEmpty = cidToGid.map(_._2).toSet
+    (seeds.toSeq.filter(s => nonEmpty.contains(s._1)), cidToGid)
+  }
+
+  /** Corpus → centroid assignment, TWO-LEVEL: each vector finds its
+    * nearest coarse seed first (N·√k rounded cosines), then the argmax
+    * only over that seed's member centroids (N·k/√k expected). The
+    * flat N·k assignment with the count-derived k = ⌈√N⌉ is N^1.5·d —
+    * the measured ×100 scale-killer (q43 ×164 before this); two-level
+    * drops every assignment pass (training iterations AND the final
+    * assignment) to ~2·N·N^0.25·d. Argmax via max_by over tiny
+    * (vec_id, id, score) triples — embeddings never fan out ×k across
+    * a shuffle; the group routing costs one vec_id-keyed join. */
+  private def twoLevelAssign(spark: SparkSession, e: DataFrame,
+                             cents: Array[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    val (seeds, cidToGid) = twoLevelParts(cents)
+    val gidOf = cidToGid.toMap
+    val seedsDf = broadcast(seeds.toDF("gid", "gv"))
+    val centsG = broadcast(cents.toSeq.map { case (cid, cv) => (cid, gidOf(cid), cv) }
+      .toDF("cid", "gid", "cv"))
+    val vg = e.crossJoin(seedsDf)
+      .select(col("vec_id"), col("gid"),
+        round(cosine(col("gv"), col("embedding")), 4).as("gcos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("gid"), struct(col("gcos"), -col("gid"))).as("gid"))
+    e.join(vg, Seq("vec_id"))
+      .join(centsG, Seq("gid"))
       .select(col("vec_id"), col("cid"),
         round(cosine(col("cv"), col("embedding")), 4).as("ccos"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+  }
+
+  /** Assignment over a centroid FRAME: the k-row model is collected
+    * (free for trained centroids — already a local relation; one
+    * pushed-filter job for the first-k seed frame) and routed through
+    * [[twoLevelAssign]]. The embedding is joined back by vec_id (one
+    * corpus-sized shuffle, never ×k copies). */
+  private def ivfAssignmentWith(e: DataFrame, centsDf: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val cents: Array[(Int, Array[Double])] = centsDf
+      .select(col("cid").cast("int"), col("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val assignment = twoLevelAssign(spark, e, cents)
     e.join(assignment, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("cid"))
   }
@@ -334,12 +394,9 @@ object Vectors {
       .as[(Int, Array[Long])].collect().sortBy(_._1)
       .map { case (cid, qv) => (cid, qv.map(_.toDouble)) }
     for (_ <- 0 until iters) {
-      val centsDf = broadcast(cents.toSeq.toDF("cid", "cv"))
-      val asg = e.crossJoin(centsDf)
-        .select(col("vec_id"), col("cid"),
-          round(cosine(col("cv"), col("embedding")), 4).as("ccos"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+      // two-level assignment: the flat N·k argmax per iteration is the
+      // N^1.5 term at the adaptive k = ⌈√N⌉ — see [[twoLevelAssign]]
+      val asg = twoLevelAssign(spark, e, cents)
       val sums = asg.join(q, Seq("vec_id"))
         .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -506,8 +563,11 @@ object Vectors {
       slice(col("embedding"), s * subLen + 1, subLen).as("embedding"))
     // one codebook per subspace (k×subLen driver rows — the model),
     // trained jointly in shared Lloyd passes
+    // broadcast at the USE sites, not here: a hint wrapped under the
+    // meltedBooks union below would not attach to any join (Spark's
+    // hint resolution drops it with a HintErrorLogger warning)
     val books = trainSubspaceCodebooks(spark,
-      (0 until PqSubspaces).map(sub), PqK, PqIters).map(broadcast)
+      (0 until PqSubspaces).map(sub), PqK, PqIters)
     // encodings fused the same way: melt subspaces, ONE broadcast join
     // + argmax + pivot back to (vec_id, c0..c3) — instead of a
     // join+aggregate pass per subspace and a 4-way re-join
@@ -536,7 +596,7 @@ object Vectors {
     val tables = (0 until PqSubspaces).map { s =>
       broadcast(sub(s).filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        .crossJoin(books(s))
+        .crossJoin(broadcast(books(s)))
         .select(col("qid"), col("cid").as(s"tc$s"),
           (round(cosine(col("cv"), col("qv")), 4) * l2norm(col("qv"))).as(s"v$s")))
     }

@@ -28,13 +28,14 @@ import org.apache.spark.sql.functions._
   *     convention: per-record members keep records independently
   *     seekable), even shards stay plain, so one fixture corpus
   *     exercises both codec paths like a real mixed crawl bucket.
-  *   - [[readRecords]] reads whole shards through Spark's binaryFile
-  *     source (one row per shard = one sequential stream per task),
-  *     detects gzip by magic bytes (GZIPInputStream consumes
+  *   - [[readRecords]] streams one shard per task through the Hadoop
+  *     FS API, detects gzip by magic bytes (GZIPInputStream consumes
   *     concatenated members transparently), and walks the record
-  *     structure: WARC header block → `Content-Length` → payload →
-  *     record separator; `application/http` payloads are further
-  *     parsed into status / headers / body.
+  *     structure INCREMENTALLY off the open stream: WARC header block
+  *     → `Content-Length` → payload → record separator;
+  *     `application/http` payloads are further parsed into status /
+  *     headers / body. Per-task memory is bounded by one record, so a
+  *     multi-GB decompressed shard reads in constant space.
   *
   * A record whose framing is corrupt fails loudly (`require`) rather
   * than resynchronizing silently — at ingest scale a quarantine pass
@@ -81,10 +82,11 @@ object Warc {
   }
 
   /** One `response` record wrapping a full HTTP/1.1 200 response. */
-  private[graft] def responseRecord(docId: Long, uri: String,
-                                    html: Array[Byte]): Array[Byte] = {
+  private[graft] def responseRecord(docId: Long, uri: String, html: Array[Byte],
+                                    contentType: String = "text/html; charset=utf-8")
+      : Array[Byte] = {
     val http = (s"HTTP/1.1 200 OK$Crlf" +
-      s"Content-Type: text/html; charset=utf-8$Crlf" +
+      s"Content-Type: $contentType$Crlf" +
       s"Content-Length: ${html.length}$Crlf" + Crlf).getBytes("UTF-8") ++ html
     record(Seq(
       "WARC-Type" -> "response",
@@ -112,21 +114,33 @@ object Warc {
     * Hadoop FS API (distributed exactly like a real crawler's shard
     * writers). Records are laid out in doc_id order within a shard.
     * Odd shards gzip per-record; even shards are plain. */
-  def writeShards(spark: SparkSession, pages: DataFrame, outDir: String): Unit = {
+  def writeShards(spark: SparkSession, pages: DataFrame, outDir: String): Unit =
+    writeShardsEncoded(spark,
+      pages.select(col("shard"), col("doc_id"), col("url"),
+        lit("text/html; charset=utf-8").as("content_type"),
+        encode(col("html").cast("string"), "UTF-8").as("body")), outDir)
+
+  /** As [[writeShards]] but with caller-ENCODED bodies: (`shard` long,
+    * `doc_id` long, `url` string, `content_type` string, `body`
+    * binary) rows — the shape a real crawler writes, where each page
+    * carries its own Content-Type (charset included) and the body
+    * bytes are whatever the origin served (a charset zoo, not UTF-8). */
+  def writeShardsEncoded(spark: SparkSession, pages: DataFrame, outDir: String): Unit = {
     import spark.implicits._
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
     pages.select(col("shard").cast("long"), col("doc_id").cast("long"),
-        col("url").cast("string"), col("html").cast("string"))
-      .as[(Long, Long, String, String)]
+        col("url").cast("string"), col("content_type").cast("string"),
+        col("body").cast("binary"))
+      .as[(Long, Long, String, String, Array[Byte])]
       .groupByKey(_._1)
-      .mapGroups { (shard: Long, it: Iterator[(Long, Long, String, String)]) =>
+      .mapGroups { (shard: Long, it: Iterator[(Long, Long, String, String, Array[Byte])]) =>
         val gz = shard % 2 == 1
         val name = f"shard-$shard%05d.warc" + (if (gz) ".gz" else "")
         val records = warcinfoRecord(name) +:
-          it.toSeq.sortBy(_._2).map { case (_, id, url, html) =>
-            responseRecord(id, url, html.getBytes("UTF-8")) }
+          it.toSeq.sortBy(_._2).map { case (_, id, url, ctype, body) =>
+            responseRecord(id, url, body, ctype) }
         val bytes =
           if (gz) records.flatMap(gzipMember(_)).toArray
           else records.flatten.toArray
@@ -140,18 +154,41 @@ object Warc {
     ()
   }
 
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes), 65536)
-    val bos = new ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](65536)
-    var n = in.read(buf)
-    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-    in.close()
-    bos.toByteArray
-  }
+  /** Bytes of body head sniffed for an HTML `<meta charset>`. */
+  val MetaSniffBytes = 1024
 
-  private def isGzip(b: Array[Byte]): Boolean =
-    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+  private val CharsetParamRe = "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_.:\\-]+)".r
+  private val MetaCharsetRe = "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_.:\\-]+)".r
+
+  private def charsetNamed(name: String): Option[java.nio.charset.Charset] =
+    try Some(java.nio.charset.Charset.forName(name))
+    catch { case _: IllegalArgumentException => None }
+
+  /** Charset of an HTTP response body: the Content-Type `charset=`
+    * parameter when present, else an HTML `<meta ... charset=...>`
+    * sniffed from the first [[MetaSniffBytes]] body bytes (viewed
+    * latin-1 — the byte-transparent decoding, the HTML5 sniffing
+    * convention), else UTF-8. Unknown/garbage charset labels fall back
+    * to UTF-8 rather than killing the task: real crawls carry both. */
+  def charsetOf(contentType: String, body: Array[Byte]): java.nio.charset.Charset =
+    CharsetParamRe.findFirstMatchIn(contentType)
+      .flatMap(m => charsetNamed(m.group(1)))
+      .orElse {
+        val head = new String(body, 0, math.min(body.length, MetaSniffBytes), "ISO-8859-1")
+        MetaCharsetRe.findFirstMatchIn(head).flatMap(m => charsetNamed(m.group(1)))
+      }
+      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Decode an HTTP body with its declared charset ([[charsetOf]]):
+    * (lowercase canonical charset name, decoded text). Decoding
+    * non-UTF-8 crawl pages as UTF-8 silently destroys every non-ASCII
+    * character (each high byte becomes U+FFFD), which poisons dedup
+    * signatures, n-gram language ID, and the extracted corpus itself
+    * — this is the front door's charset gate (q265). */
+  def decodeBody(contentType: String, body: Array[Byte]): (String, String) = {
+    val cs = charsetOf(contentType, body)
+    (cs.name.toLowerCase(java.util.Locale.ROOT), new String(body, cs))
+  }
 
   /** Find the index of the first CRLFCRLF at/after `from`; -1 if none. */
   private def blankLine(b: Array[Byte], from: Int): Int = {
@@ -164,43 +201,91 @@ object Warc {
     -1
   }
 
-  /** Parse one whole (decompressed) WARC stream into records. */
-  private[graft] def parseWarc(file: String, stream: Array[Byte]): Seq[WarcRecord] = {
-    val out = Seq.newBuilder[WarcRecord]
-    var off = 0
-    while (off < stream.length) {
-      // skip inter-record CRLFs
-      while (off < stream.length &&
-        (stream(off) == '\r' || stream(off) == '\n')) off += 1
-      if (off < stream.length) {
-        val hdrEnd = blankLine(stream, off)
-        require(hdrEnd >= 0, s"$file: unterminated WARC header block at offset $off")
-        val headLines = new String(stream, off, hdrEnd - off, "UTF-8").split(Crlf)
+  /** Incremental record iterator over one (already-decompressed) WARC
+    * byte stream. Per-record memory is ONE header block + ONE payload
+    * — never the decompressed shard: a real Common Crawl shard is
+    * ~1 GB gzipped / several GB raw, which no per-task byte array can
+    * hold (and which the JVM's 2 GB array limit caps outright), so the
+    * reader consumes the stream record by record. Framing failures
+    * stay loud (`require`), same contract as the whole-buffer parser
+    * this replaces. Closes `in0` at EOF. */
+  private[graft] def recordIterator(file: String,
+                                    in0: java.io.InputStream): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private val in = new java.io.BufferedInputStream(in0, 65536)
+      private var nextRec: WarcRecord = _
+      private var eof = false
+
+      /** Read up to and including the CRLFCRLF header terminator
+        * (first byte already consumed as `first`); returns the header
+        * bytes without the terminator. */
+      private def readHeaderBlock(first: Int): Array[Byte] = {
+        val bos = new ByteArrayOutputStream(512)
+        var b = first
+        var state = 0 // matched prefix length of \r\n\r\n
+        while (state < 4) {
+          require(b >= 0, s"$file: unterminated WARC header block (EOF inside headers)")
+          bos.write(b)
+          state = b match {
+            case '\r' => if (state == 2) 3 else 1
+            case '\n' => if (state == 1) 2 else if (state == 3) 4 else 0
+            case _ => 0
+          }
+          if (state < 4) b = in.read()
+        }
+        val arr = bos.toByteArray
+        java.util.Arrays.copyOf(arr, arr.length - 4)
+      }
+
+      private def readFully(len: Int): Array[Byte] = {
+        val buf = new Array[Byte](len)
+        var off = 0
+        while (off < len) {
+          val n = in.read(buf, off, len - off)
+          require(n >= 0, s"$file: record truncated (wants $len payload bytes, got $off)")
+          off += n
+        }
+        buf
+      }
+
+      private def advance(): Unit = {
+        // skip inter-record CRLFs
+        var b = in.read()
+        while (b == '\r' || b == '\n') b = in.read()
+        if (b < 0) { eof = true; in.close(); return }
+        val headLines = new String(readHeaderBlock(b), "UTF-8").split(Crlf)
         require(headLines.headOption.exists(_.startsWith("WARC/")),
-          s"$file: record at offset $off does not start with a WARC version line")
+          s"$file: record does not start with a WARC version line")
         val headers = headLines.tail.flatMap { l =>
           val i = l.indexOf(':')
           if (i < 0) None else Some(l.take(i).trim -> l.drop(i + 1).trim)
         }.toMap
         val len = headers.getOrElse("Content-Length",
-          sys.error(s"$file: record at offset $off has no Content-Length")).toInt
-        val payloadStart = hdrEnd + 4
-        require(payloadStart + len <= stream.length,
-          s"$file: record at offset $off truncated (wants $len payload bytes)")
-        val payload = java.util.Arrays.copyOfRange(stream, payloadStart,
-          payloadStart + len)
+          sys.error(s"$file: record has no Content-Length")).toInt
+        val payload = readFully(len)
         val wtype = headers.getOrElse("WARC-Type", "")
         val (status, ctype, body) =
           if (headers.get("Content-Type").exists(_.startsWith("application/http")))
             parseHttp(file, payload)
           else (0L, "", Array.empty[Byte])
-        out += WarcRecord(file, headers.getOrElse("WARC-Record-ID", ""), wtype,
+        nextRec = WarcRecord(file, headers.getOrElse("WARC-Record-ID", ""), wtype,
           headers.getOrElse("WARC-Target-URI", ""), status, ctype, body)
-        off = payloadStart + len
+      }
+
+      override def hasNext: Boolean = {
+        if (nextRec == null && !eof) advance()
+        nextRec != null
+      }
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException(s"$file: past last WARC record")
+        val r = nextRec; nextRec = null; r
       }
     }
-    out.result()
-  }
+
+  /** Parse one whole in-memory (decompressed) WARC buffer — the
+    * spec/fixture convenience wrapper over [[recordIterator]]. */
+  private[graft] def parseWarc(file: String, stream: Array[Byte]): Seq[WarcRecord] =
+    recordIterator(file, new java.io.ByteArrayInputStream(stream)).toSeq
 
   /** Split an HTTP response payload into (status, content-type, body). */
   private def parseHttp(file: String, payload: Array[Byte]): (Long, String, Array[Byte]) = {
@@ -218,16 +303,38 @@ object Warc {
   }
 
   /** Record rows from every `*.warc` / `*.warc.gz` under `dir`; one
-    * task streams one shard (binaryFile source, no seeks). */
+    * task streams one shard through the Hadoop FS API (sequential
+    * reads, no seeks), records parsed INCREMENTALLY off the open
+    * stream — per-task memory is one record, not one decompressed
+    * shard (binaryFile would materialize the whole file and caps
+    * content at 2 GB; real crawl shards decompress to several GB).
+    * Gzip is detected by magic bytes on the stream head, so mixed
+    * plain/gzip buckets and misnamed files both read correctly;
+    * GZIPInputStream consumes concatenated per-record members
+    * transparently. */
   def readRecords(spark: SparkSession, dir: String): Dataset[WarcRecord] = {
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*").load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val file = path.substring(path.lastIndexOf('/') + 1)
-        parseWarc(file, if (isGzip(bytes)) gunzipAll(bytes) else bytes)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hconf))
+    val fs = new Path(dir).getFileSystem(hconf)
+    val paths = Option(fs.globStatus(new Path(dir, "*.warc*")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.toString).sorted.toSeq
+    spark.createDataset(
+      spark.sparkContext.parallelize(paths, math.max(1, paths.length)))
+      .flatMap { pathStr =>
+        val p = new Path(pathStr)
+        val file = p.getName
+        val raw = new java.io.BufferedInputStream(
+          p.getFileSystem(confBc.value.value).open(p), 65536)
+        // gzip magic (1f 8b) on the stream head, without consuming it
+        raw.mark(2)
+        val b0 = raw.read(); val b1 = raw.read()
+        raw.reset()
+        val in: java.io.InputStream =
+          if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(raw, 65536) else raw
+        recordIterator(file, in)
       }
   }
 }

@@ -57,4 +57,23 @@ SPARK_GRAFT_SF_DIR=/tmp/sf1x100 SPARK_GRAFT_BENCH_REPS=1 \
   SPARK_GRAFT_BENCH_ONLY=q16_dedup_simhash,q23_ann_ivf,q43_ann_ivf_trained,q178_cms_ivm,q221_dedup_recall,q222_triplet_mining,q253_knn_graph,q254_ivf_cell_stats \
   sbt -batch "runMain graft.Bench" > /tmp/bench_x100_run.log 2>&1
 
+# 5. UNIQUE-text x100 replica + the pairwise dedup queries the clone
+#    replica excludes by construction (their clone-pair output is
+#    C(100,2)=4950 pairs/group — pure output materialization). The
+#    unique replica (ScaleUp 4th arg) suffixes every token per copy
+#    and applies a signed coordinate permutation per embedding copy,
+#    so cross-copy content is distinct while the within-copy near-dup
+#    RATE stays sf0.1-shaped — the right instrument for q15/q31/q70
+#    and for q92's first completed x100 measurement.
+if [ ! -s /tmp/sf1x100u/embeddings.parquet/_SUCCESS ]; then
+  SPARK_DRIVER_MEM=48g \
+    sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/sf1x100u 100 unique" \
+    > /tmp/scaleup_x100u.log 2>&1
+fi
+SPARK_GRAFT_SF_DIR=/tmp/sf1x100u SPARK_GRAFT_BENCH_REPS=1 \
+  SPARK_DRIVER_MEM=64g SPARK_GRAFT_BENCH_REQUEUE_LOAD=64 \
+  SPARK_GRAFT_BENCH_OUT=bench_x100_unique.json \
+  SPARK_GRAFT_BENCH_ONLY=q15_dedup_minhash,q31_corpus_clean,q70_lsh_capped,q92_semantic_dedup \
+  sbt -batch "runMain graft.Bench" > /tmp/bench_x100u_run.log 2>&1
+
 echo "chain done"
