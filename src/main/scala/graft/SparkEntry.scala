@@ -1717,6 +1717,94 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("keeper_doc"))
         .orderBy(col("canon_url"))
     }),
+    // domain-level crawl statistics — per REGISTERED DOMAIN (last two
+    // host labels; www/subdomains collapse) page counts, host
+    // diversity and a docs-per-domain cap flag (>5% of the corpus):
+    // the FineWeb/DCLM-style domain curation stage downstream of URL
+    // canonicalization. Hosts synthesized deterministically from
+    // doc_id with a QUADRATIC skew (domain d gets 2d+1 of every 961
+    // docs) — the oracle states the ground truth arithmetically, so
+    // the gate only passes if url→canonical→host→domain really parses
+    "q267_domain_stats"    -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val docs = graft.sources.Tables.load(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          floor(sqrt(pmod(col("doc_id").cast("long"), lit(961L))
+            .cast("double"))).cast("int").as("dom"))
+      val host = concat(
+        when(pmod(col("doc_id"), lit(7L)) === 0, lit("WWW.")).otherwise(lit("")),
+        lit("site"), col("dom").cast("string"),
+        when(pmod(col("dom"), lit(2)) === 0, lit(".com")).otherwise(lit(".org")))
+      val url = concat(
+        when(pmod(col("doc_id"), lit(3L)) === 0, lit("https")).otherwise(lit("http")),
+        lit("://"), host, lit("/p/"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(5L)) === 0, lit("?utm_source=t&x=1"))
+          .otherwise(lit("")))
+      val h = functions.Urls.hostOf(functions.Urls.canonicalUrl(url))
+      val perDomain = docs.withColumn("domain", functions.Urls.registeredDomain(h))
+        .withColumn("host", h)
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(col("n_chars")).as("sum_chars"))
+      // corpus total as a scalar frame (keyless agg → single row), not
+      // a global window: an empty PARTITION BY would move the whole
+      // grouped result to one task
+      val total = graft.sources.Tables.load(s, d, "documents")
+        .agg(count(lit(1)).as("total"))
+      perDomain.crossJoin(total)
+        .withColumn("capped", (col("n_pages") * 20 > col("total")).cast("int"))
+        .drop("total")
+        .orderBy(col("domain"))
+    }),
+    // robots directives on the raw-web path — the compliance filter
+    // every published corpus recipe runs BEFORE content processing:
+    // the X-Robots-Tag RESPONSE HEADER (parsed by the WARC reader) and
+    // the in-page <meta name=robots> (both attribute orders) both veto
+    "q268_robots_noindex"  -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      graft.sources.Warc.readRecords(s, warcRobotsFixture(s, d))
+        .filter(_.warc_type == "response")
+        .map { r =>
+          val id = r.target_uri.substring(r.target_uri.lastIndexOf('/') + 1).toLong
+          val hdr = r.http_x_robots.toLowerCase(java.util.Locale.ROOT)
+          val meta = operators.HtmlText.metaRobots(new String(r.body, "UTF-8"))
+          val robots = if (hdr.nonEmpty) hdr else meta
+          val src = if (hdr.nonEmpty) "header" else if (meta.nonEmpty) "meta" else ""
+          val kept = if (hdr.contains("noindex") || meta.contains("noindex")) 0 else 1
+          (id, robots, src, kept)
+        }
+        .toDF("doc_id", "robots", "src", "kept")
+        .orderBy(col("doc_id"))
+    }),
+    // corpus-wide line-level dedup (C4/RefinedWeb/Dolma): repeated
+    // 10-token spans keep only their first (doc_id, idx) occurrence,
+    // documents reassembled from kept spans — removes cross-page
+    // boilerplate in place without dropping the pages that carry it
+    "q269_line_dedup"      -> ((s: SparkSession, d: String) =>
+      operators.Dedup.lineDedup(
+        graft.sources.Tables.load(s, d, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text")))),
+    // fetch-status / MIME gate — a real crawl bucket is full of 3xx
+    // redirect stubs, 404 error pages and non-HTML payloads; only
+    // `200 text/html` may reach extraction. Statuses and types planted
+    // per doc_id % 5; the oracle states the ground truth arithmetically
+    // so the gate only passes if the reader really parses status lines
+    "q270_http_status"     -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.sources.Warc.readRecords(s, warcStatusFixture(s, d)).toDF()
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("http_status").as("status"),
+          trim(regexp_extract(col("http_content_type"), "^([^;]*)", 1)).as("mime"))
+        .withColumn("kept",
+          (col("status") === 200 && col("mime") === "text/html").cast("int"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Memoized WARC shard fixture: every documents row rendered into a
@@ -1779,9 +1867,75 @@ object SparkEntry {
           val html =
             s"<html><head>$meta<title>t</title></head><body><p>$body</p></body></html>"
           (id / graft.sources.Warc.PagesPerShard, id,
-            s"http://example.org/doc/$id", ctype, html.getBytes(cs))
+            s"http://example.org/doc/$id", ctype, html.getBytes(cs), "", 200)
         }
-        .toDF("shard", "doc_id", "url", "content_type", "body")
+        .toDF("shard", "doc_id", "url", "content_type", "body", "x_headers", "status")
+      graft.sources.Warc.writeShardsEncoded(s, pages, path)
+    }
+
+  /** Memoized robots-directive WARC fixture: per doc_id % 4 —
+    *   0 → no directive anywhere (kept);
+    *   1 → `X-Robots-Tag: noindex` RESPONSE HEADER, no meta (dropped
+    *       via the header path the WARC reader parses);
+    *   2 → `<meta name="robots" content="noindex, nofollow">` (dropped
+    *       via the in-page path);
+    *   3 → `<meta content="index, follow" name="robots">` — REVERSED
+    *       attribute order, and an allow directive (kept: presence of
+    *       a robots meta must not itself veto). */
+  private def warcRobotsFixture(s: SparkSession, d: String): String =
+    fixture("warcrobots", s, d, "documents") { path =>
+      wipe(s, path)
+      import s.implicits._
+      val pages = graft.sources.Tables.load(s, d, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+          org.apache.spark.sql.functions.col("text").cast("string"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val (xh, meta) = (id % 4) match {
+            case 0 => ("", "")
+            case 1 => ("X-Robots-Tag: noindex", "")
+            case 2 => ("", "<meta name=\"robots\" content=\"noindex, nofollow\">")
+            case _ => ("", "<meta content=\"index, follow\" name=\"robots\">")
+          }
+          val html =
+            s"<html><head>$meta<title>t</title></head><body><p>$text</p></body></html>"
+          (id / graft.sources.Warc.PagesPerShard, id,
+            s"http://example.org/doc/$id", "text/html; charset=utf-8",
+            html.getBytes("UTF-8"), xh, 200)
+        }
+        .toDF("shard", "doc_id", "url", "content_type", "body", "x_headers", "status")
+      graft.sources.Warc.writeShardsEncoded(s, pages, path)
+    }
+
+  /** Memoized fetch-status WARC fixture: per doc_id % 5 —
+    *   0, 1 → `200 text/html` (the only kept combination);
+    *   2 → `301 text/html` redirect stub (a short body crawlers still
+    *       record — status must veto, not body presence);
+    *   3 → `404 text/html` error page (often a full HTML page — status
+    *       must veto, not content sniffing);
+    *   4 → `200 application/pdf` (fetch OK but non-HTML — MIME vetoes). */
+  private def warcStatusFixture(s: SparkSession, d: String): String =
+    fixture("warcstatus", s, d, "documents") { path =>
+      wipe(s, path)
+      import s.implicits._
+      val pages = graft.sources.Tables.load(s, d, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+          org.apache.spark.sql.functions.col("text").cast("string"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val (status, ctype, body) = (id % 5) match {
+            case 0 | 1 => (200, "text/html; charset=utf-8",
+              s"<html><body><p>$text</p></body></html>")
+            case 2 => (301, "text/html; charset=utf-8",
+              "<html><body>Moved</body></html>")
+            case 3 => (404, "text/html; charset=utf-8",
+              "<html><body><h1>Not Found</h1><p>sorry</p></body></html>")
+            case _ => (200, "application/pdf", "%PDF-1.4 stub")
+          }
+          (id / graft.sources.Warc.PagesPerShard, id,
+            s"http://example.org/doc/$id", ctype, body.getBytes("UTF-8"), "", status)
+        }
+        .toDF("shard", "doc_id", "url", "content_type", "body", "x_headers", "status")
       graft.sources.Warc.writeShardsEncoded(s, pages, path)
     }
 
@@ -5627,6 +5781,65 @@ object SparkEntry {
         |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls,
         |  CAST(min(doc_id) AS BIGINT) AS keeper_doc
         |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+    // domain stats ground truth stated ARITHMETICALLY (domain and host
+    // variety straight from doc_id) — the Spark side must recover it
+    // through url→canonicalUrl→hostOf→registeredDomain parsing
+    "q267_domain_stats" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars,
+        |    CAST(floor(sqrt(CAST(doc_id % 961 AS DOUBLE))) AS INT) AS dom
+        |  FROM documents),
+        |g AS (SELECT 'site' || dom ||
+        |    (CASE WHEN dom % 2 = 0 THEN '.com' ELSE '.org' END) AS domain,
+        |  CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(count(DISTINCT CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hosts,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM d GROUP BY 1)
+        |SELECT domain, n_pages, n_hosts, sum_chars,
+        |  CAST(CASE WHEN n_pages * 20 > sum(n_pages) OVER () THEN 1 ELSE 0 END
+        |    AS INT) AS capped
+        |FROM g ORDER BY domain""".stripMargin,
+    // robots ground truth from the planted doc_id % 4 directive —
+    // matched only by really parsing the X-Robots-Tag header (case 1)
+    // and the meta tag in both attribute orders (cases 2, 3)
+    "q268_robots_noindex" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 1 THEN 'noindex'
+        |    WHEN 2 THEN 'noindex, nofollow'
+        |    WHEN 3 THEN 'index, follow' ELSE '' END AS robots,
+        |  CASE doc_id % 4 WHEN 1 THEN 'header'
+        |    WHEN 2 THEN 'meta' WHEN 3 THEN 'meta' ELSE '' END AS src,
+        |  CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 0 ELSE 1 END AS INT) AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // line dedup restated: same 10-token windows, same keep-first
+    // (min (doc_id, idx)) rule, same space-joined reassembly
+    "q269_line_dedup" ->
+      s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |l AS (SELECT doc_id, i,
+        |    array_to_string(list_slice(toks, i*${operators.Dedup.LineDedupTokens}+1,
+        |      i*${operators.Dedup.LineDedupTokens}+${operators.Dedup.LineDedupTokens}), ' ') AS line
+        |  FROM t, unnest(generate_series(0,
+        |    CAST(ceil(len(toks)/${operators.Dedup.LineDedupTokens}.0) AS INT) - 1)) ti(i)),
+        |k AS (SELECT doc_id, i, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, i) AS rk,
+        |    count(*) OVER (PARTITION BY line) AS n_occ
+        |  FROM l)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN n_occ = 1 OR rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN n_occ = 1 OR rk = 1 THEN line END,
+        |    ' ' ORDER BY i), '') AS cleaned
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // fetch-status ground truth from the planted doc_id % 5 —
+    // matched only by really parsing HTTP status lines and MIME types
+    "q270_http_status" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 5 WHEN 2 THEN 301 WHEN 3 THEN 404
+        |    ELSE 200 END AS BIGINT) AS status,
+        |  CASE doc_id % 5 WHEN 4 THEN 'application/pdf'
+        |    ELSE 'text/html' END AS mime,
+        |  CAST(CASE WHEN doc_id % 5 IN (0, 1) THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the derived-next diff census in closed form from the base table
     // (removal wins over edit; adds are the shifted mod-103 copies)
     "q259_dataset_diff" ->

@@ -52,4 +52,19 @@ object Urls {
       when(path === "", lit("/")).otherwise(path),
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
   }
+
+  /** Lowercased host of a URL (port stripped) — the grouping key for
+    * per-site crawl statistics. Pure regexp column expression. */
+  def hostOf(u: Column): Column =
+    lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]*)", 1))
+
+  /** Registrable domain approximated as the last two dot-labels of the
+    * host (`www.news.site4.com` → `site4.com`) — the aggregation key
+    * domain-level curation uses (docs-per-domain caps, reputation
+    * scores key on the SITE, not each subdomain). A production
+    * deployment substitutes the Public Suffix List (multi-label
+    * suffixes like `.co.uk`); the two-label rule is the
+    * list-independent core and is stated identically in the oracle. */
+  def registeredDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
 }

@@ -63,6 +63,62 @@ object Dedup {
       .orderBy(col("canonical_id"))
   }
 
+  /** Tokens per "line" for [[lineDedup]]: the fixture corpus is
+    * single-line, so lines are fixed token windows — the same span
+    * granularity C4 uses (three-sentence spans ≈ tens of tokens). */
+  val LineDedupTokens = 10
+
+  /** Corpus-wide LINE-level dedup (the C4 / RefinedWeb / Dolma line
+    * dedup): split every document into lines, keep only the FIRST
+    * occurrence (min (doc_id, idx)) of any line that repeats anywhere
+    * in the corpus, reassemble each document from its kept lines.
+    * Boilerplate ("sign in to continue", cookie banners, nav crumbs)
+    * repeats across millions of pages and line dedup removes it
+    * in-place without dropping the documents that carry it.
+    *
+    * Scale shape: one shuffle on the line string (group-by with
+    * map-side partial agg → per-line count + keeper), and the join
+    * back ships ONLY repeated lines (`n_occ >= 2` — at crawl scale the
+    * repeated-line set is the boilerplate tail, orders of magnitude
+    * smaller than the corpus; AQE broadcasts it when it fits). A
+    * window over all line occurrences would materialize the whole
+    * exploded corpus per partition — the group-by keeps the partial
+    * aggregation map-side. The reassembly group-by re-shuffles on
+    * doc_id, which the upstream explode preserved as a prefix of its
+    * partitioning in practice.
+    *
+    * Span granularity: fixed [[LineDedupTokens]]-token windows over
+    * whitespace tokens (the fixture corpus is single-line; a
+    * newline-rich corpus would pre-split on '\n' upstream and feed
+    * each physical line through the same operator) — stated
+    * identically in the oracle. */
+  def lineDedup(docs: DataFrame, k: Int = LineDedupTokens): DataFrame = {
+    val lines = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(col("toks")) / lit(k.toDouble)).cast("int") - 1),
+          i => array_join(slice(col("toks"), i * k + 1, lit(k)), " "))))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "line")
+    val dups = lines.groupBy(col("line"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("i"))).as("keeper"))
+      .filter(col("n_occ") >= 2)
+      .select(col("line"), col("keeper"))
+    lines.join(dups, Seq("line"), "left")
+      .withColumn("kept", col("keeper").isNull ||
+        (col("doc_id") === col("keeper.doc_id") && col("i") === col("keeper.i")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(when(col("kept"),
+            struct(col("i"), col("line"))))), x => x("line")),
+          " ").as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash signatures: 12 independent min-aggregates over the
     * shingle rows (no per-hash explode — 12 agg expressions in one
     * shuffle), then 4 band signatures of 3 hashes each. */

@@ -113,6 +113,27 @@ object HtmlText {
   private def normSpace(s: String): String =
     s.split("\\s+").iterator.filter(_.nonEmpty).mkString(" ")
 
+  // <meta name="robots" content="..."> in either attribute order —
+  // real HTML carries both (attribute order is not specified)
+  private val MetaRobotsNameFirstRe =
+    """(?is)<meta[^>]*\bname\s*=\s*["']?robots["']?[^>]*\bcontent\s*=\s*["']([^"']*)["']""".r
+  private val MetaRobotsContentFirstRe =
+    """(?is)<meta[^>]*\bcontent\s*=\s*["']([^"']*)["'][^>]*\bname\s*=\s*["']?robots["']?""".r
+
+  /** The in-page robots directive: the `content` of
+    * `<meta name="robots" ...>` lowercased ("" when absent), both
+    * attribute orders accepted. The header-side counterpart
+    * (`X-Robots-Tag`) is parsed by the WARC reader
+    * ([[graft.sources.Warc.WarcRecord]]); a compliant crawl pipeline
+    * must honor BOTH before content ever reaches extraction — pages a
+    * site marked `noindex` are excluded from every published corpus
+    * recipe (C4, RefinedWeb, Dolma all filter on robots directives). */
+  def metaRobots(html: String): String =
+    MetaRobotsNameFirstRe.findFirstMatchIn(html)
+      .orElse(MetaRobotsContentFirstRe.findFirstMatchIn(html))
+      .map(_.group(1).trim.toLowerCase(java.util.Locale.ROOT))
+      .getOrElse("")
+
   /** Visible text of a fragment: strip tags, decode entities,
     * collapse whitespace. */
   private def textOf(fragment: String): String =

@@ -52,10 +52,15 @@ object Warc {
 
   /** One parsed record: `http_status` is 0 and `content_type`/`body`
     * empty for non-http records (warcinfo); `target_uri` empty when
-    * the header is absent. */
+    * the header is absent. `http_x_robots` is the `X-Robots-Tag`
+    * response header ("" when absent) — the server-side robots
+    * directive a compliant pipeline must honor before any content
+    * processing (the in-page `<meta name=robots>` counterpart is
+    * parsed from the body by [[graft.operators.HtmlText.metaRobots]]). */
   case class WarcRecord(file: String, record_id: String, warc_type: String,
                         target_uri: String, http_status: Long,
-                        http_content_type: String, body: Array[Byte])
+                        http_content_type: String, http_x_robots: String,
+                        body: Array[Byte])
 
   /** Serialize one WARC record: named headers + Content-Length +
     * blank line + payload + the two-CRLF record separator. */
@@ -81,12 +86,22 @@ object Warc {
       info.getBytes("UTF-8"))
   }
 
-  /** One `response` record wrapping a full HTTP/1.1 200 response. */
+  private val StatusReason = Map(200 -> "OK", 301 -> "Moved Permanently",
+    302 -> "Found", 304 -> "Not Modified", 404 -> "Not Found",
+    500 -> "Internal Server Error", 503 -> "Service Unavailable")
+
+  /** One `response` record wrapping a full HTTP/1.1 response.
+    * `extraHttp` is raw pre-joined header lines (`K: V` CRLF-joined,
+    * "" = none) — how a fixture plants e.g. `X-Robots-Tag`. */
   private[graft] def responseRecord(docId: Long, uri: String, html: Array[Byte],
-                                    contentType: String = "text/html; charset=utf-8")
+                                    contentType: String = "text/html; charset=utf-8",
+                                    extraHttp: String = "",
+                                    status: Int = 200)
       : Array[Byte] = {
-    val http = (s"HTTP/1.1 200 OK$Crlf" +
-      s"Content-Type: $contentType$Crlf" +
+    val extra = if (extraHttp.isEmpty) "" else extraHttp + Crlf
+    val reason = StatusReason.getOrElse(status, "Status")
+    val http = (s"HTTP/1.1 $status $reason$Crlf" +
+      s"Content-Type: $contentType$Crlf" + extra +
       s"Content-Length: ${html.length}$Crlf" + Crlf).getBytes("UTF-8") ++ html
     record(Seq(
       "WARC-Type" -> "response",
@@ -118,13 +133,19 @@ object Warc {
     writeShardsEncoded(spark,
       pages.select(col("shard"), col("doc_id"), col("url"),
         lit("text/html; charset=utf-8").as("content_type"),
-        encode(col("html").cast("string"), "UTF-8").as("body")), outDir)
+        encode(col("html").cast("string"), "UTF-8").as("body"),
+        lit("").as("x_headers"), lit(200).as("status")), outDir)
 
   /** As [[writeShards]] but with caller-ENCODED bodies: (`shard` long,
     * `doc_id` long, `url` string, `content_type` string, `body`
-    * binary) rows — the shape a real crawler writes, where each page
-    * carries its own Content-Type (charset included) and the body
-    * bytes are whatever the origin served (a charset zoo, not UTF-8). */
+    * binary, `x_headers` string — extra raw HTTP header lines,
+    * CRLF-joined, "" = none, `status` int — the HTTP status line) rows
+    * — the shape a real crawler writes, where each page carries its
+    * own Content-Type (charset included), arbitrary response headers
+    * (`X-Robots-Tag`, caching, …), its fetch status (real crawls are
+    * full of 3xx/4xx/5xx responses a pipeline must filter, not just
+    * 200s) and the body bytes are whatever the origin served (a
+    * charset zoo, not UTF-8). */
   def writeShardsEncoded(spark: SparkSession, pages: DataFrame, outDir: String): Unit = {
     import spark.implicits._
     val confBc = spark.sparkContext.broadcast(
@@ -132,15 +153,16 @@ object Warc {
         spark.sparkContext.hadoopConfiguration))
     pages.select(col("shard").cast("long"), col("doc_id").cast("long"),
         col("url").cast("string"), col("content_type").cast("string"),
-        col("body").cast("binary"))
-      .as[(Long, Long, String, String, Array[Byte])]
+        col("body").cast("binary"), col("x_headers").cast("string"),
+        col("status").cast("int"))
+      .as[(Long, Long, String, String, Array[Byte], String, Int)]
       .groupByKey(_._1)
-      .mapGroups { (shard: Long, it: Iterator[(Long, Long, String, String, Array[Byte])]) =>
+      .mapGroups { (shard: Long, it: Iterator[(Long, Long, String, String, Array[Byte], String, Int)]) =>
         val gz = shard % 2 == 1
         val name = f"shard-$shard%05d.warc" + (if (gz) ".gz" else "")
         val records = warcinfoRecord(name) +:
-          it.toSeq.sortBy(_._2).map { case (_, id, url, ctype, body) =>
-            responseRecord(id, url, body, ctype) }
+          it.toSeq.sortBy(_._2).map { case (_, id, url, ctype, body, xh, st) =>
+            responseRecord(id, url, body, ctype, xh, st) }
         val bytes =
           if (gz) records.flatMap(gzipMember(_)).toArray
           else records.flatten.toArray
@@ -264,12 +286,12 @@ object Warc {
           sys.error(s"$file: record has no Content-Length")).toInt
         val payload = readFully(len)
         val wtype = headers.getOrElse("WARC-Type", "")
-        val (status, ctype, body) =
+        val (status, ctype, xRobots, body) =
           if (headers.get("Content-Type").exists(_.startsWith("application/http")))
             parseHttp(file, payload)
-          else (0L, "", Array.empty[Byte])
+          else (0L, "", "", Array.empty[Byte])
         nextRec = WarcRecord(file, headers.getOrElse("WARC-Record-ID", ""), wtype,
-          headers.getOrElse("WARC-Target-URI", ""), status, ctype, body)
+          headers.getOrElse("WARC-Target-URI", ""), status, ctype, xRobots, body)
       }
 
       override def hasNext: Boolean = {
@@ -287,8 +309,10 @@ object Warc {
   private[graft] def parseWarc(file: String, stream: Array[Byte]): Seq[WarcRecord] =
     recordIterator(file, new java.io.ByteArrayInputStream(stream)).toSeq
 
-  /** Split an HTTP response payload into (status, content-type, body). */
-  private def parseHttp(file: String, payload: Array[Byte]): (Long, String, Array[Byte]) = {
+  /** Split an HTTP response payload into (status, content-type,
+    * x-robots-tag, body). */
+  private def parseHttp(file: String,
+                        payload: Array[Byte]): (Long, String, String, Array[Byte]) = {
     val hdrEnd = blankLine(payload, 0)
     require(hdrEnd >= 0, s"$file: http payload has no header terminator")
     val lines = new String(payload, 0, hdrEnd, "UTF-8").split(Crlf)
@@ -298,7 +322,10 @@ object Warc {
     val ctype = lines.tail.collectFirst {
       case l if l.toLowerCase.startsWith("content-type:") => l.drop(13).trim
     }.getOrElse("")
-    (statusLine(1).toLong, ctype,
+    val xRobots = lines.tail.collectFirst {
+      case l if l.toLowerCase.startsWith("x-robots-tag:") => l.drop(13).trim
+    }.getOrElse("")
+    (statusLine(1).toLong, ctype, xRobots,
       java.util.Arrays.copyOfRange(payload, hdrEnd + 4, payload.length))
   }
 

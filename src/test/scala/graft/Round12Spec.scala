@@ -202,4 +202,91 @@ class Round12Spec extends SparkSpec {
     val rot1b = rot1(0)
     assert(neg5(0).zip(rot1b).forall { case (a, b) => math.abs(a + b) < 1e-9 })
   }
+
+  // ------------------------------------------------ robots directives
+
+  test("metaRobots: both attribute orders, quote styles, absent, case") {
+    assert(HtmlText.metaRobots(
+      "<html><head><meta name=\"robots\" content=\"noindex, nofollow\"></head></html>")
+      === "noindex, nofollow")
+    assert(HtmlText.metaRobots( // reversed attribute order
+      "<meta content=\"index, follow\" name=\"robots\">") === "index, follow")
+    assert(HtmlText.metaRobots("<meta name='robots' content='NOINDEX'>") === "noindex")
+    assert(HtmlText.metaRobots("<META NAME=robots CONTENT=\"none\">") === "none")
+    assert(HtmlText.metaRobots("<html><body>no meta at all</body></html>") === "")
+    // a robots meta must not be confused with other named metas
+    assert(HtmlText.metaRobots("<meta name=\"description\" content=\"noindex\">") === "")
+  }
+
+  test("X-Robots-Tag survives the WARC write→read round-trip; absent header reads as empty") {
+    val pages = Seq(
+      (0L, 0L, "http://example.org/doc/0", "text/html; charset=utf-8",
+        "<html><body>a</body></html>".getBytes("UTF-8"), "X-Robots-Tag: noindex", 200),
+      (0L, 1L, "http://example.org/doc/1", "text/html; charset=utf-8",
+        "<html><body>b</body></html>".getBytes("UTF-8"), "", 404))
+      .toDF("shard", "doc_id", "url", "content_type", "body", "x_headers", "status")
+    val dir = java.nio.file.Files.createTempDirectory("warc12_robots").toString
+    Warc.writeShardsEncoded(spark, pages, dir)
+    val byUri = Warc.readRecords(spark, dir).collect()
+      .filter(_.warc_type == "response").map(r => r.target_uri -> r).toMap
+    assert(byUri("http://example.org/doc/0").http_x_robots === "noindex")
+    assert(byUri("http://example.org/doc/1").http_x_robots === "")
+    // the extra header must not disturb body framing
+    assert(new String(byUri("http://example.org/doc/0").body, "UTF-8")
+      === "<html><body>a</body></html>")
+    // planted non-200 status round-trips through the status line
+    assert(byUri("http://example.org/doc/0").http_status === 200L)
+    assert(byUri("http://example.org/doc/1").http_status === 404L)
+  }
+
+  // ---------------------------------------------- host / domain keys
+
+  test("hostOf and registeredDomain: ports, subdomains, bare domains") {
+    val cases = Seq(
+      ("http://WWW.Site4.COM/p/1", "www.site4.com", "site4.com"),
+      ("https://news.a.site7.org:8443/x?q=1", "news.a.site7.org", "site7.org"),
+      ("http://example.org/", "example.org", "example.org"))
+    val got = cases.map(_._1).toDF("url")
+      .select(functions.Urls.hostOf(col("url")).as("h"))
+      .withColumn("d", functions.Urls.registeredDomain(col("h")))
+      .as[(String, String)].collect().toSeq
+    assert(got === cases.map(c => (c._2, c._3)))
+  }
+
+  // ------------------------------------------------- line-level dedup
+
+  test("lineDedup: keep-first across docs, within-doc repeats collapse, uniques untouched") {
+    val docs = Seq(
+      // doc 0 and doc 1 share their first 10-token window; doc 0 wins (min doc_id)
+      (0L, "a b c d e f g h i j unique0 tail0 x0 y0 z0 w0 v0 u0 t0 s0"),
+      (1L, "a b c d e f g h i j unique1 tail1 x1 y1 z1 w1 v1 u1 t1 s1"),
+      // doc 2 repeats one window TWICE within itself — first kept, second dropped
+      (2L, "p q r s t u v w x y p q r s t u v w x y"),
+      // doc 3 is all-unique — fully preserved
+      (3L, "only once here nothing repeats at all in this doc"))
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.lineDedup(docs)
+      .as[(Long, Long, Long, String)].collect().toMap2
+    assert(out(0L) === (2L, 2L,
+      "a b c d e f g h i j unique0 tail0 x0 y0 z0 w0 v0 u0 t0 s0"))
+    assert(out(1L) === (2L, 1L, "unique1 tail1 x1 y1 z1 w1 v1 u1 t1 s1"))
+    assert(out(2L) === (2L, 1L, "p q r s t u v w x y"))
+    assert(out(3L) === (1L, 1L, "only once here nothing repeats at all in this doc"))
+  }
+
+  test("lineDedup: a document whose every line repeats elsewhere cleans to the empty string") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "a b c d e f g h i j")) // doc 1's only line is doc 0's
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.lineDedup(docs)
+      .as[(Long, Long, Long, String)].collect().toMap2
+    assert(out(0L) === (1L, 1L, "a b c d e f g h i j"))
+    assert(out(1L) === (1L, 0L, ""))
+  }
+
+  private implicit class Tup4Map(rows: Array[(Long, Long, Long, String)]) {
+    def toMap2: Map[Long, (Long, Long, String)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
 }

@@ -23,6 +23,11 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=bench_out.json \
   sbt -batch "runMain graft.Bench" > /tmp/bench_sf01_run.log 2>&1
 [ -s bench_out.json ]
 
+# replicas are host-local scratch — rebuild when a cleaned /tmp ate them
+if [ ! -s /tmp/sf1x10/documents.parquet/_SUCCESS ]; then
+  sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/sf1x10 10" \
+    > /tmp/scaleup_x10.log 2>&1
+fi
 SPARK_GRAFT_SF_DIR=/tmp/sf1x10 SPARK_GRAFT_BENCH_OUT=bench_x10.json \
   sbt -batch "runMain graft.Bench" > /tmp/bench_x10_run.log 2>&1
 [ -s bench_x10.json ]
@@ -51,6 +56,11 @@ sbt -batch "runMain graft.tools.SlopeCheck bench_out.json bench_x10.json" \
 # the x10 artifact (pairs ~x100 there, measured within bounds); a
 # x100 replica with UNIQUE texts would be the right instrument for
 # them (ScaleUp improvement, future round).
+if [ ! -s /tmp/sf1x100/documents.parquet/_SUCCESS ]; then
+  SPARK_DRIVER_MEM=48g \
+    sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/sf1x100 100" \
+    > /tmp/scaleup_x100.log 2>&1
+fi
 SPARK_GRAFT_SF_DIR=/tmp/sf1x100 SPARK_GRAFT_BENCH_REPS=1 \
   SPARK_DRIVER_MEM=64g SPARK_GRAFT_BENCH_REQUEUE_LOAD=64 \
   SPARK_GRAFT_BENCH_OUT=bench_x100.json \
