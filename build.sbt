@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Extra forked-JVM flags per invocation (e.g. the x100 bench stage
+// passes -Dspark.network.timeout=... so a long full-GC pause on a
+// 64g heap can't trip the heartbeat timeout and kill the context).
+javaOptions ++= sys.env.get("SPARK_EXTRA_JAVA_OPTS")
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
