@@ -1695,8 +1695,10 @@ object SparkEntry {
     // URL canonicalization + keep-first dedup by canonical URL — the
     // cheapest dedup of a crawl pipeline, upstream of content dedup:
     // five cosmetic variants per page (host case, explicit default
-    // port, fragment, tracking params, query-key order) collapse onto
-    // one canonical string
+    // port, fragment, tracking params, query-key order, and RFC 3986
+    // §6.2.2 percent-encoding differences: %6f→o decodes as
+    // unreserved, %2f stays but uppercases to %2F, %32→2 in a query
+    // value) collapse onto one canonical string
     "q266_url_canonical"   -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       val d5 = graft.sources.Tables.load(s, d, "documents")
@@ -1705,26 +1707,31 @@ object SparkEntry {
       val url = when(pmod(col("doc_id"), lit(5L)) === 0,
           concat(lit("http://Example.org/doc/"), col("g")))
         .when(pmod(col("doc_id"), lit(5L)) === 1,
-          concat(lit("HTTP://example.org:80/doc/"), col("g"), lit("?utm_source=x")))
+          concat(lit("HTTP://example.org:80/d%6fc/"), col("g"), lit("?utm_source=x")))
         .when(pmod(col("doc_id"), lit(5L)) === 2,
           concat(lit("http://example.org/doc/"), col("g"), lit("#frag")))
         .when(pmod(col("doc_id"), lit(5L)) === 3,
-          concat(lit("https://Example.org:443/doc/"), col("g"), lit("?b=2&a=1")))
+          concat(lit("https://Example.org:443/doc%2Fs/"), col("g"), lit("?b=2&a=1")))
         .otherwise(
-          concat(lit("https://example.org/doc/"), col("g"), lit("?a=1&b=2&utm_campaign=y")))
+          concat(lit("https://example.org/d%6Fc%2fs/"), col("g"), lit("?a=1&b=%32&utm_campaign=y")))
       d5.withColumn("canon_url", functions.Urls.canonicalUrl(url))
         .groupBy(col("canon_url"))
         .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("keeper_doc"))
         .orderBy(col("canon_url"))
     }),
-    // domain-level crawl statistics — per REGISTERED DOMAIN (last two
-    // host labels; www/subdomains collapse) page counts, host
+    // domain-level crawl statistics — per REGISTERED DOMAIN (PSL-aware:
+    // www/subdomains collapse, `.co.uk`-style multi-label suffixes
+    // keep one more label, IPv4 hosts stay whole) page counts, host
     // diversity and a docs-per-domain cap flag (>5% of the corpus):
     // the FineWeb/DCLM-style domain curation stage downstream of URL
     // canonicalization. Hosts synthesized deterministically from
     // doc_id with a QUADRATIC skew (domain d gets 2d+1 of every 961
-    // docs) — the oracle states the ground truth arithmetically, so
-    // the gate only passes if url→canonical→host→domain really parses
+    // docs) across four registry classes (dom%4: .com / .org /
+    // .co.uk / bare IPv4) — the oracle states the ground truth
+    // arithmetically, so the gate only passes if
+    // url→canonical→host→domain really parses AND the PSL/IP rules
+    // really group (two-label folds every .co.uk site into one
+    // pseudo-domain and every IP into "0.1")
     "q267_domain_stats"    -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       val docs = graft.sources.Tables.load(s, d, "documents")
@@ -1732,10 +1739,18 @@ object SparkEntry {
           col("n_chars").cast("long").as("n_chars"),
           floor(sqrt(pmod(col("doc_id").cast("long"), lit(961L))
             .cast("double"))).cast("int").as("dom"))
+      val isIp = pmod(col("dom"), lit(4)) === 3
+      val base = when(pmod(col("dom"), lit(4)) === 0,
+          concat(lit("site"), col("dom").cast("string"), lit(".com")))
+        .when(pmod(col("dom"), lit(4)) === 1,
+          concat(lit("site"), col("dom").cast("string"), lit(".org")))
+        .when(pmod(col("dom"), lit(4)) === 2,
+          concat(lit("site"), col("dom").cast("string"), lit(".co.uk")))
+        .otherwise(concat(lit("10."), col("dom").cast("string"), lit(".0.1")))
       val host = concat(
-        when(pmod(col("doc_id"), lit(7L)) === 0, lit("WWW.")).otherwise(lit("")),
-        lit("site"), col("dom").cast("string"),
-        when(pmod(col("dom"), lit(2)) === 0, lit(".com")).otherwise(lit(".org")))
+        when(pmod(col("doc_id"), lit(7L)) === 0 && !isIp, lit("WWW."))
+          .otherwise(lit("")),
+        base)
       val url = concat(
         when(pmod(col("doc_id"), lit(3L)) === 0, lit("https")).otherwise(lit("http")),
         lit("://"), host, lit("/p/"), col("doc_id").cast("string"),
@@ -1761,7 +1776,12 @@ object SparkEntry {
     // robots directives on the raw-web path — the compliance filter
     // every published corpus recipe runs BEFORE content processing:
     // the X-Robots-Tag RESPONSE HEADER (parsed by the WARC reader) and
-    // the in-page <meta name=robots> (both attribute orders) both veto
+    // the in-page <meta name=robots> (both attribute orders) both
+    // veto. Bodies decode through the charset gate (Warc.decodeBody,
+    // NOT unconditional UTF-8): the fixture's meta-noindex page is
+    // planted in cp1252 with a multibyte attribute on the meta tag,
+    // and the output carries the detected charset so a UTF-8-only
+    // reader fails the gate structurally
     "q268_robots_noindex"  -> ((s: SparkSession, d: String) => {
       import s.implicits._
       import org.apache.spark.sql.functions.col
@@ -1770,13 +1790,15 @@ object SparkEntry {
         .map { r =>
           val id = r.target_uri.substring(r.target_uri.lastIndexOf('/') + 1).toLong
           val hdr = r.http_x_robots.toLowerCase(java.util.Locale.ROOT)
-          val meta = operators.HtmlText.metaRobots(new String(r.body, "UTF-8"))
+          val (charset, html) =
+            graft.sources.Warc.decodeBody(r.http_content_type, r.body)
+          val meta = operators.HtmlText.metaRobots(html)
           val robots = if (hdr.nonEmpty) hdr else meta
           val src = if (hdr.nonEmpty) "header" else if (meta.nonEmpty) "meta" else ""
           val kept = if (hdr.contains("noindex") || meta.contains("noindex")) 0 else 1
-          (id, robots, src, kept)
+          (id, charset, robots, src, kept)
         }
-        .toDF("doc_id", "robots", "src", "kept")
+        .toDF("doc_id", "charset", "robots", "src", "kept")
         .orderBy(col("doc_id"))
     }),
     // corpus-wide line-level dedup (C4/RefinedWeb/Dolma): repeated
@@ -1803,6 +1825,34 @@ object SparkEntry {
           trim(regexp_extract(col("http_content_type"), "^([^;]*)", 1)).as("mime"))
         .withColumn("kept",
           (col("status") === 200 && col("mime") === "text/html").cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- round 13: robots.txt path rules (RFC 9309) — the third leg
+    // of the crawl compliance gate (q268 covers the X-Robots-Tag
+    // header and the in-page meta): per-host robots.txt records are
+    // parsed into user-agent groups and Allow/Disallow prefix rules,
+    // pages are vetoed by longest-match (Allow wins ties). The
+    // fixture plants rules + paths arithmetically from doc_id, so the
+    // oracle states ground truth in closed form and the gate only
+    // passes if group selection, comment/unknown-key handling,
+    // longest-match and the Allow tie-break all really work
+    "q271_robots_txt"      -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val recs = graft.sources.Warc.readRecords(s, warcRobotsTxtFixture(s, d))
+        .toDF()
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri"),
+          functions.Urls.hostOf(col("target_uri")).as("host"),
+          regexp_extract(col("target_uri"),
+            "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1).as("path"),
+          col("body"))
+      val robots = recs.filter(col("path") === "/robots.txt")
+        .select(col("host"), decode(col("body"), "UTF-8").as("body"))
+      val pages = recs.filter(col("path") =!= "/robots.txt")
+        .select(regexp_extract(col("path"), "/(\\d+)$", 1).cast("long")
+          .as("doc_id"), col("host"), col("path"))
+      operators.RobotsTxt.evaluate(pages, operators.RobotsTxt.rules(robots))
+        .select(col("doc_id"), col("host"), col("rule"), col("allowed"))
         .orderBy(col("doc_id"))
     }),
   )
@@ -1878,7 +1928,10 @@ object SparkEntry {
     *   1 → `X-Robots-Tag: noindex` RESPONSE HEADER, no meta (dropped
     *       via the header path the WARC reader parses);
     *   2 → `<meta name="robots" content="noindex, nofollow">` (dropped
-    *       via the in-page path);
+    *       via the in-page path) — planted in WINDOWS-1252 with a
+    *       multibyte marker attribute on the meta tag (’€ sit in
+    *       0x80-0x9F, invalid UTF-8 bytes): only a charset-correct
+    *       decode (Warc.decodeBody) reads this page cleanly;
     *   3 → `<meta content="index, follow" name="robots">` — REVERSED
     *       attribute order, and an allow directive (kept: presence of
     *       a robots meta must not itself veto). */
@@ -1891,17 +1944,19 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("text").cast("string"))
         .as[(Long, String)]
         .map { case (id, text) =>
-          val (xh, meta) = (id % 4) match {
-            case 0 => ("", "")
-            case 1 => ("X-Robots-Tag: noindex", "")
-            case 2 => ("", "<meta name=\"robots\" content=\"noindex, nofollow\">")
-            case _ => ("", "<meta content=\"index, follow\" name=\"robots\">")
+          val (cs, ctype, xh, meta) = (id % 4) match {
+            case 0 => ("UTF-8", "text/html; charset=utf-8", "", "")
+            case 1 => ("UTF-8", "text/html; charset=utf-8",
+              "X-Robots-Tag: noindex", "")
+            case 2 => ("windows-1252", "text/html; charset=windows-1252", "",
+              "<meta name=\"robots\" data-mark=\"’€\" content=\"noindex, nofollow\">")
+            case _ => ("UTF-8", "text/html; charset=utf-8", "",
+              "<meta content=\"index, follow\" name=\"robots\">")
           }
           val html =
             s"<html><head>$meta<title>t</title></head><body><p>$text</p></body></html>"
           (id / graft.sources.Warc.PagesPerShard, id,
-            s"http://example.org/doc/$id", "text/html; charset=utf-8",
-            html.getBytes("UTF-8"), xh, 200)
+            s"http://example.org/doc/$id", ctype, html.getBytes(cs), xh, 200)
         }
         .toDF("shard", "doc_id", "url", "content_type", "body", "x_headers", "status")
       graft.sources.Warc.writeShardsEncoded(s, pages, path)
@@ -1937,6 +1992,66 @@ object SparkEntry {
         }
         .toDF("shard", "doc_id", "url", "content_type", "body", "x_headers", "status")
       graft.sources.Warc.writeShardsEncoded(s, pages, path)
+    }
+
+  /** Memoized robots.txt WARC fixture: 6 hosts (`site{h}.example`,
+    * h = (doc_id div 5) % 6), each with ONE robots.txt record planted
+    * next to its pages — the layout Common Crawl ships (robotstxt
+    * WARCs beside the response WARCs). Page paths per doc_id % 5:
+    *   0 → `/a/{id}`            (no rule matches — kept);
+    *   1 → `/private/{id}`      (Disallow: /private/ — dropped);
+    *   2 → `/private/pub/{id}`  (longest match is Allow: /private/pub/
+    *                             — kept despite the /private/ rule);
+    *   3 → `/tmp/{id}`          (odd hosts add Disallow: /tmp — host
+    *                             parity decides);
+    *   4 → `/dual/{id}`         (equal-length Allow + Disallow /dual/
+    *                             — Allow wins the tie, kept).
+    * Every robots.txt also carries a comment, a `Crawl-delay` (unknown
+    * key — ignored), an empty `Disallow:` (matches nothing) and a
+    * two-token `crawlerx`/`crawlery` group with `Disallow: /` that a
+    * `*` crawler must NOT obey. */
+  private def warcRobotsTxtFixture(s: SparkSession, d: String): String =
+    fixture("warcrobotstxt", s, d, "documents") { path =>
+      wipe(s, path)
+      import s.implicits._
+      val pages = graft.sources.Tables.load(s, d, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+          org.apache.spark.sql.functions.col("text").cast("string"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val h = (id / 5) % 6
+          val p = (id % 5) match {
+            case 0 => s"/a/$id"
+            case 1 => s"/private/$id"
+            case 2 => s"/private/pub/$id"
+            case 3 => s"/tmp/$id"
+            case _ => s"/dual/$id"
+          }
+          (id / graft.sources.Warc.PagesPerShard, id,
+            s"http://site$h.example$p", "text/html; charset=utf-8",
+            s"<html><body><p>$text</p></body></html>".getBytes("UTF-8"), "", 200)
+        }
+        .toDF("shard", "doc_id", "url", "content_type", "body", "x_headers", "status")
+      val robots = (0 until 6).map { h =>
+        val tmpRule = if (h % 2 == 1) "Disallow: /tmp\n" else ""
+        val body =
+          s"""# planted fixture robots.txt for site$h.example
+             |User-agent: crawlerx
+             |User-agent: crawlery
+             |Disallow: /
+             |
+             |User-agent: *
+             |Crawl-delay: 5
+             |Disallow: /private/
+             |Allow: /private/pub/
+             |Disallow: /dual/
+             |Allow: /dual/
+             |${tmpRule}Disallow:
+             |""".stripMargin
+        (1000000L + h, 1000000L + h, s"http://site$h.example/robots.txt",
+          "text/plain", body.getBytes("UTF-8"), "", 200)
+      }.toDF("shard", "doc_id", "url", "content_type", "body", "x_headers", "status")
+      graft.sources.Warc.writeShardsEncoded(s, pages.unionByName(robots), path)
     }
 
   /** ANSI GROUPING SETS text, used verbatim by Spark (q48) and DuckDB. */
@@ -5746,7 +5861,8 @@ object SparkEntry {
         |    WHEN 1 THEN 'café déjà vu' ELSE '€uro ’quote café' END)
         |  || (CASE WHEN length(text) = 0 THEN '' ELSE ' ' || text END) AS extracted
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // functions.Urls.canonicalUrl restated: same regexes, same
+    // functions.Urls.canonicalUrl restated: same pct-normalization
+    // (unreserved decode + hex uppercase, CTE pn), same regexes, same
     // codepoint param sort, same tracking-param strip — five cosmetic
     // variants collapse onto one canonical string per (scheme, page)
     "q266_url_canonical" ->
@@ -5755,12 +5871,21 @@ object SparkEntry {
         |u AS (SELECT doc_id,
         |    CASE doc_id % 5
         |      WHEN 0 THEN 'http://Example.org/doc/' || g
-        |      WHEN 1 THEN 'HTTP://example.org:80/doc/' || g || '?utm_source=x'
+        |      WHEN 1 THEN 'HTTP://example.org:80/d%6fc/' || g || '?utm_source=x'
         |      WHEN 2 THEN 'http://example.org/doc/' || g || '#frag'
-        |      WHEN 3 THEN 'https://Example.org:443/doc/' || g || '?b=2&a=1'
-        |      ELSE 'https://example.org/doc/' || g || '?a=1&b=2&utm_campaign=y' END AS url
+        |      WHEN 3 THEN 'https://Example.org:443/doc%2Fs/' || g || '?b=2&a=1'
+        |      ELSE 'https://example.org/d%6Fc%2fs/' || g || '?a=1&b=%32&utm_campaign=y' END AS url
         |  FROM d),
-        |p AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |pn AS (SELECT doc_id,
+        |    CASE WHEN len(string_split(url, '%')) = 1 THEN url ELSE
+        |      string_split(url, '%')[1] || array_to_string(list_transform(string_split(url, '%')[2:], pp ->
+        |        CASE WHEN regexp_matches(upper(pp[1:2]), '^(4[1-9A-F]|5[0-9A]|6[1-9A-F]|7[0-9A]|3[0-9]|2[DE]|5F|7E)$')
+        |             THEN decode(from_hex(upper(pp[1:2]))) || pp[3:]
+        |             WHEN regexp_matches(upper(pp[1:2]), '^[0-9A-F]{2}$')
+        |             THEN '%' || upper(pp[1:2]) || pp[3:]
+        |             ELSE '%' || pp END), '')
+        |    END AS url FROM u),
+        |p AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM pn),
         |c AS (SELECT doc_id,
         |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
@@ -5783,16 +5908,19 @@ object SparkEntry {
         |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin,
     // domain stats ground truth stated ARITHMETICALLY (domain and host
     // variety straight from doc_id) — the Spark side must recover it
-    // through url→canonicalUrl→hostOf→registeredDomain parsing
+    // through url→canonicalUrl→hostOf→registeredDomain parsing,
+    // including the PSL (.co.uk keeps 3 labels) and IP (host stays
+    // whole, no www subdomain) registry classes
     "q267_domain_stats" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars,
         |    CAST(floor(sqrt(CAST(doc_id % 961 AS DOUBLE))) AS INT) AS dom
         |  FROM documents),
-        |g AS (SELECT 'site' || dom ||
-        |    (CASE WHEN dom % 2 = 0 THEN '.com' ELSE '.org' END) AS domain,
+        |g AS (SELECT CASE WHEN dom % 4 = 3 THEN '10.' || dom || '.0.1'
+        |    ELSE 'site' || dom || (CASE dom % 4 WHEN 0 THEN '.com'
+        |      WHEN 1 THEN '.org' ELSE '.co.uk' END) END AS domain,
         |  CAST(count(*) AS BIGINT) AS n_pages,
-        |  CAST(count(DISTINCT CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_hosts,
+        |  CAST(count(DISTINCT CASE WHEN doc_id % 7 = 0 AND dom % 4 <> 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hosts,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |  FROM d GROUP BY 1)
         |SELECT domain, n_pages, n_hosts, sum_chars,
@@ -5804,6 +5932,7 @@ object SparkEntry {
     // and the meta tag in both attribute orders (cases 2, 3)
     "q268_robots_noindex" ->
       """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 2 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
         |  CASE doc_id % 4 WHEN 1 THEN 'noindex'
         |    WHEN 2 THEN 'noindex, nofollow'
         |    WHEN 3 THEN 'index, follow' ELSE '' END AS robots,
@@ -5839,6 +5968,25 @@ object SparkEntry {
         |  CASE doc_id % 5 WHEN 4 THEN 'application/pdf'
         |    ELSE 'text/html' END AS mime,
         |  CAST(CASE WHEN doc_id % 5 IN (0, 1) THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // robots.txt ground truth in closed form from the planted rules:
+    // matched only by really selecting the `*` group (not crawlerx's
+    // blanket Disallow), applying longest-match (/private/pub/ Allow
+    // beats /private/ Disallow), the Allow tie-break (/dual/), and
+    // the odd-host-only /tmp rule
+    "q271_robots_txt" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  'site' || ((CAST(doc_id AS BIGINT) // 5) % 6) || '.example' AS host,
+        |  CASE doc_id % 5 WHEN 1 THEN '/private/'
+        |    WHEN 2 THEN '/private/pub/'
+        |    WHEN 4 THEN '/dual/'
+        |    WHEN 3 THEN CASE WHEN ((CAST(doc_id AS BIGINT) // 5) % 6) % 2 = 1
+        |      THEN '/tmp' ELSE '' END
+        |    ELSE '' END AS rule,
+        |  CAST(CASE doc_id % 5 WHEN 1 THEN 0
+        |    WHEN 3 THEN CASE WHEN ((CAST(doc_id AS BIGINT) // 5) % 6) % 2 = 1
+        |      THEN 0 ELSE 1 END
+        |    ELSE 1 END AS INT) AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the derived-next diff census in closed form from the base table
     // (removal wins over edit; adds are the shifted mod-103 copies)
@@ -6249,10 +6397,10 @@ object SparkEntry {
     * (cid, cv), emitting `$out(vec_id, cid)` — mirrors
     * Vectors.twoLevelAssign exactly: coarse seeds = centroids with
     * cid < m (`ivm` must be in scope); every centroid maps to its
-    * nearest seed; every vector picks its nearest NON-EMPTY seed, then
-    * argmaxes only over that seed's member centroids. All argmaxes are
-    * (rounded cosine DESC, id ASC) — the engine's tie convention.
-    * Requires CTE `e(vec_id, v)`. */
+    * nearest seed; every vector keeps its Vectors.CoarseProbes nearest
+    * NON-EMPTY seeds (multi-probe), then argmaxes over those seeds'
+    * member centroids. All argmaxes are (rounded cosine DESC, id ASC)
+    * — the engine's tie convention. Requires CTE `e(vec_id, v)`. */
   private def twoLevelAsgDuck(tag: String, ctab: String, out: String): String =
     s"""ivg$tag AS MATERIALIZED (SELECT cid AS gid, cv AS gv FROM $ctab WHERE cid < (SELECT m FROM ivm)),
        |ivcg$tag AS MATERIALIZED (SELECT cid, gid FROM (
@@ -6260,7 +6408,7 @@ object SparkEntry {
        |    FROM $ctab c, ivg$tag g) WHERE rk = 1),
        |ivvg$tag AS MATERIALIZED (SELECT vec_id, gid FROM (
        |    SELECT e.vec_id, g.gid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosDuck("g.gv", "e.v")} DESC, g.gid) AS rk
-       |    FROM e, ivg$tag g WHERE g.gid IN (SELECT gid FROM ivcg$tag)) WHERE rk = 1),
+       |    FROM e, ivg$tag g WHERE g.gid IN (SELECT gid FROM ivcg$tag)) WHERE rk <= ${operators.Vectors.CoarseProbes}),
        |$out AS MATERIALIZED (SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosDuck("c.cv", "e.v")} DESC, c.cid) AS rk
        |    FROM e JOIN ivvg$tag vv USING (vec_id) JOIN ivcg$tag cg ON cg.gid = vv.gid JOIN $ctab c ON c.cid = cg.cid) WHERE rk = 1)""".stripMargin

@@ -154,29 +154,48 @@ object Vectors {
     (seeds.toSeq.filter(s => nonEmpty.contains(s._1)), cidToGid)
   }
 
-  /** Corpus → centroid assignment, TWO-LEVEL: each vector finds its
-    * nearest coarse seed first (N·√k rounded cosines), then the argmax
-    * only over that seed's member centroids (N·k/√k expected). The
-    * flat N·k assignment with the count-derived k = ⌈√N⌉ is N^1.5·d —
-    * the measured ×100 scale-killer (q43 ×164 before this); two-level
-    * drops every assignment pass (training iterations AND the final
-    * assignment) to ~2·N·N^0.25·d. Argmax via max_by over tiny
-    * (vec_id, id, score) triples — embeddings never fan out ×k across
-    * a shuffle; the group routing costs one vec_id-keyed join. */
+  /** Coarse groups probed per vector in [[twoLevelAssign]]. Single-
+    * probe routing (the round-12 form) assigns each vector to ONE
+    * coarse group before the fine argmax, which SKEWS fine-cell sizes:
+    * a vector whose true nearest centroid lives in its second-nearest
+    * group gets folded into the wrong (often hot) cell, and every
+    * in-cell pair consumer (kNN graph, triplet mining, SemDeDup) pays
+    * Σ size² on the skew — measured ×547/×258 at ×100 (q222/q253).
+    * Probing the top 3 groups restores near-flat assignment balance
+    * for 3× of the (now cheap) fine term. */
+  val CoarseProbes = 3
+
+  /** Corpus → centroid assignment, TWO-LEVEL with MULTI-PROBE coarse
+    * routing: each vector ranks the ⌈√k⌉ coarse seeds (broadcast as a
+    * plan literal — computed entirely inside the scan projection, NO
+    * shuffle and no join-back), keeps its [[CoarseProbes]] nearest
+    * groups, then argmaxes over only those groups' member centroids
+    * (expected 3·k/√k of the k). The flat N·k assignment with the
+    * count-derived k = ⌈√N⌉ is N^1.5·d — the measured ×100
+    * scale-killer (q43 ×164 before two-level); multi-probe keeps that
+    * fix while restoring the cell balance single-probe destroyed.
+    * Argmax via max_by over tiny (vec_id, id, score) triples —
+    * embeddings never fan out ×k across a shuffle (the ×probes·members
+    * fan-out lives inside a broadcast-join projection; only partial-agg
+    * rows shuffle). All orderings are (rounded cosine DESC, id ASC) —
+    * the engine's tie convention, mirrored in the DuckDB oracle. */
   private def twoLevelAssign(spark: SparkSession, e: DataFrame,
                              cents: Array[(Int, Array[Double])]): DataFrame = {
     import spark.implicits._
     val (seeds, cidToGid) = twoLevelParts(cents)
     val gidOf = cidToGid.toMap
-    val seedsDf = broadcast(seeds.toDF("gid", "gv"))
+    // model-sized literal (≤ ⌈√k⌉ ≤ 256 seeds): ascending (−cos, gid)
+    // sort = (cos DESC, gid ASC), the argmax convention
+    val seedsLit = typedLit(seeds.map { case (g, gv) => (g, gv.toSeq) })
+    val topGids = slice(
+      array_sort(transform(seedsLit, s => struct(
+        (-round(cosine(s.getField("_2"), col("embedding")), 4)).as("negcos"),
+        s.getField("_1").as("gid")))),
+      1, CoarseProbes)
     val centsG = broadcast(cents.toSeq.map { case (cid, cv) => (cid, gidOf(cid), cv) }
       .toDF("cid", "gid", "cv"))
-    val vg = e.crossJoin(seedsDf)
-      .select(col("vec_id"), col("gid"),
-        round(cosine(col("gv"), col("embedding")), 4).as("gcos"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("gid"), struct(col("gcos"), -col("gid"))).as("gid"))
-    e.join(vg, Seq("vec_id"))
+    e.select(col("vec_id"), col("embedding"),
+        explode(transform(topGids, t => t.getField("gid"))).as("gid"))
       .join(centsG, Seq("gid"))
       .select(col("vec_id"), col("cid"),
         round(cosine(col("cv"), col("embedding")), 4).as("ccos"))
