@@ -16,6 +16,19 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+  /** Shuffle partition count — defaults to the core count locally,
+    * overridable per run (SPARK_GRAFT_SHUFFLE_PARTITIONS) because the
+    * right value scales with INPUT SIZE, not cores: AQE can coalesce
+    * an over-partitioned shuffle at runtime but can NEVER split an
+    * under-partitioned one, so a 100× replica pushed through the
+    * sf0.1 partition count spills and GC-thrashes per oversized
+    * partition (the r12 ×100-unique instrument measured the shingle
+    * family superlinear exactly this way). Production guidance: set
+    * this so per-partition shuffle bytes land near 64-128 MB — i.e.
+    * proportional to input scale — and let AQE trim the excess. */
+  def shufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+
   /** Per-JVM warehouse for managed (e.g. bucketed) tables — keeps
     * runs isolated and the repo clean. */
   private lazy val warehouseDir: String =
@@ -25,7 +38,7 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -12,12 +12,16 @@ Two modes:
       list, and "value" (the total) is recomputed — the artifact
       discloses exactly which rows were re-measured.
 
-  merge_bench.py concat <target.json> <fragment.json> [...]
+  merge_bench.py concat <target.json> [--expect q1,q2,...] <fragment.json> [...]
       Build the target FROM the fragments (per-query-JVM stage, e.g.
       the x100 spot-check where one shared JVM lets a single query's
       GC stall kill the context for every query after it). Rows,
       failed lists and per-query loadavg are unioned; the artifact
-      records isolation="per-query-jvm".
+      records isolation="per-query-jvm". --expect lists the queries
+      the stage was SUPPOSED to run: any expected query with no
+      fragment row (its JVM died before writing the part file — the
+      x100 loop runs '|| true') is recorded as failed with value -1,
+      so a crashed query can never vanish from the merged artifact.
 
 Fragments are whole Bench artifacts (usually SPARK_GRAFT_BENCH_ONLY
 runs). Failed queries (value < 0 / in "failed") replace cleanly.
@@ -39,15 +43,23 @@ def save(p, d):
 
 def main():
     mode, target = sys.argv[1], sys.argv[2]
-    frags = [load(p) for p in sys.argv[3:]]
+    rest = sys.argv[3:]
+    expect = []
+    if rest and rest[0] == "--expect":
+        expect = [q for q in rest[1].split(",") if q]
+        rest = rest[2:]
+    frags = [load(p) for p in rest]
     if mode == "patch":
         art = load(target)
         requeued = list(art.get("requeued_isolated", []))
         for fr in frags:
             for q, v in fr["queries"].items():
                 art["queries"][q] = v
-                art.setdefault("query_loadavg", {})[q] = \
-                    fr.get("query_loadavg", {}).get(q)
+                # only overwrite loadavg when the fragment HAS one —
+                # an absent fragment value must not null a valid row
+                if q in fr.get("query_loadavg", {}):
+                    art.setdefault("query_loadavg", {})[q] = \
+                        fr["query_loadavg"][q]
                 if q not in requeued:
                     requeued.append(q)
                 # a clean requeue clears a failed mark; a failed requeue sets it
@@ -57,6 +69,9 @@ def main():
                 art["failed"] = sorted(failed)
         art["requeued_isolated"] = sorted(requeued)
     elif mode == "concat":
+        if not frags:
+            sys.exit("concat: no fragment files exist (all per-query JVMs "
+                     "died before writing artifacts)")
         art = dict(frags[0])
         art["queries"], art["failed"] = {}, []
         art["query_loadavg"] = {}
@@ -64,6 +79,12 @@ def main():
             art["queries"].update(fr["queries"])
             art["query_loadavg"].update(fr.get("query_loadavg", {}))
             art["failed"] = sorted(set(art["failed"]) | set(fr.get("failed", [])))
+        # an expected query whose JVM died before writing its part file
+        # has no fragment row at all — record it failed, never drop it
+        missing = [q for q in expect if q not in art["queries"]]
+        for q in missing:
+            art["queries"][q] = -1.0
+        art["failed"] = sorted(set(art["failed"]) | set(missing))
         art["isolation"] = "per-query-jvm"
     else:
         sys.exit(f"unknown mode {mode}")
