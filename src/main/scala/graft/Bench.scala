@@ -44,6 +44,43 @@ object Bench {
   private def load1min: Double =
     try loadavg.split(" ")(0).toDouble catch { case NonFatal(_) => 0.0 }
 
+  private val LockPath =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_bench.lock")
+
+  /** Fail fast (named error, exit 3) if another live graft.Bench JVM
+    * holds the lock; otherwise take it and release on exit. */
+  private def acquireLock(): Unit = {
+    try {
+      if (java.nio.file.Files.exists(LockPath)) {
+        val pid = new String(java.nio.file.Files.readAllBytes(LockPath), "UTF-8").trim
+        val alive = try {
+          val h = ProcessHandle.of(pid.toLong)
+          h.isPresent && h.get.isAlive
+        } catch { case NonFatal(_) => false }
+        if (alive) {
+          System.err.println(
+            s"[bench] ERROR: SIBLING_BENCH_RUNNING — another graft.Bench JVM (pid $pid) " +
+              s"holds $LockPath; refusing to measure against its load. " +
+              "Finish or kill it first (tools/bench_chain.sh still running?).")
+          sys.exit(3)
+        }
+        System.err.println(s"[bench] reclaiming stale lock of dead pid $pid")
+      }
+      java.nio.file.Files.write(LockPath,
+        (ProcessHandle.current.pid.toString + "\n").getBytes("UTF-8"))
+      val self = ProcessHandle.current.pid.toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          // delete only OUR lock — never a successor's
+          val cur = new String(java.nio.file.Files.readAllBytes(LockPath), "UTF-8").trim
+          if (cur == self) java.nio.file.Files.delete(LockPath)
+        } catch { case NonFatal(_) => () }))
+    } catch { case NonFatal(e) =>
+      // lock plumbing must never block a measurement on an exotic fs
+      System.err.println(s"[bench] lock check skipped: ${e.getMessage}")
+    }
+  }
+
   /** Bounded wait for the 1-min loadavg to drop under `max`; returns
     * seconds waited. */
   private def waitForQuiesce(max: Double, waitSec: Int, tag: String): Int = {
@@ -85,6 +122,14 @@ object Bench {
     val requeueMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE_LOAD",
       "6.0").toDouble
     val requeueTries = sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE", "2").toInt
+    // Sibling guard: two graft.Bench JVMs on one host contaminate
+    // each other's timings AND the start gate below can loop its full
+    // 600 s against the sibling's own load (rounds 12-13: the
+    // driver's bench hit rc=124 twice while tools/bench_chain.sh was
+    // still running). A second bench must fail FAST with a named
+    // error, not time out silently. PID lock file; a dead holder's
+    // stale lock is reclaimed.
+    acquireLock()
     var waited = waitForQuiesce(gateMax, gateWaitSec, "start gate")
     val loadGate = if (load1min > gateMax) "loaded" else "clean"
     if (loadGate == "loaded")

@@ -35,6 +35,16 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
+  /** ONE-pass parse of a URL into
+    * `(canon, scheme, host, host_noport, path, query)` — the native
+    * [[graft.plans.UrlParts]] expression (registered by
+    * GraftExtensions). Semantically identical to
+    * [[canonicalUrl]]/[[hostOf]] but reads the string once instead of
+    * a split/transform pass plus five regexp passes; q266/q267 route
+    * through this, and the q266 oracle (which restates the REGEX
+    * formulation in DuckDB) gates the equivalence byte-for-byte. */
+  def parts(u: Column): Column = call_function("url_parts", u)
+
   /** Params dropped entirely: the click/campaign trackers every
     * pipeline strips (they identify the REFERRAL, not the resource). */
   val TrackingParamRe = "^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
@@ -87,16 +97,17 @@ object Urls {
   def hostOf(u: Column): Column =
     lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]*)", 1))
 
-  /** Multi-label public suffixes — a bounded subset of the Public
-    * Suffix List (publicsuffix.org, public data) covering the
-    * second-level country registries a web crawl actually hits. A
-    * host under one of these registers one label DEEPER: the
-    * registrable domain of `shop.example.co.uk` is `example.co.uk`,
-    * not `co.uk` — the two-label rule would fold every UK site into
-    * one pseudo-domain and a docs-per-domain cap (q267) would then
-    * throttle the whole country as a single "site". The full PSL is
-    * ~9k rules; this subset keeps the expression literal bounded and
-    * the two-label rule remains the fallback for everything else. */
+  /** Multi-label public suffixes — RETIRED as the lookup table
+    * ([[registeredDomain]] now delegates to the native
+    * [[graft.plans.RegisteredDomain]] expression backed by the FULL
+    * ~9.5k-rule Public Suffix List, embedded from publicsuffix.org's
+    * public data); kept as documentation of the motivating cases and
+    * as the fixture list for parity tests. A host under one of these
+    * registers one label DEEPER: the registrable domain of
+    * `shop.example.co.uk` is `example.co.uk`, not `co.uk` — the
+    * two-label rule would fold every UK site into one pseudo-domain
+    * and a docs-per-domain cap (q267) would then throttle the whole
+    * country as a single "site". */
   val MultiLabelSuffixes: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk", "ltd.uk",
     "plc.uk", "sch.uk", "nhs.uk",
@@ -130,22 +141,14 @@ object Urls {
     "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
     "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke")
 
-  private val Ipv4Re = "^[0-9]{1,3}(\\.[0-9]{1,3}){3}$"
-
-  /** Registrable domain of a host — the aggregation key domain-level
-    * curation uses (docs-per-domain caps, reputation scores key on
-    * the SITE, not each subdomain): the last two dot-labels
-    * (`www.news.site4.com` → `site4.com`), except one label deeper
-    * under a multi-label public suffix ([[MultiLabelSuffixes]]:
-    * `www.example.co.uk` → `example.co.uk`). IPv4 hosts and
-    * single-label hosts (`localhost`) stay whole — the last-two-label
-    * rule would group unrelated IPs under one pseudo-domain (`…0.1`)
-    * and return "" for bare hosts. Pure column expression. */
-  def registeredDomain(host: Column): Column = {
-    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
-    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
-    when(host.rlike(Ipv4Re) || last2 === "", host)
-      .when(last2.isin(MultiLabelSuffixes: _*) && last3 =!= "", last3)
-      .otherwise(last2)
-  }
+  /** Registrable domain of a (lowercased) host — the aggregation key
+    * domain-level curation uses (docs-per-domain caps, reputation
+    * scores key on the SITE, not each subdomain): the public suffix
+    * plus one label (`www.news.site4.com` → `site4.com`,
+    * `www.example.co.uk` → `example.co.uk`), under the FULL embedded
+    * Public Suffix List — see [[graft.plans.RegisteredDomain]] for
+    * the algorithm, the scale shape and the IPv4/single-label/own-
+    * suffix carve-outs. */
+  def registeredDomain(host: Column): Column =
+    call_function("registered_domain", host)
 }

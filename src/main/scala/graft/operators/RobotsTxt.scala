@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   *   - consecutive `User-agent` lines open ONE group that owns the
   *     rule lines after it; a group applies when it names the product
   *     token or `*`;
-  *   - `Allow`/`Disallow` values are path prefixes; an EMPTY value
+  *   - `Allow`/`Disallow` values are path patterns; an EMPTY value
   *     matches nothing (a bare `Disallow:` means allow-all).
   *
-  * Matching (§2.2.2): the rule with the LONGEST matching prefix wins;
-  * on a length tie `Allow` wins. A page no rule matches is allowed.
+  * Matching (§2.2.2-3): the rule with the LONGEST match wins (rule
+  * length as written); on a length tie `Allow` wins; a page no rule
+  * matches is allowed. `*` matches any octet sequence and a trailing
+  * `$` anchors at end-of-path (see [[evaluate]]).
   *
   * Scale shape: parsing windows over (host, line-index) — bounded,
   * robots.txt is capped at 500 KiB by the RFC and there is ONE file
@@ -73,21 +75,48 @@ object RobotsTxt {
 
   /** Evaluate pages `(doc_id, host, path, …)` against [[rules]]
     * output: appends `rule` (the winning rule's path, "" when none
-    * matches) and `allowed` (1/0). Longest-match, Allow-wins-ties,
+    * matches) and `allowed` (1/0). Longest-match (rule-string
+    * length, wildcards counted as written), Allow-wins-ties,
     * no-match-allows — §2.2.2. The length/type/path max_by key makes
     * the winner deterministic even between same-length same-type
-    * rules. */
+    * rules.
+    *
+    * §2.2.3 special characters: `*` in a rule matches any octet
+    * sequence, a TRAILING `$` anchors the rule at the path's end (a
+    * mid-rule `$` is literal). Plain prefix rules — the overwhelming
+    * majority of real robots.txt lines — keep the cheap
+    * `startsWith` path; only rules carrying `*`/`$` pay the regex
+    * translation (metachars escaped, `*` → `.*`, `^`-anchored), so
+    * the per-(page×rule) cost stays a prefix compare except where
+    * the spec forces more.
+    *
+    * Grouping keys on (doc_id, host) — not doc_id alone — so two
+    * pages on different hosts that happen to share an id never
+    * collapse into one winner group. */
   def evaluate(pages: DataFrame, rules: DataFrame): DataFrame = {
+    val anchored = col("rpath").endsWith("$")
+    val body = when(anchored,
+      expr("substring(rpath, 1, length(rpath) - 1)")).otherwise(col("rpath"))
+    val matchers = rules
+      .withColumn("has_wild", col("rpath").contains("*") || anchored)
+      .withColumn("rre",
+        when(col("has_wild"), concat(
+          lit("^"),
+          regexp_replace(
+            regexp_replace(body, "([\\\\.\\[\\]\\{\\}\\(\\)\\+\\-\\^\\$\\|\\?])", "\\\\$1"),
+            "\\*", ".*"),
+          when(anchored, lit("$")).otherwise(lit("")))))
     val best = pages.select(col("doc_id"), col("host"), col("path"))
-      .join(rules, Seq("host"))
-      .filter(col("path").startsWith(col("rpath")))
-      .groupBy(col("doc_id"))
+      .join(matchers, Seq("host"))
+      .filter(when(col("has_wild"), regexp_like(col("path"), col("rre")))
+        .otherwise(col("path").startsWith(col("rpath"))))
+      .groupBy(col("doc_id"), col("host"))
       .agg(max_by(struct(col("rtype"), col("rpath")),
         struct(length(col("rpath")),
           (col("rtype") === "allow").cast("int"), col("rpath"))).as("best"))
-      .select(col("doc_id"), col("best.rtype").as("rtype"),
+      .select(col("doc_id"), col("host"), col("best.rtype").as("rtype"),
         col("best.rpath").as("best_rule"))
-    pages.join(best, Seq("doc_id"), "left")
+    pages.join(best, Seq("doc_id", "host"), "left")
       .withColumn("rule", coalesce(col("best_rule"), lit("")))
       .withColumn("allowed",
         (col("rtype").isNull || col("rtype") === "allow").cast("int"))

@@ -125,6 +125,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("nfc_normalize"), NfcNormalize.info,
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("url_parts"), UrlParts.info,
+      (children: Seq[Expression]) => UrlParts(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("registered_domain"), RegisteredDomain.info,
+      (children: Seq[Expression]) => RegisteredDomain(children.head)))
     // the reference's SQL UDF surface (norm_body / to_bool_safe /
     // norm_date) as composed catalyst trees — see functions.SqlFunctions
     graft.functions.SqlFunctions.all.foreach(ext.injectFunction)
