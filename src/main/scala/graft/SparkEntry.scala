@@ -82,7 +82,7 @@ object SparkEntry {
     // gated path is the distributed LSH (no driver-side collect);
     // the oracle mirrors the md5-parity hyperplanes + banding exactly
     "q24_embedding_neardup" -> ((s: SparkSession, d: String) =>
-      Vectors.lshNearDupPairs(s, d, Vectors.NearDupPlanes, Vectors.NearDupBands,
+      Vectors.lshNearDupPairs(s, d, Vectors.NearDupPlanes, Vectors.AdaptiveBands,
         Vectors.NearDupThreshold)),
     "q25_multimodal_decode" -> Multimodal.decodeQuery _,
     "q26_rollup"         -> Relational.rollupAgg _,
@@ -425,7 +425,7 @@ object SparkEntry {
     // probed against the corpus through the same md5-parity hyperplane
     // banding as q24 — "dedupe the new crawl against the lake"
     "q87_crosscorpus_neardup" -> ((s: SparkSession, d: String) =>
-      Vectors.lshCrossNearDup(s, d, Vectors.NearDupPlanes, Vectors.NearDupBands,
+      Vectors.lshCrossNearDup(s, d, Vectors.NearDupPlanes, Vectors.AdaptiveBands,
         Vectors.NearDupThreshold)),
     // BM25 lexical retrieval (rational log-free idf, 2-term corpus-top
     // query, TakeOrdered top-10) — the curation "find matching docs"
@@ -2356,33 +2356,46 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     // mirrors Vectors.lshNearDupPairs: ±1 hyperplane component (p,i) =
-    // parity of md5("p|i") first byte; 60-bit signature; 20 bands of 3;
+    // parity of md5("p|i") first byte; 60-bit signature; banding
+    // DERIVED from the corpus count exactly as adaptiveBandBits —
+    // rbits = max(3, ceil(log2(ceil(n/256)))) via the integer-exact
+    // length(bin(m-1)) idiom, bands = 60 div rbits (3 bits × 20 bands
+    // at fixture scale — identical to the historical constants);
     // candidates collide on ≥1 band; exact cosine ≥ 0.45 verifies
     "q24_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |d AS (SELECT len(v) AS dim FROM e LIMIT 1),
+        |nn AS (SELECT count(*) AS n FROM e),
+        |rr AS (SELECT greatest(3, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END) AS rbits
+        |  FROM (SELECT (n + 255) // 256 AS m FROM nn)),
         |pl AS (SELECT p, list(CASE WHEN ((strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 2, 1)) - 1) & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY i) AS pv
         |  FROM (SELECT p, i FROM (SELECT unnest(generate_series(0, 59)) AS p), d, unnest(generate_series(0, dim - 1)) t(i))
         |  GROUP BY p),
         |sig AS (SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(pv, v) >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
         |  FROM e, pl GROUP BY vec_id),
-        |banded AS (SELECT vec_id, b, (sig >> (b * 3)) & 7 AS bits FROM sig, unnest(generate_series(0, 19)) t(b)),
+        |banded AS (SELECT vec_id, b, (sig >> (b * rbits)) & ((1::BIGINT << rbits) - 1) AS bits
+        |  FROM sig, rr, unnest(generate_series(0, 60 // rbits - 1)) t(b)),
         |cand AS (SELECT DISTINCT l.vec_id AS da, r.vec_id AS db FROM banded l JOIN banded r ON l.b = r.b AND l.bits = r.bits AND l.vec_id < r.vec_id),
         |scored AS (SELECT c.da, c.db,
         |    round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
         |  FROM cand c JOIN e a ON a.vec_id = c.da JOIN e b ON b.vec_id = c.db)
         |SELECT da, db, cos FROM scored WHERE cos >= 0.45 ORDER BY da, db""".stripMargin,
-    // identical hyperplanes/signatures/banding to q24; the only change
-    // is the candidate join pairing the batch split against the corpus
+    // identical hyperplanes/signatures/count-adaptive banding to q24;
+    // the only change is the candidate join pairing the batch split
+    // against the corpus
     "q87_crosscorpus_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |d AS (SELECT len(v) AS dim FROM e LIMIT 1),
+        |nn AS (SELECT count(*) AS n FROM e),
+        |rr AS (SELECT greatest(3, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END) AS rbits
+        |  FROM (SELECT (n + 255) // 256 AS m FROM nn)),
         |pl AS (SELECT p, list(CASE WHEN ((strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 2, 1)) - 1) & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY i) AS pv
         |  FROM (SELECT p, i FROM (SELECT unnest(generate_series(0, 59)) AS p), d, unnest(generate_series(0, dim - 1)) t(i))
         |  GROUP BY p),
         |sig AS (SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(pv, v) >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
         |  FROM e, pl GROUP BY vec_id),
-        |banded AS (SELECT vec_id, b, (sig >> (b * 3)) & 7 AS bits FROM sig, unnest(generate_series(0, 19)) t(b)),
+        |banded AS (SELECT vec_id, b, (sig >> (b * rbits)) & ((1::BIGINT << rbits) - 1) AS bits
+        |  FROM sig, rr, unnest(generate_series(0, 60 // rbits - 1)) t(b)),
         |cand AS (SELECT DISTINCT l.vec_id AS batch_id, r.vec_id AS corpus_id
         |  FROM banded l JOIN banded r ON l.b = r.b AND l.bits = r.bits
         |  WHERE l.vec_id % 5 = 0 AND r.vec_id % 5 <> 0),

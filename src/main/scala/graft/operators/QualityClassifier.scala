@@ -140,10 +140,43 @@ object QualityClassifier {
     * corpus), then a 5-row aggregate. */
   def calibration(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val held = nbScore(spark, dir).filter(col("heldout") === 1)
-    val byScore = Window.orderBy(col("llr_bits").desc, col("doc_id"))
+    // cached: the held-out slice (the full NB scoring chain) feeds
+    // BOTH the score histogram and the tie-rank assignment below —
+    // without the cache the scoring chain runs twice
+    val held = nbScore(spark, dir).filter(col("heldout") === 1).cache()
+    // Round 15: `ntile(5)` over ONE unpartitioned window sorted the
+    // whole held-out slice (a constant FRACTION of the corpus) in a
+    // single task. Decomposed via the q162/q242 compressed-bin
+    // discipline — exact, bit-identical buckets:
+    //   1. counts per llr_bits value (whole-bit integer scores — the
+    //      value space is compressed by construction, bounded by the
+    //      score range, not the corpus);
+    //   2. cumulative offsets over those bounded score rows (the only
+    //      unpartitioned window left, ≤ distinct-score rows); the
+    //      held-out total n is the sum of the same bounded rows;
+    //   3. per-score tie ranks by doc_id (PARTITIONED by score —
+    //      parallel);
+    //   4. global rank = offset + tie rank; bucket via the exact
+    //      NTILE arithmetic (first n%5 buckets get ⌈n/5⌉ rows).
+    val cnts = held.groupBy(col("llr_bits").as("v")).agg(count(lit(1)).as("c"))
+      .cache() // ≤ distinct scores — feeds offsets AND the total
+    val wv = Window.orderBy(col("v").desc) // ≤ distinct scores — bounded
+    val offs = cnts
+      .withColumn("cum_before", sum(col("c")).over(wv) - col("c"))
+      .select(col("v").as("llr_bits"), col("cum_before"))
+    val total = cnts.agg(sum(col("c")).as("n"))
+    val wtie = Window.partitionBy(col("llr_bits")).orderBy(col("doc_id"))
     held
-      .withColumn("bucket", ntile(5).over(byScore))
+      .withColumn("tie_rn", row_number().over(wtie))
+      .join(broadcast(offs), Seq("llr_bits"))
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", col("cum_before") + col("tie_rn"))
+      .withColumn("q", expr("n div 5"))
+      .withColumn("r", expr("n % 5"))
+      .withColumn("bucket",
+        when(col("rnk") <= col("r") * (col("q") + 1),
+          expr("(rnk + q) div (q + 1)"))
+          .otherwise(expr("r + (rnk - r * (q + 1) + q - 1) div q")))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(isSeed, 1L).otherwise(0L)).as("n_seed"),

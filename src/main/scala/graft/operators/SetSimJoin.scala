@@ -48,7 +48,30 @@ object SetSimJoin {
   /** As [[prefixJoin]] but over caller-provided (cached) shingle rows
     * — the shared-corpus-scan seam (the Dedup.*From discipline);
     * q221's eval harness feeds the SAME cached shingles to this truth
-    * join and to the LSH candidate generator it measures. */
+    * join and to the LSH candidate generator it measures.
+    *
+    * Round-15 scale fixes (both exactness-preserving — the q198
+    * oracle, the UNfiltered all-pairs join, is unchanged):
+    *   - POSITIONAL filter (PPJoin, Xiao et al. WWW'08 §3.2): a
+    *     candidate posting where token s sits at 1-based positions
+    *     (pa, pb) of the two ordered sets bounds the overlap by
+    *     1 + min(na−pa, nb−pb) — tokens before the posting are, at
+    *     the pair's FIRST shared token, provably unshared (both docs
+    *     sort by the same global (df,s) key, so shared tokens appear
+    *     in the same relative order; an earlier shared token in
+    *     either doc would itself be an earlier shared token in BOTH).
+    *     A Jaccard-≥-τ pair needs overlap ≥ ⌈τ(na+nb)/(1+τ)⌉ and its
+    *     first-shared-token posting meets the bound, so dropping
+    *     postings that fail it loses no qualifying pair. Measured
+    *     motivation: the ×100-unique replica ran q198 at ×302 of base
+    *     (1304.5 s) on positional-filter-free candidates.
+    *   - the verification join stays the exploded-shingle-rows form:
+    *     with candidates bounded by the positional filter its aSide
+    *     explode is candidate-volume-sized, and the exploded hash
+    *     joins + count aggregate outperform per-pair array
+    *     intersection (an array_intersect-of-structs variant measured
+    *     ×5.4 SLOWER at sf0.1 — generic struct equality per element
+    *     beats no shuffle math at any tested scale). */
   def prefixJoinFrom(sh: org.apache.spark.sql.DataFrame): DataFrame = {
     // global inverse-frequency order key: (df asc, shingle asc)
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -63,19 +86,24 @@ object SetSimJoin {
     val p = (col("n") - expr(s"(n * $TauNum + ${TauDen - 1}) div $TauDen") +
       lit(1L)).cast("int")
     val prefixes = docs
-      .select(col("doc_id"), col("n"),
-        explode(slice(col("ord"), lit(1), p)).as("pe"))
-      .select(col("doc_id"), col("n"), col("pe.s").as("s"))
+      .select(col("doc_id"), col("n"), posexplode(slice(col("ord"), lit(1), p)))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("pp"),
+        col("col.s").as("s"))
 
     // candidate generation: join prefixes on the shared shingle; the
-    // PPJoin length filter (τ·na ≤ nb ≤ na/τ, here in integers) prunes
-    // pairs no Jaccard-≥-τ result can contain
-    val cands = prefixes.select(col("doc_id").as("da"), col("n").as("na"), col("s"))
-      .join(prefixes.select(col("doc_id").as("db"), col("n").as("nb"), col("s")),
+    // PPJoin length filter (τ·na ≤ nb ≤ na/τ, here in integers) plus
+    // the positional filter prune pairs no Jaccard-≥-τ result can
+    // contain
+    val cands = prefixes
+      .select(col("doc_id").as("da"), col("n").as("na"), col("pp").as("pa"), col("s"))
+      .join(prefixes
+          .select(col("doc_id").as("db"), col("n").as("nb"), col("pp").as("pb"), col("s")),
         Seq("s"))
       .filter(col("da") < col("db") &&
         col("nb") * TauDen >= col("na") * TauNum &&
-        col("na") * TauDen >= col("nb") * TauNum)
+        col("na") * TauDen >= col("nb") * TauNum &&
+        (lit(1L) + least(col("na") - col("pa"), col("nb") - col("pb"))) *
+          (TauNum + TauDen) >= (col("na") + col("nb")) * TauNum)
       .select(col("da"), col("db"), col("na"), col("nb"))
       .distinct()
 
@@ -128,20 +156,25 @@ object SetSimJoin {
     val p = (col("n") - expr(s"(n * $TauNum + ${TauDen - 1}) div $TauDen") +
       lit(1L)).cast("int")
     val prefixes = docs
-      .select(col("doc_id"), col("n"),
-        explode(slice(col("ord"), lit(1), p)).as("pe"))
-      .select(col("doc_id"), col("n"), col("pe.s").as("s"))
+      .select(col("doc_id"), col("n"), posexplode(slice(col("ord"), lit(1), p)))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("pp"),
+        col("col.s").as("s"))
 
     // delta prefixes probe ALL prefix postings; a delta-delta pair
     // arrives from both directions, de-duplicated by the canonical
-    // (least, greatest) ordering before distinct
+    // (least, greatest) ordering before distinct. Positional filter
+    // as in [[prefixJoinFrom]] — lossless by the same first-shared-
+    // token argument, symmetric in the two sides.
     val cands = prefixes.filter(isDelta(col("doc_id")))
-      .select(col("doc_id").as("x"), col("n").as("nx"), col("s"))
-      .join(prefixes.select(col("doc_id").as("y"), col("n").as("ny"), col("s")),
+      .select(col("doc_id").as("x"), col("n").as("nx"), col("pp").as("px"), col("s"))
+      .join(prefixes
+          .select(col("doc_id").as("y"), col("n").as("ny"), col("pp").as("py"), col("s")),
         Seq("s"))
       .filter(col("x") =!= col("y") &&
         col("ny") * TauDen >= col("nx") * TauNum &&
-        col("nx") * TauDen >= col("ny") * TauNum)
+        col("nx") * TauDen >= col("ny") * TauNum &&
+        (lit(1L) + least(col("nx") - col("px"), col("ny") - col("py"))) *
+          (TauNum + TauDen) >= (col("nx") + col("ny")) * TauNum)
       .select(least(col("x"), col("y")).as("da"),
         greatest(col("x"), col("y")).as("db"),
         when(col("x") < col("y"), col("nx")).otherwise(col("ny")).as("na"),

@@ -888,9 +888,15 @@ object TextAnalysis {
       .join(uni.select(col("tok").as("w2"), col("c").as("cy")), Seq("w2"))
       .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
       .withColumn("ratio", ratio)
+      // top-K via orderBy+limit (TakeOrderedAndProject — per-partition
+      // heaps, no global sort) instead of a corpus-survivor-wide
+      // unpartitioned row_number window; the rank column is then
+      // re-derived over exactly topK rows (bounded window). Same rows,
+      // same ranks — the (ratio desc, w1, w2) key is a total order.
+      .orderBy(col("ratio").desc, col("w1"), col("w2"))
+      .limit(topK)
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("ratio").desc, col("w1"), col("w2"))))
-      .filter(col("rk") <= topK)
+        Window.orderBy(col("ratio").desc, col("w1"), col("w2")))) // ≤ topK rows
       .select(col("rk").cast("long").as("rk"), col("w1"), col("w2"),
         col("c12"), col("cx"), col("cy"), round(col("ratio"), 6).as("pmi_ratio"))
       .orderBy(col("rk"))
@@ -987,7 +993,8 @@ object TextAnalysis {
     * a broadcast join, then one cumulative window over `buckets`
     * rows. The only unbounded work is two token-keyed aggregations.
     * The doc-rank window runs over the doc_id column alone. */
-  def vocabGrowth(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+  def vocabGrowth(spark: SparkSession, dir: String, buckets: Int = 10,
+                  smallInputBytes: Long = 256L << 20): DataFrame = {
     import graft.functions.TextFunctions
     val d = Tables.loadSpread(spark, dir, "documents")
     // NOT cached: the exploded token frame is corpus-sized and the
@@ -1001,15 +1008,76 @@ object TextAnalysis {
       .filter(length(col("tok")) > 0)
     val perDoc = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
     val firsts = tk.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
-    val ranked = d.select(col("doc_id"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
-    val total = d.agg(count(lit(1)).as("n"))
-    val cps = ranked.crossJoin(broadcast(total))
-      .select(col("doc_id").as("cp_doc"), col("rn"),
-        explode(sequence(lit(1), lit(buckets))).as("k"))
-      .filter(col("rn") === expr(s"n * k div $buckets"))
-      .select(col("k").cast("long").as("k"), col("cp_doc"),
-        col("rn").cast("long").as("n_docs"))
+    // Checkpoint docs are the exact order statistics of doc_id at
+    // global ranks r_k = n·k div buckets. Round 15: the old
+    // `row_number().over(Window.orderBy(doc_id))` ranked EVERY doc
+    // through ONE task (the corpus in a single sort — the WindowExec
+    // single-partition warning in every bench tail). Decomposed via
+    // the q162 compressed-bin discipline: ≤4096 value-width id bins
+    // (a width-W bin holds ≤ W unique ids, so bin count is bounded
+    // whatever the distribution), a cumulative count over the ≤4096
+    // bin rows locates the bin holding each target rank, and only the
+    // ≤`buckets` hit bins are ranked — partition-parallel, each ≤ W
+    // rows. Same checkpoint rows, no corpus-sized window.
+    // Size-gated (the adaptiveIvfK/resolveK discipline — the plan
+    // shape follows the input size): below the gate the global rank
+    // is a provably-bounded single-task sort of one long column and
+    // the decomposition's extra stages cost more than they save
+    // (measured: +0.45-0.8 s of fixed job overhead at sf0.1); above
+    // it, the two-level form is the only shape that scales. Identical
+    // checkpoint rows either way (both compute exact order statistics
+    // of doc_id). The gate reads Catalyst's file-size stats — no
+    // Spark job (the PlanLint.lintSkew sizing precedent); 256 MB of
+    // documents ≈ well under 2^21 docs, a trivial one-column sort.
+    import spark.implicits._
+    val small =
+      d.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(smallInputBytes)
+    val cps =
+      if (small) {
+        val ranked = d.select(col("doc_id"))
+          .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+        val total = d.agg(count(lit(1)).as("n"))
+        ranked.crossJoin(broadcast(total))
+          .select(col("doc_id").as("cp_doc"), col("rn"),
+            explode(sequence(lit(1), lit(buckets))).as("k"))
+          .filter(col("rn") === expr(s"n * k div $buckets"))
+          .select(col("k").cast("long").as("k"), col("cp_doc"),
+            col("rn").cast("long").as("n_docs"))
+      } else {
+        // the three corpus scalars land on the driver via ONE tiny
+        // aggregate (the Vectors.resolveK precedent) so bin width and
+        // target ranks are plan LITERALS, and the checkpoint table is
+        // cached — it feeds THREE consumers (newTok, mass, the final
+        // curve join) and re-deriving the two-level machinery per
+        // consumer would triple its stages
+        val st = d.agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
+          max(col("doc_id")).as("hi")).head()
+        val nDocs = st.getLong(0)
+        val lo = if (nDocs == 0L) 0L else st.getLong(1)
+        val hi = if (nDocs == 0L) 0L else st.getLong(2)
+        val targets = (1 to buckets)
+          .map(k => (k.toLong, nDocs * k / buckets)).filter(_._2 > 0L)
+          .toDF("k", "rk")
+        val binW = (hi - lo) / 4096L + 1L
+        val binned = d.select(col("doc_id"),
+          expr(s"(doc_id - ${lo}L) div ${binW}L").as("bin"))
+        val binCnt = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+        val wb = Window.orderBy(col("bin")) // ≤ 4097 rows — bounded
+        val binOff = binCnt.withColumn("cum", sum(col("c")).over(wb))
+          .select(col("bin"), (col("cum") - col("c")).as("cum_before"), col("cum"))
+        val located = targets.join(broadcast(binOff),
+            col("rk") > col("cum_before") && col("rk") <= col("cum"))
+          .select(col("k"), col("rk"), col("bin"),
+            (col("rk") - col("cum_before")).as("lr"))
+        val wbin = Window.partitionBy(col("bin")).orderBy(col("doc_id"))
+        binned
+          .join(broadcast(located.select(col("bin")).distinct()), Seq("bin"))
+          .withColumn("lrn", row_number().over(wbin))
+          .join(broadcast(located), Seq("bin"))
+          .filter(col("lrn") === col("lr"))
+          .select(col("k"), col("doc_id").as("cp_doc"), col("rk").as("n_docs"))
+          .cache()
+      }
     val newTok = firsts.crossJoin(broadcast(cps))
       .filter(col("cp_doc") >= col("first_doc"))
       .groupBy(col("tok")).agg(min(col("k")).as("k"))

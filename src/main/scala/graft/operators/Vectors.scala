@@ -63,13 +63,50 @@ object Vectors {
 
   val IvfProbes = 4
   val NearDupThreshold = 0.45
-  /** LSH banding for the gated near-dup query: 60 planes in 20 bands
-    * of 3. At the aggressive 0.45 threshold (θ≈63°, bit-agreement
-    * p≈0.65) this catches true pairs with P = 1−(1−p³)²⁰ ≈ 99.8%;
-    * the same curve prunes ~95%+ of candidates at the 0.8-0.9
-    * thresholds real near-dup dedup runs at. The knobs are per-call. */
+  /** LSH banding for the gated near-dup query: 60 planes, bands
+    * derived from the corpus count (see [[adaptiveBandBits]]). At
+    * fixture scale (≤ 2048·8 vectors) the derivation lands on the
+    * historical 20 bands of 3; at the aggressive 0.45 threshold
+    * (θ≈63°, bit-agreement p≈0.65) that catches true pairs with
+    * P = 1−(1−p³)²⁰ ≈ 99.8%. The knobs are per-call. */
   val NearDupPlanes = 60
   val NearDupBands = 20
+
+  /** Sentinel for `bands` parameters: derive the banding from the
+    * corpus count via [[adaptiveBandBits]] (the [[AdaptiveK]]
+    * discipline applied to LSH banding). */
+  val AdaptiveBands = 0
+
+  /** Expected per-band bucket population the adaptive banding aims
+    * for; 256 keeps fixture corpora (≤ 2048·8 vectors) on the
+    * historical 3-bit/20-band layout. */
+  val BandTargetPop = 256
+
+  /** Bits-per-band derived from the corpus count:
+    * r = max(3, ⌈log₂⌈n/256⌉⌉), bands = 60 div r.
+    *
+    * A FIXED 3-bit band is the LSH analog of the fixed IVF cell count
+    * (the r10/r11 scale-killer): 8 buckets per band means per-band
+    * candidate pairs grow N²/8 — measured on the ×100-unique replica
+    * as 5.0×10¹⁰ collision rows and a >2400 s timeout (slope >×790),
+    * with the per-band histogram UNIFORM (max bucket ≈ 1.2× mean), so
+    * no hot-bucket cap can prune it: the whole bucket space is dense.
+    * Deriving r from N keeps expected bucket population ≈ [[BandTargetPop]]
+    * and per-band pairs ≈ N·[[BandTargetPop]]/2 — linear (measured:
+    * 1.6×10⁸ collision rows at ×100, a ×312 reduction). The banding
+    * curve then tracks scale: fewer, wider bands trade borderline-
+    * threshold recall for linear candidate volume while true
+    * near-dups (cos ≥ 0.95, p ≥ 0.9) still collide with P ≥ 0.9.
+    *
+    * Integer-exact and engine-portable: ⌈log₂ m⌉ = length(bin(m−1))
+    * for m ≥ 2 (the q196 floor-log idiom), so the DuckDB oracles
+    * derive the identical r and band count from count(*). */
+  def adaptiveBandBits(n: Long): Int = {
+    val m = (n + BandTargetPop - 1L) / BandTargetPop
+    val ceilLog =
+      if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.max(3, ceilLog)
+  }
   val IvfTrainIters = 3
 
   /** double-precision dot product of two vectors (sequential left
@@ -1000,7 +1037,6 @@ object Vectors {
     lshBanded(spark, dir, planes, bands) match {
       case None => emptyPairs(spark, "da", "db")
       case Some((sigs, banded)) =>
-        val r = planes / bands
         val l = banded.select(col("vec_id").as("da"), col("band"), col("bits"))
         val rt = banded.select(col("vec_id").as("db"), col("band"), col("bits"))
         // dedup collision pairs BEFORE scoring: a near-identical pair
@@ -1042,13 +1078,20 @@ object Vectors {
       .select(lit(0L).as(a), lit(0L).as(b), lit(0.0).as("cos")).limit(0)
 
   /** Shared LSH core: (cached signature frame, banded key frame) —
-    * None on an empty embedding table. */
+    * None on an empty embedding table. `bands` = [[AdaptiveBands]]
+    * derives the banding from the corpus count ([[adaptiveBandBits]]);
+    * an explicit band count must divide `planes`. */
   private def lshBanded(spark: SparkSession, dir: String, planes: Int,
                         bands: Int): Option[(DataFrame, DataFrame)] = {
     import spark.implicits._
-    require(planes % bands == 0, "bands must divide planes")
     require(planes <= 62, "signature is a long: at most 62 planes")
-    val r = planes / bands
+    val r =
+      if (bands == AdaptiveBands) adaptiveBandBits(emb(spark, dir).count())
+      else {
+        require(planes % bands == 0, "bands must divide planes")
+        planes / bands
+      }
+    val nBands = planes / r
     // deterministic ±1 hyperplane components from md5 parity
     def sign(p: Int, i: Int): Int = {
       val h = java.security.MessageDigest.getInstance("MD5")
@@ -1078,7 +1121,7 @@ object Vectors {
     }.toDF("vec_id", "v", "sig").cache()
     // band keys: candidates collide on ≥1 band of r bits
     val banded = sigs.select(col("vec_id"),
-      explode(array((0 until bands).map(b =>
+      explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("bits"))): _*)).as("bk"))
       .select(col("vec_id"), col("bk.band"), col("bk.bits"))

@@ -37,8 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * PSL algorithm would group unrelated IPs under a `0.1`
   * pseudo-domain; hosts that ARE a public suffix, are empty, or have
   * empty labels (`a..b`, trailing dot) also return unchanged.
-  * Unicode rules match only verbatim-unicode hosts (punycode hosts
-  * are not IDN-decoded first — the crawl keys on the raw host).
+  * Unicode rules are indexed in BOTH their verbatim-unicode and
+  * punycode (ACE) forms at load time, so hosts match in whichever
+  * form the crawl carries them — the host itself is never
+  * IDN-decoded (the crawl keys on the raw host).
   */
 case class RegisteredDomain(child: Expression) extends UnaryExpression {
 
@@ -74,13 +76,28 @@ object RegisteredDomain {
     val in = getClass.getResourceAsStream("/public_suffix_list.dat")
     require(in != null, "public_suffix_list.dat missing from classpath")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    // Unicode/IDN rules are ALSO indexed in their punycode (ACE) form
+    // — the form real crawl hosts actually carry (`xn--55qx5d.hk`);
+    // verbatim-unicode hosts keep matching the verbatim rule. One
+    // java.net.IDN.toASCII per unicode rule, once per JVM (advisor
+    // r14: punycoded hosts silently fell back to the last-two-label
+    // rule before this).
+    def addBothForms(set: java.util.HashSet[String], rule: String): Unit = {
+      set.add(rule)
+      var ascii = true
+      var i = 0
+      while (ascii && i < rule.length) { if (rule.charAt(i) >= 0x80) ascii = false; i += 1 }
+      if (!ascii)
+        try set.add(java.net.IDN.toASCII(rule).toLowerCase(java.util.Locale.ROOT))
+        catch { case _: IllegalArgumentException => () }
+    }
     try {
       for (raw <- src.getLines()) {
         val line = raw.trim
         if (line.nonEmpty && !line.startsWith("//")) {
-          if (line.startsWith("!")) e.add(line.substring(1))
-          else if (line.startsWith("*.")) w.add(line.substring(2))
-          else n.add(line)
+          if (line.startsWith("!")) addBothForms(e, line.substring(1))
+          else if (line.startsWith("*.")) addBothForms(w, line.substring(2))
+          else addBothForms(n, line)
         }
       }
     } finally src.close()

@@ -104,6 +104,33 @@ object UrlParts {
     j < p.length && p.charAt(j) == '='
   }
 
+  /** CODE-POINT order comparison — the order `array_sort` (UTF-8
+    * binary) and the DuckDB oracle use. `String.compareTo` is UTF-16
+    * code-UNIT order, which ranks a surrogate pair (code point ≥
+    * U+10000, units 0xD800–0xDFFF) BELOW BMP chars in 0xE000–0xFFFF —
+    * the advisor's measured divergence: '?😀=1&�=2' vs the
+    * oracle's '?�=2&😀=1'. Divergence can only start at the first
+    * differing unit; comparing full code points there (surrogate-
+    * aware) restores UTF-8 byte order with zero allocation. Inputs
+    * arrive from valid UTF-8 (UTF8String), so unpaired surrogates
+    * cannot occur. */
+  private def cmpCodePoints(a: String, b: String): Int = {
+    val la = a.length; val lb = b.length
+    val lim = math.min(la, lb)
+    var i = 0
+    while (i < lim) {
+      if (a.charAt(i) != b.charAt(i))
+        return Integer.compare(a.codePointAt(i), b.codePointAt(i))
+      i += 1
+    }
+    Integer.compare(la, lb)
+  }
+
+  private val codePointOrder: java.util.Comparator[String] =
+    new java.util.Comparator[String] {
+      override def compare(a: String, b: String): Int = cmpCodePoints(a, b)
+    }
+
   /** Called from interpreted eval AND generated code. */
   def compute(input: UTF8String): InternalRow = {
     val raw = input.toString
@@ -165,7 +192,7 @@ object UrlParts {
     var kept = ""
     if (query.nonEmpty) {
       val parts = query.split("&", -1).filter(p => p.nonEmpty && !isTracking(p))
-      java.util.Arrays.sort(parts.asInstanceOf[Array[AnyRef]])
+      java.util.Arrays.sort(parts, codePointOrder)
       kept = parts.mkString("&")
     }
     val pathC = if (path.isEmpty) "/" else path

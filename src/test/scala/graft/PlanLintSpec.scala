@@ -155,6 +155,80 @@ class PlanLintSpec extends SparkSpec {
     assert(out.isEmpty, s"\n${out.mkString("\n")}")
   }
 
+  /** Queries whose unpartitioned windows run over PROVABLY-BOUNDED
+    * inputs — post-aggregate frames whose row count is a function of
+    * a dimension (deciles, score bins, day grid, source list), never
+    * of the corpus. Each entry documents the bound. Everything else
+    * must carry no empty-PARTITION-BY window at all, so a future
+    * round introducing a corpus-sized single-task window (the q181 /
+    * q228 shapes fixed in round 15) fails HERE. */
+  private val windowWhitelist: Map[String, String] = Map(
+    "q122_skyline" ->
+      "strict-max re-check runs over the per-partition frontier UNION (skyline candidates), not the corpus",
+    "q147_string_indexer" ->
+      "frequency rank over the distinct-category table (label dimension)",
+    "q149_composition" ->
+      "cumulative share over the source x lang grid (dimension-sized)",
+    "q162_decile_lift" ->
+      "cumulative counts over COMPRESSED score bins (rows = distinct compressed scores, the bin-decomposition discipline itself)",
+    "q168_pmi_collocations" ->
+      "rank re-derived over exactly topK=20 rows AFTER TakeOrderedAndProject (round-15 rewrite)",
+    "q170_changepoint" ->
+      "day-grain cumulative sums + objective rank over distinct days (time dimension)",
+    "q181_vocab_growth" ->
+      ("size-gated checkpoint rank (round 15): below the 256 MB input gate ONE bounded global window " +
+        "(its input is capped by the gate itself); above it the <=4097 value-width id-bin two-level " +
+        "decomposition; plus the 10-row checkpoint curve window"),
+    "q183_auc_eval" ->
+      "cumulative counts over distinct score values (score bins)",
+    "q192_hazard_table" ->
+      "at-risk cumulative over the inter-order gap grid (bounded by the max gap in days)",
+    "q195_lm_train" ->
+      "rank over exactly TrainTopK=50 rows AFTER TakeOrderedAndProject",
+    "q197_dsir_weights" ->
+      "rank over exactly DsirTopK=100 rows AFTER TakeOrderedAndProject",
+    "q199_temp_mixture" ->
+      "largest-remainder rounding over the source dimension",
+    "q219_epoch_budget" ->
+      "waterfill rank over the source dimension",
+    "q228_nb_calibration" ->
+      "cumulative counts over distinct whole-bit LLR scores (round-15 bin decomposition; rows = score range, not corpus)",
+    "q229_epoch_sampler" ->
+      "waterfill rank over the source dimension",
+    "q242_range_boundaries" ->
+      "lag over compressed price bins",
+    "q249_reshard_plan" ->
+      "superbucket-level prefix sum: corpus/bucketSize^2 rows (Packing two-level hierarchy)",
+    "q44_sequence_pack" ->
+      "superbucket-level prefix sum: corpus/bucketSize^2 rows (Packing two-level hierarchy)",
+    "q74_chunk_pack" ->
+      "superbucket-level prefix sum: corpus/bucketSize^2 rows (Packing two-level hierarchy)")
+
+  test("EVERY registered query's unpartitioned windows are bounded (whitelisted) or absent") {
+    val sf = "/root/testdata/sf0.001"
+    val failures = Seq.newBuilder[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try {
+        val found = PlanLint.lint(fn(spark, sf))
+          .filter(_.rule == "unpartitioned-window")
+        if (found.nonEmpty && !windowWhitelist.contains(name))
+          failures += s"$name: ${found.map(_.node).distinct.mkString("; ")}"
+      } finally spark.catalog.clearCache()
+    }
+    val out = failures.result()
+    assert(out.isEmpty, s"\n${out.mkString("\n")}")
+  }
+
+  test("the window whitelist names only queries that actually need it") {
+    val sf = "/root/testdata/sf0.001"
+    for ((name, why) <- windowWhitelist) {
+      val found = PlanLint.lint(SparkEntry.queries(name)(spark, sf))
+        .filter(_.rule == "unpartitioned-window")
+      spark.catalog.clearCache()
+      assert(found.nonEmpty, s"$name is whitelisted ('$why') but lints clean — remove it")
+    }
+  }
+
   test("the whitelist names only queries that actually need it") {
     val sf = "/root/testdata/sf0.001"
     for ((name, why) <- cartesianWhitelist) {

@@ -28,6 +28,12 @@ class Round14Spec extends SparkSpec {
       "http://h.io", "http://h.io?a=1", "http://h.io/x?a=?b", "http://h.io/x#f?a=1",
       // malformed escapes, multibyte escapes, mixed case hex
       "http://h.io/100%", "http://h.io/a%4", "http://h.io/caf%c3%a9?x=%2f",
+      // ASTRAL query-param keys (advisor r14): the emoji is a
+      // surrogate PAIR in UTF-16 — code-UNIT sort ranks it below
+      // U+FFFD, code-POINT (= UTF-8 binary = array_sort) order above;
+      // the native sort must match the regex formulation byte-for-byte
+      "http://h.io/p?\uD83D\uDE00=1&\uFFFD=2&keep=0",
+      "http://h.io/p?\uD83D\uDE00\uD83D\uDE01=a&\uD83D\uDE00=b&z\uFFFD=c",
       // no scheme at all / garbage
       "not a url", "", "://x", "ftp://h.io/f", "h2+x.y://Host/P")
     val df = zoo.toDF("u")
@@ -67,6 +73,13 @@ class Round14Spec extends SparkSpec {
       // its exception !www.ck: www.ck IS registrable
       ("www.ck", "www.ck"),
       ("foo.www.ck", "www.ck"),
+      // unicode rules in PUNYCODE form (advisor r14): 公司.hk is a
+      // PSL rule; real crawl hosts carry its ACE form xn--55qx5d.hk,
+      // which must resolve as the public suffix (not fall back to the
+      // last-two-label rule), and the verbatim-unicode form still works
+      ("blog.example.xn--55qx5d.hk", "example.xn--55qx5d.hk"),
+      ("xn--55qx5d.hk", "xn--55qx5d.hk"),
+      ("blog.example.公司.hk", "example.公司.hk"),
       // carve-outs unchanged from the subset version
       ("192.168.0.1", "192.168.0.1"),
       ("localhost", "localhost"),

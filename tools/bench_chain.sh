@@ -43,8 +43,21 @@ log() { echo "[chain $(date +%H:%M:%S)] $*"; }
 
 # after a per-query `timeout`, the sbt wrapper dies but a FORKED
 # graft.Bench JVM can survive and contaminate every later row
-# (round-13 lesson) — reap orphans before the next measurement
-reap_bench() { pkill -f 'graft\.Bench' 2>/dev/null || true; sleep 2; }
+# (round-13 lesson). Kill ONLY the orphan this stage created: its pid
+# is in the bench PID-lock file (the stage's bench ran, so it held the
+# lock; call sites reap on rc=124 only, so an exit-3 SIBLING collision
+# — someone ELSE's pid in the lock — never reaches here). The old
+# host-wide `pkill -f graft.Bench` could kill a legitimately-running
+# driver bench (advisor r14).
+reap_bench() {
+  local pid
+  pid=$(head -1 /tmp/graft_bench.lock 2>/dev/null | tr -d '[:space:]')
+  if [ -n "$pid" ] && [ -d "/proc/$pid" ] && \
+     tr '\0' ' ' < "/proc/$pid/cmdline" 2>/dev/null | grep -q 'graft\.Bench'; then
+    kill "$pid" 2>/dev/null || true
+  fi
+  sleep 2
+}
 
 # snapshot the previous round's committed clean artifact BEFORE stage 1
 # overwrites it — the round-over-round mover gate below compares to it
@@ -79,18 +92,27 @@ for q in sorted(cur):
         if slow or fast:
             print(q)
 ' | paste -sd,)
+# replicas are host-local scratch — rebuild when a cleaned /tmp ate them
+if [ ! -s /tmp/sf1x10/documents.parquet/_SUCCESS ]; then
+  sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/sf1x10 10" \
+    > /tmp/scaleup_x10.log 2>&1
+fi
+
 if [ -n "$MOVERS" ]; then
   log "sf0.1 movers >2x (either direction) vs previous committed artifact: $MOVERS"
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=/tmp/movers_sf01.json \
     SPARK_GRAFT_BENCH_ONLY="$MOVERS" \
     sbt -batch "runMain graft.Bench" > /tmp/movers_sf01_run.log 2>&1
   python3 tools/merge_bench.py patch bench_out.json /tmp/movers_sf01.json
-fi
-
-# replicas are host-local scratch — rebuild when a cleaned /tmp ate them
-if [ ! -s /tmp/sf1x10/documents.parquet/_SUCCESS ]; then
-  sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/sf1x10 10" \
-    > /tmp/scaleup_x10.log 2>&1
+  # the SAME movers' committed x10 rows are suspect too (advisor r14):
+  # a row moved by THIS round's shared-code change keeps a stale x10
+  # value, deflating (or inflating) its slope and masking a real x10
+  # regression — re-measure the x10 side before the slope gate reads
+  # the pair
+  SPARK_GRAFT_SF_DIR=/tmp/sf1x10 SPARK_GRAFT_BENCH_OUT=/tmp/movers_x10.json \
+    SPARK_GRAFT_BENCH_ONLY="$MOVERS" SPARK_GRAFT_SHUFFLE_PARTITIONS=96 \
+    sbt -batch "runMain graft.Bench" > /tmp/movers_x10_run.log 2>&1
+  python3 tools/merge_bench.py patch bench_x10.json /tmp/movers_x10.json
 fi
 
 # 2. Slope gate over (fresh sf0.1, committed x10) + fresh-JVM requeue
@@ -152,7 +174,8 @@ for q in $X100Q; do
     SPARK_GRAFT_BENCH_OUT=/tmp/x100_part_$q.json \
     SPARK_GRAFT_BENCH_ONLY=$q SPARK_GRAFT_SHUFFLE_PARTITIONS=320 \
     SPARK_EXTRA_JAVA_OPTS="-Dspark.network.timeout=600s" \
-    sbt -batch "runMain graft.Bench" > /tmp/bench_x100_$q.log 2>&1 || reap_bench
+    sbt -batch "runMain graft.Bench" > /tmp/bench_x100_$q.log 2>&1 || \
+    { rc=$?; [ "$rc" -eq 124 ] && reap_bench; true; }
 done
 python3 tools/merge_bench.py concat bench_x100.json \
   --expect "$(echo $X100Q | tr ' ' ,)" /tmp/x100_part_*.json
@@ -173,17 +196,23 @@ if [ ! -s /tmp/sf1x100u/embeddings.parquet/_SUCCESS ]; then
     sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/sf1x100u 100 unique" \
     > /tmp/scaleup_x100u.log 2>&1
 fi
-X100UQ="q15_dedup_minhash q31_corpus_clean q70_lsh_capped q92_semantic_dedup q198_setsim_prefix q212_setsim_delta q24_embedding_neardup q204_drop_funnel"
+X100UQ="q15_dedup_minhash q31_corpus_clean q70_lsh_capped q92_semantic_dedup q198_setsim_prefix q212_setsim_delta q24_embedding_neardup q204_drop_funnel q226_phash_neardup q104_editdist_neardup q87_crosscorpus_neardup q201_winnow_pairs q213_winnow_delta"
 rm -f /tmp/x100u_part_*.json
 for q in $X100UQ; do
   if past_deadline; then log "DEADLINE — skipping x100u $q"; continue; fi
+  # q70/q212 pinned at reps=3 (verdict r14 item 4): q70's three reps=1
+  # same-code measurements spanned 103.6-541.1 s and q212's x114 was a
+  # single observation — a median-of-3 in ONE JVM is the cheapest
+  # instrument that separates noise from real skew
+  REPS=1; case "$q" in q70_lsh_capped|q212_setsim_delta) REPS=3;; esac
   timeout 2400 env \
-    SPARK_GRAFT_SF_DIR=/tmp/sf1x100u SPARK_GRAFT_BENCH_REPS=1 \
+    SPARK_GRAFT_SF_DIR=/tmp/sf1x100u SPARK_GRAFT_BENCH_REPS=$REPS \
     SPARK_DRIVER_MEM=64g SPARK_GRAFT_BENCH_REQUEUE_LOAD=64 \
     SPARK_GRAFT_BENCH_OUT=/tmp/x100u_part_$q.json \
     SPARK_GRAFT_BENCH_ONLY=$q SPARK_GRAFT_SHUFFLE_PARTITIONS=320 \
     SPARK_EXTRA_JAVA_OPTS="-Dspark.network.timeout=600s" \
-    sbt -batch "runMain graft.Bench" > /tmp/bench_x100u_$q.log 2>&1 || reap_bench
+    sbt -batch "runMain graft.Bench" > /tmp/bench_x100u_$q.log 2>&1 || \
+    { rc=$?; [ "$rc" -eq 124 ] && reap_bench; true; }
 done
 python3 tools/merge_bench.py concat bench_x100_unique.json \
   --expect "$(echo $X100UQ | tr ' ' ,)" /tmp/x100u_part_*.json
